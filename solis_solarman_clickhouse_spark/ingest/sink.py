@@ -1,0 +1,55 @@
+"""Batch sink with effectively-once semantics.
+
+The reference's sink is an at-least-once single-row INSERT loop with
+infinite 2 s retry (/root/reference/solarman.py:202-225) feeding a
+ClickHouse Buffer table that batches server-side (tables.sql:34-61).
+A retried partial failure can duplicate rows — there is no idempotency key.
+
+Spark upgrade (SURVEY.md §4 custom-work #2): ``foreachBatch`` writes each
+micro-batch to a batchId-addressed directory with mode("overwrite"); a
+replayed batch (task/stage retry, query restart from checkpoint) simply
+overwrites its own directory, so the landed table is identical — the
+classic batchId-idempotent pattern, giving effectively-once end-to-end on
+top of Spark's at-least-once batch replay.
+
+Layout mirrors the reference's MergeTree tuning (tables.sql:32):
+partition dirs by month (``ym=YYYYMM``) and rows sorted within files by
+(inverter, time), so month-range predicates prune directories and Parquet
+row-group min/max stats skip on both keys.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class IdempotentParquetSink:
+    def __init__(self, base_path: str):
+        self.base_path = base_path
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        """foreachBatch target: idempotent per batch_id."""
+        out = (
+            df.withColumn("ym", F.date_format("time", "yyyyMM"))
+            .repartition("ym")
+            .sortWithinPartitions("inverter", "time")
+        )
+        out.write.mode("overwrite").partitionBy("ym").parquet(
+            os.path.join(self.base_path, f"batch_id={batch_id}")
+        )
+
+    def read_table(self, spark: SparkSession) -> DataFrame:
+        """The landed fact table across all batches."""
+        df = spark.read.option("basePath", self.base_path).parquet(
+            os.path.join(self.base_path, "batch_id=*")
+        )
+        return df.drop("batch_id", "ym")
+
+    def foreach_batch(self):
+        def _write(df: DataFrame, batch_id: int) -> None:
+            self.write_batch(df, batch_id)
+
+        return _write

@@ -1,0 +1,216 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2-C
+Q-DOC-1/3 and the north-star dedup family).
+
+Tiers, cheapest first — all shuffle-once-per-stage, no driver loops:
+
+- exact_dedup          : sha2(text) groupBy — one shuffle on the hash.
+- ngram_jaccard_pairs  : EXACT near-dup ground truth via shingle equi-join
+                         (inverted index): shuffle on shingle, then on pair.
+- minhash_lsh_pairs    : the 100 TB scale path — per-doc minhash signature
+                         (one scan), banding, equi-join on (band, bucket) so
+                         only colliding docs are compared; candidate pairs
+                         verified with exact Jaccard. Recall is tunable via
+                         (n_hashes, bands).
+- simhash_fingerprint  : 64-bit simhash via per-token xxhash64 bit votes —
+                         one explode + one groupBy; Hamming-band join for
+                         candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import word_shingles
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical docs: keeper = min id, n_copies per group."""
+    h = F.sha2(F.col(text_col), 256)
+    return (
+        docs.groupBy(h.alias("text_sha256"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_index(docs: DataFrame, *, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) inverted index over distinct k-word shingles."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, *, k: int = 3, threshold: float = 0.8,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via the shingle inverted index.
+
+    |A∩B| from the index self-join, |A∪B| = |A|+|B|−|A∩B|. Scales as the
+    number of truly-colliding shingles, not |docs|²; at 100 TB the hot
+    shingles (boilerplate) should be frequency-capped — see
+    minhash_lsh_pairs for the sublinear path.
+    """
+    idx = shingle_index(docs, k=k, text_col=text_col, id_col=id_col)
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a, b = idx.alias("a"), idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, *, n_hashes: int = 32, k: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc minhash signature as array<bigint> (length n_hashes), one scan:
+    min over shingles of xxhash64(shingle, seed_i) per hash function."""
+    sh = word_shingles(F.col(text_col), k)
+
+    def hash_fn(seed: int):
+        # factory, not a loop-default lambda: a two-arg lambda would receive
+        # the array index as its second argument from F.transform
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh, hash_fn(i))) for i in range(n_hashes)]
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, *, n_hashes: int = 32, bands: int = 8, k: int = 3,
+    threshold: float = 0.8, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs via LSH banding, then exact-Jaccard verification.
+
+    bands=8 × rows=4 over 32 hashes → collision prob at j=0.8 per band =
+    0.8⁴≈0.41, overall 1-(1-0.41)⁸ ≈ 98.5% recall; false candidates are
+    removed by the exact re-check, so precision is 1.0 by construction.
+    """
+    rows = n_hashes // bands
+    sigs = minhash_signatures(docs, n_hashes=n_hashes, k=k, text_col=text_col, id_col=id_col)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.element_at("signature", b * rows + r + 1).cast("string")
+                                for r in range(rows)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification restricted to candidates
+    idx = shingle_index(docs, k=k, text_col=text_col, id_col=id_col)
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ai, bi = idx.alias("ai"), idx.alias("bi")
+    inter = (
+        candidates.join(ai, F.col("doc_a") == F.col("ai.doc_id"))
+        .join(bi, (F.col("doc_b") == F.col("bi.doc_id")) & (F.col("ai.shingle") == F.col("bi.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit simhash per doc: per-token xxhash64, each bit votes ±1,
+    fingerprint bit = sign of the vote sum. One explode + one groupBy."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{bit}")
+            for bit in range(64)
+        ]
+    )
+    fp = None
+    for bit in range(64):
+        term = F.when(F.col(f"v{bit}") > 0, F.shiftleft(F.lit(1).cast("bigint"), bit)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_candidate_pairs(docs: DataFrame, *, max_hamming: int = 8) -> DataFrame:
+    """Near-dup candidates: docs sharing at least one of four 16-bit simhash
+    bands (guaranteed to catch all pairs with Hamming distance <= 3, and most
+    below max_hamming); verified by exact popcount Hamming distance."""
+    fps = simhash_fingerprints(docs)
+    banded = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).cast("int")
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,285 @@
+"""Q-AGG: aggregation surface (SURVEY.md §2-C).
+
+These are the analytics the reference delegates to ClickHouse over its
+MergeTree table (SURVEY.md §2-B): time-bucketed gauges, last-point-per-key
+(ClickHouse argMax), counter deltas. Spark expresses them as hash
+aggregates with automatic partial (map-side) + final phases — at 100 TB the
+partial agg collapses the shuffle to |groups| × partitions rows.
+
+Float sums use the DECIMAL(38,6) accumulate → DOUBLE idiom (registry.dsum)
+so results are independent of partition/summation order on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..tables import register_views, table
+from .registry import davg, dsum, query, r4, sql_davg, sql_dsum
+
+
+@query(
+    "agg_tpch_q1",
+    category="aggregate",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           ROUND({sql_davg('l_quantity')}, 4) AS avg_qty,
+           ROUND({sql_davg('l_extendedprice')}, 4) AS avg_price,
+           ROUND({sql_davg('l_discount')}, 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_tpch_q1(spark, sf_dir):
+    """Q-AGG-1: TPC-H Q1 pricing summary — the hash-agg workhorse."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            r4(davg("l_quantity")).alias("avg_qty"),
+            r4(davg("l_extendedprice")).alias("avg_price"),
+            r4(davg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    category="aggregate",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    """Q-AGG-2: exact distinct aggregation (expand + two-phase agg in Spark)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    category="aggregate",
+    check="TOL",
+    oracle="SELECT CAST(1 AS BOOLEAN) AS within_tolerance",
+)
+def agg_approx_distinct(spark, sf_dir):
+    """Q-AGG-3: approx_count_distinct (HLL++) within 5% of exact.
+
+    The tolerance check itself is computed inside the query so the output is
+    a deterministic boolean the oracle can hash-match.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    res = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    )
+    return res.select(
+        (
+            F.abs(F.col("approx") - F.col("exact")) / F.col("exact") <= F.lit(0.05)
+        ).alias("within_tolerance")
+    )
+
+
+_GSETS_ORACLE = f"""
+SELECT CASE WHEN r_name IS NULL THEN '<all>' ELSE r_name END AS region_name,
+       CASE WHEN n_name IS NULL THEN '<all>' ELSE n_name END AS nation_name,
+       CASE WHEN r_name IS NULL THEN 1 ELSE 0 END AS g_region,
+       CASE WHEN n_name IS NULL THEN 1 ELSE 0 END AS g_nation,
+       {sql_dsum('c_acctbal')} AS sum_acctbal,
+       COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+"""
+
+
+@query("agg_grouping_sets", category="aggregate", oracle=_GSETS_ORACLE)
+def agg_grouping_sets(spark, sf_dir):
+    """Q-AGG-4: GROUPING SETS with null-indicator columns.
+
+    Indicator uses CASE WHEN key IS NULL (fixtures are null-free) instead of
+    grouping_id() to stay dialect-neutral with the oracle.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT CASE WHEN r_name IS NULL THEN '<all>' ELSE r_name END AS region_name,
+               CASE WHEN n_name IS NULL THEN '<all>' ELSE n_name END AS nation_name,
+               CASE WHEN r_name IS NULL THEN 1 ELSE 0 END AS g_region,
+               CASE WHEN n_name IS NULL THEN 1 ELSE 0 END AS g_nation,
+               {sql_dsum('c_acctbal')} AS sum_acctbal,
+               COUNT(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        """
+    )
+
+
+@query(
+    "agg_rollup",
+    category="aggregate",
+    oracle=f"""
+    SELECT COALESCE(CAST(YEAR(o_orderdate) AS VARCHAR), '<all>') AS order_year,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           {sql_dsum('o_totalprice')} AS sum_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (YEAR(o_orderdate), o_orderpriority)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """Q-AGG-5: ROLLUP over (year, priority)."""
+    o = table(spark, sf_dir, "orders").withColumn("order_year_i", F.year("o_orderdate"))
+    return (
+        o.rollup("order_year_i", "o_orderpriority")
+        .agg(dsum("o_totalprice").alias("sum_price"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("order_year_i").cast("string"), F.lit("<all>")).alias("order_year"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    category="aggregate",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           {sql_dsum('o_totalprice')} AS sum_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """Q-AGG-6: CUBE over (status, priority)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(dsum("o_totalprice").alias("sum_price"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+@query(
+    "agg_having",
+    category="aggregate",
+    oracle=f"""
+    SELECT o_custkey, {sql_dsum('o_totalprice')} AS total_spent, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING CAST(SUM(CAST((o_totalprice) AS DECIMAL(38,6))) AS DOUBLE) > 1500000
+    """,
+)
+def agg_having(spark, sf_dir):
+    """Q-AGG-7: HAVING — post-aggregation filter."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("total_spent"), F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("total_spent") > 1500000)
+    )
+
+
+@query(
+    "agg_last_point",
+    category="aggregate",
+    oracle="""
+    WITH m AS (SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id)
+    SELECT e.user_id, m.last_ts, ROUND(MAX(e.value), 4) AS last_value
+    FROM events e JOIN m ON e.user_id = m.user_id AND e.ts = m.last_ts
+    GROUP BY e.user_id, m.last_ts
+    """,
+)
+def agg_last_point(spark, sf_dir):
+    """Q-AGG-8: last point per key — ClickHouse ``argMax(value, time)``, the
+    reference schema's headline dashboard query (SURVEY.md §2-B;
+    /root/reference/tables.sql:32 orders by (inverter, time) for this).
+
+    max(struct(ts, value)) gives a deterministic arg-max (ties on ts broken
+    by value), computed as a single partial+final hash agg — no window, no
+    second shuffle.
+    """
+    ev = table(spark, sf_dir, "events")
+    pair = F.max(F.struct(F.col("ts"), F.col("value"))).alias("p")
+    return (
+        ev.groupBy("user_id")
+        .agg(pair)
+        .select("user_id", F.col("p.ts").alias("last_ts"), r4(F.col("p.value")).alias("last_value"))
+    )
+
+
+@query(
+    "agg_global_stats",
+    category="aggregate",
+    oracle=f"""
+    SELECT MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+           ROUND({sql_davg('l_quantity')}, 4) AS avg_qty,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty,
+           ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    """,
+)
+def agg_global_stats(spark, sf_dir):
+    """Q-AGG-9: ungrouped global aggregate with statistical moments."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        r4(davg("l_quantity")).alias("avg_qty"),
+        r4(F.stddev_samp("l_quantity")).alias("std_qty"),
+        r4(F.var_samp("l_quantity")).alias("var_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    category="aggregate",
+    oracle="""
+    SELECT r_name, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_collect_sorted(spark, sf_dir):
+    """Q-AGG-10: sorted array_agg, emitted as a joined string so the hash
+    compare stays scalar."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"))
+    )

@@ -1,0 +1,216 @@
+"""Q-DOC / Q-TXT: training-data text operators over the `documents` table
+(SURVEY.md §2-C Q-DOC-1..3 + the north-star text-analysis family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_candidate_pairs,
+)
+from ..operators.text import (
+    BPE_TOKEN_PATTERN,
+    STOPWORDS,
+    lang_guess,
+    quality_features,
+)
+from ..tables import table
+from .registry import query, sql_davg
+
+_JACCARD_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(generate_series(1, len(ws) - 2),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM w
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+"""
+
+
+@query(
+    "doc_exact_dedup",
+    category="documents",
+    oracle="""
+    SELECT sha256(text) AS text_sha256, MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def doc_exact_dedup(spark, sf_dir):
+    """Q-DOC-1: exact dedup by sha2(text); keeper = min doc_id."""
+    return exact_dedup(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_text_stats",
+    category="documents",
+    oracle=f"""
+    SELECT source, lang, COUNT(*) AS n_docs,
+           ROUND({sql_davg("len(string_split(text, ' '))")}, 4) AS avg_tokens,
+           ROUND({sql_davg('n_chars')}, 4) AS avg_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY source, lang
+    """,
+)
+def doc_text_stats(spark, sf_dir):
+    """Q-DOC-2: token/length distribution per (source, lang)."""
+    from .registry import davg, r4
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r4(davg(F.size(F.split("text", " ")))).alias("avg_tokens"),
+        r4(davg("n_chars")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query("doc_neardup_jaccard", category="documents", oracle=_JACCARD_ORACLE)
+def doc_neardup_jaccard(spark, sf_dir):
+    """Q-DOC-3 (exact form): 3-word-shingle Jaccard pairs >= 0.8 via the
+    shingle inverted index — exact ground truth for near-dup detection."""
+    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), k=3, threshold=0.8)
+
+
+@query("doc_neardup_minhash", category="documents", check="TOL")
+def doc_neardup_minhash(spark, sf_dir):
+    """Q-DOC-3 (scale path): MinHash-LSH banding candidates + exact-Jaccard
+    verification — the sublinear 100 TB near-dup strategy. Precision 1.0 by
+    construction (verified), recall ≈98.5% at j=0.8 with 32 hashes × 8
+    bands; no oracle entry (LSH bucketing isn't ANSI-SQL), equivalence to
+    doc_neardup_jaccard is asserted in tests/test_operators.py."""
+    return minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), n_hashes=32, bands=8, k=3, threshold=0.8
+    )
+
+
+@query("doc_neardup_simhash", category="documents", check="SMOKE")
+def doc_neardup_simhash(spark, sf_dir):
+    """SimHash near-dup: 64-bit fingerprints from per-token hash bit votes,
+    16-bit-band candidate generation, popcount Hamming verification."""
+    return simhash_candidate_pairs(table(spark, sf_dir, "documents"), max_hamming=8)
+
+
+_LANGID_SCORE = (
+    "len(list_filter(string_split(text, ' '), x -> list_contains([{words}], x)))"
+)
+
+
+def _langid_oracle() -> str:
+    scores = {
+        lg: _LANGID_SCORE.format(words=", ".join(f"'{w}'" for w in STOPWORDS[lg]))
+        for lg in sorted(STOPWORDS)
+    }
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lang AS actual_lang,
+             {scores['de']} AS s_de, {scores['en']} AS s_en,
+             {scores['es']} AS s_es, {scores['fr']} AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, actual_lang,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM s
+    """
+
+
+@query("doc_langid", category="documents", oracle=_langid_oracle())
+def doc_langid(spark, sf_dir):
+    """Language-ID heuristic: stopword-list overlap argmax (ties →
+    alphabetically-first language). Single scan, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        lang_guess(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@query(
+    "doc_quality_score",
+    category="documents",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           LEN(string_split(text, ' ')) AS n_tokens,
+           ROUND((LENGTH(text) - (LEN(string_split(text, ' ')) - 1)) * 1.0
+                 / LEN(string_split(text, ' ')), 4) AS avg_token_len,
+           ROUND(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                 / LENGTH(text), 4) AS punct_ratio,
+           ROUND(len(list_filter(string_split(text, ' '),
+                 x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+                 * 1.0 / LEN(string_split(text, ' ')), 4) AS stopword_ratio_en
+    FROM documents
+    """,
+)
+def doc_quality_score(spark, sf_dir):
+    """Quality-scoring features: length, token stats, punctuation ratio,
+    English stopword ratio — the standard pre-training quality filters."""
+    docs = table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+
+
+@query(
+    "doc_token_count_bpe",
+    category="documents",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS n_bpe_tokens,
+           LEN(string_split(text, ' ')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def doc_token_count_bpe(spark, sf_dir):
+    """Token counting: whitespace tokens and BPE-ish regex pre-tokens."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_PATTERN), 0)).alias("n_bpe_tokens"),
+        F.size(F.split("text", r"\s+")).alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    category="documents",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp,
+           COUNT(*) OVER (PARTITION BY md5(text)) AS n_same_fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting via md5 content hash + duplicate-group size."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.count(F.lit(1)).over(W.partitionBy(F.md5("text"))).alias("n_same_fp"),
+    )

@@ -1,0 +1,242 @@
+"""Q-JOIN: the join surface (SURVEY.md §2-C Q-JOIN-1..9).
+
+Physical strategy notes (what we want Catalyst/AQE to pick, verified with
+.explain in tests/test_plans.py):
+- star joins broadcast every dimension side (explicit F.broadcast on the
+  constant-size dims; AQE converts the rest when below threshold);
+- fact-fact joins shuffle on the join key (sort-merge / shuffled-hash by
+  Spark's choice) — at 100 TB these are the queries where bucketed layout
+  on the join key removes the shuffle entirely;
+- as-of and interval joins use the custom operators in
+  solis_solarman_clickhouse_spark.operators (no native Spark primitive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.asof_join import asof_join
+from ..operators.interval_join import interval_self_join
+from ..tables import table
+from .registry import dsum, query, sql_dsum
+
+
+@query(
+    "join_star_revenue",
+    category="join",
+    oracle=f"""
+    SELECT r_name AS region_name, n_name AS nation_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_star_revenue(spark, sf_dir):
+    """Q-JOIN-1: 5-way star join, revenue per (region, nation).
+
+    lineitem⋈orders is the only fact-fact edge (shuffle on orderkey);
+    customer/nation/region are broadcast so the probe side streams through
+    without further shuffles.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+@query(
+    "join_left_outer",
+    category="join",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    """Q-JOIN-2: left outer join preserving orderless customers (zero counts)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_full_outer",
+    category="join",
+    oracle="""
+    SELECT
+      CASE WHEN c_custkey IS NULL THEN -1 ELSE c_custkey END AS cust_side,
+      CASE WHEN o_orderkey IS NULL THEN -1 ELSE o_orderkey END AS order_side
+    FROM orders FULL OUTER JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """Q-JOIN-3: full outer join, null-extended on both sides."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    j = o.join(c, o.o_custkey == c.c_custkey, "full")
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.lit(-1)).alias("cust_side"),
+        F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("order_side"),
+    )
+
+
+@query(
+    "join_semi",
+    category="join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_semi(spark, sf_dir):
+    """Q-JOIN-4: left semi (EXISTS) — customers with at least one order."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    category="join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    """Q-JOIN-5: left anti (NOT EXISTS) — orderless customers."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    category="join",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark, sf_dir):
+    """Q-JOIN-6: Cartesian product (both sides tiny; broadcast NLJ)."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+@query(
+    "join_theta_prior_orders",
+    category="join",
+    oracle="""
+    SELECT o.o_custkey AS custkey, COUNT(*) AS n_prior_pairs,
+           MAX(o.o_orderkey) AS max_orderkey
+    FROM orders o JOIN orders p
+      ON o.o_custkey = p.o_custkey AND o.o_orderdate > p.o_orderdate
+    GROUP BY o.o_custkey
+    """,
+)
+def join_theta_prior_orders(spark, sf_dir):
+    """Q-JOIN-7: non-equi (theta) self-join — (order, strictly-earlier order)
+    pairs per customer. Equi part (custkey) carries the shuffle; the date
+    inequality is a post-join filter, so this is a hash join, not NLJ."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    a, p = o.alias("a"), o.alias("p")
+    return (
+        a.join(
+            p,
+            (F.col("a.o_custkey") == F.col("p.o_custkey"))
+            & (F.col("a.o_orderdate") > F.col("p.o_orderdate")),
+        )
+        .groupBy(F.col("a.o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_prior_pairs"),
+            F.max("a.o_orderkey").alias("max_orderkey"),
+        )
+    )
+
+
+@query(
+    "join_asof_latest_event",
+    category="join",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events GROUP BY user_id, ts
+    )
+    SELECT o.o_orderkey, o.o_custkey, ev.ts AS asof_ts,
+           ROUND(ev.value, 4) AS asof_value
+    FROM orders o
+    ASOF LEFT JOIN ev ON o.o_custkey = ev.user_id AND o.o_orderdate >= ev.ts
+    """,
+)
+def join_asof_latest_event(spark, sf_dir):
+    """Q-JOIN-8: as-of join — for each order, the latest event at or before
+    the order date for the same user. Custom operator (operators/asof_join):
+    one shuffle, union+window carry-forward; see module docstring for the
+    100 TB cost argument. Events are pre-aggregated per (user, ts) so ties
+    are deterministic on both engines."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    ev = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .withColumnRenamed("user_id", "o_custkey")
+    )
+    joined = asof_join(
+        o,
+        ev,
+        on="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        right_payload=["value"],
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("asof_ts"),
+        F.round(F.col("asof_value"), 4).alias("asof_value"),
+    )
+
+
+@query(
+    "join_interval_pairs",
+    category="join",
+    oracle="""
+    SELECT a.user_id, COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR
+    GROUP BY a.user_id
+    """,
+)
+def join_interval_pairs(spark, sf_dir):
+    """Q-JOIN-9: interval join — event pairs per user within ±1 h. Custom
+    bucketed-range operator (operators/interval_join): equi-join on
+    (key, time-bucket) + exact post-filter instead of an NLJ inequality
+    join; scales with data density, not |table|²."""
+    ev = table(spark, sf_dir, "events")
+    pairs = interval_self_join(
+        ev, key="user_id", ts="ts", id_col="event_id", tolerance_seconds=3600
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -1,0 +1,233 @@
+"""Q-STR / Q-DATE / Q-ARR / Q-MAP / Q-JSON: scalar function families.
+
+All built-in pyspark.sql.functions — JVM-side, inside whole-stage codegen.
+Oracle strings use the DuckDB spelling of the same semantics; where return
+types differ between dialects (dayofweek origin, floor type, map access)
+the query output is normalized to a dialect-neutral scalar.
+
+Mirrors: the reference's epoch-seconds timestamping (solarman.py:308) is
+exercised by date_epoch_roundtrip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..tables import table
+from .registry import query, r4
+
+
+@query(
+    "string_functions",
+    category="scalar_fn",
+    oracle="""
+    SELECT p_partkey,
+           CONCAT(p_brand, ':', p_name) AS branded,
+           SUBSTR(p_name, 1, 5) AS name5,
+           UPPER(p_name) AS name_up,
+           LOWER(p_type) AS type_lo,
+           TRIM(CONCAT(' ', p_name, ' ')) AS name_trim,
+           REPLACE(p_name, ' ', '_') AS name_us,
+           LENGTH(p_name) AS name_len,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           STRING_SPLIT(p_name, ' ')[1] AS first_word
+    FROM part
+    """,
+)
+def string_functions(spark, sf_dir):
+    """Q-STR-1: concat/substr/case/trim/replace/length/lpad/split."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_name")).alias("branded"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.upper("p_name").alias("name_up"),
+        F.lower("p_type").alias("type_lo"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+        F.length("p_name").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+    )
+
+
+@query(
+    "string_regex",
+    category="scalar_fn",
+    oracle="""
+    SELECT p_partkey, p_type,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           CAST(regexp_matches(p_type, '^(PROMO|ECONOMY)') AS BOOLEAN) AS is_promo_econ,
+           LENGTH(regexp_replace(p_name, '[aeiou]', '', 'g')) AS novowel_len
+    FROM part
+    """,
+)
+def string_regex(spark, sf_dir):
+    """Q-STR-2: regexp_extract / rlike / regexp_replace (patterns chosen to
+    behave identically in Java regex and RE2)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_type",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.col("p_type").rlike("^(PROMO|ECONOMY)").alias("is_promo_econ"),
+        F.length(F.regexp_replace("p_name", "[aeiou]", "")).alias("novowel_len"),
+    )
+
+
+@query(
+    "date_functions",
+    category="scalar_fn",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           YEAR(o_orderdate) AS yr,
+           MONTH(o_orderdate) AS mo,
+           DAY(o_orderdate) AS dy,
+           HOUR(o_orderdate) AS hr,
+           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+           CAST(DAYOFWEEK(o_orderdate) AS INT) AS dow
+    FROM orders
+    """,
+)
+def date_functions(spark, sf_dir):
+    """Q-DATE-1: date_trunc / parts / date_add / datediff / day-of-week.
+
+    Day-of-week normalized to DuckDB's convention (0 = Sunday); Spark's
+    dayofweek is 1 = Sunday, hence the -1.
+    """
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.year(d).cast("bigint").alias("yr"),
+        F.month(d).cast("bigint").alias("mo"),
+        F.dayofmonth(d).cast("bigint").alias("dy"),
+        F.hour(d).cast("bigint").alias("hr"),
+        F.date_add(d.cast("date"), 30).alias("plus30"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).cast("bigint").alias(
+            "days_to_2002"
+        ),
+        (F.dayofweek(d) - 1).cast("int").alias("dow"),
+    )
+
+
+@query(
+    "date_epoch_roundtrip",
+    category="scalar_fn",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) AS epoch_micro,
+           make_timestamp(epoch_us(ts)) AS ts_rebuilt,
+           CAST(make_timestamp(epoch_us(ts)) = ts AS BOOLEAN) AS roundtrip_ok
+    FROM events
+    """,
+)
+def date_epoch_roundtrip(spark, sf_dir):
+    """Q-DATE-2: epoch micros round-trip — the reference stamps rows with
+    UTC epoch seconds (time.time(), solarman.py:308) and ClickHouse stores
+    DateTime; here the conversion is exercised at microsecond precision."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("epoch_micro"),
+        F.timestamp_micros(F.unix_micros(F.col("ts"))).alias("ts_rebuilt"),
+        (F.timestamp_micros(F.unix_micros(F.col("ts"))) == F.col("ts")).alias("roundtrip_ok"),
+    )
+
+
+@query(
+    "array_functions",
+    category="scalar_fn",
+    oracle="""
+    WITH t AS (SELECT p_partkey, STRING_SPLIT(p_name, ' ') AS words FROM part)
+    SELECT p_partkey,
+           LEN(words) AS n_words,
+           CAST(list_contains(words, 'widget') AS BOOLEAN) AS has_widget,
+           ARRAY_TO_STRING(words[1:2], '|') AS first_two,
+           LEN(list_distinct(words)) AS n_distinct_words,
+           ARRAY_TO_STRING(list_sort(words), '|') AS sorted_words
+    FROM t
+    """,
+)
+def array_functions(spark, sf_dir):
+    """Q-ARR-1: array construct / size / contains / slice / distinct / sort,
+    emitted as scalars or joined strings for dialect-neutral hashing."""
+    p = table(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "widget").alias("has_widget"),
+        F.array_join(F.slice(words, 1, 2), "|").alias("first_two"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.array_join(F.sort_array(words), "|").alias("sorted_words"),
+    )
+
+
+@query(
+    "array_explode",
+    category="scalar_fn",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT UNNEST(STRING_SPLIT(p_name, ' ')) AS word FROM part) t
+    GROUP BY word
+    """,
+)
+def array_explode(spark, sf_dir):
+    """Q-ARR-2: explode (UNNEST) + re-aggregate — word frequency over p_name."""
+    p = table(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "map_functions",
+    category="scalar_fn",
+    oracle="""
+    SELECT p_partkey,
+           p_size AS size_val,
+           ROUND(p_retailprice, 4) AS price_val,
+           2 AS n_keys
+    FROM part
+    """,
+)
+def map_functions(spark, sf_dir):
+    """Q-MAP-1: map_from_arrays / map_keys / element_at. The oracle checks
+    the extracted values (map internals are Spark-side; DuckDB map access
+    semantics differ by version, so the oracle states the expected scalars
+    directly)."""
+    p = table(spark, sf_dir, "part")
+    m = F.map_from_arrays(
+        F.array(F.lit("size"), F.lit("price")),
+        F.array(F.col("p_size").cast("double"), F.col("p_retailprice")),
+    )
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "size").cast("int").alias("size_val"),
+        r4(F.element_at(m, "price")).alias("price_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@query(
+    "json_extract",
+    category="scalar_fn",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def json_extract(spark, sf_dir):
+    """Q-JSON-1: typed field extraction from the events.props JSON string."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )

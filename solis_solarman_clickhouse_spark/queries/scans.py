@@ -1,0 +1,62 @@
+"""Q-SCAN: full scans and pruned projections (SURVEY.md §2-C).
+
+The reference's storage layout (MergeTree ordered by (inverter, time),
+monthly partitions — /root/reference/tables.sql:32) exists to make exactly
+these two access patterns cheap; in Spark the equivalents are Parquet
+column pruning + predicate pushdown, which Catalyst applies when the plan
+is declared with select/filter (verify via .explain: PushedFilters /
+ReadSchema).
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import functions as F
+
+from ..tables import TABLE_NAMES, table
+from .registry import query
+
+_COUNT_ORACLE = " UNION ALL ".join(
+    f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}" for t in TABLE_NAMES
+)
+
+
+@query("scan_count_all", category="scan", oracle=_COUNT_ORACLE)
+def scan_count_all(spark, sf_dir):
+    """Q-SCAN-1: COUNT(*) of every fixture table.
+
+    count() over Parquet is metadata-only per row group (no column
+    materialization) — the cheapest possible full scan.
+    """
+    dfs = [
+        table(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for t in TABLE_NAMES
+    ]
+    return functools.reduce(lambda a, b: a.unionAll(b), dfs)
+
+
+@query(
+    "scan_pruned_projection",
+    category="scan",
+    oracle="""
+    SELECT l_orderkey, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-06-01 00:00:00'
+    """,
+)
+def scan_pruned_projection(spark, sf_dir):
+    """Q-SCAN-2: 2-column projection + ship-date range filter.
+
+    Catalyst pushes both the column pruning (ReadSchema: 3 of 11 cols) and
+    the timestamp range predicate into the Parquet scan; at 100 TB with
+    date-partitioned layout this also prunes partitions.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-06-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_extendedprice")

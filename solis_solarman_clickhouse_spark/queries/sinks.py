@@ -1,0 +1,54 @@
+"""Q-SINK: write paths (SURVEY.md §2-C Q-SINK-1/2).
+
+The reference's sink is at-least-once with possible duplicates
+(solarman.py:202-225); Q-SINK-2 demonstrates the batchId-idempotent
+upgrade: replaying the same batch twice lands the identical table.
+SMOKE: results are re-read from disk; rows-only driver check, full
+assertions in tests/test_ingest.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..tables import table
+from .registry import query
+
+
+@query("sink_parquet_roundtrip", category="sink", check="SMOKE")
+def sink_parquet_roundtrip(spark, sf_dir):
+    """Q-SINK-1: write an aggregate result as partitioned parquet (sorted
+    within partitions, mirroring tables.sql:32 ordering), re-read it."""
+    out = os.path.join(tempfile.mkdtemp(prefix="sink1_"), "agg")
+    res = (
+        table(spark, sf_dir, "orders")
+        .withColumn("ym", F.date_format("o_orderdate", "yyyyMM"))
+        .groupBy("ym", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    res.repartition("ym").sortWithinPartitions("o_orderstatus").write.mode(
+        "overwrite"
+    ).partitionBy("ym").parquet(out)
+    return spark.read.parquet(out).select("ym", "o_orderstatus", "n")
+
+
+@query("sink_idempotent_upsert", category="sink", check="SMOKE")
+def sink_idempotent_upsert(spark, sf_dir):
+    """Q-SINK-2: batchId-idempotent sink — the same micro-batch written
+    twice (simulating Spark's at-least-once batch replay) produces the
+    identical landed table, upgrading the reference's at-least-once
+    single-row INSERT retry (solarman.py:202-225) to effectively-once."""
+    from ..ingest.fixture import generate_raw_registers
+    from ..ingest.pipeline import transform
+    from ..ingest.sink import IdempotentParquetSink
+
+    base = os.path.join(tempfile.mkdtemp(prefix="sink2_"), "fact")
+    sink = IdempotentParquetSink(base)
+    fact = transform(generate_raw_registers(spark, inverters=2, days=1))
+    sink.write_batch(fact, batch_id=0)
+    sink.write_batch(fact, batch_id=0)  # replay — must be a no-op net effect
+    landed = sink.read_table(spark)
+    return landed.groupBy("inverter").agg(F.count(F.lit(1)).alias("n_rows"))

@@ -1,0 +1,203 @@
+"""Q-STRM: event-time windowing semantics (SURVEY.md §2-C Q-STRM-1..6).
+
+Tumbling / sliding / session / dedup run as batch plans here (identical
+operators work unchanged under readStream — Structured Streaming executes
+the same logical plan per micro-batch); their oracles are exact SQL.
+Watermark and the full ingest replay are genuinely streaming (multi-batch
+file source) and therefore SMOKE: no oracle entry, rows-only check.
+
+Window alignment note: Spark's window() origin is the epoch; DuckDB
+time_bucket's origin for minute buckets is 2000-01-01, which is itself
+5/10-minute aligned to the epoch, so bucket starts agree.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..tables import table
+from .registry import query, r4, sql_dsum
+
+_DEC = T.DecimalType(38, 6)
+
+
+@query(
+    "stream_tumbling_window",
+    category="streaming",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+           COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark, sf_dir):
+    """Q-STRM-1: 5-minute tumbling window aggregate (the Grafana
+    $__timeGroup query the reference's 30 s cadence implies, SURVEY.md §2-B)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "stream_sliding_window",
+    category="streaming",
+    oracle=f"""
+    WITH e AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS tb, event_type, value FROM events),
+    w AS (
+      SELECT tb AS window_start, event_type, value FROM e
+      UNION ALL
+      SELECT tb - INTERVAL '5 minutes' AS window_start, event_type, value FROM e
+    )
+    SELECT window_start, event_type, COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window(spark, sf_dir):
+    """Q-STRM-2: 10-minute window sliding every 5 minutes — each event lands
+    in exactly two windows; the oracle replicates that with an explicit
+    two-bucket expansion."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "stream_session_window",
+    category="streaming",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flags
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    """Q-STRM-3: session windows with a 30-minute gap per user. Spark's
+    session_window is used purely as the grouping key; outputs are min/max
+    event times so semantics align exactly with the gaps-and-islands oracle
+    (a gap of exactly 30 min starts a new session — [start, start+gap)
+    windows merge only on overlap)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+@query(
+    "stream_dedup_first",
+    category="streaming",
+    oracle="""
+    SELECT event_id, MIN(ts) AS first_ts, COUNT(*) AS n_copies
+    FROM events GROUP BY event_id
+    """,
+)
+def stream_dedup_first(spark, sf_dir):
+    """Q-STRM-4: duplicate-id resolution keeping the earliest timestamp —
+    batch equivalent of streaming dropDuplicates on event_id (the fixture
+    injects ~1% duplicate ids with later ts at sf>=0.01)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_id").agg(
+        F.min("ts").alias("first_ts"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@query("stream_watermark_late_data", category="streaming", check="SMOKE")
+def stream_watermark_late_data(spark, sf_dir):
+    """Q-STRM-5: genuine multi-batch streaming run with a 10-minute
+    watermark: events replayed in 4 time-ordered files (one per micro-batch);
+    append mode emits only windows finalized by the advancing watermark, so
+    out-of-order rows older than watermark are excluded. SMOKE: watermark
+    progress isn't oracle-expressible; invariant checks live in
+    tests/test_streaming.py."""
+    ev = table(spark, sf_dir, "events")
+    workdir = tempfile.mkdtemp(prefix="strm5_")
+    src = os.path.join(workdir, "src")
+    # 4 time-ranged files so the file stream produces advancing batches
+    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "strm5_out"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "event_type", "n"
+    )
+
+
+@query("stream_ingest_e2e", category="streaming", check="SMOKE")
+def stream_ingest_e2e(spark, sf_dir):
+    """Q-STRM-6: the reference's full A1-A14 pipeline replayed as a stream —
+    raw u16 registers → decode (32-bit combine + scale) → derive (watts,
+    clamped efficiency, zero-DC drop) → batchId-idempotent parquet sink
+    (month-partitioned, sorted by (inverter, time) mirroring
+    /root/reference/tables.sql:32)."""
+    from ..ingest.fixture import generate_raw_registers
+    from ..ingest.pipeline import run_stream
+    from ..ingest.sink import IdempotentParquetSink
+
+    workdir = tempfile.mkdtemp(prefix="strm6_")
+    raw_path = os.path.join(workdir, "raw")
+    raw = generate_raw_registers(spark, inverters=3, days=1)
+    raw.repartitionByRange(4, "time").write.mode("overwrite").parquet(raw_path)
+
+    sink = IdempotentParquetSink(os.path.join(workdir, "fact"))
+    q = run_stream(spark, raw_path, sink, os.path.join(workdir, "ckpt"))
+    q.awaitTermination()
+
+    fact = sink.read_table(spark)
+    return (
+        fact.groupBy("inverter")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            r4(F.max("inverter_efficiency_percent").cast("double")).alias("max_eff"),
+            F.max("kwh_total").alias("kwh_total_last"),
+        )
+    )

@@ -1,0 +1,106 @@
+"""Q-UDF: the Python-extension surface (SURVEY.md §2-C Q-UDF-1..3).
+
+UDFs are the slow path; everything here exists to prove the plumbing and
+to document when each tier is appropriate:
+- pandas_udf (Arrow-vectorized scalar)    — numeric kernels Spark lacks;
+- pandas_udf GROUPED_AGG                  — custom aggregates;
+- mapInPandas                             — table-in/table-out decode (the
+  register decode of /root/reference/solarman.py:340-361 re-done in numpy).
+Each result is checked EXACT against a pure-SQL oracle computing the same
+math, demonstrating UDF == built-in equivalence (IEEE doubles both sides).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..tables import table
+from .registry import query
+
+
+@query(
+    "udf_scalar_clamp",
+    category="udf",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN user_id % 7 = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE ROUND(LEAST(100.0, value / (user_id % 7) * 100), 4)
+           END AS clamped_pct
+    FROM events
+    """,
+)
+def udf_scalar_clamp(spark, sf_dir):
+    """Q-UDF-1: Arrow-vectorized pandas UDF computing the reference's
+    efficiency clamp (solarman.py:285); equals the built-in expression."""
+
+    @F.pandas_udf("double")
+    def clamp(value: pd.Series, denom: pd.Series) -> pd.Series:
+        out = (value / denom * 100).clip(upper=100.0).round(4)
+        # nullable Float64 so zero-denominator rows become SQL NULL (a bare
+        # float NaN would stay NaN through Arrow, which is not NULL)
+        out = out.astype("Float64")
+        out[denom == 0] = pd.NA
+        return out
+
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        clamp(F.col("value"), (F.col("user_id") % 7).cast("double")).alias("clamped_pct"),
+    )
+
+
+@query(
+    "udf_grouped_agg_mean",
+    category="udf",
+    oracle="""
+    SELECT event_type,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 4)
+             AS mean_value
+    FROM events GROUP BY event_type
+    """,
+)
+def udf_grouped_agg_mean(spark, sf_dir):
+    """Q-UDF-2: grouped-agg pandas UDF == built-in avg. The UDF sums with
+    math.fsum (exact) to match the decimal-accumulated oracle regardless of
+    batch order."""
+    import math
+
+    @F.pandas_udf("double")
+    def fsum_mean(v: pd.Series) -> float:
+        return round(math.fsum(v) / len(v), 4)
+
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(fsum_mean(F.col("value")).alias("mean_value"))
+
+
+@query(
+    "udf_map_in_pandas_decode",
+    category="udf",
+    oracle="""
+    SELECT event_id,
+           (event_id % 65536) * 65536 + ((event_id * 7) % 65536) AS combined_u32
+    FROM events
+    """,
+)
+def udf_map_in_pandas_decode(spark, sf_dir):
+    """Q-UDF-3: mapInPandas two-u16 → one-u32 big-endian combine — the
+    reference's quantity=2 register reads (solarman.py:278,280,299,305-307)
+    as a table UDF over Arrow batches."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 65536).alias("hi"),
+        ((F.col("event_id") * 7) % 65536).alias("lo"),
+    )
+
+    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hi = pdf["hi"].to_numpy(dtype="int64")
+            lo = pdf["lo"].to_numpy(dtype="int64")
+            yield pd.DataFrame(
+                {"event_id": pdf["event_id"], "combined_u32": (hi << 16) | lo}
+            )
+
+    return ev.mapInPandas(combine, schema="event_id bigint, combined_u32 bigint")

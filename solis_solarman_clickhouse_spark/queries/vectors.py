@@ -1,0 +1,101 @@
+"""Q-VEC: similarity search and vector aggregation over `embeddings`
+(SURVEY.md §2-C Q-VEC-1/2 + the north-star ANN family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    label_centroids,
+    with_cosine,
+)
+from ..tables import table
+from .registry import query
+
+_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_dot_product(q.qv, c.cv)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))
+           AS cosine
+  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, ROUND(cosine, 4) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("vec_cosine_topk", category="vectors", oracle=_TOPK_ORACLE)
+def vec_cosine_topk(spark, sf_dir):
+    """Q-VEC-1: exact brute-force cosine top-5 for query vectors 0..9
+    (ties → lower neighbor id). Dot products via zip_with/aggregate —
+    JVM-side, no UDF; query side broadcast."""
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+_CENTROID_ORACLE = """
+WITH exploded AS (
+  SELECT label,
+         UNNEST(generate_series(1, len(embedding))) - 1 AS dim,
+         UNNEST(embedding::DOUBLE[]) AS v
+  FROM embeddings
+)
+SELECT label, dim, ROUND(AVG(v), 4) AS centroid_val
+FROM exploded GROUP BY label, dim
+"""
+
+
+@query("vec_label_centroids", category="vectors", oracle=_CENTROID_ORACLE)
+def vec_label_centroids(spark, sf_dir):
+    """Q-VEC-2: per-label elementwise centroid (long form: label, dim, val)."""
+    return label_centroids(table(spark, sf_dir, "embeddings"))
+
+
+@query("vec_ann_lsh", category="vectors", check="SMOKE")
+def vec_ann_lsh(spark, sf_dir):
+    """ANN scale path: random-hyperplane LSH bucketing — candidates share a
+    12-bit signature bucket, so the corpus join is an equi-join on bucket
+    instead of a cross join. Recall vs vec_cosine_topk is measured in
+    tests/test_operators.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=12, dim=64)
+
+
+_NEARDUP_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4)
+         AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.995
+"""
+
+
+@query("vec_neardup_cosine", category="vectors", oracle=_NEARDUP_ORACLE)
+def vec_neardup_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.995) — the
+    embedding-based dedup tier for training-data pipelines."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    scored = with_cosine(pairs, "ea", "eb")
+    return scored.filter(F.col("cosine") >= 0.995).select(
+        "vec_a", "vec_b", F.round("cosine", 4).alias("cosine")
+    )

@@ -1,0 +1,186 @@
+"""Q-WIN: window-function surface (SURVEY.md §2-C Q-WIN-1..6).
+
+Includes the reference schema's counter-delta query (kwh_* monotonic
+counters → rate via lag, SURVEY.md §2-B; reference columns
+/root/reference/tables.sql:27-30). A window over (key, time) shuffles once
+on the key — the same partitioning the reference bakes into its MergeTree
+ORDER BY (inverter, time), tables.sql:32.
+
+Running sums accumulate in DECIMAL so cumulative float error can't flip the
+4-decimal rounding vs the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..tables import table
+from .registry import query, r4
+
+_DEC = T.DecimalType(38, 6)
+
+
+@query(
+    "window_ranking",
+    category="window",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_ranking(spark, sf_dir):
+    """Q-WIN-1: ranking family over a deterministic (date, pk) order."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "window_counter_delta",
+    category="window",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+             AS delta
+    FROM events
+    """,
+)
+def window_counter_delta(spark, sf_dir):
+    """Q-WIN-2: lag delta — the counter-rate query the reference's kwh_*
+    cumulative columns imply (tables.sql:27-30; ClickHouse runningDifference
+    / Grafana rate)."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        r4(F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@query(
+    "window_running_sum",
+    category="window",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    """Q-WIN-3: cumulative sum with an explicit ROWS frame."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "window_moving_avg",
+    category="window",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+             AS ma7
+    FROM events
+    """,
+)
+def window_moving_avg(spark, sf_dir):
+    """Q-WIN-4: 7-row trailing mean (sum/count so the accumulation is exact)."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        r4(
+            F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("ma7"),
+    )
+
+
+@query(
+    "window_analytic",
+    category="window",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           LAST_VALUE(o_orderkey)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 4) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_analytic(spark, sf_dir):
+    """Q-WIN-5: first/last value with explicit frames, percent_rank, cume_dist."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(wfull).alias("last_key"),
+        r4(F.percent_rank().over(w)).alias("pct_rank"),
+        r4(F.cume_dist().over(w)).alias("cdist"),
+    )
+
+
+@query(
+    "window_range_frame",
+    category="window",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+             AS n_within_1k
+    FROM orders
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """Q-WIN-6: RANGE frame on a numeric order key — count of orders priced
+    within 1000 below the current row's price."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-1000, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_within_1k"),
+    )
