@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a noop-format write (full computation, no driver
+collect) so timings measure the engine, not result serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from solis_solarman_clickhouse_spark.queries import REGISTRY
+from solis_solarman_clickhouse_spark.session import get_spark
+
+HEADLINE = [
+    "agg_tpch_q1",
+    "scan_pruned_projection",
+    "join_star_revenue",
+    "join_asof_latest_event",
+    "join_interval_pairs",
+    "window_ranking",
+    "window_counter_delta",
+    "sort_topk_per_group",
+    "stream_sliding_window",
+    "stream_session_window",
+    "doc_exact_dedup",
+    "doc_neardup_jaccard",
+    "doc_neardup_minhash",
+    "vec_cosine_topk",
+    "vec_label_centroids",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # JVM/codegen warmup outside the timed region
+    REGISTRY["scan_count_all"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -50,7 +50,7 @@ def load_targets(
     """
     raw = spark.read.schema(TARGET_SCHEMA).json(path)
 
-    serial = F.col("serial_number").cast("bigint")
+    serial = F.col("serial_number").try_cast("bigint")
     reason = (
         F.when(F.col("name").isNull() | (F.trim("name") == ""), "missing name")
         .when(F.col("ip").isNull() | (F.trim("ip") == ""), "missing ip")

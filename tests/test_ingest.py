@@ -1,0 +1,137 @@
+"""Ingest-pipeline unit tests — one per §2-A semantic from SURVEY.md §1.3:
+32-bit register combine, unit scaling, derived watts, zero-DC drop policy,
+config skip-on-invalid with reference defaults, idempotent sink replay.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from solis_solarman_clickhouse_spark.ingest.config import load_targets
+from solis_solarman_clickhouse_spark.ingest.decode import (
+    decode_registers,
+    decode_registers_pandas,
+)
+from solis_solarman_clickhouse_spark.ingest.derive import derive_metrics
+from solis_solarman_clickhouse_spark.ingest.fixture import generate_raw_registers
+from solis_solarman_clickhouse_spark.ingest.registers import FACT_COLUMNS
+from solis_solarman_clickhouse_spark.ingest.sink import IdempotentParquetSink
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    return generate_raw_registers(spark, inverters=2, days=1).cache()
+
+
+def test_u32_combine_and_scale(spark):
+    """(hi << 16) | lo big-endian combine (solarman.py:278 etc.) and 0.1
+    scaling (solarman.py:255) on a hand-built row."""
+    row = {"inverter": "X", "time": "2024-01-01 00:00:00"}
+    # all registers zero except the ones under test
+    from solis_solarman_clickhouse_spark.ingest.registers import raw_register_columns
+
+    for c in raw_register_columns():
+        row[c] = 0
+    row["reg_33049"] = 3015  # dc_1_voltage raw → 301.5 V
+    row["reg_33057"] = 2  # dc_actual_watts hi
+    row["reg_33058"] = 5  # dc_actual_watts lo → 2*65536+5
+    df = spark.createDataFrame([row]).withColumn("time", F.col("time").cast("timestamp"))
+    out = decode_registers(df).collect()[0]
+    assert out["dc_actual_watts"] == 2 * 65536 + 5
+    assert abs(out["dc_1_voltage"] - 301.5) < 1e-4
+
+
+def test_decode_jvm_equals_pandas(spark, raw):
+    """The codegen decode and the mapInPandas decode are the same function."""
+    a = decode_registers(raw)
+    b = decode_registers_pandas(raw)
+    diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    assert diff == 0
+
+
+def test_derived_watts_and_efficiency(spark, raw):
+    fact = derive_metrics(decode_registers(raw), zero_dc="drop")
+    bad = fact.filter(
+        (F.col("dc_1_watts") != F.round(F.col("dc_1_voltage") * F.col("dc_1_amps")))
+        | (
+            F.col("dc_calculated_watts")
+            != F.col("dc_1_watts") + F.col("dc_2_watts") + F.col("dc_3_watts")
+        )
+        | (F.col("inverter_efficiency_percent") > 100.0)
+    ).count()
+    assert bad == 0
+
+
+def test_zero_dc_drop_vs_null_policy(spark, raw):
+    """Reference drops the whole sample on zero DC (solarman.py:285,332);
+    the 'null' policy keeps the row with a null efficiency."""
+    decoded = decode_registers(raw)
+    n_total = decoded.count()
+    n_zero = decoded.filter(F.col("dc_actual_watts") == 0).count()
+    dropped = derive_metrics(decoded, zero_dc="drop")
+    nulled = derive_metrics(decoded, zero_dc="null")
+    assert n_zero > 0  # night rows exist in the fixture
+    assert dropped.count() == n_total - n_zero
+    assert nulled.count() == n_total
+    assert (
+        nulled.filter(F.col("inverter_efficiency_percent").isNull()).count() == n_zero
+    )
+    assert list(dropped.columns) == list(FACT_COLUMNS)
+
+
+def test_config_skip_on_invalid(spark):
+    """FIXTURES.md table 12: 3 valid-complete, 1 valid-with-defaults,
+    1 non-numeric serial, 1 missing serial → 4 valid, 2 rejected, with the
+    reference's code defaults (port 161, mb_slave_id 1: solarman.py:82,99)."""
+    targets = [
+        {"name": "a", "ip": "10.0.0.1", "port": 8899, "serial_number": "111",
+         "mb_slave_id": 2, "interval": 10, "timeout": 5, "error_correction": True},
+        {"name": "b", "ip": "10.0.0.2", "port": 8899, "serial_number": "222",
+         "mb_slave_id": 1, "interval": 30, "timeout": 15, "error_correction": False},
+        {"name": "c", "ip": "10.0.0.3", "port": 8899, "serial_number": "333",
+         "mb_slave_id": 1, "interval": 30, "timeout": 15, "error_correction": False},
+        {"name": "d", "ip": "10.0.0.4", "serial_number": "444"},
+        {"name": "bad1", "ip": "10.0.0.5", "serial_number": "not-a-number"},
+        {"name": "bad2", "ip": "10.0.0.6"},
+    ]
+    path = os.path.join(tempfile.mkdtemp(prefix="targets_"), "targets.json")
+    with open(path, "w") as f:
+        for t in targets:
+            f.write(json.dumps(t) + "\n")
+    valid, rejected = load_targets(spark, path)
+    v = {r["name"]: r.asDict() for r in valid.collect()}
+    rej = {r["name"]: r["reject_reason"] for r in rejected.collect()}
+    assert set(v) == {"a", "b", "c", "d"}
+    assert v["d"]["port"] == 161  # code default, not README's 8999
+    assert v["d"]["mb_slave_id"] == 1
+    assert v["d"]["interval"] == 30 and v["d"]["timeout"] == 15
+    assert v["d"]["error_correction"] is False
+    assert rej == {"bad1": "non-numeric serial_number", "bad2": "missing serial_number"}
+
+
+def test_config_all_invalid_is_fatal(spark):
+    path = os.path.join(tempfile.mkdtemp(prefix="targets_"), "targets.json")
+    with open(path, "w") as f:
+        f.write(json.dumps({"name": "x", "ip": "1.2.3.4"}) + "\n")
+    with pytest.raises(ValueError):
+        load_targets(spark, path)
+
+
+def test_sink_idempotent_replay(spark, raw):
+    """Q-SINK-2: same batchId written twice == written once (exact row
+    multiset), upgrading the reference's at-least-once retry
+    (solarman.py:202-225) to effectively-once."""
+    fact = derive_metrics(decode_registers(raw))
+    base = os.path.join(tempfile.mkdtemp(prefix="sink_"), "fact")
+    sink = IdempotentParquetSink(base)
+    sink.write_batch(fact, batch_id=0)
+    once = sink.read_table(spark).collect()
+    sink.write_batch(fact, batch_id=0)
+    twice = sink.read_table(spark).collect()
+    assert sorted(map(str, once)) == sorted(map(str, twice))
+    assert len(once) == fact.count()

@@ -1,0 +1,91 @@
+"""Streaming-semantics tests (SURVEY.md §5 item 3): watermark late-data
+exclusion, streaming==batch window equivalence, e2e ingest replay equality
+with the batch pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from solis_solarman_clickhouse_spark.ingest.decode import decode_registers
+from solis_solarman_clickhouse_spark.ingest.derive import derive_metrics
+from solis_solarman_clickhouse_spark.ingest.fixture import generate_raw_registers
+from solis_solarman_clickhouse_spark.ingest.pipeline import run_stream
+from solis_solarman_clickhouse_spark.ingest.sink import IdempotentParquetSink
+from solis_solarman_clickhouse_spark.tables import table
+
+from .conftest import SF_DIR
+
+
+def test_stream_window_agg_equals_batch(spark):
+    """A tumbling-window count over the event stream (multi-batch file
+    source, update-to-complete via availableNow) equals the batch result."""
+    ev = table(spark, SF_DIR, "events")
+    workdir = tempfile.mkdtemp(prefix="strmEQ_")
+    src = os.path.join(workdir, "src")
+    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+
+    batch = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("strm_eq_out")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("strm_eq_out")
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_watermark_excludes_late_windows(spark):
+    """Append-mode output under a watermark is a subset of the batch
+    (complete) result, and every emitted window is final — its count equals
+    the batch count for that window (no partial emissions)."""
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+
+    streamed = REGISTRY["stream_watermark_late_data"].fn(spark, SF_DIR)
+    ev = table(spark, SF_DIR, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    extra = streamed.exceptAll(batch).count()
+    assert extra == 0, "streamed emitted a window/count not in the batch result"
+    assert streamed.count() <= batch.count()
+
+
+def test_stream_ingest_replay_equals_batch_pipeline(spark):
+    """Q-STRM-6/golden e2e: streaming replay through decode→derive→idempotent
+    sink lands exactly the batch-transform result."""
+    workdir = tempfile.mkdtemp(prefix="e2e_")
+    raw = generate_raw_registers(spark, inverters=2, days=1)
+    raw_path = os.path.join(workdir, "raw")
+    raw.repartitionByRange(3, "time").write.mode("overwrite").parquet(raw_path)
+
+    sink = IdempotentParquetSink(os.path.join(workdir, "fact"))
+    q = run_stream(spark, raw_path, sink, os.path.join(workdir, "ckpt"))
+    q.awaitTermination()
+    landed = sink.read_table(spark)
+
+    expected = derive_metrics(decode_registers(spark.read.parquet(raw_path)))
+    assert landed.exceptAll(expected).count() == 0
+    assert expected.exceptAll(landed).count() == 0
