@@ -1,0 +1,256 @@
+"""Multimodal-column operators for training-data pipelines.
+
+Images / audio / video are carried as opaque ``binary`` payload columns plus
+a typed metadata struct — the pattern a 100 TB multimodal corpus uses
+(payload bytes stay columnar in Parquet, metadata is queryable without
+touching the bytes). Heavy per-item work (decode, resize, feature
+extraction) runs as Arrow-batched ``mapInPandas`` stages: binary columns
+arrive as zero-copy Arrow buffers, the Python worker processes a whole
+batch per call, and the output schema is declared up front so Catalyst can
+plan around the stage.
+
+The container ships no codec libraries (PIL / libsndfile / ffmpeg), so the
+codec INTERIOR of each stage is a deterministic stand-in, clearly marked
+and swappable: `_decode_image_batch` et al. document the real
+implementation and raise ``NotImplementedError`` when asked for real
+decoding (``real=True``). Everything Spark-side — schema, batching,
+partition spreading, null handling, binary-in/binary-out plumbing — is
+real and tested.
+
+No analogue exists in the reference (its only payloads are 16-bit Modbus
+registers, /root/reference/solarman.py:340-361); this family is part of
+the north-star scope (BASELINE.json "multimodal columns").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dedup import spread
+
+#: modality is assigned deterministically from doc_id so the DuckDB oracle
+#: can replicate the synthesis exactly: 0=image, 1=audio, 2=video.
+MODALITIES = ("image", "audio", "video")
+MIME = {"image": "image/fake", "audio": "audio/fake", "video": "video/fake"}
+
+#: 4-byte per-modality magic prefix, mirroring real container formats.
+MAGIC = {"image": b"IMG0", "audio": b"AUD0", "video": b"VID0"}
+
+PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def attach_payloads(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Synthesize the multimodal carrier table from `documents`: payload =
+    4-byte modality magic + UTF-8 bytes of the text (deterministic, so the
+    oracle can recompute n_bytes as 4 + octet_length(text)). Real pipelines
+    read this table from Parquet directly; everything downstream only
+    assumes (doc_id, modality, payload, meta)."""
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    magic = F.element_at(
+        F.array(*[F.lit(MAGIC[m]) for m in MODALITIES]),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    payload = F.concat(magic, F.col(text_col).cast("binary"))
+    mime = F.element_at(
+        F.array(*[F.lit(MIME[m]) for m in MODALITIES]),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        modality.alias("modality"),
+        payload.alias("payload"),
+        F.struct(
+            mime.alias("mime"), F.length(payload).cast("bigint").alias("n_bytes")
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# image decode (metadata extraction)
+# ---------------------------------------------------------------------------
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+
+def _fake_image_dims(n_bytes: "pd.Series") -> tuple["pd.Series", "pd.Series"]:
+    """STUB (deterministic stand-in): dimensions derived from payload size.
+    A real implementation parses the codec header (e.g. PIL.Image.open on
+    a BytesIO over the buffer, reading only the header). Keeping the fake a
+    pure function of n_bytes lets the DuckDB oracle verify the whole
+    mapInPandas plumbing end-to-end."""
+    width = (16 * (1 + n_bytes % 64)).astype("int32")
+    height = (16 * (1 + n_bytes % 48)).astype("int32")
+    return width, height
+
+
+def decode_image_meta(payloads: DataFrame, *, real: bool = False) -> DataFrame:
+    """Extract (width, height, channels) for image payloads via an
+    Arrow-batched mapInPandas stage. `real=True` selects the codec path,
+    which is not available in this environment."""
+    if real:
+        raise NotImplementedError(
+            "real image decode needs a codec library (PIL); this environment "
+            "ships none — use real=False for the deterministic stand-in"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int64")
+            width, height = _fake_image_dims(n_bytes)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "width": width,
+                    "height": height,
+                    "channels": pd.Series([3] * len(pdf), dtype="int32"),
+                }
+            )
+
+    imgs = spread(payloads.filter(F.col("modality") == "image"), "doc_id")
+    return imgs.select("doc_id", "payload").mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# image resize (binary-in / binary-out)
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(payloads: DataFrame, *, max_side: int = 256) -> DataFrame:
+    """Aspect-preserving resize of image payloads. The scaling arithmetic is
+    real; the pixel transform is a STUB that re-emits a truncated payload
+    (a real implementation decodes, resamples, and re-encodes in the same
+    batch loop). Demonstrates the binary→binary mapInPandas contract."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int64")
+            w, h = _fake_image_dims(n_bytes)
+            scale = (max_side / pd.concat([w, h], axis=1).max(axis=1)).clip(upper=1.0)
+            out_w = (w * scale).round().astype("int32")
+            out_h = (h * scale).round().astype("int32")
+            out_payload = pdf["payload"].map(
+                lambda b: None if b is None else b[: max(4, len(b) // 2)]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "payload": out_payload,
+                }
+            )
+
+    imgs = spread(payloads.filter(F.col("modality") == "image"), "doc_id")
+    return imgs.select("doc_id", "payload").mapInPandas(resize, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio feature extraction
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+_AUDIO_SR = 16_000  # assumed 16 kHz mono s16le for the stand-in duration math
+
+
+def audio_features(payloads: DataFrame, *, real: bool = False) -> DataFrame:
+    """Per-clip features over audio payloads via mapInPandas. STUB interior:
+    duration assumes 16 kHz mono 16-bit samples (2 bytes/sample); a real
+    implementation parses the container header / decodes PCM."""
+    if real:
+        raise NotImplementedError(
+            "real audio decode needs libsndfile/ffmpeg; not in this environment"
+        )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "duration_s": ((n_bytes - 4).clip(lower=0) / 2 / _AUDIO_SR).round(6),
+                    "sample_rate": pd.Series([_AUDIO_SR] * len(pdf), dtype="int32"),
+                }
+            )
+
+    clips = spread(payloads.filter(F.col("modality") == "audio"), "doc_id")
+    return clips.select("doc_id", "payload").mapInPandas(feats, AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video frame sampling (pure column expressions — no Python needed)
+# ---------------------------------------------------------------------------
+
+
+def sample_frames(payloads: DataFrame, *, fps: float = 4.0, max_frames: int = 8) -> DataFrame:
+    """Explode each video payload into sampled-frame rows. Frame COUNT and
+    timestamps are real arithmetic (n_frames = 1 + n_bytes mod max_frames,
+    ts = idx / fps); the frame fingerprint stands in for decoded frame
+    bytes (a real sampler runs the demuxer inside mapInPandas — see
+    decode_image_meta for the batch pattern). Pure expressions: sequence +
+    posexplode keeps this stage in whole-stage codegen, one scan, no
+    Python."""
+    vids = payloads.filter(F.col("modality") == "video")
+    n_frames = (F.lit(1) + F.col("meta.n_bytes") % max_frames).cast("int")
+    frames = vids.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "_"),
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx"),
+        F.round(F.col("frame_idx") / F.lit(fps), 4).alias("frame_ts_s"),
+        F.sha2(
+            F.concat_ws(":", F.col("doc_id"), F.col("frame_idx")), 256
+        ).alias("frame_fingerprint"),
+    )

@@ -18,6 +18,7 @@ from . import streaming_batch  # noqa: E402,F401
 from . import udfs  # noqa: E402,F401
 from . import documents  # noqa: E402,F401
 from . import vectors  # noqa: E402,F401
+from . import multimodal  # noqa: E402,F401
 from . import sinks  # noqa: E402,F401
 
 

@@ -1,0 +1,134 @@
+"""Q-MM: multimodal binary-column queries (north-star family, no reference
+analogue — BASELINE.json "multimodal columns").
+
+Payloads are synthesized deterministically from `documents`
+(operators/multimodal.attach_payloads: 4-byte modality magic + UTF-8 text
+bytes, modality = doc_id mod 3), so every stage — including the
+mapInPandas codec stand-ins — is oracle-checkable: the DuckDB SQL
+recomputes the same deterministic formulas from octet_length(text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    attach_payloads,
+    audio_features,
+    decode_image_meta,
+    resize_images,
+    sample_frames,
+)
+from ..tables import table
+from .registry import query
+
+# n_bytes as the oracle sees it: 4-byte magic + UTF-8 text bytes.
+_NB = "(4 + octet_length(encode(text)))"
+
+
+@query(
+    "mm_payload_meta",
+    category="multimodal",
+    oracle=f"""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS modality,
+           CASE doc_id % 3 WHEN 0 THEN 'image/fake' WHEN 1 THEN 'audio/fake'
+                           ELSE 'video/fake' END AS mime,
+           {_NB} AS n_bytes
+    FROM documents
+    """,
+)
+def mm_payload_meta(spark, sf_dir):
+    """Typed-metadata projection over the binary carrier table: metadata is
+    queryable without touching payload bytes (column pruning drops the
+    binary column from the scan entirely)."""
+    p = attach_payloads(table(spark, sf_dir, "documents"))
+    return p.select(
+        "doc_id", "modality", F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@query(
+    "mm_image_decode",
+    category="multimodal",
+    oracle=f"""
+    SELECT doc_id, {_NB} AS n_bytes,
+           16 * (1 + {_NB} % 64) AS width,
+           16 * (1 + {_NB} % 48) AS height,
+           3 AS channels
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def mm_image_decode(spark, sf_dir):
+    """Image metadata decode via Arrow-batched mapInPandas (binary in,
+    typed struct out). Codec interior is a deterministic stand-in; the
+    batch/schema plumbing is the real contract being verified."""
+    p = attach_payloads(table(spark, sf_dir, "documents"))
+    return decode_image_meta(p)
+
+
+@query(
+    "mm_image_resize",
+    category="multimodal",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, {_NB} AS n_bytes,
+             16 * (1 + {_NB} % 64) AS w, 16 * (1 + {_NB} % 48) AS h
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id,
+           CAST(ROUND(w * LEAST(256.0 / GREATEST(w, h), 1.0)) AS INT) AS out_width,
+           CAST(ROUND(h * LEAST(256.0 / GREATEST(w, h), 1.0)) AS INT) AS out_height,
+           GREATEST(4, n_bytes // 2) AS out_bytes
+    FROM dims
+    """,
+)
+def mm_image_resize(spark, sf_dir):
+    """Aspect-preserving resize, binary→binary mapInPandas; the output
+    payload length (not its stub content) is the oracle-checked part."""
+    p = attach_payloads(table(spark, sf_dir, "documents"))
+    out = resize_images(p, max_side=256)
+    return out.select(
+        "doc_id", "out_width", "out_height",
+        F.length("payload").cast("bigint").alias("out_bytes"),
+    )
+
+
+@query(
+    "mm_audio_features",
+    category="multimodal",
+    oracle=f"""
+    SELECT doc_id, {_NB} AS n_bytes,
+           ROUND(({_NB} - 4) / 2.0 / 16000.0, 6) AS duration_s,
+           16000 AS sample_rate
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def mm_audio_features(spark, sf_dir):
+    """Per-clip audio features via mapInPandas (stand-in duration math over
+    an assumed 16 kHz mono s16le payload)."""
+    p = attach_payloads(table(spark, sf_dir, "documents"))
+    return audio_features(p)
+
+
+@query(
+    "mm_video_frame_sample",
+    category="multimodal",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, {_NB} AS n_bytes, 1 + {_NB} % 8 AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id, i AS frame_idx,
+           ROUND(i / 4.0, 4) AS frame_ts_s,
+           sha256(doc_id || ':' || i) AS frame_fingerprint
+    FROM v, LATERAL UNNEST(generate_series(0, n_frames - 1)) AS t(i)
+    """,
+)
+def mm_video_frame_sample(spark, sf_dir):
+    """Video → sampled-frame rows (sequence + posexplode, whole-stage
+    codegen; no Python in the plan)."""
+    p = attach_payloads(table(spark, sf_dir, "documents"))
+    return sample_frames(p, fps=4.0, max_frames=8)
