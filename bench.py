@@ -34,6 +34,8 @@ HEADLINE = [
     "doc_neardup_minhash",
     "vec_cosine_topk",
     "vec_label_centroids",
+    "mm_image_decode",
+    "mm_video_frame_sample",
 ]
 
 
@@ -42,8 +44,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # JVM/codegen warmup outside the timed region
+    # JVM/codegen + Python-worker warmup outside the timed region (first
+    # Arrow/pandas stage pays ~3s of worker spin-up otherwise)
     REGISTRY["scan_count_all"].fn(spark, sf_dir).count()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
