@@ -110,6 +110,94 @@ def lsh_signed_random_buckets(
     return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
 
+def ivf_centroids(
+    corpus: DataFrame, *, n_lists: int = 16, seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the IVF coarse quantizer (seeded k-means) and return the
+    centroid table (list_id, centroid) — small by construction, broadcast
+    at use sites. Training cost is one MLlib fit over the corpus; at
+    100 TB you fit on a sample (k-means centroids converge on far less
+    data than the full corpus) and keep the centroid table as an artifact."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, "list_id int, centroid array<double>"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: each corpus vector lives in exactly one
+    inverted list (its max-cosine centroid); each query probes its n_probe
+    best lists and scores exactly within them. The corpus-side work is an
+    equi-join on list_id — the scanned fraction is ~n_probe/n_lists. With
+    n_probe == n_lists the probed lists cover every corpus vector exactly
+    once, so results equal the brute-force cosine_topk (asserted in
+    tests)."""
+    from pyspark.sql import Window as W
+
+    cents = centroids if centroids is not None else ivf_centroids(
+        corpus, n_lists=n_lists, seed=seed, vec_col=vec_col
+    )
+
+    def best_lists(side: DataFrame, out_id: str, out_vec: str, n: int) -> DataFrame:
+        scored = (
+            side.select(
+                F.col(id_col).alias(out_id),
+                F.col(vec_col).cast("array<double>").alias(out_vec),
+            )
+            .crossJoin(F.broadcast(cents))
+            .withColumn(
+                "_sim",
+                _dot(F.col(out_vec), F.col("centroid"))
+                / (_norm(F.col(out_vec)) * _norm(F.col("centroid"))),
+            )
+        )
+        w = W.partitionBy(out_id).orderBy(F.col("_sim").desc(), F.col("list_id"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= n)
+            .select(out_id, out_vec, "list_id")
+        )
+
+    c = best_lists(corpus, "neighbor_id", "cv", 1)
+    q = best_lists(queries, "query_id", "qv", n_probe)
+    scored = (
+        F.broadcast(q)
+        .join(c, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     ann_lsh_topk,
     cosine_topk,
+    ivf_topk,
     label_centroids,
     with_cosine,
 )
@@ -71,6 +72,19 @@ def vec_ann_lsh(spark, sf_dir):
     tests/test_operators.py."""
     emb = table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=12, dim=64)
+
+
+@query("vec_ann_ivf", category="vectors", check="SMOKE")
+def vec_ann_ivf(spark, sf_dir):
+    """ANN scale path #2: IVF — seeded k-means coarse quantizer, corpus in
+    one inverted list each, queries probe their 4 best of 16 lists
+    (scanned fraction ~1/4). Full-probe equivalence to brute force is
+    asserted in tests/test_operators.py; no oracle entry (k-means
+    training isn't ANSI-SQL)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=16, n_probe=4
+    )
 
 
 _NEARDUP_ORACLE = """

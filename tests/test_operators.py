@@ -132,6 +132,38 @@ def test_ann_lsh_subset_of_bruteforce_candidates(spark):
         assert abs(brute[key] - r["cosine"]) < 1e-6
 
 
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """IVF with n_probe == n_lists covers every corpus vector exactly once
+    (each lives in one inverted list), so results must equal brute force."""
+    from solis_solarman_clickhouse_spark.operators.similarity import ivf_topk
+
+    emb = table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = sorted(map(tuple, cosine_topk(emb, q, k=5).collect()))
+    ivf = sorted(map(tuple, ivf_topk(emb, q, k=5, n_lists=8, n_probe=8).collect()))
+    assert ivf == brute
+
+
+def test_ivf_partial_probe_scores_match_bruteforce(spark):
+    """Partial-probe IVF narrows candidates but never invents scores: every
+    returned (query, neighbor) must appear in the full brute-force ranking
+    with the identical cosine."""
+    from solis_solarman_clickhouse_spark.operators.similarity import ivf_topk
+
+    emb = table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(emb, q, k=2000).collect()
+    }
+    got = ivf_topk(emb, q, k=5, n_lists=16, n_probe=4).collect()
+    assert len(got) > 0
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in brute
+        assert abs(brute[key] - r["cosine"]) < 1e-6
+
+
 def test_langid_on_crafted_texts(spark):
     """Stopword-overlap language ID classifies genuinely-multilingual text.
     (The synthetic fixture's `lang` labels are random — its text is the same
