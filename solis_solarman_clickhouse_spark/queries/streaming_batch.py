@@ -172,6 +172,51 @@ def stream_watermark_late_data(spark, sf_dir):
     )
 
 
+@query("stream_counter_rate_stateful", category="streaming", check="SMOKE")
+def stream_counter_rate_stateful(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user counter
+    delta/rate over the events stream, state carrying the last-seen sample
+    across micro-batches. Batch-lag() equivalence is asserted in
+    tests/test_streaming.py; here the stream runs multi-trigger
+    (maxFilesPerTrigger=1) and the landed per-key tail is returned."""
+    from ..streaming.stateful import streaming_counter_rate
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    workdir = tempfile.mkdtemp(prefix="strmrate_")
+    src = os.path.join(workdir, "src")
+    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rates = streaming_counter_rate(stream, key="user_id", ts="ts", value="value")
+    name = "strm_rate_out"
+    q = (
+        rates.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.count("delta").alias("n_deltas"),
+            r4(F.max_by(F.col("rate_per_hour"), F.col("ts")).cast("double")).alias("last_rate"),
+        )
+    )
+
+
 @query("stream_ingest_e2e", category="streaming", check="SMOKE")
 def stream_ingest_e2e(spark, sf_dir):
     """Q-STRM-6: the reference's full A1-A14 pipeline replayed as a stream —

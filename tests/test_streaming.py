@@ -73,6 +73,68 @@ def test_watermark_excludes_late_windows(spark):
     assert streamed.count() <= batch.count()
 
 
+def test_stateful_counter_rate_equals_batch_lag(spark):
+    """applyInPandasWithState counter-rate across micro-batch boundaries
+    must equal the batch lag() computation: time-ordered files with
+    maxFilesPerTrigger=1 force state to carry the last sample between
+    triggers."""
+    from pyspark.sql import Window as W
+
+    from solis_solarman_clickhouse_spark.streaming.stateful import streaming_counter_rate
+
+    ev = (
+        table(spark, SF_DIR, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    workdir = tempfile.mkdtemp(prefix="strmrate_")
+    src = os.path.join(workdir, "src")
+    # time-ordered file names so triggers replay in event-time order
+    parts = ev.orderBy("ts").withColumn(
+        "part", F.ntile(3).over(W.orderBy("ts"))
+    )
+    for i in range(1, 4):
+        parts.filter(F.col("part") == i).drop("part").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"f{i}"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    rates = streaming_counter_rate(stream, key="user_id", ts="ts", value="value")
+    q = (
+        rates.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_eq_out")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("rate_eq_out").select(
+        "key", "ts", F.round("delta", 6).alias("delta"),
+        F.round("rate_per_hour", 6).alias("rate"),
+    )
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    exp = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        "ts",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        F.round(
+            (F.col("value") - F.lag("value").over(w))
+            / ((F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)) / 3600.0),
+            6,
+        ).alias("rate"),
+    )
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+
 def test_stream_ingest_replay_equals_batch_pipeline(spark):
     """Q-STRM-6/golden e2e: streaming replay through decode→derive→idempotent
     sink lands exactly the batch-transform result."""
