@@ -283,3 +283,37 @@ def agg_collect_sorted(spark, sf_dir):
         .groupBy("r_name")
         .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"))
     )
+
+
+@query(
+    "agg_salted_skew",
+    category="aggregate",
+    oracle=f"""
+    SELECT event_type, {sql_dsum('value')} AS sum_value,
+           COUNT(value) AS n, MIN(value) AS mn, MAX(value) AS mx
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark, sf_dir):
+    """Skew-resilient two-stage salted aggregation (operators/skew.py):
+    hot keys fan out over 16 salted partial groups before the merge.
+    Semantics-preserving, so the plain GROUP BY is its oracle; decimal
+    accumulation keeps the salted partial-sum order-independent."""
+    from pyspark.sql import types as T
+
+    from ..operators.skew import salted_agg
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "_v", F.col("value").cast(T.DecimalType(38, 6))
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {"sum_value": ("sum", "_v"), "n": ("count", "_v"),
+         "mn": ("min", "value"), "mx": ("max", "value")},
+        n_salts=16,
+    )
+    return out.select(
+        "event_type", F.col("sum_value").cast("double").alias("sum_value"),
+        "n", "mn", "mx",
+    )

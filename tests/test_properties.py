@@ -1,0 +1,118 @@
+"""Property-based invariants (SURVEY.md §5 item 5) + skew-rewrite
+equivalences: randomized small relations via hypothesis, algebraic
+identities that must hold for any input."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from solis_solarman_clickhouse_spark.operators.skew import (
+    salted_agg,
+    salted_broadcast_left,
+    top_keys,
+)
+from solis_solarman_clickhouse_spark.tables import table
+
+from .conftest import SF_DIR
+
+_SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rel = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(-100, 100)), min_size=0, max_size=30
+)
+
+
+def _df(spark, rows, cols=("k", "v")):
+    return spark.createDataFrame(rows or [(0, 0)], list(cols)).limit(
+        len(rows)
+    )  # limit(0) keeps the schema for empty input
+
+
+def test_salted_agg_equals_plain(spark):
+    ev = table(spark, SF_DIR, "events")
+    aggs = {
+        "sum_v": ("sum", "value"),
+        "n": ("count", "value"),
+        "mn": ("min", "value"),
+        "mx": ("max", "value"),
+    }
+    plain = ev.groupBy("user_id").agg(
+        F.sum("value").alias("sum_v"),
+        F.count("value").alias("n"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    salted = salted_agg(ev, ["user_id"], aggs, n_salts=8)
+    # compare on rounded sums (double addition order differs by design)
+    norm = lambda df: df.select(
+        "user_id", F.round("sum_v", 6).alias("s"), "n", "mn", "mx"
+    )
+    assert norm(salted).exceptAll(norm(plain)).count() == 0
+    assert norm(plain).exceptAll(norm(salted)).count() == 0
+
+
+def test_salted_broadcast_join_equals_plain(spark):
+    orders = table(spark, SF_DIR, "orders")
+    cust = table(spark, SF_DIR, "customer")
+    plain = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_name"
+    )
+    salted = salted_broadcast_left(
+        orders, cust, orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "c_name")
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_top_keys_shares_sum_below_one(spark):
+    ev = table(spark, SF_DIR, "events")
+    rows = top_keys(ev, ["event_type"], n=5).collect()
+    assert all(0 < r["share"] <= 1 for r in rows)
+    assert sum(r["share"] for r in rows) <= 1.000001
+
+
+@_SLOW
+@given(left=rel, right=rel)
+def test_semi_join_identity(spark, left, right):
+    """left_semi ≡ project(distinct(inner)) on the left's columns."""
+    l = _df(spark, left)
+    r = _df(spark, right, cols=("k", "w"))
+    semi = l.join(r, "k", "left_semi")
+    via_inner = l.join(r.select("k").distinct(), "k", "inner")
+    assert sorted(map(tuple, semi.collect())) == sorted(map(tuple, via_inner.collect()))
+
+
+@_SLOW
+@given(rows=rel)
+def test_running_sum_equals_self_join(spark, rows):
+    """Window running-sum ≡ self-join sum over (k, idx<=self)."""
+    df = (
+        _df(spark, rows)
+        .withColumn("idx", F.monotonically_increasing_id())
+    ).cache()
+    w = W.partitionBy("k").orderBy("idx").rowsBetween(W.unboundedPreceding, W.currentRow)
+    winsum = df.withColumn("rs", F.sum("v").over(w)).select("k", "idx", "rs")
+    a, b = df.alias("a"), df.alias("b")
+    sjsum = (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("b.idx") <= F.col("a.idx")))
+        .groupBy(F.col("a.k").alias("k"), F.col("a.idx").alias("idx"))
+        .agg(F.sum("b.v").alias("rs"))
+    )
+    assert sorted(map(tuple, winsum.collect())) == sorted(map(tuple, sjsum.collect()))
+
+
+@_SLOW
+@given(rows=rel)
+def test_rollup_contains_plain_groupby(spark, rows):
+    """rollup(k) ⊇ groupBy(k) with identical aggregates."""
+    df = _df(spark, rows)
+    plain = df.groupBy("k").agg(F.sum("v").alias("s"))
+    roll = df.rollup("k").agg(F.sum("v").alias("s")).filter(F.col("k").isNotNull())
+    assert plain.exceptAll(roll).count() == 0
