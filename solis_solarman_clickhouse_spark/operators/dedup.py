@@ -24,15 +24,7 @@ from pyspark.sql import functions as F
 from .text import word_shingles
 
 
-def spread(df: DataFrame, *cols: str) -> DataFrame:
-    """Repartition up to the cluster's parallelism before CPU-heavy per-row
-    work, but only when the scan is under-partitioned (e.g. one small parquet
-    file with a single row group → one task). At real scale the input already
-    has >= defaultParallelism partitions and this is a no-op — no shuffle."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target, *cols) if cols else df.repartition(target)
+from ..tables import spread  # noqa: F401  (re-export; used throughout dedup)
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..tables import register_views, table
+from ..tables import register_views, spread, table
 from .registry import davg, dsum, query, r4, sql_davg, sql_dsum
 
 
@@ -41,8 +41,11 @@ def agg_tpch_q1(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    filtered = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        spread(filtered)  # decimal partial-agg is CPU-heavy; see tables.spread
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators.asof_join import asof_join
 from ..operators.interval_join import interval_self_join
-from ..tables import table
+from ..tables import spread, table
 from .registry import dsum, query, sql_dsum
 
 
@@ -50,7 +50,8 @@ def join_star_revenue(spark, sf_dir):
     r = table(spark, sf_dir, "region")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        spread(li)  # parallelize the probe side; no-op on real partitioned input
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))

@@ -49,6 +49,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition up to the cluster's parallelism before CPU-heavy work,
+    but only when the input is under-partitioned (the local fixtures are
+    single-row-group parquet → a one-task scan that serializes heavy
+    aggregation/expression work on one core). On a well-partitioned input
+    (any real multi-file table) this is a no-op — no shuffle at scale.
+    Apply AFTER filters so predicate pushdown still reaches the scan."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql queries."""
     for name in TABLE_NAMES:
