@@ -214,3 +214,63 @@ def doc_fingerprint(spark, sf_dir):
         F.md5("text").alias("fp"),
         F.count(F.lit(1)).over(W.partitionBy(F.md5("text"))).alias("n_same_fp"),
     )
+
+
+@query(
+    "doc_train_split",
+    category="documents",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source,
+             ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+           source, COUNT(*) AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+)
+def doc_train_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5) by Knuth
+    multiplicative hash of doc_id — the split a training-data pipeline
+    needs to be stable across reruns and engines (no RNG, no sampling
+    nondeterminism). One scan + one partial-final agg; at 100 TB the
+    assignment is a pure projection joined to nothing."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "source")
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "doc_normalize",
+    category="documents",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                      ' +', ' ', 'g'))) AS norm_len
+    FROM documents
+    """,
+)
+def doc_normalize(spark, sf_dir):
+    """Text normalization for dedup/quality pipelines: lowercase, strip
+    non-alphanumerics, collapse whitespace — pure JVM regexp expressions,
+    one scan, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len")
+    )
