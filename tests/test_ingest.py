@@ -135,3 +135,34 @@ def test_sink_idempotent_replay(spark, raw):
     twice = sink.read_table(spark).collect()
     assert sorted(map(str, once)) == sorted(map(str, twice))
     assert len(once) == fact.count()
+
+
+def test_clickhouse_sink_sql_surface(spark):
+    """Server-free checks of the ClickHouse sink: DDL mirrors tables.sql
+    (monthly partitioning, (inverter,time) ordering, Float32/UInt32 split),
+    insert projection preserves the reference's 26-column order, and
+    connection properties follow the reference's env-var names/defaults."""
+    from solis_solarman_clickhouse_spark.ingest.clickhouse_sink import (
+        connection_properties,
+        create_table_ddl,
+        ordered_for_insert,
+    )
+    from solis_solarman_clickhouse_spark.ingest.registers import FACT_COLUMNS
+
+    ddl = create_table_ddl()
+    assert "PARTITION BY toYYYYMM(time)" in ddl
+    assert "ORDER BY (inverter, time)" in ddl
+    assert "`inverter` LowCardinality(String)" in ddl
+    assert "`kwh_total` UInt32" in ddl
+    assert "`ac_frequency` Float32" in ddl
+    assert len(FACT_COLUMNS) == 26
+
+    props = connection_properties(env={})
+    assert props["url"] == "jdbc:clickhouse://localhost:8123/homelab"
+    assert props["dbtable"] == "solis_solarman"  # code default, not README's
+
+    df = spark.createDataFrame(
+        [tuple(str(i) if c == "inverter" else i for i, c in enumerate(FACT_COLUMNS))],
+        list(FACT_COLUMNS)[::-1],  # reversed input column order
+    )
+    assert ordered_for_insert(df).columns == list(FACT_COLUMNS)
