@@ -1,0 +1,75 @@
+"""Physical-plan regression tests: the scale properties the engine relies
+on (predicate pushdown, column pruning, broadcast joins, partial
+aggregation) must stay visible in the plans — a correctness-preserving
+refactor that silently loses one of these is a 100 TB regression."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+
+from .conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_pruned_scan_pushes_filter_and_prunes_columns(spark):
+    df = REGISTRY["scan_pruned_projection"].fn(spark, SF_DIR)
+    plan = _formatted(df)
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan, plan
+    # ReadSchema must contain exactly the touched columns — projection
+    # (l_orderkey, l_extendedprice) plus the filter column l_shipdate
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("l_orderkey", "l_extendedprice", "l_shipdate"):
+        assert col in read_schema
+    for col in ("l_quantity", "l_discount", "l_tax", "l_partkey"):
+        assert col not in read_schema
+
+
+def test_star_join_broadcasts_all_dimensions(spark):
+    df = REGISTRY["join_star_revenue"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_tpch_q1_has_partial_aggregation(spark):
+    df = REGISTRY["agg_tpch_q1"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    # partial + final hash aggregate around one exchange
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange" in plan
+
+
+def test_topk_global_uses_take_ordered(spark):
+    df = REGISTRY["sort_topk_global"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_whole_stage_codegen_covers_projection(spark):
+    df = REGISTRY["proj_revenue_expr"].fn(spark, SF_DIR)
+    # formatted mode marks codegen'd operators with "[codegen id : N]"
+    assert "codegen id" in _formatted(df)
+
+
+def test_scalar_fn_queries_have_no_python_udfs(spark):
+    """Scalar-function families must stay JVM-side: no BatchEvalPython /
+    ArrowEvalPython stages anywhere in their plans."""
+    for name in [
+        "string_functions", "date_functions", "math_functions",
+        "conditional_functions", "array_functions", "map_functions",
+        "json_extract", "doc_normalize", "doc_langid",
+    ]:
+        plan = _plan(REGISTRY[name].fn(spark, SF_DIR))
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
