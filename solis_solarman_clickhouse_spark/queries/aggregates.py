@@ -320,3 +320,30 @@ def agg_salted_skew(spark, sf_dir):
         "event_type", F.col("sum_value").cast("double").alias("sum_value"),
         "n", "mn", "mx",
     )
+
+
+@query(
+    "agg_percentiles",
+    category="aggregate",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_quantity, 0.99), 4) AS p99,
+           ROUND(quantile_disc(l_quantity, 0.5), 4) AS p50_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact grouped percentiles (interpolated + discrete): Spark
+    percentile() matches DuckDB quantile_cont, percentile_disc matches
+    quantile_disc. The exact form sorts per group; the approx_percentile
+    sketch (mergeable, one-pass) is the 100 TB path when error tolerance
+    allows — same API shape, swapped function."""
+    li = spread(table(spark, sf_dir, "lineitem"))
+    return li.groupBy("l_returnflag").agg(
+        r4(F.percentile("l_quantity", F.lit(0.5))).alias("p50"),
+        r4(F.percentile("l_quantity", F.lit(0.9))).alias("p90"),
+        r4(F.percentile("l_quantity", F.lit(0.99))).alias("p99"),
+        r4(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")).alias("p50_disc"),
+    )

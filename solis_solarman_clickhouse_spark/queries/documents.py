@@ -274,3 +274,51 @@ def doc_normalize(spark, sf_dir):
     return docs.select(
         "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len")
     )
+
+
+@query(
+    "doc_pack_sequences",
+    category="documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT source, CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def doc_pack_sequences(spark, sf_dir):
+    """Sequence packing for training: docs are laid out contiguously per
+    source in doc_id order and assigned to the 2048-token sequence where
+    they start (cumulative token count // budget) — deterministic,
+    engine-independent, one window + one agg; no driver loop, so packing
+    scales with the corpus, not the driver."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = docs.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.select(
+            "source",
+            F.floor((F.col("cum") - F.col("n_tok")) / 2048).alias("seq_id"),
+            "n_tok",
+        )
+        .groupBy("source", "seq_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )

@@ -1,0 +1,86 @@
+"""Time-series analytics parity with the ClickHouse surface the reference
+delegates to (SURVEY.md §2-B): gap-filled time grids (ClickHouse
+``ORDER BY ... WITH FILL`` / Grafana null-as-previous) and resampling.
+
+Scale shape: the grid is |keys| x |buckets| rows generated from a
+two-row-per-key bounds aggregate (sequence + explode — no driver loop),
+the join back to real buckets is an equi-join on (key, bucket), and the
+forward fill is one window per key ordered by bucket. Everything stays in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..tables import table
+from .registry import query, r4, sql_dsum
+
+
+@query(
+    "ts_gap_fill",
+    category="timeseries",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket,
+             {sql_dsum('value')} AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b),
+    grid AS (
+      SELECT e.event_type, g.g AS bucket
+      FROM (SELECT DISTINCT event_type FROM b) e,
+           LATERAL (SELECT UNNEST(generate_series(lo, hi, INTERVAL '5 minutes')) AS g
+                    FROM bounds) g
+    )
+    SELECT grid.event_type, grid.bucket,
+           CAST(b.sum_value IS NULL AS BOOLEAN) AS was_gap,
+           ROUND(COALESCE(
+             last_value(b.sum_value IGNORE NULLS)
+               OVER (PARTITION BY grid.event_type ORDER BY grid.bucket), 0.0), 4)
+             AS filled_value
+    FROM grid LEFT JOIN b
+      ON grid.event_type = b.event_type AND grid.bucket = b.bucket
+    """,
+)
+def ts_gap_fill(spark, sf_dir):
+    """Gap-filled 5-minute series per event_type with forward fill —
+    the ClickHouse WITH FILL / Grafana $__timeGroup(null-as-previous)
+    query over the reference's 30 s-cadence telemetry schema."""
+    ev = table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type", F.window("ts", "5 minutes")["start"].alias("bucket")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"))
+    )
+    bounds = b.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    grid = (
+        b.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 5 MINUTES"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(b, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.col("sum_value").isNull().alias("was_gap"),
+            r4(
+                F.coalesce(
+                    F.last("sum_value", ignorenulls=True).over(w), F.lit(0.0)
+                )
+            ).alias("filled_value"),
+        )
+    )
