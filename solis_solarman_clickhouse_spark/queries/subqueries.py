@@ -1,0 +1,83 @@
+"""Q-SUB: subquery surface — scalar, IN, and correlated EXISTS/aggregate
+subqueries. Catalyst decorrelates these into joins (SURVEY.md §4: subquery
+decorrelation is built-in); the tests in tests/test_plans.py and the
+oracle comparison confirm both the rewrite's legality and its results.
+
+SQL-first on purpose: the subquery forms are what a ClickHouse/Grafana
+user migrating to this engine writes verbatim.
+"""
+
+from __future__ import annotations
+
+from ..tables import register_views
+from .registry import query, sql_davg, sql_dsum
+
+_SCALAR_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_big_orders
+FROM orders
+WHERE o_totalprice > (SELECT {sql_davg('o_totalprice')} * 2 FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
+@query("sub_scalar", category="subquery", oracle=_SCALAR_SQL)
+def sub_scalar(spark, sf_dir):
+    """Uncorrelated scalar subquery: orders above 2x the global mean price.
+    Catalyst evaluates the scalar once and broadcasts it into the filter."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SQL)
+
+
+_IN_SQL = """
+SELECT n_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+GROUP BY n_name
+"""
+
+
+@query("sub_in", category="subquery", oracle=_IN_SQL)
+def sub_in(spark, sf_dir):
+    """IN subquery → left-semi join after decorrelation."""
+    register_views(spark, sf_dir)
+    return spark.sql(_IN_SQL)
+
+
+_CORR_EXISTS_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08
+)
+GROUP BY o_orderstatus
+"""
+
+
+@query("sub_correlated_exists", category="subquery", oracle=_CORR_EXISTS_SQL)
+def sub_correlated_exists(spark, sf_dir):
+    """Correlated EXISTS (TPC-H Q4 shape) → semi join on the correlation
+    key with the inner predicate pushed below it."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CORR_EXISTS_SQL)
+
+
+_CORR_AGG_SQL = f"""
+SELECT l_returnflag, COUNT(*) AS n_heavy
+FROM lineitem l1
+WHERE l_quantity > (
+  SELECT {sql_davg('l_quantity')} * 1.5 FROM lineitem l2
+  WHERE l2.l_partkey = l1.l_partkey
+)
+GROUP BY l_returnflag
+"""
+
+
+@query("sub_correlated_agg", category="subquery", oracle=_CORR_AGG_SQL)
+def sub_correlated_agg(spark, sf_dir):
+    """Correlated aggregate subquery (TPC-H Q17 shape): rows above 1.5x
+    their group's mean. Decorrelates to an aggregate + equi-join on the
+    correlation key — at 100 TB this is one shuffle on l_partkey, not a
+    per-row subquery execution."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CORR_AGG_SQL)
