@@ -347,3 +347,69 @@ def agg_percentiles(spark, sf_dir):
         r4(F.percentile("l_quantity", F.lit(0.99))).alias("p99"),
         r4(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")).alias("p50_disc"),
     )
+
+
+@query(
+    "agg_pivot",
+    category="aggregate",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS price_f,
+           {sql_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS price_o,
+           {sql_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS price_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot: status values become columns. Spark's pivot with an explicit
+    value list is a single pass (no second distinct-scan); the oracle is
+    the dialect-neutral conditional-aggregation spelling, which is also
+    exactly what Catalyst rewrites pivot into."""
+    o = table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum("o_totalprice"))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("F").alias("price_f"),
+        F.col("O").alias("price_o"),
+        F.col("P").alias("price_p"),
+    )
+
+
+@query(
+    "agg_unpivot",
+    category="aggregate",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'price' AS metric,
+           ROUND(l_extendedprice, 4) AS v
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'quantity', ROUND(l_quantity, 4)
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', ROUND(l_discount, 4)
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def agg_unpivot(spark, sf_dir):
+    """Unpivot/melt: wide metric columns to long (metric, value) rows via
+    DataFrame.unpivot (STACK under the hood) — one scan, row count x3,
+    no shuffle."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber",
+            F.round("l_extendedprice", 4).alias("price"),
+            F.round("l_quantity", 4).alias("quantity"),
+            F.round("l_discount", 4).alias("discount"),
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["price", "quantity", "discount"],
+            "metric",
+            "v",
+        )
+    )
