@@ -36,6 +36,10 @@ HEADLINE = [
     "vec_label_centroids",
     "mm_image_decode",
     "mm_video_frame_sample",
+    "ts_gap_fill",
+    "agg_percentiles",
+    "agg_salted_skew",
+    "sub_correlated_agg",
 ]
 
 
