@@ -21,6 +21,7 @@ from . import vectors  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
 from . import subqueries  # noqa: E402,F401
+from . import funnels  # noqa: E402,F401
 from . import sinks  # noqa: E402,F401
 
 
