@@ -36,6 +36,11 @@ HEADLINE = [
     "vec_label_centroids",
     "mm_image_decode",
     "mm_video_frame_sample",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q10",
+    "tpch_q18",
+    "ch_window_funnel",
     "ts_gap_fill",
     "agg_percentiles",
     "agg_salted_skew",

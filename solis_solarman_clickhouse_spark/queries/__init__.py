@@ -22,6 +22,7 @@ from . import multimodal  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
 from . import subqueries  # noqa: E402,F401
 from . import funnels  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401
 from . import sinks  # noqa: E402,F401
 
 
