@@ -73,3 +73,41 @@ def test_scalar_fn_queries_have_no_python_udfs(spark):
     ]:
         plan = _plan(REGISTRY[name].fn(spark, SF_DIR))
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_funnel_single_user_shuffle(spark):
+    """ch_window_funnel's three chained conditional-min windows must share
+    ONE user_id exchange (plus the tiny funnel_level agg exchange) — a
+    refactor that re-shuffles per stage triples the 100 TB cost."""
+    plan = _plan(REGISTRY["ch_window_funnel"].fn(spark, SF_DIR))
+    assert plan.count("Window") == 3, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_topk_heavy_hitters_take_ordered(spark):
+    plan = _plan(REGISTRY["agg_topk_heavy_hitters"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial+final count
+
+
+def test_tpch_q6_pushes_all_filters(spark):
+    """Q6 is the pure-scan query: shipdate/discount/quantity predicates must
+    reach the parquet reader, and ReadSchema must exclude untouched cols."""
+    plan = _formatted(REGISTRY["tpch_q6"].fn(spark, SF_DIR))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_tpch_q3_broadcasts_customer(spark):
+    plan = _plan(REGISTRY["tpch_q3"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_sql_queries_stay_jvm_side(spark):
+    for name in ["tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q14",
+                 "tpch_q18", "tpch_q19"]:
+        assert "EvalPython" not in _plan(REGISTRY[name].fn(spark, SF_DIR))
