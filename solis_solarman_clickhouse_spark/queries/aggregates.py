@@ -413,3 +413,32 @@ def agg_unpivot(spark, sf_dir):
             "v",
         )
     )
+
+
+@query(
+    "agg_approx_percentile",
+    category="aggregate",
+    check="TOL",
+    oracle="SELECT CAST(1 AS BOOLEAN) AS within_tolerance",
+)
+def agg_approx_percentile(spark, sf_dir):
+    """ClickHouse quantileTDigest parity: approx_percentile (Greenwald-
+    Khanna sketch, mergeable across partitions — the 100 TB path) of
+    l_extendedprice at p50/p95/p99 within 1% relative error of the exact
+    percentile. Like Q-AGG-3, the tolerance check runs inside the query so
+    the output is a deterministic boolean the oracle hash-matches."""
+    li = table(spark, sf_dir, "lineitem")
+    pcts = [0.5, 0.95, 0.99]
+    res = li.agg(
+        F.percentile_approx("l_extendedprice", pcts, 10000).alias("approx"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("exact"),
+    )
+    ok = F.aggregate(
+        F.zip_with(
+            "approx", "exact",
+            lambda a, e: (F.abs(a - e) / F.abs(e)) <= F.lit(0.01),
+        ),
+        F.lit(True),
+        lambda acc, x: acc & x,
+    )
+    return res.select(ok.alias("within_tolerance"))

@@ -276,6 +276,90 @@ def doc_normalize(spark, sf_dir):
     )
 
 
+_EN_WORDS = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+_HITS_EN = (
+    f"len(list_filter(string_split(text, ' '), x -> list_contains([{_EN_WORDS}], x)))"
+)
+_N_TOK = "LEN(string_split(text, ' '))"
+_PUNCT = "LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))"
+
+
+def _curation_oracle() -> str:
+    scores = {
+        lg: _LANGID_SCORE.format(words=", ".join(f"'{w}'" for w in STOPWORDS[lg]))
+        for lg in sorted(STOPWORDS)
+    }
+    en_pred = (
+        f"NOT ({scores['de']} >= {scores['en']} AND {scores['de']} >= {scores['es']}"
+        f" AND {scores['de']} >= {scores['fr']})"
+        f" AND {scores['en']} >= {scores['es']} AND {scores['en']} >= {scores['fr']}"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    f AS (
+      SELECT (rn = 1) AS f_keep,
+             (rn = 1 AND {en_pred}) AS f_en,
+             (rn = 1 AND {en_pred} AND n_chars >= 200
+              AND 10 * {_PUNCT} <= 3 * n_chars
+              AND 50 * {_HITS_EN} >= {_N_TOK}) AS f_q
+      FROM d
+    )
+    SELECT 'p0_total' AS stage, COUNT(*) AS n_docs FROM f
+    UNION ALL SELECT 'p1_dedup', COUNT(*) FILTER (WHERE f_keep) FROM f
+    UNION ALL SELECT 'p2_lang_en', COUNT(*) FILTER (WHERE f_en) FROM f
+    UNION ALL SELECT 'p3_quality', COUNT(*) FILTER (WHERE f_q) FROM f
+    """
+
+
+@query("doc_corpus_curation", category="documents", oracle=_curation_oracle())
+def doc_corpus_curation(spark, sf_dir):
+    """Flagship training-data curation funnel in ONE pass: exact-dedup
+    (keeper = min doc_id per text) -> language filter (stopword-argmax
+    en) -> quality filter (length >= 200, punct ratio <= 0.3, en-stopword
+    ratio >= 0.02). Emits per-stage surviving-document counts.
+
+    Ratio thresholds are written as INTEGER cross-multiplications
+    (50*hits >= n_tok, 10*punct <= 3*n_chars) so no float rounding can
+    flip a boundary doc between engines. Physically: one window shuffle on
+    `text` (the dedup), then conditional partial+final counts — the whole
+    funnel costs a single pass over the corpus at 100 TB, vs one job per
+    stage in a naive pipeline."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    rn = F.row_number().over(W.partitionBy("text").orderBy("doc_id"))
+    toks = F.split(F.col("text"), r"\s+")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    hits_en = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    punct = F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+    quality = (
+        (F.col("n_chars") >= 200)
+        & (10 * punct <= 3 * F.col("n_chars"))
+        & (50 * hits_en >= F.size(toks))
+    )
+    f = docs.withColumn("rn", rn).select(
+        (F.col("rn") == 1).alias("f_keep"),
+        ((F.col("rn") == 1) & (lang_guess(F.col("text")) == "en")).alias("f_en"),
+        (
+            (F.col("rn") == 1) & (lang_guess(F.col("text")) == "en") & quality
+        ).alias("f_q"),
+    )
+    agg = f.agg(
+        F.count(F.lit(1)).alias("p0_total"),
+        F.sum(F.col("f_keep").cast("long")).alias("p1_dedup"),
+        F.sum(F.col("f_en").cast("long")).alias("p2_lang_en"),
+        F.sum(F.col("f_q").cast("long")).alias("p3_quality"),
+    )
+    return agg.selectExpr(
+        "stack(4, 'p0_total', p0_total, 'p1_dedup', p1_dedup, "
+        "'p2_lang_en', p2_lang_en, 'p3_quality', p3_quality) AS (stage, n_docs)"
+    )
+
+
 @query(
     "doc_pack_sequences",
     category="documents",
