@@ -75,6 +75,35 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
+    # Ingest throughput: raw registers -> decode -> derive -> partitioned
+    # sink, end to end. The reference's envelope is ~0.33 rows/s sustained
+    # (BASELINE.md: 10 inverters x 1 sample/30 s, single-row INSERTs); one
+    # Spark micro-batch absorbs years of that. 30 inverters x 14 days of
+    # 30 s samples = 1.2M rows, generated in-plan (no I/O on the source
+    # side), written as month-partitioned sorted parquet.
+    import shutil
+    import tempfile
+
+    from solis_solarman_clickhouse_spark.ingest.fixture import generate_raw_registers
+    from solis_solarman_clickhouse_spark.ingest.pipeline import run_batch
+    from solis_solarman_clickhouse_spark.ingest.sink import IdempotentParquetSink
+
+    raw = generate_raw_registers(spark, inverters=30, days=14)
+    n_rows = raw.count()
+    out = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        t0 = time.perf_counter()
+        run_batch(raw, IdempotentParquetSink(out))
+        ingest_s = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    ingest = {
+        "rows": n_rows,
+        "sec": round(ingest_s, 3),
+        "rows_per_sec": round(n_rows / ingest_s),
+    }
+    print(f"# ingest: {n_rows} rows in {ingest_s:.2f}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -84,6 +113,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "ingest": ingest,
             }
         )
     )
