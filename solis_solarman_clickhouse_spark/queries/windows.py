@@ -184,3 +184,43 @@ def window_range_frame(spark, sf_dir):
         "o_totalprice",
         F.count(F.lit(1)).over(w).alias("n_within_1k"),
     )
+
+
+@query(
+    "window_range_interval",
+    category="window",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS sum_10m,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+             AS n_10m
+    FROM events
+    """,
+)
+def window_range_interval(spark, sf_dir):
+    """Time-range window frame (the Grafana/IoT trailing-window shape):
+    per-user sum/count of `value` over the trailing 10 minutes of EVENT
+    time — a RANGE frame over epoch MICROseconds (whole seconds would
+    silently truncate sub-second timestamps and disagree with the oracle),
+    so co-timestamped rows share one frame (unlike the rows-based moving
+    average of Q-WIN-4). The decimal accumulator makes the sum
+    order-independent; sum_10m is rounded at compare time. One shuffle on
+    user_id; the frame is maintained incrementally by Spark's window exec,
+    not recomputed per row."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("sum_10m"),
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+    )

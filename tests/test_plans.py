@@ -111,3 +111,38 @@ def test_tpch_sql_queries_stay_jvm_side(spark):
     for name in ["tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q14",
                  "tpch_q18", "tpch_q19"]:
         assert "EvalPython" not in _plan(REGISTRY[name].fn(spark, SF_DIR))
+
+
+def test_bucketed_layout_removes_fact_fact_shuffle(spark, tmp_path):
+    """The 100 TB join story: lineitem/orders written bucketed+sorted by
+    orderkey join WITHOUT any Exchange (and without per-query Sort) — the
+    physical layout carries the distribution, so the recurring fact-fact
+    join costs a co-located merge instead of a full shuffle of both sides."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    for df, key, name in [(li, "l_orderkey", "li_b"), (o, "o_orderkey", "o_b")]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    j = (
+        spark.table("li_b").hint("merge")
+        .join(spark.table("o_b").hint("merge"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    plan = _plan(j)
+    assert "SortMergeJoin" in plan, plan
+    # the join itself must be exchange-free; only the tiny post-join
+    # aggregation on o_orderstatus may shuffle
+    join_part = plan.split("HashAggregate")[-1]
+    assert "Exchange" not in join_part, plan
+    assert j.count() > 0
+    for name in ("li_b", "o_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
