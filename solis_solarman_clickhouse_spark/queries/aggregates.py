@@ -442,3 +442,48 @@ def agg_approx_percentile(spark, sf_dir):
         lambda acc, x: acc & x,
     )
     return res.select(ok.alias("within_tolerance"))
+
+
+@query(
+    "agg_histogram",
+    category="aggregate",
+    oracle="""
+    WITH mm AS (
+      SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+      FROM lineitem
+    )
+    SELECT CAST(LEAST(9, FLOOR((l_extendedprice - mn) / ((mx - mn) / 10)))
+                AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           ROUND(MIN(l_extendedprice), 4) AS bucket_min,
+           ROUND(MAX(l_extendedprice), 4) AS bucket_max
+    FROM lineitem, mm
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """ClickHouse ``histogram``-style distribution: 10 equal-width buckets
+    of l_extendedprice between global min and max (max lands in the last
+    bucket via LEAST). Two passes: a 1-row min/max aggregate broadcast-
+    crossed into the scan, then one partial+final count per bucket — the
+    bucket arithmetic is the same IEEE double expression on both engines,
+    so bucket boundaries agree bit-for-bit."""
+    li = table(spark, sf_dir, "lineitem")
+    mm = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    bucket = F.least(
+        F.lit(9),
+        F.floor(
+            (F.col("l_extendedprice") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 10)
+        ),
+    ).cast("bigint")
+    return (
+        li.crossJoin(F.broadcast(mm))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 4).alias("bucket_min"),
+            F.round(F.max("l_extendedprice"), 4).alias("bucket_max"),
+        )
+    )

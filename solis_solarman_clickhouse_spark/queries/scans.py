@@ -60,3 +60,32 @@ def scan_pruned_projection(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1995-03-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1995-06-01 00:00:00").cast("timestamp"))
     ).select("l_orderkey", "l_extendedprice")
+
+
+@query(
+    "scan_sample_hash",
+    category="scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE ((o_orderkey * 2654435761) % 4294967296) % 100 < 5
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_sample_hash(spark, sf_dir):
+    """Deterministic ~5% Bernoulli sample by Knuth multiplicative hash of
+    the key — the training-data alternative to rand()-sampling: stable
+    across reruns, engines, partitionings, and cluster sizes, and the
+    predicate pushes to the scan. (TABLESAMPLE/rand() would be
+    nondeterministic and unverifiable against an oracle.)"""
+    o = table(spark, sf_dir, "orders")
+    keep = ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)) % 100 < 5
+    return (
+        o.filter(keep)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("sum_price"),
+        )
+    )
