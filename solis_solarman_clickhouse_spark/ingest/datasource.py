@@ -1,0 +1,212 @@
+"""Custom Python DataSource (Spark 4 DataSource V2 API) for the register
+poll source — the idiomatic-Spark expression of the reference's Modbus
+polling loop (/root/reference/solarman.py:227-337):
+
+- ``spark.read.format("solis_registers")`` — batch: ONE InputPartition per
+  inverter, mirroring the reference's one-asyncio-task-per-target fan-out
+  (solarman.py:391-394); each partition replays that inverter's poll
+  timeline independently, so target-parallelism is partition-parallelism.
+- ``spark.readStream.format("solis_registers")`` — streaming: offsets are
+  poll-slot indexes (one slot = one 30 s cadence tick for ALL inverters),
+  advancing ``slots_per_trigger`` per micro-batch. Offsets live in the
+  checkpoint, replacing the reference's in-process bounded queue
+  (solarman.py:36) with replayable, exactly-once progress tracking; a
+  given (start, end] range always regenerates identical rows, which is
+  the contract Structured Streaming needs for recovery.
+
+The device itself is simulated (no Modbus in this container): a pure
+deterministic function of (inverter, slot) with the same diurnal shape as
+the fixture generator (ingest/fixture.py) — values don't need to be
+bit-identical to the fixture, only schema-identical and
+pipeline-compatible, which tests/test_datasource.py asserts by running
+decode → derive over the source output. Rows are yielded per-slot in read
+order (solarman.py:255-307); the ≤3-retry/backoff semantics of
+read_input_register (solarman.py:342-359) collapse into Spark task retry —
+a failed partition re-reads deterministically.
+
+Usage:
+    spark.dataSource.register(SolisRegisterDataSource)
+    df = (spark.read.format("solis_registers")
+          .option("inverters", 3).option("days", 1).load())
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from .registers import REGISTER_MAP
+
+START_EPOCH = 1704067200  # 2024-01-01T00:00:00Z (fixture.py convention)
+CADENCE_S = 30  # reference default FETCH_INTERVAL, solarman.py:156
+
+
+def register_addrs() -> list[int]:
+    """All register addresses the fetch cycle touches, ascending (u32
+    metrics contribute addr and addr+1)."""
+    addrs: set[int] = set()
+    for spec in REGISTER_MAP:
+        addrs.add(spec.addr)
+        if spec.quantity == 2:
+            addrs.add(spec.addr + 1)
+    return sorted(addrs)
+
+
+_ADDRS = register_addrs()
+_SCHEMA = "inverter string, time timestamp, " + ", ".join(
+    f"reg_{a} int" for a in _ADDRS
+)
+
+
+def _u16(x: float) -> int:
+    return int(round(x))
+
+
+def simulate_registers(inv_i: int, slot: int, samples_per_day: int) -> dict[int, int]:
+    """Deterministic register image for (inverter, slot): diurnal sun curve
+    (zero at night — exercising the zero-DC drop policy downstream),
+    monotonic kwh counters. Pure function => identical on task retry."""
+    tod = (slot % samples_per_day) * CADENCE_S
+    day = slot // samples_per_day
+    phase = (tod - 6 * 3600) / (12.0 * 3600)
+    sun = math.sin(phase * math.pi) if 0 <= phase <= 1 else 0.0
+
+    volts = 3000 + inv_i * 100 + sun * 800
+    amps = sun * (100 + inv_i * 10)
+    temp = 250 + sun * 300 + inv_i * 20
+    dc_watts = round(volts / 10 * (amps / 10)) * 3
+    ac_watts = math.floor(dc_watts * 0.96)
+    ac_apparent = math.floor(dc_watts * 0.97)
+    kwh_day_raw = math.floor(tod / 86400.0 * 200 * sun)
+    kwh_month = day * 6 + inv_i * 3
+    kwh_annual = kwh_month + 500
+    kwh_total = 33000 + day * 20 + inv_i * 1000
+
+    def hi(v: float) -> int:
+        return int(v) >> 16
+
+    def lo(v: float) -> int:
+        return int(v) & 0xFFFF
+
+    return {
+        3041: _u16(temp),
+        33049: _u16(volts),
+        33050: _u16(amps),
+        33051: _u16(volts * 0.98),
+        33052: _u16(amps * 0.97),
+        33053: _u16(volts * 0.96),
+        33054: _u16(amps * 0.95),
+        33057: hi(dc_watts),
+        33058: lo(dc_watts),
+        33071: _u16(volts * 1.01),
+        33072: _u16(12 + sun * 10),
+        33079: hi(ac_watts),
+        33080: lo(ac_watts),
+        33081: hi(ac_apparent),
+        33082: lo(ac_apparent),
+        33073: _u16(2350 + sun * 50),
+        33076: _u16(amps * 2.8),
+        33094: _u16(6000 + sun * 5),
+        33035: _u16(kwh_day_raw),
+        33031: hi(kwh_month),
+        33032: lo(kwh_month),
+        33033: hi(kwh_annual),
+        33034: lo(kwh_annual),
+        33029: hi(kwh_total),
+        33030: lo(kwh_total),
+    }
+
+
+def _rows(inv_i: int, slot_start: int, slot_end: int, samples_per_day: int):
+    """Rows for one inverter over [slot_start, slot_end), schema order."""
+    name = f"INV-{inv_i}"
+    for slot in range(slot_start, slot_end):
+        regs = simulate_registers(inv_i, slot, samples_per_day)
+        ts = datetime.fromtimestamp(
+            START_EPOCH + slot * CADENCE_S, tz=timezone.utc
+        )
+        yield (name, ts, *[regs[a] for a in _ADDRS])
+
+
+class _InverterSlotRange(InputPartition):
+    def __init__(self, inv_i: int, slot_start: int, slot_end: int, spd: int):
+        self.inv_i = inv_i
+        self.slot_start = slot_start
+        self.slot_end = slot_end
+        self.spd = spd
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.inverters = int(options.get("inverters", 3))
+        self.days = int(options.get("days", 1))
+        self.spd = 86400 // CADENCE_S
+
+    def partitions(self):
+        total = self.days * self.spd
+        return [
+            _InverterSlotRange(i, 0, total, self.spd) for i in range(self.inverters)
+        ]
+
+    def read(self, partition: _InverterSlotRange):
+        return _rows(
+            partition.inv_i, partition.slot_start, partition.slot_end, partition.spd
+        )
+
+
+class _StreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.inverters = int(options.get("inverters", 3))
+        self.days = int(options.get("days", 1))
+        self.slots_per_trigger = int(options.get("slots_per_trigger", 120))
+        self.spd = 86400 // CADENCE_S
+        self.max_slot = self.days * self.spd
+
+    def initialOffset(self):
+        return {"slot": 0}
+
+    def latestOffset(self):
+        # advance by one trigger's worth of poll slots, bounded by the
+        # configured replay horizon (a live deployment would return
+        # now()-derived slots instead)
+        cur = getattr(self, "_cur", 0)
+        self._cur = min(cur + self.slots_per_trigger, self.max_slot)
+        return {"slot": self._cur}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            _InverterSlotRange(i, start["slot"], end["slot"], self.spd)
+            for i in range(self.inverters)
+        ]
+
+    def read(self, partition: _InverterSlotRange):
+        return _rows(
+            partition.inv_i, partition.slot_start, partition.slot_end, partition.spd
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # progress is fully encoded in the checkpointed offset
+
+
+class SolisRegisterDataSource(DataSource):
+    """spark.read/readStream format "solis_registers" (see module doc)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "solis_registers"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _BatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _StreamReader(self.options)

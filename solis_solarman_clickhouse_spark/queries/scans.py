@@ -89,3 +89,30 @@ def scan_sample_hash(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("sum_price"),
         )
     )
+
+
+@query("source_python_datasource", category="scan", check="SMOKE")
+def source_python_datasource(spark, sf_dir):
+    """A1/A2 as a first-class Spark source: the custom Python DataSource
+    (ingest/datasource.py) replays the register poll loop with one
+    partition per inverter, then the decode->derive pipeline lands the
+    26-column fact table. SMOKE (generated input has no parquet oracle);
+    exact shape/monotonicity/exactly-once-offsets are asserted in
+    tests/test_datasource.py."""
+    from ..ingest.datasource import SolisRegisterDataSource
+    from ..ingest.pipeline import transform
+
+    spark.dataSource.register(SolisRegisterDataSource)
+    raw = (
+        spark.read.format("solis_registers")
+        .option("inverters", 2).option("days", 1).load()
+    )
+    return (
+        transform(raw)
+        .groupBy("inverter")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("dc_actual_watts"), 4).alias("avg_dc_watts"),
+            F.max("kwh_total").alias("kwh_total_end"),
+        )
+    )
