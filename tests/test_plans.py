@@ -146,3 +146,40 @@ def test_bucketed_layout_removes_fact_fact_shuffle(spark, tmp_path):
     assert j.count() > 0
     for name in ("li_b", "o_b"):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_no_python_eval_outside_udf_families(spark):
+    """Global JVM-path guard: no registry query outside the declared
+    Python-boundary families (udf_*, mm_*, vec_ann_*, streaming smoke) may
+    contain a BatchEvalPython/ArrowEvalPython/MapInPandas stage. Catches a
+    refactor that silently drops a hot path off whole-stage codegen."""
+    allowed_prefixes = ("udf_", "mm_", "vec_ann_", "stream_", "sink_",
+                        "source_python_datasource")
+    for name, spec in sorted(REGISTRY.items()):
+        if name.startswith(allowed_prefixes):
+            continue
+        plan = _plan(spec.fn(spark, SF_DIR))
+        assert "EvalPython" not in plan and "InPandas" not in plan, (
+            f"{name} has a Python stage in its plan"
+        )
+
+
+def test_landing_table_partition_pruning(spark, tmp_path):
+    """MergeTree parity of the landing store (tables.sql:32): a month
+    filter on the landed table must prune at the directory level
+    (PartitionFilters on ym), not scan-and-filter."""
+    from solis_solarman_clickhouse_spark.ingest.fixture import generate_raw_registers
+    from solis_solarman_clickhouse_spark.ingest.pipeline import run_batch
+    from solis_solarman_clickhouse_spark.ingest.sink import IdempotentParquetSink
+
+    sink = IdempotentParquetSink(str(tmp_path / "land"))
+    # 40 days from 2024-01-01 -> spans 202401 and 202402 partitions
+    run_batch(generate_raw_registers(spark, inverters=1, days=40), sink)
+    df = spark.read.option("basePath", sink.base_path).parquet(
+        f"{sink.base_path}/batch_id=*"
+    )
+    feb = df.filter(F.col("ym") == "202402").groupBy("inverter").count()
+    plan = _formatted(feb)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "ym" in pf[0], plan
+    assert feb.count() > 0
