@@ -238,3 +238,78 @@ def simhash_candidate_pairs(docs: DataFrame, *, max_hamming: int = 8) -> DataFra
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def simhash_fingerprints_md5(
+    docs: DataFrame, *, bits: int = 60, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit simhash with an ENGINE-PORTABLE token hash — the top 15 hex
+    chars of md5, identical in Spark (conv(substr(md5,1,15),16,10)) and
+    DuckDB (('0x'||substr(md5,1,15))::BIGINT) — so the fingerprints, and
+    therefore near-dup pairs, are oracle-checkable EXACTly (unlike the
+    xxhash64 variant, whose hash exists only in Spark). Same shape as
+    simhash_fingerprints: one explode + one grouped conditional-sum per
+    bit, all map-side-combinable."""
+    tok = spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    ).select(
+        "doc_id", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h")
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
+        ).otherwise(F.lit(0).cast("bigint"))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs_exact(
+    docs: DataFrame, *, max_hamming: int = 8, bits: int = 60,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """ALL pairs with Hamming(simhash) <= max_hamming, exactly, without an
+    all-pairs join: split the fingerprint into (max_hamming + 1) disjoint
+    bit-bands — by pigeonhole, any pair within max_hamming differing bits
+    agrees on at least one whole band — equi-join on (band, band_bits)
+    for candidates, then verify with popcount. Complete by construction,
+    precise by verification; candidate volume scales with band-bucket
+    collisions, not |docs|^2."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(bits, n_bands)
+    sizes = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    offsets = [sum(sizes[:i]) for i in range(n_bands)]
+
+    fps = simhash_fingerprints_md5(docs, bits=bits, text_col=text_col, id_col=id_col)
+    band_cols = [
+        F.shiftright(F.col("simhash"), offsets[i])
+        .bitwiseAND(F.lit((1 << sizes[i]) - 1))
+        .alias(f"b{i}")
+        for i in range(n_bands)
+    ]
+    banded = fps.select("doc_id", "simhash", F.posexplode(F.array(*[c for c in band_cols])).alias("band", "band_bits"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

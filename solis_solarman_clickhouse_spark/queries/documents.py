@@ -11,6 +11,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_candidate_pairs,
+    simhash_pairs_exact,
 )
 from ..operators.text import (
     BPE_TOKEN_PATTERN,
@@ -110,6 +111,44 @@ def doc_neardup_simhash(spark, sf_dir):
     """SimHash near-dup: 64-bit fingerprints from per-token hash bit votes,
     16-bit-band candidate generation, popcount Hamming verification."""
     return simhash_candidate_pairs(table(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def _simhash_md5_oracle(bits: int = 60, max_hamming: int = 8) -> str:
+    h = "('0x' || substr(md5(t.tok), 1, 15))::BIGINT"
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {h} AS h
+      FROM documents, UNNEST(string_split_regex(text, '\\s+')) AS t(tok)
+    ),
+    votes AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id),
+    fp AS (SELECT doc_id, {fp} AS simhash FROM votes)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@query(
+    "doc_neardup_simhash_exact",
+    category="documents",
+    oracle=_simhash_md5_oracle(),
+)
+def doc_neardup_simhash_exact(spark, sf_dir):
+    """SimHash near-dup, EXACT-oracle variant: 60-bit fingerprints from an
+    engine-portable md5-derived token hash, candidates from
+    (max_hamming+1)=9 pigeonhole bit-bands (complete for Hamming <= 8 by
+    construction), popcount verification. The oracle brute-forces all
+    pairs — correct at 500 docs; the Spark side is the banded sublinear
+    plan that survives 100 TB."""
+    return simhash_pairs_exact(table(spark, sf_dir, "documents"), max_hamming=8)
 
 
 _LANGID_SCORE = (
