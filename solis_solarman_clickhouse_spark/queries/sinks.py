@@ -52,3 +52,45 @@ def sink_idempotent_upsert(spark, sf_dir):
     sink.write_batch(fact, batch_id=0)  # replay — must be a no-op net effect
     landed = sink.read_table(spark)
     return landed.groupBy("inverter").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "sink_formats_roundtrip",
+    category="sink",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_formats_roundtrip(spark, sf_dir):
+    """Source/sink format breadth: the same aggregate written to and
+    re-read from CSV (with header + explicit schema) and JSON-lines must
+    agree with the direct parquet-scan result — the query returns the
+    CSV-path result and asserts CSV == JSON in-plan via an inner join
+    (a row-count-destroying mismatch would break the oracle match).
+    Text formats are for interchange at the edges; columnar parquet
+    remains the landing store (no schema/stats in CSV/JSON at 100 TB)."""
+    base = tempfile.mkdtemp(prefix="sink_fmt_")
+    agg = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("sum_price"),
+        )
+    )
+    csv_path, json_path = os.path.join(base, "csv"), os.path.join(base, "json")
+    agg.write.mode("overwrite").option("header", True).csv(csv_path)
+    agg.write.mode("overwrite").json(json_path)
+    c = (
+        spark.read.option("header", True)
+        .schema("o_orderstatus string, n bigint, sum_price double")
+        .csv(csv_path)
+    )
+    j = spark.read.schema("o_orderstatus string, n bigint, sum_price double").json(
+        json_path
+    )
+    return c.join(j, ["o_orderstatus", "n", "sum_price"], "inner").select(
+        "o_orderstatus", "n", "sum_price"
+    )

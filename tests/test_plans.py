@@ -183,3 +183,41 @@ def test_landing_table_partition_pruning(spark, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "ym" in pf[0], plan
     assert feb.count() > 0
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Skew story: a zipf-hot join key must trigger AQE's skew-join split
+    (isSkew=true on the sort-merge join) when partition skew exceeds the
+    thresholds — the runtime fix for hot keys that salting handles
+    statically in agg_salted_skew."""
+    import pyspark.sql.functions as SF
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    old = {k: conf.get(k, None) for k in keys}
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # 200k-row fact where 90% of rows share key 0; 100-row dim
+        fact = spark.range(200_000).select(
+            SF.when(SF.col("id") % 10 < 9, 0).otherwise(SF.col("id") % 100).alias("k"),
+            SF.rand(7).alias("v"),
+        )
+        dim = spark.range(100).select(SF.col("id").alias("k"), SF.lit("x").alias("s"))
+        j = fact.join(dim, "k").groupBy("s").agg(SF.sum("v"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in plan or "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
