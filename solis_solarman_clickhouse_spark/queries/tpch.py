@@ -178,3 +178,67 @@ _sql_query(
     "applies post-join; p_size bands stand in for the missing container "
     "column.",
 )
+
+
+_sql_query(
+    "tpch_q4",
+    ["orders", "lineitem"],
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4 (order priority checking, adapted): orders in a quarter with "
+    "at least one lineitem shipped after the order date — correlated EXISTS "
+    "with a non-equi condition, planned as a left-semi join (fixture "
+    "lineitem has no commitdate/receiptdate, so shipdate>orderdate stands "
+    "in for the late-commit predicate).",
+)
+
+_sql_query(
+    "tpch_q13",
+    ["customer", "orders"],
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    "TPC-H Q13 (customer distribution, adapted: no comment-filter column): "
+    "two-level aggregation over a left outer join — zero-order customers "
+    "must survive into the c_count=0 bucket.",
+)
+
+_sql_query(
+    "tpch_q22",
+    ["customer", "orders", "nation"],
+    f"""
+    SELECT /*+ BROADCAST(nation) */
+           n_name AS nation_name, COUNT(*) AS n_cust,
+           {sql_dsum('c_acctbal')} AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (
+        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      )
+    GROUP BY n_name
+    """,
+    "TPC-H Q22 (global sales opportunity, adapted: nation stands in for "
+    "the missing phone country code, and 'no orders since 1998' for "
+    "'never ordered' — every fixture customer has some order): scalar "
+    "subquery (uncorrelated, evaluated once and broadcast) + anti join, "
+    "for lapsed customers above the positive-balance average.",
+)
