@@ -116,3 +116,52 @@ def test_rollup_contains_plain_groupby(spark, rows):
     plain = df.groupBy("k").agg(F.sum("v").alias("s"))
     roll = df.rollup("k").agg(F.sum("v").alias("s")).filter(F.col("k").isNotNull())
     assert plain.exceptAll(roll).count() == 0
+
+
+def test_simhash_banding_complete_vs_bruteforce(spark):
+    """Pigeonhole completeness: the banded simhash_pairs_exact must return
+    EXACTLY the pairs a brute-force all-pairs popcount finds at
+    max_hamming=8 (banding may only generate false candidates, never miss
+    — and verification removes the false ones)."""
+    from solis_solarman_clickhouse_spark.operators.dedup import (
+        simhash_fingerprints_md5,
+        simhash_pairs_exact,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    banded = simhash_pairs_exact(docs, max_hamming=8)
+    fps = simhash_fingerprints_md5(docs)
+    a, b = fps.alias("a"), fps.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 8)
+    )
+    assert banded.exceptAll(brute).count() == 0
+    assert brute.exceptAll(banded).count() == 0
+
+
+def test_funnel_levels_partition_users(spark):
+    """ch_window_funnel invariants: levels are within 0..3 and the level
+    histogram partitions the distinct-user universe exactly."""
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["ch_window_funnel"].fn(spark, SF_DIR).collect()
+    levels = {r["funnel_level"] for r in rows}
+    assert levels <= {0, 1, 2, 3}
+    n_users = table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+
+
+def test_retention_is_monotone(spark):
+    """retention(view, click, purchase): AND-ed conditions can only shrink
+    the anchor cohort."""
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+
+    r = REGISTRY["ch_retention"].fn(spark, SF_DIR).collect()[0]
+    assert r["r_view"] >= r["r_view_click"] >= 0
+    assert r["r_view"] >= r["r_view_purchase"] >= 0
