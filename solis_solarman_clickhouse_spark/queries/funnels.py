@@ -196,3 +196,39 @@ def agg_topk_heavy_hitters(spark, sf_dir):
         .orderBy(F.desc("n_events"), F.asc("user_id"))
         .limit(10)
     )
+
+
+@query(
+    "ch_cohort_retention",
+    category="funnels",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+    ),
+    c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM base GROUP BY user_id)
+    SELECT c.cohort_wk, b.wk - c.cohort_wk AS weeks_since,
+           COUNT(DISTINCT b.user_id) AS n_active
+    FROM base b JOIN c ON b.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def ch_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (the ClickHouse/product-analytics staple):
+    users bucketed by first-active week, counted per week-offset of
+    activity. Weeks are pure integer arithmetic on epoch microseconds
+    (epoch_us div 1-week-of-micros) — no calendar functions, so both
+    engines bucket identically; note `div`, not `/`: epoch micros exceed
+    2^53 and double division would lose exactness. Three shuffles total:
+    distinct (user, week), per-user min-week window, final cohort-cell
+    count-distinct."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 604800000000").alias("wk")
+    ).distinct()
+    w = W.partitionBy("user_id")
+    j = base.withColumn("cohort_wk", F.min("wk").over(w))
+    return (
+        j.select("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"), "user_id")
+        .groupBy("cohort_wk", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
