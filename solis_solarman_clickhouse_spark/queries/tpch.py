@@ -242,3 +242,224 @@ _sql_query(
     "subquery (uncorrelated, evaluated once and broadcast) + anti join, "
     "for lapsed customers above the positive-balance average.",
 )
+
+
+# --- batch 2: the remaining classic queries expressible on the slimmed ------
+# --- fixture schemas (no partsupp table; adaptations documented per query) --
+
+_sql_query(
+    "tpch_q7",
+    ["supplier", "lineitem", "orders", "customer", "nation"],
+    f"""
+    SELECT supp_nation, cust_nation, l_year, ROUND({sql_dsum('volume')}, 4) AS revenue
+    FROM (
+      SELECT /*+ BROADCAST(n1), BROADCAST(n2), BROADCAST(supplier), BROADCAST(customer) */
+             n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7 (volume shipping): bilateral trade between two nations per "
+    "ship year. nation appears twice (n1 supplier-side, n2 customer-side); "
+    "both plus the small dims broadcast, so only the lineitem-orders edge "
+    "shuffles. YEAR() is cast to BIGINT so Spark and DuckDB agree on the "
+    "output type.",
+)
+
+_sql_query(
+    "tpch_q8",
+    ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"],
+    f"""
+    SELECT o_year,
+           ROUND({sql_dsum("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END")}
+                 / {sql_dsum('volume')}, 4) AS mkt_share
+    FROM (
+      SELECT /*+ BROADCAST(part), BROADCAST(supplier), BROADCAST(customer),
+                 BROADCAST(n1), BROADCAST(n2), BROADCAST(region) */
+             CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region  ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    "TPC-H Q8 (national market share): one nation's share of ECONOMY-part "
+    "revenue inside ASIA per order year — conditional-over-total ratio of "
+    "two DECIMAL(38,6)-accumulated sums, so the quotient is identical on "
+    "both engines before ROUND.",
+)
+
+_sql_query(
+    "tpch_q9",
+    ["part", "lineitem", "supplier", "orders", "nation"],
+    f"""
+    SELECT /*+ BROADCAST(part), BROADCAST(supplier), BROADCAST(nation) */
+           nation, o_year, ROUND({sql_dsum('amount')}, 4) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.1 * p_retailprice * l_quantity AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    "TPC-H Q9 (product type profit, adapted): profit per supplier nation "
+    "per year for parts matching a name pattern. The fixture has no "
+    "partsupp, so supply cost is modeled as 10% of p_retailprice x quantity "
+    "instead of ps_supplycost x quantity; the plan shape (5-way join, "
+    "LIKE-filtered part side, two-key agg) is the classic one.",
+)
+
+_sql_query(
+    "tpch_q12",
+    ["orders", "lineitem"],
+    """
+    SELECT l_returnflag AS ship_class,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "TPC-H Q12 (shipping modes / priority, adapted): the fixture lacks "
+    "l_shipmode/l_commitdate/l_receiptdate, so l_returnflag stands in for "
+    "the mode buckets and 'shipped 60+ days after ordering' for the "
+    "late-receipt predicate (row-vs-row date arithmetic via INTERVAL, "
+    "parsed identically by Spark and DuckDB). COUNT(CASE..) keeps the "
+    "counters BIGINT on both engines (SUM of INTEGER is HUGEINT in DuckDB).",
+)
+
+_sql_query(
+    "tpch_q15",
+    ["lineitem", "supplier"],
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, ROUND(total_revenue, 4) AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q15 (top supplier): CTE revenue view consumed twice — once "
+    "joined, once reduced to a scalar MAX. The double equality is safe "
+    "because both sides come from the same DECIMAL(38,6) accumulation. "
+    "Spark evaluates the scalar subquery once and broadcasts it.",
+)
+
+_sql_query(
+    "tpch_q16",
+    ["part", "lineitem", "supplier"],
+    """
+    SELECT /*+ BROADCAST(part) */
+           p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "TPC-H Q16 (parts/supplier relationship, adapted): distinct suppliers "
+    "per surviving (brand, type, size) cell, with the supplier blacklist "
+    "as a NOT IN (null-safe: s_suppkey is never null) anti join. partsupp "
+    "is absent, so the part-supplier association comes from lineitem "
+    "shipments instead — same plan shape (expand + two-phase distinct agg).",
+)
+
+_sql_query(
+    "tpch_q17",
+    ["lineitem", "part"],
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0, 4)
+           AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND p_size < 5
+      AND l_quantity < (
+        SELECT 0.5 * AVG(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = part.p_partkey
+      )
+    """,
+    "TPC-H Q17 (small-quantity-order revenue, adapted: p_size band stands "
+    "in for the missing container column): correlated scalar AVG per part, "
+    "decorrelated by Catalyst into an aggregate-then-join; l_quantity is "
+    "integer-valued so the inner AVG is order-independent in double.",
+)
+
+_sql_query(
+    "tpch_q20",
+    ["supplier", "nation", "lineitem", "part"],
+    """
+    SELECT /*+ BROADCAST(nation) */
+           s_suppkey, s_name, ROUND(s_acctbal, 4) AS acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%bolt%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 100.0
+      )
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q20 (potential part promotion, adapted): suppliers in one "
+    "nation who shipped a significant volume of pattern-matched parts in "
+    "a year — IN over an aggregated-with-HAVING subquery, planned as a "
+    "left-semi join. partsupp/availqty is absent, so shipped quantity via "
+    "lineitem stands in for available stock.",
+)
