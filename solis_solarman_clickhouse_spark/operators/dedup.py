@@ -313,3 +313,93 @@ def simhash_pairs_exact(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_signatures_md5(
+    docs: DataFrame, *, n_hashes: int = 16, k: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature with an ENGINE-PORTABLE hash family: hash_i(s) =
+    top-15-hex-chars of md5(f"{i}:{s}") as a bigint, identical in Spark
+    (conv(substr(md5,1,15),16,10)) and DuckDB (('0x'||substr(...))::BIGINT),
+    so signatures — and the LSH pairs built from them — are EXACT-oracle
+    checkable. One shingle explode, n_hashes map-side-combinable min()
+    aggregates (same shape note as minhash_signatures). Docs with < k
+    tokens have no shingles and drop out (inner explode), mirroring the
+    oracle's length filter. Output columns: doc_id, g0..g{n-1}."""
+    exploded = spread(docs, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
+    )
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"g{i}")
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_pairs_exact(
+    docs: DataFrame, *, n_hashes: int = 16, bands: int = 8, k: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, EXACT-oracle variant: portable md5
+    signatures (16 hashes x 8 bands x 2 rows), banded equi-join for
+    candidates, exact-Jaccard verification with the >= 4/5 threshold done
+    in integer cross-multiplication (5*|inter| >= 4*|union|) so the cut is
+    bit-identical on both engines. The Spark side is the sublinear banded
+    plan (shuffle volume scales with band-bucket collisions, not |docs|^2);
+    the DuckDB oracle brute-forces the same band agreement over all pairs,
+    which is only feasible at fixture scale."""
+    rows = n_hashes // bands
+    sigs = minhash_signatures_md5(
+        docs, n_hashes=n_hashes, k=k, text_col=text_col, id_col=id_col
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":", *[F.col(f"g{b * rows + r}").cast("string") for r in range(rows)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    idx = shingle_index(docs, k=k, text_col=text_col, id_col=id_col, hashed=True)
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ai, bi = idx.alias("ai"), idx.alias("bi")
+    inter = (
+        candidates.join(ai, F.col("doc_a") == F.col("ai.doc_id"))
+        .join(bi, (F.col("doc_b") == F.col("bi.doc_id")) & (F.col("ai.shingle") == F.col("bi.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("n_inter") * 5 >= union * 4)
+        .select("doc_a", "doc_b", F.round(F.col("n_inter") / union, 4).alias("jaccard"))
+    )

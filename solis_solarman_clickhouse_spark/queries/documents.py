@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_pairs_exact,
     ngram_jaccard_pairs,
     simhash_candidate_pairs,
     simhash_pairs_exact,
@@ -103,6 +104,69 @@ def doc_neardup_minhash(spark, sf_dir):
     doc_neardup_jaccard is asserted in tests/test_operators.py."""
     return minhash_lsh_pairs(
         table(spark, sf_dir, "documents"), n_hashes=32, bands=8, k=3, threshold=0.8
+    )
+
+
+def _minhash_md5_oracle(n_hashes: int = 16, bands: int = 8) -> str:
+    rows = n_hashes // bands
+    mins = ", ".join(
+        f"MIN(('0x' || substr(md5('{i}:' || s), 1, 15))::BIGINT) AS g{i}"
+        for i in range(n_hashes)
+    )
+    band_conds = " OR ".join(
+        "(" + " AND ".join(f"a.g{b * rows + r} = b.g{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(generate_series(1, len(ws) - 2),
+                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      FROM w
+    ),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE {band_conds}
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS cnt
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(cnt * 1.0 / (sa.n + sb.n - cnt), 4) AS jaccard
+    FROM inter
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE cnt * 5 >= (sa.n + sb.n - cnt) * 4
+    """
+
+
+@query(
+    "doc_neardup_minhash_exact",
+    category="documents",
+    oracle=_minhash_md5_oracle(),
+)
+def doc_neardup_minhash_exact(spark, sf_dir):
+    """MinHash-LSH near-dup, EXACT-oracle variant: engine-portable
+    md5-derived hash family (16 hashes, 8 bands x 2 rows), banded
+    candidate join, exact-Jaccard verification with the 0.8 threshold as
+    integer cross-multiplication — every stage reproducible in ANSI SQL,
+    so the full LSH pipeline (not just the verifier) is hash-checked
+    against DuckDB. Spark runs the sublinear banded plan; the oracle
+    brute-forces band agreement over all pairs (feasible only at fixture
+    scale)."""
+    return minhash_pairs_exact(
+        table(spark, sf_dir, "documents"), n_hashes=16, bands=8, k=3
     )
 
 
