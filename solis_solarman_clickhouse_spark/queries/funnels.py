@@ -22,7 +22,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..tables import table
-from .registry import query
+from .registry import dsum, query, r4, sql_dsum
 
 _FUNNEL_ORACLE = """
 WITH u AS (SELECT DISTINCT user_id FROM events),
@@ -231,4 +231,180 @@ def ch_cohort_retention(spark, sf_dir):
         j.select("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"), "user_id")
         .groupBy("cohort_wk", "weeks_since")
         .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+# --- ClickHouse aggregate-combinator parity (batch 2) ----------------------
+
+
+@query(
+    "ch_sum_map",
+    category="clickhouse",
+    oracle=f"""
+    WITH per AS (
+      SELECT user_id, event_type, ROUND({sql_dsum('value')}, 4) AS v
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           list(event_type ORDER BY event_type) AS sum_map_keys,
+           list(v ORDER BY event_type) AS sum_map_values
+    FROM per GROUP BY user_id
+    """,
+)
+def ch_sum_map(spark, sf_dir):
+    """ClickHouse ``sumMap(k, v)`` parity: per user, parallel sorted arrays
+    of (event_type, summed value) — CH returns exactly this tuple-of-arrays
+    shape, keys sorted. Two-level aggregation: partial sums per (user, key)
+    shuffle once on the composite key, then the per-user re-grouping rides
+    the same hash distribution. Element sums are DECIMAL-accumulated and
+    rounded before array assembly so both engines build identical arrays."""
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(r4(dsum("value")).alias("v"))
+    pairs = F.array_sort(F.collect_list(F.struct("event_type", "v")))
+    return per.groupBy("user_id").agg(
+        F.transform(pairs, lambda s: s["event_type"]).alias("sum_map_keys"),
+        F.transform(pairs, lambda s: s["v"]).alias("sum_map_values"),
+    )
+
+
+@query(
+    "ch_quantiles_exact",
+    category="clickhouse",
+    oracle="""
+    SELECT event_type,
+           list_transform(quantile_cont(value, [0.25, 0.5, 0.75, 0.9]),
+                          x -> ROUND(x, 4)) AS quantiles
+    FROM events GROUP BY event_type
+    """,
+)
+def ch_quantiles_exact(spark, sf_dir):
+    """ClickHouse ``quantilesExact(0.25,...)(x)`` parity: the plural
+    combinator returns ALL requested quantiles as one array from a single
+    per-group sort — Spark's percentile() accepts an array of percentages
+    and does the same (one sort, n interpolated picks), matching DuckDB's
+    quantile_cont(list) element-for-element."""
+    ev = table(spark, sf_dir, "events")
+    qs = F.percentile(
+        "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9))
+    )
+    return ev.groupBy("event_type").agg(
+        F.transform(qs, lambda x: F.round(x, 4)).alias("quantiles")
+    )
+
+
+@query(
+    "ch_arg_min_max",
+    category="clickhouse",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, user_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type,
+           MIN(CASE WHEN rn = 1 THEN user_id END) AS first_user,
+           MIN(CASE WHEN rn_d = 1 THEN user_id END) AS last_user,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM ranked GROUP BY event_type
+    """,
+)
+def ch_arg_min_max(spark, sf_dir):
+    """ClickHouse ``argMin(x, t)`` / ``argMax(x, t)`` parity: who produced
+    the earliest/latest event per type. Spark's min_by/max_by ARE argMin/
+    argMax; the ordering key is a (ts, event_id) struct so ties are broken
+    deterministically (struct comparison is lexicographic). One partial+
+    final aggregation, no window, no sort — the oracle needs ROW_NUMBER
+    only because ANSI SQL lacks a tie-broken arg-min aggregate."""
+    ev = table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return ev.groupBy("event_type").agg(
+        F.min_by("user_id", key).alias("first_user"),
+        F.max_by("user_id", key).alias("last_user"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@query(
+    "ch_moving_sum_array",
+    category="clickhouse",
+    oracle=f"""
+    WITH m AS (
+      SELECT user_id, ts, event_id,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS DOUBLE), 4) AS ms
+      FROM events
+    )
+    SELECT user_id, list(ms ORDER BY ts, event_id) AS moving_sums
+    FROM m GROUP BY user_id
+    """,
+)
+def ch_moving_sum_array(spark, sf_dir):
+    """ClickHouse ``groupArrayMovingSum(3)(v)`` parity: per user, the
+    time-ordered array of trailing-3-row sums. The window and the final
+    collect share the user_id partitioning, so Catalyst plans ONE exchange
+    feeding both; array order is pinned by array_sort over (ts, event_id,
+    value) structs rather than trusting collect_list's arrival order."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    ms = F.round(
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double"), 4
+    )
+    with_ms = ev.select("user_id", "ts", "event_id", ms.alias("ms"))
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "ms")))
+    return with_ms.groupBy("user_id").agg(
+        F.transform(ordered, lambda s: s["ms"]).alias("moving_sums")
+    )
+
+
+@query(
+    "ch_sequence_count",
+    category="clickhouse",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    c AS (
+      SELECT user_id, COUNT(*) AS n
+      FROM f WHERE event_type = 'purchase' AND prev = 'view'
+      GROUP BY user_id
+    )
+    SELECT u.user_id, COALESCE(c.n, 0) AS seq_count
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN c ON u.user_id = c.user_id
+    """,
+)
+def ch_sequence_count(spark, sf_dir):
+    """ClickHouse ``sequenceCount('(?1).*(?2)')(ts, A, B)`` parity: how many
+    NON-OVERLAPPING view->purchase chains each user produced. Greedy
+    non-overlapping matching reduces to a run-length argument: each match
+    completes exactly at a 'purchase' whose predecessor in the A/B-filtered
+    event sequence is a 'view' — so one lag() over the filtered stream
+    counts matches with no stateful scan. Users with zero matches are kept
+    via left join against the distinct-user set (CH reports 0, not
+    absence). Shuffles once on user_id."""
+    ev = table(spark, sf_dir, "events")
+    f = ev.filter(F.col("event_type").isin("view", "purchase"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    matches = (
+        f.withColumn("prev", F.lag("event_type").over(w))
+        .filter((F.col("event_type") == "purchase") & (F.col("prev") == "view"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    users = ev.select("user_id").distinct()
+    return users.join(matches, "user_id", "left").select(
+        "user_id", F.coalesce(F.col("n"), F.lit(0)).alias("seq_count")
     )
