@@ -38,9 +38,15 @@ HEADLINE = [
     "mm_video_frame_sample",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
     "tpch_q10",
+    "tpch_q17",
     "tpch_q18",
     "ch_window_funnel",
+    "ch_moving_sum_array",
+    "doc_neardup_minhash_exact",
     "ts_gap_fill",
     "agg_percentiles",
     "agg_salted_skew",

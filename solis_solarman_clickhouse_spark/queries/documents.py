@@ -509,3 +509,115 @@ def doc_pack_sequences(spark, sf_dir):
         .groupBy("source", "seq_id")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
     )
+
+
+_MIX_RATE_SQL = """CASE (CAST(substr(source, 4) AS INT) % 4)
+             WHEN 0 THEN 10000 WHEN 1 THEN 5000 WHEN 2 THEN 2500
+             ELSE 1000 END"""
+
+
+@query(
+    "doc_source_mixing",
+    category="documents",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_total,
+           COUNT(CASE WHEN ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT
+                           % 10000 < {_MIX_RATE_SQL}
+                      THEN 1 END) AS n_kept
+    FROM documents GROUP BY source
+    """,
+)
+def doc_source_mixing(spark, sf_dir):
+    """Training-data source mixing: each source is down-sampled at its
+    configured weight (here 1.0 / 0.5 / 0.25 / 0.1 by source bucket) with a
+    DETERMINISTIC keep decision — portable md5 hash of doc_id against an
+    integer threshold per ten-thousand — so reruns, retries, and the DuckDB
+    oracle all pick the identical subset (no rand(), which is
+    per-task-nondeterministic under retry at scale). One aggregation,
+    map-side combinable; the keep predicate is a pure projection."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id"))), 1, 15), 16, 10
+    ).cast("long")
+    src_bucket = F.substring("source", 4, 10).cast("int") % 4
+    threshold = (
+        F.when(src_bucket == 0, 10000)
+        .when(src_bucket == 1, 5000)
+        .when(src_bucket == 2, 2500)
+        .otherwise(1000)
+    )
+    kept = (h % 10000) < threshold
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+    )
+
+
+@query(
+    "doc_shuffle_shards",
+    category="documents",
+    oracle="""
+    SELECT doc_id,
+           ('0x' || substr(md5('shuf:' || doc_id), 1, 15))::BIGINT % 16 AS shard,
+           ROW_NUMBER() OVER (
+             PARTITION BY ('0x' || substr(md5('shuf:' || doc_id), 1, 15))::BIGINT % 16
+             ORDER BY md5('shuf:' || doc_id), doc_id
+           ) AS pos_in_shard
+    FROM documents
+    """,
+)
+def doc_shuffle_shards(spark, sf_dir):
+    """Training-data global shuffle, shard-native: docs are assigned to
+    shards by portable hash and given a deterministic position within the
+    shard (order = md5 hex string, i.e. a pseudo-random but reproducible
+    permutation). Global order = (shard, pos_in_shard). This is the shape
+    that scales: a single-partition global ROW_NUMBER is a non-starter at
+    100 TB, but per-shard windows parallelize across the cluster — exactly
+    how training pipelines shard-then-shuffle epochs."""
+    docs = table(spark, sf_dir, "documents")
+    hstr = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id")))
+    hnum = F.conv(F.substring(hstr, 1, 15), 16, 10).cast("long")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(hnum % 16).orderBy(hstr, "doc_id")
+    return docs.select(
+        "doc_id",
+        (hnum % 16).alias("shard"),
+        F.row_number().over(w).alias("pos_in_shard"),
+    )
+
+
+@query(
+    "doc_ngram_df_top20",
+    category="documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(generate_series(1, len(ws) - 2),
+                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      FROM w
+    )
+    SELECT s AS ngram, COUNT(*) AS df
+    FROM sh GROUP BY s
+    ORDER BY df DESC, ngram LIMIT 20
+    """,
+)
+def doc_ngram_df_top20(spark, sf_dir):
+    """Corpus n-gram document frequency (contamination / boilerplate
+    detection primitive): top-20 3-word shingles by the number of docs
+    containing them. Partial counts combine map-side; the final top-20 is
+    TakeOrderedAndProject (per-partition heaps, no global sort) — at
+    100 TB the shuffle carries only distinct-shingle partial counts."""
+    from ..operators.dedup import shingle_index
+
+    idx = shingle_index(table(spark, sf_dir, "documents"), k=3, hashed=False)
+    return (
+        idx.groupBy(F.col("shingle").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("ngram"))
+        .limit(20)
+    )

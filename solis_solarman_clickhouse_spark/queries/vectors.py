@@ -113,3 +113,63 @@ def vec_neardup_cosine(spark, sf_dir):
     return scored.filter(F.col("cosine") >= 0.995).select(
         "vec_a", "vec_b", F.round("cosine", 4).alias("cosine")
     )
+
+
+_QUANTIZE_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+exploded AS (
+  SELECT vec_id, UNNEST(generate_series(1, len(v))) - 1 AS dim, UNNEST(v) AS x
+  FROM e
+),
+dims AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM exploded GROUP BY dim),
+q AS (
+  SELECT ex.vec_id, ex.dim,
+         CASE WHEN d.mx = d.mn THEN 0
+              ELSE CAST(LEAST(255, FLOOR((ex.x - d.mn) * 256.0 / (d.mx - d.mn))) AS BIGINT)
+         END AS qv
+  FROM exploded ex JOIN dims d USING (dim)
+)
+SELECT vec_id, list(qv ORDER BY dim) AS q_embedding
+FROM q GROUP BY vec_id
+"""
+
+
+@query("vec_quantize_int8", category="vectors", oracle=_QUANTIZE_ORACLE)
+def vec_quantize_int8(spark, sf_dir):
+    """Scalar int8 quantization of the embedding column (the memory-
+    compression step in front of large-scale ANN): per-dimension global
+    min/max, then q = floor((x - mn) * 256 / (mx - mn)) clamped to 255.
+    The per-dim stats reduce to one tiny row (collected into two sorted
+    arrays, broadcast back), so the quantization pass is a pure
+    projection over the fact table — no second shuffle. FLOOR (not round)
+    keeps the cut deterministic across engines; constant dims quantize
+    to 0."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    ex = e.select("vec_id", F.posexplode("v").alias("dim", "x"))
+    dims = ex.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    packed = dims.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "mn"))).alias("mns"),
+        F.array_sort(F.collect_list(F.struct("dim", "mx"))).alias("mxs"),
+    )
+    qv = F.transform(
+        "v",
+        lambda x, i: F.when(
+            F.element_at(F.col("mxs"), (i + 1).cast("int"))["mx"]
+            == F.element_at(F.col("mns"), (i + 1).cast("int"))["mn"],
+            F.lit(0).cast("long"),
+        ).otherwise(
+            F.least(
+                F.lit(255).cast("long"),
+                F.floor(
+                    (x - F.element_at(F.col("mns"), (i + 1).cast("int"))["mn"])
+                    * 256.0
+                    / (
+                        F.element_at(F.col("mxs"), (i + 1).cast("int"))["mx"]
+                        - F.element_at(F.col("mns"), (i + 1).cast("int"))["mn"]
+                    )
+                ),
+            )
+        ),
+    )
+    return e.crossJoin(F.broadcast(packed)).select("vec_id", qv.alias("q_embedding"))
