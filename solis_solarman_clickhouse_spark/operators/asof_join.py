@@ -38,13 +38,21 @@ def asof_join(
     right_ts: str,
     right_payload: list[str],
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: latest right row with right_ts <= left_ts per `on`.
+    """Left as-of join: latest right row with right_ts <= left_ts per `on`
+    (direction="backward", the default), or the EARLIEST right row with
+    right_ts >= left_ts (direction="forward" — e.g. "next reading after
+    the order"). Forward mode is the same one-shuffle union+window plan
+    with the traversal order reversed: descending by ts, the carried
+    payload becomes the nearest following right row.
 
     Returns all left columns plus ``right_ts`` (as ``asof_ts``) and each
-    payload column (as ``asof_<name>``), null when no right row precedes.
-    ``strict=True`` uses right_ts < left_ts instead of <=.
+    payload column (as ``asof_<name>``), null when no right row precedes
+    (/follows). ``strict=True`` uses right_ts < left_ts (/ >) instead.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     payload_struct = F.struct(
         F.col(right_ts).alias("__ts"), *[F.col(c).alias(c) for c in right_payload]
@@ -66,9 +74,10 @@ def asof_join(
         *lcols,
     )
 
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = r.unionByName(l).withColumn(

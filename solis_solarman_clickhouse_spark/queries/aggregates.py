@@ -487,3 +487,37 @@ def agg_histogram(spark, sf_dir):
             F.round(F.max("l_extendedprice"), 4).alias("bucket_max"),
         )
     )
+
+
+@query(
+    "agg_count_if_family",
+    category="aggregate",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(CASE WHEN value > 100.0 THEN 1 END) AS n_big,
+           {sql_dsum('CASE WHEN value > 100.0 THEN value END')} AS sum_big,
+           ROUND({sql_dsum('CASE WHEN value > 100.0 THEN value END')}
+                 / NULLIF(COUNT(CASE WHEN value > 100.0 THEN 1 END), 0), 4)
+             AS avg_big,
+           COUNT(DISTINCT CASE WHEN value > 100.0 THEN user_id END)
+             AS uniq_users_big
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count_if_family(spark, sf_dir):
+    """ClickHouse -If combinator family parity: countIf / sumIf / avgIf /
+    uniqExactIf in one aggregation. Each is a conditional projection
+    feeding a plain aggregate — one partial+final pass, and the distinct
+    branch rides Spark's expand-based multi-distinct planning (no second
+    query). avgIf = decimal sumIf / countIf with NULLIF guarding empty
+    groups, so both engines emit identical nulls."""
+    ev = table(spark, sf_dir, "events")
+    big = F.col("value") > 100.0
+    sum_big = dsum(F.when(big, F.col("value")))
+    n_big = F.count(F.when(big, 1))
+    return ev.groupBy("event_type").agg(
+        n_big.alias("n_big"),
+        sum_big.alias("sum_big"),
+        F.round(sum_big / F.nullif(n_big, F.lit(0)), 4).alias("avg_big"),
+        F.count_distinct(F.when(big, F.col("user_id"))).alias("uniq_users_big"),
+    )

@@ -621,3 +621,57 @@ def doc_ngram_df_top20(spark, sf_dir):
         .orderBy(F.desc("df"), F.asc("ngram"))
         .limit(20)
     )
+
+
+@query(
+    "doc_repetition_filter",
+    category="documents",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+             ) AS grams
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    r AS (
+      SELECT doc_id, len(grams) AS total,
+             len(grams) - len(list_distinct(grams)) AS dup
+      FROM g
+    )
+    SELECT doc_id, ROUND(dup * 1.0 / total, 4) AS rep_ratio
+    FROM r WHERE dup * 25 >= total * 2
+    """,
+)
+def doc_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition filter: docs whose duplicate-2-gram ratio
+    is >= 0.08 (threshold as integer cross-multiplication, dup*25 >=
+    total*2 — calibrated to flag the top few percent of the fixture
+    corpus, whose ratios top out near 0.13)
+    — the standard low-quality/boilerplate signal for pretraining corpora.
+    Pure per-row array expressions (split -> 2-gram transform -> distinct
+    count), no explode and no shuffle: the filter runs scan-side at
+    100 TB and only survivors reach downstream stages."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
+        ),
+    )
+    total = F.size(grams)
+    dup = total - F.size(F.array_distinct(grams))
+    return (
+        docs.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.round(dup * F.lit(1.0) / total, 4).alias("rep_ratio"),
+            (dup * 25 >= total * 2).alias("_keep"),
+        )
+        .filter(F.col("_keep"))
+        .drop("_keep")
+    )

@@ -241,3 +241,47 @@ def join_interval_pairs(spark, sf_dir):
         ev, key="user_id", ts="ts", id_col="event_id", tolerance_seconds=3600
     )
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "join_asof_next_event",
+    category="join",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events GROUP BY user_id, ts
+    )
+    SELECT o.o_orderkey, o.o_custkey, ev.ts AS asof_ts,
+           ROUND(ev.value, 4) AS asof_value
+    FROM orders o
+    ASOF LEFT JOIN ev ON o.o_custkey = ev.user_id AND o.o_orderdate <= ev.ts
+    """,
+)
+def join_asof_next_event(spark, sf_dir):
+    """Forward as-of join: for each order, the EARLIEST event at or after
+    the order date for the same user (the "next reading" lookup — e.g.
+    first telemetry sample after a maintenance event). Same one-shuffle
+    union+window operator as the backward variant with the traversal
+    reversed; DuckDB expresses it natively as ASOF with a <= inequality."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    ev = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .withColumnRenamed("user_id", "o_custkey")
+    )
+    joined = asof_join(
+        o,
+        ev,
+        on="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        right_payload=["value"],
+        direction="forward",
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("asof_ts"),
+        F.round(F.col("asof_value"), 4).alias("asof_value"),
+    )

@@ -84,3 +84,41 @@ def ts_gap_fill(spark, sf_dir):
             ).alias("filled_value"),
         )
     )
+
+
+@query(
+    "ts_locf_fill",
+    category="timeseries",
+    oracle="""
+    SELECT user_id, ts, event_type,
+           ROUND(last_value(CASE WHEN event_type <> 'error' THEN value END
+                            IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS value_locf
+    FROM events
+    """,
+)
+def ts_locf_fill(spark, sf_dir):
+    """LOCF (last observation carried forward) gap fill — the standard
+    repair for sensor streams with bad samples: readings taken during
+    'error' events are voided and replaced by the most recent good value
+    per user. One window over the user_id partitioning, last(...,
+    ignorenulls=True) — ClickHouse spells it anyLast + WITH FILL, ANSI
+    spells it IGNORE NULLS; all three agree. Leading errors (no prior
+    good value) stay NULL."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.round(F.last(good, ignorenulls=True).over(w), 4).alias("value_locf"),
+    )
