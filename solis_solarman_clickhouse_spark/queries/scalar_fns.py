@@ -231,3 +231,46 @@ def json_extract(spark, sf_dir):
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
     )
+
+
+@query(
+    "array_higher_order_fns",
+    category="scalar",
+    oracle="""
+    SELECT p_partkey,
+           list_reduce(list_transform(string_split(p_name, ' '), x -> len(x)),
+                       (a, b) -> a + b) AS total_len,
+           list_filter(string_split(p_name, ' '), x -> len(x) > 4) AS long_words,
+           list_transform(list_zip(string_split(p_name, ' '),
+                                   list_transform(string_split(p_name, ' '),
+                                                  x -> len(x))),
+                          t -> t[1] || ':' || CAST(t[2] AS VARCHAR)) AS tagged
+    FROM part
+    """,
+)
+def array_higher_order_fns(spark, sf_dir):
+    """Higher-order array functions — aggregate (fold), filter, zip_with —
+    the lambda-expression surface ClickHouse exposes as arrayFold/
+    arrayFilter/arrayZip. All three run as codegen'd JVM expressions per
+    row (no explode, no shuffle, no Python): fold sums token lengths,
+    filter keeps long words, zip_with tags each token with its length.
+    DuckDB's list_reduce has no init accumulator, so the Spark fold seeds
+    with the first element's length to match."""
+    p = table(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    lens = F.transform(toks, F.length)
+    total_len = F.aggregate(
+        F.slice(lens, 2, F.greatest(F.size(lens) - 1, F.lit(0))),
+        F.element_at(lens, 1),
+        lambda acc, x: acc + x,
+    )
+    long_words = F.filter(toks, lambda x: F.length(x) > 4)
+    tagged = F.zip_with(
+        toks, lens, lambda t, n: F.concat_ws(":", t, n.cast("string"))
+    )
+    return p.select(
+        "p_partkey",
+        total_len.alias("total_len"),
+        long_words.alias("long_words"),
+        tagged.alias("tagged"),
+    )

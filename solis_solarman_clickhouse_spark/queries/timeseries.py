@@ -15,7 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..tables import table
-from .registry import query, r4, sql_dsum
+from .registry import dsum, query, r4, sql_dsum
 
 
 @query(
@@ -121,4 +121,87 @@ def ts_locf_fill(spark, sf_dir):
         "ts",
         "event_type",
         F.round(F.last(good, ignorenulls=True).over(w), 4).alias("value_locf"),
+    )
+
+
+@query(
+    "ts_ohlc_downsample",
+    category="timeseries",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket, value, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id, bucket,
+           ROUND(MIN(CASE WHEN rn = 1 THEN value END), 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND(MIN(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+           COUNT(*) AS n_samples
+    FROM ranked GROUP BY user_id, bucket
+    """,
+)
+def ts_ohlc_downsample(spark, sf_dir):
+    """OHLC downsampling — the Grafana/ClickHouse rollup for gauge columns
+    (the reference's voltage/temperature metrics at lower zoom): per user
+    per hour bucket, open/high/low/close/count. open/close are min_by/
+    max_by over a (ts, event_id) struct key — ONE partial+final hash
+    aggregation, no window, no sort; the oracle needs ROW_NUMBER only
+    because ANSI SQL lacks tie-broken arg-min. At 100 TB this folds
+    96-per-day samples into hourly bars with a shuffle keyed on
+    (user, bucket) — the downsample every dashboard query then reads."""
+    ev = table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    return ev.groupBy("user_id", bucket.alias("bucket")).agg(
+        F.round(F.min_by("value", key), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.max_by("value", key), 4).alias("close"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
+@query(
+    "ts_counter_reset_rate",
+    category="timeseries",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, ts, value,
+             value - LAG(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS delta
+      FROM events
+    )
+    SELECT user_id,
+           {sql_dsum('CASE WHEN delta IS NULL THEN NULL WHEN delta >= 0 THEN delta ELSE value END')} AS total_increase,
+           COUNT(CASE WHEN delta < 0 THEN 1 END) AS n_resets
+    FROM d GROUP BY user_id
+    """,
+)
+def ts_counter_reset_rate(spark, sf_dir):
+    """Counter increase with reset detection — the PromQL increase() /
+    ClickHouse deltaSumTimestamp semantics the reference's cumulative
+    kwh_total/kwh_day counters need (a replaced inverter restarts its
+    lifetime counter at 0; a naive last-first underflows): per-sample
+    delta via lag(); negative delta means reset, contributing the
+    post-reset absolute value instead. One window + one aggregation over
+    the same user_id partitioning — Catalyst reuses a single exchange."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    contrib = (
+        F.when(delta.isNull(), F.lit(None).cast("double"))
+        .when(delta >= 0, delta)
+        .otherwise(F.col("value"))
+    )
+    d = ev.select("user_id", contrib.alias("contrib"), delta.alias("delta"))
+    return d.groupBy("user_id").agg(
+        dsum("contrib").alias("total_increase"),
+        F.count(F.when(F.col("delta") < 0, 1)).alias("n_resets"),
     )
