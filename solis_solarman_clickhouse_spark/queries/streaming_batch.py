@@ -246,3 +246,58 @@ def stream_ingest_e2e(spark, sf_dir):
             F.max("kwh_total").alias("kwh_total_last"),
         )
     )
+
+
+@query("stream_peak_tracker_tws", category="streaming", check="SMOKE")
+def stream_peak_tracker_tws(spark, sf_dir):
+    """Custom stateful operator targeting the Spark 4 transformWithState
+    API: per-user running peak via a StatefulProcessor with typed
+    ValueState, state crossing micro-batch boundaries
+    (maxFilesPerTrigger=1 forces multi-trigger replay). The TWS Python
+    worker needs google.protobuf, absent from this container, so the
+    operator transparently falls back to the identical processor on
+    applyInPandasWithState (see streaming/transform_state.py); on a
+    protobuf-equipped cluster the TWS path runs with the RocksDB
+    provider. Batch equivalence (running peak == cummax window) is
+    asserted in tests/test_streaming.py."""
+    from ..streaming.transform_state import streaming_peak_tracker, tws_available
+
+    if tws_available():
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    ev = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    workdir = tempfile.mkdtemp(prefix="strmtws_")
+    src = os.path.join(workdir, "src")
+    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    peaks = streaming_peak_tracker(stream, key="user_id", ts="ts", value="value")
+    name = "strm_tws_out"
+    q = (
+        peaks.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            r4(F.max("running_peak")).alias("final_peak"),
+            F.max("n_seen").alias("final_n"),
+        )
+    )

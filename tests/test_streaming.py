@@ -151,3 +151,52 @@ def test_stream_ingest_replay_equals_batch_pipeline(spark):
     expected = derive_metrics(decode_registers(spark.read.parquet(raw_path)))
     assert landed.exceptAll(expected).count() == 0
     assert expected.exceptAll(landed).count() == 0
+
+
+def test_stream_peak_tracker_equals_batch_cummax(spark):
+    """transformWithState-or-fallback running peak == batch cummax window,
+    across micro-batch boundaries (maxFilesPerTrigger=1)."""
+    from pyspark.sql import Window
+
+    from solis_solarman_clickhouse_spark.streaming.transform_state import (
+        streaming_peak_tracker,
+    )
+
+    ev = (
+        table(spark, SF_DIR, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    workdir = tempfile.mkdtemp(prefix="tws_")
+    src = os.path.join(workdir, "src")
+    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_peak_tracker(stream, key="user_id", ts="ts", value="value")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tws_peaks")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("tws_peaks").select("key", "ts", "running_peak", "n_seen")
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exp = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        "ts",
+        F.max("value").over(w).alias("running_peak"),
+        F.count(F.lit(1)).over(w).alias("n_seen"),
+    )
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
