@@ -521,3 +521,27 @@ def agg_count_if_family(spark, sf_dir):
         F.round(sum_big / F.nullif(n_big, F.lit(0)), 4).alias("avg_big"),
         F.count_distinct(F.when(big, F.col("user_id"))).alias("uniq_users_big"),
     )
+
+
+@query(
+    "agg_bit_ops",
+    category="aggregate",
+    oracle="""
+    SELECT o_orderstatus,
+           BIT_AND(o_orderkey) AS key_and,
+           BIT_OR(o_orderkey)  AS key_or,
+           BIT_XOR(o_orderkey) AS key_xor
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_bit_ops(spark, sf_dir):
+    """ClickHouse groupBitAnd/Or/Xor parity: bitwise aggregate reductions
+    (set-membership fingerprints over integer keys). All three are
+    associative+commutative, so they combine map-side like sum — one
+    partial+final pass, order-independent by construction."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+    )

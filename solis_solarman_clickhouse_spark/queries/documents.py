@@ -675,3 +675,61 @@ def doc_repetition_filter(spark, sf_dir):
         .filter(F.col("_keep"))
         .drop("_keep")
     )
+
+
+@query(
+    "doc_benchmark_decontamination",
+    category="documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(generate_series(1, len(ws) - 2),
+                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      FROM w
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0),
+    corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 100 <> 0),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_hit
+      FROM corpus c JOIN bench b ON c.s = b.s
+      GROUP BY c.doc_id
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM corpus GROUP BY doc_id)
+    SELECT sz.doc_id, ROUND(COALESCE(n_hit, 0) * 1.0 / n, 4) AS overlap
+    FROM sz LEFT JOIN hits ON sz.doc_id = hits.doc_id
+    WHERE COALESCE(n_hit, 0) * 20 >= n
+    """,
+)
+def doc_benchmark_decontamination(spark, sf_dir):
+    """Benchmark decontamination — the eval-leak check every pretraining
+    pipeline runs: docs sharing >= 5% of their 3-gram shingles with a
+    held-out benchmark set (here: doc_id % 100 == 0 as the deterministic
+    stand-in) are flagged (threshold calibrated to the synthetic corpus, whose
+    overlaps top out near 0.13). The benchmark shingle set is tiny relative to
+    the corpus, so Spark broadcasts it and the check is a map-side semi
+    probe + one count aggregation — at 100 TB the corpus is never
+    shuffled, only scanned. Threshold via integer cross-multiplication."""
+    from ..operators.dedup import shingle_index
+
+    docs = table(spark, sf_dir, "documents")
+    idx = shingle_index(docs, k=3, hashed=True)
+    bench = (
+        idx.filter(F.col("doc_id") % 100 == 0).select("shingle").distinct()
+    )
+    corpus = idx.filter(F.col("doc_id") % 100 != 0)
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    sz = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    return (
+        sz.join(hits, "doc_id", "left")
+        .filter(n_hit * 20 >= F.col("n"))
+        .select("doc_id", F.round(n_hit * 1.0 / F.col("n"), 4).alias("overlap"))
+    )

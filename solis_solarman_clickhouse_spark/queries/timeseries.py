@@ -205,3 +205,65 @@ def ts_counter_reset_rate(spark, sf_dir):
         dsum("contrib").alias("total_increase"),
         F.count(F.when(F.col("delta") < 0, 1)).alias("n_resets"),
     )
+
+
+@query(
+    "ts_degradation_trend",
+    category="timeseries",
+    oracle="""
+    WITH x AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts) / 3600.0) AS BIGINT) - 490000 AS xh,
+             value AS y
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(xh) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y  AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xh * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(xh * xh) AS DOUBLE) AS sxx
+      FROM x GROUP BY user_id
+    )
+    SELECT user_id, n,
+           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0) * 24.0, 4)
+             AS slope_per_day,
+           ROUND((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0) * sx)
+                 / n, 4) AS intercept
+    FROM s
+    """,
+)
+def ts_degradation_trend(spark, sf_dir):
+    """Per-key OLS trend — the panel-degradation query a solar fleet runs
+    over years of efficiency samples (reference metric
+    inverter_efficiency_percent, tables.sql:7): closed-form least-squares
+    slope from exactly-accumulated sums, so the result is
+    order-independent and engine-identical without regr_slope (whose
+    float accumulation is engine-specific). x is the INTEGER hour bucket
+    (offset-centered to keep the normal-equation terms well-conditioned):
+    fractional x would be re-quantized by the decimal cast at the 1e-6
+    place, where the two engines' tie-rounding can differ — integer x
+    makes sx/sxx exact and leaves only the y-bearing sums on the shared
+    decimal idiom. One aggregation, slope reported per day; constant-x
+    groups get NULL via NULLIF."""
+    ev = table(spark, sf_dir, "events")
+    x = ev.select(
+        "user_id",
+        (F.floor(F.col("ts").cast("double") / 3600.0).cast("long") - 490000).alias("xh"),
+        F.col("value").alias("y"),
+    )
+    s = x.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xh").cast("double").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("xh") * F.col("y")).alias("sxy"),
+        F.sum(F.col("xh") * F.col("xh")).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx"])
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    return s.select(
+        "user_id",
+        "n",
+        F.round(slope * 24.0, 4).alias("slope_per_day"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+    )

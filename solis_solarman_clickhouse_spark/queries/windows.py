@@ -224,3 +224,33 @@ def window_range_interval(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("sum_10m"),
         F.count(F.lit(1)).over(w).alias("n_10m"),
     )
+
+
+@query(
+    "window_lead_lag_offsets",
+    category="window",
+    oracle="""
+    SELECT user_id, ts,
+           ROUND(value, 4) AS value,
+           ROUND(LAG(value, 3, -1.0) OVER w, 4) AS lag3_dflt,
+           ROUND(LEAD(value, 2) OVER w, 4) AS lead2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lead_lag_offsets(spark, sf_dir):
+    """lag/lead with multi-row offsets and an explicit default: lag(3)
+    with -1.0 fill (ClickHouse neighbor(col, -3, default) parity) and
+    lead(2) with the native NULL tail. Same single user_id exchange as
+    every other window in the suite."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("value"),
+        F.round(F.lag("value", 3, -1.0).over(w), 4).alias("lag3_dflt"),
+        F.round(F.lead("value", 2).over(w), 4).alias("lead2"),
+    )
