@@ -285,3 +285,38 @@ def join_asof_next_event(spark, sf_dir):
         F.col("asof_ts"),
         F.round(F.col("asof_value"), 4).alias("asof_value"),
     )
+
+
+@query(
+    "join_null_safe_eq",
+    category="join",
+    oracle="""
+    WITH a AS (
+      SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS k,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT COALESCE(a.k, '<null>') AS k, a.n * b.n AS n_pairs
+    FROM a JOIN a b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe_eq(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out — the semantics ClickHouse
+    gives with join_use_nulls and ANSI with IS NOT DISTINCT FROM. Spark
+    plans eqNullSafe as a regular hash join (null gets a hash bucket),
+    NOT a nested loop — same single shuffle as a plain equi-join; the
+    side tables here are pre-aggregated so the pair counts are scale-free."""
+    o = table(spark, sf_dir, "orders")
+    k = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+        F.col("o_orderstatus")
+    )
+    a = o.groupBy(k.alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    b = a.select(F.col("k").alias("kb"), F.col("n").alias("nb"))
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("kb")))
+        .select(
+            F.coalesce(F.col("k"), F.lit("<null>")).alias("k"),
+            (F.col("n") * F.col("nb")).alias("n_pairs"),
+        )
+    )

@@ -274,3 +274,38 @@ def array_higher_order_fns(spark, sf_dir):
         long_words.alias("long_words"),
         tagged.alias("tagged"),
     )
+
+
+@query(
+    "map_higher_order_fns",
+    category="scalar",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             list_filter(list_sort(list_distinct(string_split(p_name, ' '))),
+                         x -> 2 * len(x) > 8) AS ks
+      FROM part
+    )
+    SELECT p_partkey, ks AS keys,
+           list_transform(ks, x -> 2 * len(x)) AS vals
+    FROM t
+    """,
+)
+def map_higher_order_fns(spark, sf_dir):
+    """Map higher-order functions — map_from_arrays, transform_values,
+    map_filter — the MapType lambda surface (ClickHouse mapApply/
+    mapFilter parity): token -> doubled-length map, filtered to values
+    > 8, emitted as sorted parallel arrays (maps have no canonical order
+    to hash). Pure row expressions in codegen; DuckDB mirrors with list
+    lambdas since its map surface lacks filter/transform."""
+    p = table(spark, sf_dir, "part")
+    dtoks = F.array_distinct(F.split(F.col("p_name"), " "))
+    m = F.map_from_arrays(dtoks, F.transform(dtoks, F.length))
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    kept = F.map_filter(doubled, lambda k, v: v > 8)
+    entries = F.array_sort(F.map_entries(kept))
+    return p.select(
+        "p_partkey",
+        F.transform(entries, lambda e: e["key"]).alias("keys"),
+        F.transform(entries, lambda e: e["value"]).alias("vals"),
+    )

@@ -267,3 +267,57 @@ def ts_degradation_trend(spark, sf_dir):
         F.round(slope * 24.0, 4).alias("slope_per_day"),
         F.round((sy - slope * sx) / n, 4).alias("intercept"),
     )
+
+
+@query(
+    "ts_sessionize_islands",
+    category="timeseries",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                             ORDER BY ts, event_id))
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def ts_sessionize_islands(spark, sf_dir):
+    """Batch sessionization via gaps-and-islands: a session break is a
+    >30-min silence; session_id = running count of breaks (lag + prefix
+    sum over ONE user_id window — Catalyst stacks both window functions
+    on a single exchange+sort). Same semantics as session_window()
+    (stream_session_window) expressed as the prefix-sum operator, with
+    stable per-user session ids the streaming form doesn't give you."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer-microsecond gap compare on BOTH engines: truncating casts or
+    # whole-second interval math diverge when ts has sub-second components
+    prev = F.lag("ts").over(w)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    brk = F.when(prev.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = ev.select(
+        "user_id", "ts", F.sum(brk).over(run).alias("session_id")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

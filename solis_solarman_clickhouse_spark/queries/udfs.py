@@ -104,3 +104,36 @@ def udf_map_in_pandas_decode(spark, sf_dir):
             )
 
     return ev.mapInPandas(combine, schema="event_id bigint, combined_u32 bigint")
+
+
+@query(
+    "udtf_split_tokens",
+    category="udf",
+    oracle="""
+    SELECT doc_id, g.i - 1 AS pos, string_split(text, ' ')[g.i] AS tok
+    FROM documents,
+         LATERAL (SELECT UNNEST(generate_series(1, len(string_split(text, ' ')))) AS i) g
+    WHERE doc_id < 50
+    """,
+)
+def udtf_split_tokens(spark, sf_dir):
+    """Python UDTF (Spark 4 user-defined TABLE function): tokenize with
+    positions via a lateral join — the UDTF form of A1's row-expanding
+    decode. Row-at-a-time Python is the slow path (the suite's built-in
+    posexplode does this JVM-side); registered here to cover the UDTF
+    API surface itself, on a bounded 50-doc slice."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string")
+    class SplitTokens:
+        def eval(self, text: str):
+            for i, t in enumerate(text.split(" ")):
+                yield i, t
+
+    spark.udtf.register("split_tokens", SplitTokens)
+    table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, s.pos, s.tok FROM _udtf_docs, LATERAL split_tokens(text) s"
+    )

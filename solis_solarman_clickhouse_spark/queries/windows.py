@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..tables import table
-from .registry import query, r4
+from .registry import dsum, query, r4, sql_dsum
 
 _DEC = T.DecimalType(38, 6)
 
@@ -253,4 +253,55 @@ def window_lead_lag_offsets(spark, sf_dir):
         F.round("value", 4).alias("value"),
         F.round(F.lag("value", 3, -1.0).over(w), 4).alias("lag3_dflt"),
         F.round(F.lead("value", 2).over(w), 4).alias("lead2"),
+    )
+
+
+@query(
+    "window_ratio_to_report",
+    category="window",
+    oracle=f"""
+    WITH rev AS (
+      SELECT r_name, n_name, ROUND({sql_dsum('l_extendedprice * (1 - l_discount)')}, 4) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name, revenue,
+           ROUND(revenue / CAST(SUM(CAST(revenue AS DECIMAL(38,6)))
+                                OVER (PARTITION BY r_name) AS DOUBLE), 4)
+             AS share_of_region
+    FROM rev
+    """,
+)
+def window_ratio_to_report(spark, sf_dir):
+    """Ratio-to-report: each nation's share of its region's revenue —
+    aggregate once, then a partition-total window divides through (the
+    OLAP RATIO_TO_REPORT idiom). The window re-sums the already-rounded
+    per-nation revenues in DECIMAL so the denominator is order-independent
+    — a raw double window-SUM would drift between engines. groupBy and
+    window share the r_name-prefixed distribution; the window input is
+    only |nations| rows."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(r4(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("r_name")
+    denom = F.sum(F.col("revenue").cast("decimal(38,6)")).over(w).cast("double")
+    return rev.select(
+        "r_name", "n_name", "revenue",
+        F.round(F.col("revenue") / denom, 4).alias("share_of_region"),
     )
