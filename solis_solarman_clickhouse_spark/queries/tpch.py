@@ -463,3 +463,106 @@ _sql_query(
     "left-semi join. partsupp/availqty is absent, so shipped quantity via "
     "lineitem stands in for available stock.",
 )
+
+
+_LINEITEM_PS = "(SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)"
+
+_sql_query(
+    "tpch_q2",
+    ["part", "supplier", "lineitem", "nation", "region"],
+    f"""
+    SELECT /*+ BROADCAST(part), BROADCAST(nation), BROADCAST(region) */
+           s.s_suppkey, s.s_name, ROUND(s.s_acctbal, 4) AS acctbal,
+           n_name AS nation_name, p_partkey, p_name
+    FROM part
+    JOIN {_LINEITEM_PS} ps ON p_partkey = ps.l_partkey
+    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    JOIN nation   ON s.s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND p_size = 15
+      AND s.s_acctbal = (
+        SELECT MIN(s2.s_acctbal)
+        FROM supplier s2
+        JOIN {_LINEITEM_PS} ps2 ON ps2.l_suppkey = s2.s_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s.s_suppkey, p_partkey
+    """,
+    "TPC-H Q2 (minimum cost supplier, adapted): per part, the EUROPE "
+    "supplier(s) with the minimum account balance (stand-in for the "
+    "missing ps_supplycost; the part-supplier relation is distilled from "
+    "lineitem shipments). The correlated scalar MIN with its own 3-way "
+    "join is the classic Q2 decorrelation stress: Catalyst rewrites it "
+    "into an aggregate-join on p_partkey reusing the outer distribution.",
+)
+
+_sql_query(
+    "tpch_q11",
+    ["lineitem", "part", "supplier", "nation"],
+    f"""
+    SELECT /*+ BROADCAST(part), BROADCAST(supplier), BROADCAST(nation) */
+           l_partkey AS partkey,
+           ROUND({sql_dsum('l_quantity * p_retailprice')}, 4) AS inv_value
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY l_partkey
+    HAVING {sql_dsum('l_quantity * p_retailprice')} > (
+      SELECT 0.001 * {sql_dsum('l_quantity * p_retailprice')}
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+    )
+    ORDER BY inv_value DESC, partkey
+    """,
+    "TPC-H Q11 (important stock, adapted): per-part shipped value for one "
+    "nation's suppliers, kept only when above a fraction of the nation "
+    "total — quantity x retailprice stands in for availqty x supplycost. "
+    "The HAVING compares a grouped decimal sum against an uncorrelated "
+    "scalar subquery over the SAME join tree: Spark evaluates the scalar "
+    "once (subquery reuse) and broadcasts it into the aggregate filter.",
+)
+
+_sql_query(
+    "tpch_q21",
+    ["supplier", "lineitem", "orders", "nation"],
+    """
+    SELECT /*+ BROADCAST(supplier), BROADCAST(nation) */
+           s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND n_name = 'NATION_1'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+    "TPC-H Q21 (suppliers who kept orders waiting, adapted): in finished "
+    "multi-supplier orders, suppliers who were the ONLY one with a "
+    "returned line (l_returnflag='R' stands in for the missing "
+    "receipt-after-commit lateness). The EXISTS + NOT EXISTS pair over "
+    "the same fact table is the hardest decorrelation in the suite: "
+    "Catalyst plans a semi join and an anti join both keyed on "
+    "l_orderkey, stacked on one exchange of the fact.",
+)
