@@ -733,3 +733,63 @@ def doc_benchmark_decontamination(spark, sf_dir):
         .filter(n_hit * 20 >= F.col("n"))
         .select("doc_id", F.round(n_hit * 1.0 / F.col("n"), 4).alias("overlap"))
     )
+
+
+@query(
+    "doc_dedup_clusters",
+    category="documents",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(generate_series(1, len(ws) - 2),
+                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      FROM w
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sz sa ON doc_a = sa.doc_id
+      JOIN sz sb ON doc_b = sb.doc_id
+      WHERE c * 5 >= (sa.n + sb.n - c) * 4
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id,
+           CAST(a = MIN(b) AS BOOLEAN) AS is_keeper
+    FROM reach GROUP BY a
+    """,
+)
+def doc_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING — pairs are not enough to dedup: A~B and B~C
+    must collapse into ONE keeper even when A!~C. Connected components
+    over the >= 0.8-Jaccard pair graph via distributed min-label
+    propagation (operators/graph.py): keeper = min doc_id per component.
+    The oracle computes the same transitive closure with a recursive CTE
+    — feasible because near-dup graphs are tiny cliques; the Spark side
+    is the iterative-join form that scales to corpus-sized graphs (no
+    driver-side union-find, data never collected)."""
+    pairs = ngram_jaccard_pairs(table(spark, sf_dir, "documents"), k=3, threshold=0.8)
+    from ..operators.graph import connected_components
+
+    cc = connected_components(pairs.select("doc_a", "doc_b"))
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )

@@ -165,3 +165,18 @@ def test_retention_is_monotone(spark):
     r = REGISTRY["ch_retention"].fn(spark, SF_DIR).collect()[0]
     assert r["r_view"] >= r["r_view_click"] >= 0
     assert r["r_view"] >= r["r_view_purchase"] >= 0
+
+
+def test_connected_components_chain_transitivity(spark):
+    """A-B and B-C must land in one component even with no A-C edge; two
+    disjoint cliques must stay separate."""
+    from solis_solarman_clickhouse_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
