@@ -318,10 +318,10 @@ _sql_query(
     "tpch_q9",
     ["part", "lineitem", "supplier", "orders", "nation"],
     f"""
-    SELECT /*+ BROADCAST(part), BROADCAST(supplier), BROADCAST(nation) */
-           nation, o_year, ROUND({sql_dsum('amount')}, 4) AS sum_profit
+    SELECT nation, o_year, ROUND({sql_dsum('amount')}, 4) AS sum_profit
     FROM (
-      SELECT n_name AS nation,
+      SELECT /*+ BROADCAST(part), BROADCAST(supplier), BROADCAST(nation) */
+             n_name AS nation,
              CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
              l_extendedprice * (1 - l_discount)
                - 0.1 * p_retailprice * l_quantity AS amount

@@ -153,7 +153,7 @@ def test_no_python_eval_outside_udf_families(spark):
     Python-boundary families (udf_*, mm_*, vec_ann_*, streaming smoke) may
     contain a BatchEvalPython/ArrowEvalPython/MapInPandas stage. Catches a
     refactor that silently drops a hot path off whole-stage codegen."""
-    allowed_prefixes = ("udf_", "mm_", "vec_ann_", "stream_", "sink_",
+    allowed_prefixes = ("udf_", "udtf_", "mm_", "vec_ann_", "stream_", "sink_",
                         "source_python_datasource")
     for name, spec in sorted(REGISTRY.items()):
         if name.startswith(allowed_prefixes):
