@@ -20,7 +20,7 @@ from ..operators.text import (
     lang_guess,
     quality_features,
 )
-from ..tables import table
+from ..tables import spread, table
 from .registry import query, sql_davg
 
 _JACCARD_ORACLE = """
@@ -792,4 +792,53 @@ def doc_dedup_clusters(spark, sf_dir):
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_keeper"),
+    )
+
+
+@query(
+    "doc_tfidf_topterms",
+    category="documents",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+    ),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+    df AS (SELECT t, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, t FROM tok) GROUP BY t),
+    ranked AS (
+      SELECT tf.doc_id, tf.t, tf.tf, df.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.t ASC) AS rnk
+      FROM tf JOIN df ON tf.t = df.t
+    )
+    SELECT doc_id, rnk, t AS term, tf, df
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def doc_tfidf_topterms(spark, sf_dir):
+    """TF-IDF top terms per doc, rank-only formulation: the top-3 terms
+    by (tf DESC, df ASC, term) — the exact ordering a tf x log(N/df)
+    score induces for fixed N, WITHOUT computing logs (libm last-ulp
+    differences between engines would make a float score unverifiable).
+    Plan: one explode, tf and df aggregates both keyed on the token so
+    the df join reuses the distribution, then a per-doc top-k window.
+    At 100 TB the df table is the corpus vocabulary — still millions of
+    rows, broadcastable after frequency pruning."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    tok = spread(docs, "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        tok.select("doc_id", "t").distinct()
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("t"))
+    return (
+        tf.join(df, "t")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", F.col("t").alias("term"), "tf", "df")
     )

@@ -94,3 +94,32 @@ def sink_formats_roundtrip(spark, sf_dir):
     return c.join(j, ["o_orderstatus", "n", "sum_price"], "inner").select(
         "o_orderstatus", "n", "sum_price"
     )
+
+
+@query(
+    "sink_orc_roundtrip",
+    category="sink",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sink_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink: the second columnar format Spark ships natively
+    (vectorized reader, predicate pushdown, zlib/zstd) — write the
+    aggregate as ORC, re-read, hash-match against the parquet-scan
+    oracle. Exercises the full ORC write+read path including schema
+    preservation for BIGINT/DOUBLE."""
+    base = tempfile.mkdtemp(prefix="sink_orc_")
+    agg = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("sum_price"),
+        )
+    )
+    path = os.path.join(base, "orc")
+    agg.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
