@@ -301,3 +301,51 @@ def stream_peak_tracker_tws(spark, sf_dir):
             F.max("n_seen").alias("final_n"),
         )
     )
+
+
+@query("stream_static_enrich", category="streaming", check="SMOKE")
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static join: the streaming events replay enriched against
+    the STATIC customer dimension (the reference's targets.json config
+    table in §2-A terms) — stateless per-batch broadcast join, the
+    standard streaming-ETL enrichment. No watermark needed (no stream
+    state); the static side is re-resolvable per micro-batch, which is
+    how dimension updates propagate mid-stream on a real deployment.
+    Returns the landed per-segment aggregate; batch-join equivalence is
+    asserted in tests/test_streaming.py."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    workdir = tempfile.mkdtemp(prefix="strmenrich_")
+    src = os.path.join(workdir, "src")
+    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    enriched = stream.join(F.broadcast(cust), "user_id", "left")
+    name = "strm_enrich_out"
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("<none>")).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(F.sum(F.col("value").cast("decimal(38,6)")).cast("double")).alias("sum_value"),
+        )
+    )

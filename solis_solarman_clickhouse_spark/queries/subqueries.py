@@ -81,3 +81,41 @@ def sub_correlated_agg(spark, sf_dir):
     per-row subquery execution."""
     register_views(spark, sf_dir)
     return spark.sql(_CORR_AGG_SQL)
+
+
+@query(
+    "sub_lateral_topn",
+    category="subquery",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+         LATERAL (
+           SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+           FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 2
+         ) t
+    """,
+)
+def sub_lateral_topn(spark, sf_dir):
+    """LATERAL correlated table subquery (SQL:1999 / DuckDB / Spark 3.5+):
+    top-2 orders per customer written as a per-row dependent subquery in
+    FROM — the form BI tools emit for 'for each X, its top N Y'. Spark
+    decorrelates the LATERAL LIMIT into the same window-rank plan as
+    sort_topk_per_group (one shuffle on the correlation key), so the
+    lateral syntax costs nothing over the hand-written window."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+             LATERAL (
+               SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+               FROM orders
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               LIMIT 2
+             ) t
+        """
+    )

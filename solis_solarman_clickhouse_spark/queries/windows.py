@@ -305,3 +305,36 @@ def window_ratio_to_report(spark, sf_dir):
         "r_name", "n_name", "revenue",
         F.round(F.col("revenue") / denom, 4).alias("share_of_region"),
     )
+
+
+@query(
+    "window_nth_value",
+    category="window",
+    oracle="""
+    SELECT user_id, ts,
+           ROUND(nth_value(value, 2) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND CURRENT ROW), 4)
+             AS second_seen
+    FROM events
+    """,
+)
+def window_nth_value(spark, sf_dir):
+    """nth_value with an explicit running frame: each row sees the second
+    value its user ever produced (NULL until two exist) — the 'second
+    touch' attribution primitive. Frame-sensitive analytic function over
+    the standard single user_id exchange."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        F.round(F.nth_value("value", 2).over(w), 4).alias("second_seen"),
+    )

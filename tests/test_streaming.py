@@ -200,3 +200,36 @@ def test_stream_peak_tracker_equals_batch_cummax(spark):
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
+
+
+def test_stream_static_enrich_equals_batch_join(spark):
+    """Stream-static broadcast enrich lands exactly the batch join."""
+    ev = (
+        table(spark, SF_DIR, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    cust = table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    workdir = tempfile.mkdtemp(prefix="enrich_")
+    src = os.path.join(workdir, "src")
+    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    q = (
+        stream.join(F.broadcast(cust), "user_id", "left")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_rows")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("enrich_rows")
+    exp = ev.join(cust, "user_id", "left")
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
