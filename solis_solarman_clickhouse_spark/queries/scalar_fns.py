@@ -309,3 +309,60 @@ def map_higher_order_fns(spark, sf_dir):
         F.transform(entries, lambda e: e["key"]).alias("keys"),
         F.transform(entries, lambda e: e["value"]).alias("vals"),
     )
+
+
+@query(
+    "date_functions_extended",
+    category="scalar",
+    oracle="""
+    SELECT o_orderkey,
+           quarter(o_orderdate) AS q,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           dayofyear(o_orderdate) AS doy,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def date_functions_extended(spark, sf_dir):
+    """Calendar function breadth beyond Q-DATE-1: quarter, ISO week,
+    day-of-year, month-end, quarter-start — the Grafana/report bucket
+    vocabulary. All pure row expressions; Spark's weekofyear and DuckDB's
+    are both ISO-8601 so the year-boundary weeks agree."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).alias("q"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofyear(d).alias("doy"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+    )
+
+
+@query(
+    "string_regex_extended",
+    category="scalar",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract_all(p_name, '[a-z]+') AS words,
+           len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+           regexp_replace(p_name, '([a-z]+) ([a-z]+)', '\\2 \\1') AS swapped
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def string_regex_extended(spark, sf_dir):
+    """Regex breadth beyond Q-STR-2: extract-all into an array, match
+    counting, and group-backreference replace (Spark spells
+    backreferences $1, DuckDB \\1 — same semantics, dialect-correct in
+    each engine). Row expressions, codegen'd, no UDF."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]+"), 0).alias("words"),
+        F.size(F.regexp_extract_all(F.col("p_name"), F.lit("[aeiou]"), 0)).alias("n_vowels"),
+        F.regexp_replace(
+            F.col("p_name"), "([a-z]+) ([a-z]+)", "$2 $1"
+        ).alias("swapped"),
+    )

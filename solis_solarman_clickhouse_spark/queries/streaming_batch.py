@@ -349,3 +349,60 @@ def stream_static_enrich(spark, sf_dir):
             r4(F.sum(F.col("value").cast("decimal(38,6)")).cast("double")).alias("sum_value"),
         )
     )
+
+
+@query("stream_stream_interval_join", category="streaming", check="SMOKE")
+def stream_stream_interval_join(spark, sf_dir):
+    """Stream-STREAM join: purchases joined to the same user's views
+    within the preceding hour, both sides true streams with watermarks —
+    the hardest streaming shape (state on BOTH sides, eviction driven by
+    the watermark and the interval bound). Spark buffers each side keyed
+    by user, emits on match, and GCs state older than watermark+1h.
+    Returns the landed per-user match counts; subset-of-batch-join
+    equivalence is asserted in tests/test_streaming.py."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"), F.max("event_type").alias("event_type"))
+    )
+    workdir = tempfile.mkdtemp(prefix="strmss_")
+    src = os.path.join(workdir, "src")
+    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+
+    def side(types):
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .filter(F.col("event_type").isin(types))
+            .withWatermark("ts", "10 minutes")
+        )
+
+    views = side(["view"]).select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    purchases = side(["purchase"]).select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    name = "strm_ss_out"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_view_purchase_pairs"))
+    )

@@ -233,3 +233,36 @@ def test_stream_static_enrich_equals_batch_join(spark):
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
+
+
+def test_stream_stream_join_subset_of_batch(spark):
+    """Stream-stream interval join emits a subset of the batch interval
+    join (watermark may drop late matches, never invent them), and on
+    this in-order replay it lands the full batch result."""
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+
+    got = REGISTRY["stream_stream_interval_join"].fn(spark, SF_DIR)
+
+    ev = (
+        table(spark, SF_DIR, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"), F.max("event_type").alias("event_type"))
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    exp = (
+        purchases.join(
+            views,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_view_purchase_pairs"))
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
