@@ -221,3 +221,60 @@ def test_aqe_splits_skewed_join(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_ohlc_is_pure_agg_no_window(spark):
+    """OHLC bars must stay a single partial+final aggregation — a refactor
+    to ROW_NUMBER windows would add a full per-bucket sort at 100 TB.
+    (min_by/max_by over a struct ordering key plans as SortAggregate, not
+    HashAggregate — still map-side-combining partial+final around one
+    exchange.)"""
+    plan = _plan(REGISTRY["ts_ohlc_downsample"].fn(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_counter_reset_rate_single_exchange(spark):
+    """Window (lag) and the per-user aggregation share one user_id
+    shuffle."""
+    plan = _plan(REGISTRY["ts_counter_reset_rate"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sessionize_islands_single_exchange(spark):
+    """lag, the prefix sum, and the per-session aggregation all ride one
+    user_id exchange (Catalyst stacks the two windows, and the final
+    groupBy keys are a superset of the window partition key)."""
+    plan = _plan(REGISTRY["ts_sessionize_islands"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_decontamination_broadcasts_benchmark_set(spark):
+    """The benchmark shingle set must broadcast — shuffling the corpus
+    against it is the 100 TB anti-pattern the query exists to avoid."""
+    plan = _plan(REGISTRY["doc_benchmark_decontamination"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_tpch_q21_semi_and_anti_on_fact(spark):
+    """Q21's EXISTS + NOT EXISTS must decorrelate into semi and anti hash
+    joins, not nested-loop correlation."""
+    plan = _plan(REGISTRY["tpch_q21"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lateral_topn_decorrelates_to_window(spark):
+    """LATERAL ... ORDER BY ... LIMIT per row must plan as a window rank
+    (or equivalent join), never a per-row re-execution loop."""
+    plan = _plan(REGISTRY["sub_lateral_topn"].fn(spark, SF_DIR))
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantize_broadcasts_dim_stats(spark):
+    """The per-dimension stats row must broadcast back onto the fact scan
+    — a sort-merge join against a 1-row table would shuffle the corpus."""
+    plan = _plan(REGISTRY["vec_quantize_int8"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
