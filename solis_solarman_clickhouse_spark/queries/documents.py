@@ -842,3 +842,75 @@ def doc_tfidf_topterms(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "rnk", F.col("t").alias("term"), "tf", "df")
     )
+
+
+@query(
+    "doc_corpus_dedup_materialize",
+    category="documents",
+    oracle="""
+    WITH RECURSIVE exact_k AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+    ),
+    w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(generate_series(1, len(ws) - 2),
+                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      FROM w
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sz sa ON doc_a = sa.doc_id
+      JOIN sz sb ON doc_b = sb.doc_id
+      WHERE c * 5 >= (sa.n + sb.n - c) * 4
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+    ),
+    drop_near AS (
+      SELECT a AS doc_id FROM reach GROUP BY a HAVING a <> MIN(b)
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d
+    JOIN exact_k USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_near)
+    """,
+)
+def doc_corpus_dedup_materialize(spark, sf_dir):
+    """The dedup OUTPUT artifact — not pair lists or cluster labels but
+    the kept corpus itself: byte-exact duplicates collapse to the min
+    doc_id (sha256 groups), then near-dup cluster members lose to their
+    component keeper. Composes exact_dedup + connected_components with
+    two anti joins; everything upstream is the already-verified operator
+    chain, so this is the end-to-end curation path a pipeline actually
+    ships. Scale: both anti joins broadcast (keeper and drop lists are
+    tiny relative to the corpus)."""
+    docs = table(spark, sf_dir, "documents")
+    exact_keepers = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    from ..operators.graph import connected_components
+
+    cc = connected_components(pairs.select("doc_a", "doc_b"))
+    drop_near = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        docs.join(exact_keepers, "doc_id", "left_semi")
+        .join(drop_near, "doc_id", "left_anti")
+        .select("doc_id", "source", "lang")
+    )

@@ -169,10 +169,19 @@ def test_stream_peak_tracker_equals_batch_cummax(spark):
     )
     workdir = tempfile.mkdtemp(prefix="tws_")
     src = os.path.join(workdir, "src")
-    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    # time-ordered file names so triggers replay in event-time order —
+    # per-row running-peak equality only holds for in-order arrival
+    parts = ev.orderBy("ts").withColumn("part", F.ntile(3).over(Window.orderBy("ts")))
+    for i in range(1, 4):
+        parts.filter(F.col("part") == i).drop("part").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"f{i}"))
 
     stream = (
-        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
     )
     q = (
         streaming_peak_tracker(stream, key="user_id", ts="ts", value="value")
