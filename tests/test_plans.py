@@ -278,3 +278,28 @@ def test_quantize_broadcasts_dim_stats(spark):
     — a sort-merge join against a 1-row table would shuffle the corpus."""
     plan = _plan(REGISTRY["vec_quantize_int8"].fn(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_parquet_aggregate_pushdown_capability(spark):
+    """count(*) can be answered from parquet footer metadata alone
+    (PushedAggregation) when the V2 source is active — the 100 TB
+    metadata-only-count path. Exercised with scoped confs (the engine
+    default stays on V1: V2 changes nanos-timestamp and bucketed-write
+    behavior, and the per-query win only matters for pure-stat queries)."""
+    before_push = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    before_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").groupBy().count()
+        plan = _plan(df)
+        assert "PushedAggregation: [COUNT(*)]" in plan, plan
+        assert df.collect()[0][0] == spark.read.parquet(
+            f"{SF_DIR}/lineitem.parquet"
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", before_push)
+        if before_v1 is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", before_v1)
