@@ -48,9 +48,12 @@ HEADLINE = [
     "ch_moving_sum_array",
     "doc_neardup_minhash_exact",
     "ts_gap_fill",
+    "ts_sessionize_islands",
     "agg_percentiles",
     "agg_salted_skew",
     "sub_correlated_agg",
+    "tpch_q21",
+    "doc_dedup_clusters",
 ]
 
 

@@ -408,3 +408,88 @@ def ch_sequence_count(spark, sf_dir):
     return users.join(matches, "user_id", "left").select(
         "user_id", F.coalesce(F.col("n"), F.lit(0)).alias("seq_count")
     )
+
+
+@query(
+    "ch_group_concat",
+    category="clickhouse",
+    oracle="""
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv
+    FROM events GROUP BY user_id
+    """,
+)
+def ch_group_concat(spark, sf_dir):
+    """groupConcat / string_agg parity (ClickHouse groupUniqArray +
+    arrayStringConcat): the distinct event types per user as one sorted
+    CSV string. collect_set -> array_sort -> concat_ws pins the element
+    order BEFORE concatenation — a raw string_agg's order is
+    engine-arbitrary, which is exactly the nondeterminism the suite's
+    conventions exist to remove."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types_csv")
+    )
+
+
+@query(
+    "ch_window_funnel_strict_order",
+    category="clickhouse",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                             ELSE 2 END AS code
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    folded AS (
+      SELECT user_id,
+             abs(list_reduce(
+               list_prepend(0, list(code ORDER BY ts, event_id)),
+               (a, b) -> CASE WHEN a < 0 THEN a
+                              WHEN b = a THEN a + 1
+                              ELSE -a END)) AS funnel_level
+      FROM f GROUP BY user_id
+    ),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT COALESCE(folded.funnel_level, 0) AS funnel_level,
+           COUNT(*) AS n_users
+    FROM u LEFT JOIN folded USING (user_id)
+    GROUP BY 1
+    """,
+)
+def ch_window_funnel_strict_order(spark, sf_dir):
+    """ClickHouse ``windowFunnel(... 'strict_order')`` parity (defined
+    variant, no time bound): walking the user's view/click/purchase
+    events in time order, the level advances only while each event is
+    exactly the next expected step and FREEZES at the first out-of-order
+    funnel event — CH's strict_order. Implemented as a pure integer fold
+    (aggregate) over the sorted per-user code array: state = level,
+    negated to freeze; abs() at the end. One grouped collect per user,
+    the fold is a codegen'd lambda — and the identical fold runs in
+    DuckDB's list_reduce, so a sequential-scan semantic is still
+    EXACT-oracle-checkable."""
+    ev = table(spark, sf_dir, "events")
+    f = ev.filter(F.col("event_type").isin("view", "click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", 0)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(2)
+        .alias("code"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "code")))
+    codes = F.transform(ordered, lambda s: s["code"])
+    step = lambda a, x: (  # noqa: E731
+        F.when(a < 0, a).when(x == a, a + 1).otherwise(-a)
+    )
+    folded = f.groupBy("user_id").agg(
+        F.abs(F.aggregate(codes, F.lit(0), step)).alias("funnel_level")
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(folded, "user_id", "left")
+        .groupBy(F.coalesce(F.col("funnel_level"), F.lit(0)).alias("funnel_level"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
