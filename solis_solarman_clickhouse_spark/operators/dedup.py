@@ -315,32 +315,43 @@ def simhash_pairs_exact(
     )
 
 
+# Mersenne prime 2^31-1: products a_i * (h % P) stay under 2^62, so the
+# linear family below never overflows int64 in either engine.
+MINHASH_P = 2_147_483_647
+# fixed odd multipliers/offsets (any constants < P work; pinned for
+# reproducibility across engines and rounds)
+MINHASH_AB = [(2 * i + 1, 7919 * (i + 1) % MINHASH_P) for i in range(64)]
+
+
 def minhash_signatures_md5(
     docs: DataFrame, *, n_hashes: int = 16, k: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signature with an ENGINE-PORTABLE hash family: hash_i(s) =
-    top-15-hex-chars of md5(f"{i}:{s}") as a bigint, identical in Spark
-    (conv(substr(md5,1,15),16,10)) and DuckDB (('0x'||substr(...))::BIGINT),
-    so signatures — and the LSH pairs built from them — are EXACT-oracle
-    checkable. One shingle explode, n_hashes map-side-combinable min()
-    aggregates (same shape note as minhash_signatures). Docs with < k
-    tokens have no shingles and drop out (inner explode), mirroring the
-    oracle's length filter. Output columns: doc_id, g0..g{n-1}."""
+    """MinHash signature with an ENGINE-PORTABLE hash family: ONE md5 per
+    shingle (top-15 hex chars as bigint, identical in Spark
+    conv(substr(md5,1,15),16,10) and DuckDB ('0x'||substr(...))::BIGINT),
+    then n_hashes cheap linear mixes h_i = (a_i*h + b_i) mod (2^31-1) —
+    the classic universal family. The earlier form computed n_hashes
+    md5s per shingle; one digest + integer mixes is ~an order of
+    magnitude less hashing work at equal recall, and the arithmetic is
+    bit-identical in ANSI SQL so the oracle still reproduces every
+    signature. One shingle explode, n_hashes map-side-combinable min()
+    aggregates. Docs with < k tokens have no shingles and drop out
+    (inner explode), mirroring the oracle's length filter. Output
+    columns: doc_id, g0..g{n-1}."""
     exploded = spread(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
     )
-    return exploded.groupBy("doc_id").agg(
+    base = (
+        F.conv(F.substring(F.md5(F.col("_sh")), 1, 15), 16, 10).cast("long")
+        % MINHASH_P
+    )
+    with_base = exploded.select("doc_id", base.alias("_h"))
+    return with_base.groupBy("doc_id").agg(
         *[
-            F.min(
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh"))), 1, 15),
-                    16,
-                    10,
-                ).cast("long")
-            ).alias(f"g{i}")
-            for i in range(n_hashes)
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_P).alias(f"g{i}")
+            for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
         ]
     )
 

@@ -108,10 +108,13 @@ def doc_neardup_minhash(spark, sf_dir):
 
 
 def _minhash_md5_oracle(n_hashes: int = 16, bands: int = 8) -> str:
+    from ..operators.dedup import MINHASH_AB, MINHASH_P
+
     rows = n_hashes // bands
+    base = f"(('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P})"
     mins = ", ".join(
-        f"MIN(('0x' || substr(md5('{i}:' || s), 1, 15))::BIGINT) AS g{i}"
-        for i in range(n_hashes)
+        f"MIN(({a} * {base} + {b}) % {MINHASH_P}) AS g{i}"
+        for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
     )
     band_conds = " OR ".join(
         "(" + " AND ".join(f"a.g{b * rows + r} = b.g{b * rows + r}" for r in range(rows)) + ")"
