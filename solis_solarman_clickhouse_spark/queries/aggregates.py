@@ -545,3 +545,33 @@ def agg_bit_ops(spark, sf_dir):
         F.bit_or("o_orderkey").alias("key_or"),
         F.bit_xor("o_orderkey").alias("key_xor"),
     )
+
+
+@query(
+    "agg_hll_sketch_union",
+    category="aggregate",
+    check="TOL",
+    oracle="SELECT CAST(1 AS BOOLEAN) AS within_tolerance",
+)
+def agg_hll_sketch_union(spark, sf_dir):
+    """Mergeable distinct-count SKETCHES as first-class values (ClickHouse
+    uniqCombinedState/-Merge parity): hll_sketch_agg builds an Apache
+    DataSketches HLL per order status, hll_union_agg merges the sketch
+    COLUMN into a corpus-wide sketch — the pre-aggregation pattern that
+    lets 100 TB dashboards union daily sketches instead of rescanning
+    raw data. The merged estimate must land within 5% of the exact
+    distinct count; the check runs in-query so the output is a
+    deterministic boolean (same trick as agg_approx_percentile)."""
+    o = table(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = per_status.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = o.select(F.count_distinct("o_custkey").alias("ex"))
+    return merged.crossJoin(exact).select(
+        (
+            (F.abs(F.col("est") - F.col("ex")) / F.col("ex")) <= F.lit(0.05)
+        ).alias("within_tolerance")
+    )
