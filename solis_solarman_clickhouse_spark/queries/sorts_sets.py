@@ -146,3 +146,39 @@ def set_except(spark, sf_dir):
     c = table(spark, sf_dir, "customer").select("c_custkey")
     o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
     return c.subtract(o)
+
+
+@query(
+    "set_union_by_name",
+    category="set",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM (
+      SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice,
+             CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL BY NAME
+      SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    """,
+)
+def set_union_by_name(spark, sf_dir):
+    """Schema-evolution union: an old extract (no o_orderpriority column)
+    unioned with the current schema BY NAME, missing columns null-filled
+    — Spark's unionByName(allowMissingColumns=True), the mechanism that
+    lets a partitioned lake absorb schema additions without rewriting
+    history (the reference's fixed 26-column INSERT has no such path;
+    this is what replaces it). DuckDB spells it UNION ALL BY NAME."""
+    o = table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    return old.unionByName(new, allowMissingColumns=True).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
