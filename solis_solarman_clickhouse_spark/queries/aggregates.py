@@ -575,3 +575,41 @@ def agg_hll_sketch_union(spark, sf_dir):
             (F.abs(F.col("est") - F.col("ex")) / F.col("ex")) <= F.lit(0.05)
         ).alias("within_tolerance")
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    category="aggregate",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    r AS (
+      SELECT o_orderstatus, o_orderpriority, n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY n DESC, o_orderpriority) AS rn
+      FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """Deterministic mode (most frequent value per group): both engines'
+    native mode() break frequency ties arbitrarily, so the portable form
+    is count + arg-max with an explicit (count DESC, value) tie-break —
+    here as max_by over a struct, one aggregation pipeline (count per
+    pair, then arg-max per group), no window on the Spark side."""
+    o = table(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # order key: maximize n, then MINIMIZE priority string => invert via
+    # struct(n, negated-rank) is awkward for strings; use min_by on
+    # (-n, priority) struct instead — lexicographic struct comparison
+    key = F.struct((-F.col("n")).alias("neg_n"), F.col("o_orderpriority"))
+    return c.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderpriority", key).alias("mode_priority"),
+        F.min_by("n", key).alias("mode_count"),
+    )

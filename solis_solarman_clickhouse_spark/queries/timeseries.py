@@ -321,3 +321,59 @@ def ts_sessionize_islands(spark, sf_dir):
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@query(
+    "ts_autocorr_lag1",
+    category="timeseries",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, value AS y,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      FROM p WHERE x IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n,
+           ROUND((n * sxy - sx * sy)
+                 / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0),
+                 4) AS autocorr_lag1
+    FROM s
+    """,
+)
+def ts_autocorr_lag1(spark, sf_dir):
+    """Per-key lag-1 autocorrelation — the sensor-stability diagnostic
+    (a healthy inverter's power readings are strongly autocorrelated;
+    white noise means a failing sensor): Pearson r between each sample
+    and its predecessor, computed from five decimal-accumulated sums so
+    both engines do identical double arithmetic on identical inputs. The
+    lag window and the aggregation share one user_id exchange."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        "user_id",
+        F.col("value").alias("y"),
+        F.lag("value").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    s = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx", "syy"])
+    denom = F.nullif(F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), F.lit(0.0))
+    return s.select(
+        "user_id", "n", F.round((n * sxy - sx * sy) / denom, 4).alias("autocorr_lag1")
+    )
