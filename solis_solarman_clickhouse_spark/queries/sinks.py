@@ -123,3 +123,48 @@ def sink_orc_roundtrip(spark, sf_dir):
     path = os.path.join(base, "orc")
     agg.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@query(
+    "sql_ddl_roundtrip",
+    category="sink",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderstatus
+    """,
+)
+def sql_ddl_roundtrip(spark, sf_dir):
+    """SQL DDL/DML front end: CREATE TABLE ... USING PARQUET at an
+    explicit location, INSERT INTO ... SELECT from the fixture view, then
+    aggregate the managed table — the catalog path (resolution through
+    the session catalog, InsertIntoHadoopFsRelation write) rather than
+    the DataFrameWriter path every other sink query uses. Dropped and
+    recreated per run; hash-matched against the direct parquet-scan
+    oracle."""
+    import uuid
+
+    base = tempfile.mkdtemp(prefix="sql_ddl_")
+    tbl = f"ddl_rt_{uuid.uuid4().hex[:8]}"
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_ddl_src_orders")
+    spark.sql(
+        f"""CREATE TABLE {tbl} (o_orderstatus STRING, o_totalprice DOUBLE,
+                                o_orderdate TIMESTAMP)
+            USING PARQUET LOCATION '{base}/t'"""
+    )
+    try:
+        spark.sql(
+            f"""INSERT INTO {tbl}
+                SELECT o_orderstatus, o_totalprice, o_orderdate
+                FROM _ddl_src_orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"""
+        )
+        return spark.sql(
+            f"""SELECT o_orderstatus, COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                         AS sum_price
+                FROM {tbl} GROUP BY o_orderstatus"""
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -303,3 +303,38 @@ def test_parquet_aggregate_pushdown_capability(spark):
             spark.conf.unset("spark.sql.sources.useV1SourceList")
         else:
             spark.conf.set("spark.sql.sources.useV1SourceList", before_v1)
+
+
+def test_dynamic_partition_pruning_on_landing_table(spark, tmp_path):
+    """The 100 TB dashboard join: landing table partitioned by month (ym)
+    joined to a filtered month dimension must plan DYNAMIC partition
+    pruning — the fact side's partition filter is fed at runtime from the
+    dim side's build, so only the selected months' directories are read
+    (static pruning can't help; the months come from the dim filter)."""
+    from solis_solarman_clickhouse_spark.ingest.fixture import generate_raw_registers
+    from solis_solarman_clickhouse_spark.ingest.pipeline import run_batch
+    from solis_solarman_clickhouse_spark.ingest.sink import IdempotentParquetSink
+
+    sink = IdempotentParquetSink(str(tmp_path / "land"))
+    run_batch(generate_raw_registers(spark, inverters=1, days=70), sink)
+    fact = spark.read.option("basePath", sink.base_path).parquet(
+        f"{sink.base_path}/batch_id=*"
+    )
+
+    months = fact.select("ym").distinct().collect()
+    assert len(months) >= 3
+    dim = spark.createDataFrame(
+        [(r["ym"], f"label{i}") for i, r in enumerate(months)], ["ym", "label"]
+    ).filter(F.col("label") == "label0")
+
+    before = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    try:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        j = fact.join(dim, "ym").groupBy("ym").count()
+        plan = _plan(j)
+        assert "dynamicpruning" in plan.lower(), plan
+        assert j.count() >= 1
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", before
+        )
