@@ -119,3 +119,29 @@ def sub_lateral_topn(spark, sf_dir):
              ) t
         """
     )
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST(DATE_TRUNC('month', (SELECT MIN(o_orderdate) FROM orders)) AS TIMESTAMP)
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months
+  WHERE m < (SELECT CAST(DATE_TRUNC('month', MAX(o_orderdate)) AS TIMESTAMP) FROM orders)
+)
+SELECT m AS month_start, COUNT(o_orderkey) AS n_orders
+FROM months LEFT JOIN orders ON CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) = m
+GROUP BY m
+"""
+
+
+@query("sql_recursive_cte", category="subquery", oracle=_RECURSIVE_SQL)
+def sql_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4 SQL surface): a month calendar spine grown
+    recursively between the first and last order date, left-joined to
+    per-month order counts — the SQL-standard form of gap fill (months
+    with zero orders appear with 0). One SQL string runs verbatim on
+    Spark (UnionLoop execution) and DuckDB. The recursion depth is
+    |months|, a driver-side loop of tiny steps — fine for calendar
+    spines; bulk series still use sequence()+explode (ts_gap_fill)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
