@@ -493,3 +493,127 @@ def ch_window_funnel_strict_order(spark, sf_dir):
         .groupBy(F.coalesce(F.col("funnel_level"), F.lit(0)).alias("funnel_level"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "ch_delta_sum",
+    category="funnels",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id,
+             value - LAG(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS d
+      FROM events
+    )
+    SELECT user_id,
+           ROUND({sql_dsum('CASE WHEN d > 0 THEN d ELSE 0 END')}, 4) AS delta_sum
+    FROM d GROUP BY user_id
+    """,
+)
+def ch_delta_sum(spark, sf_dir):
+    """ClickHouse ``deltaSum``: sum of the POSITIVE deltas of a
+    time-ordered series per key — total energy produced from a kwh counter
+    that occasionally resets (reference columns tables.sql:27-30). One
+    shuffle on user_id shared by the lag window and the final aggregate;
+    deltas accumulate in DECIMAL so the result is partition-order-free."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id", (F.col("value") - F.lag("value").over(w)).alias("d")
+    )
+    return d.groupBy("user_id").agg(
+        r4(dsum(F.when(F.col("d") > 0, F.col("d")).otherwise(F.lit(0.0)))).alias(
+            "delta_sum"
+        )
+    )
+
+
+@query(
+    "ch_topk_weighted",
+    category="funnels",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, user_id,
+             {sql_dsum('value')} AS w
+      FROM events GROUP BY event_type, user_id
+    ),
+    rk AS (
+      SELECT event_type, user_id, w,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY w DESC, user_id) AS rk
+      FROM s
+    )
+    SELECT event_type, rk, user_id, ROUND(w, 4) AS weight
+    FROM rk WHERE rk <= 3
+    """,
+)
+def ch_topk_weighted(spark, sf_dir):
+    """ClickHouse ``topKWeighted(3)(user_id, value)``: heaviest keys by
+    summed weight, not occurrence count. Exact two-stage plan: partial
+    decimal-sum per (type, user) group, then a per-type row_number —
+    Catalyst turns the rank filter into WindowGroupLimit so only 3 rows
+    per type survive the final exchange (no global sort at 100 TB)."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type", "user_id").agg(dsum("value").alias("w"))
+    win = W.partitionBy("event_type").orderBy(F.col("w").desc(), F.col("user_id"))
+    return (
+        s.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= 3)
+        .select("event_type", "rk", "user_id", r4(F.col("w")).alias("weight"))
+    )
+
+
+@query(
+    "ch_uniq_up_to",
+    category="funnels",
+    oracle="""
+    SELECT event_type,
+           LEAST(COUNT(DISTINCT user_id), 11) AS uniq_up_to_10,
+           COUNT(DISTINCT user_id) <= 10 AS is_exact
+    FROM events GROUP BY event_type
+    """,
+)
+def ch_uniq_up_to(spark, sf_dir):
+    """ClickHouse ``uniqUpTo(10)``: exact distinct count while it's ≤ N,
+    saturating at N+1 — the "is this column low-cardinality?" probe used
+    before choosing a dictionary encoding. In Spark the saturation cannot
+    stop the exact count early, but the same contract (exact below the
+    cap, sentinel above) is LEAST over count_distinct; at scale the cap
+    would ride on approx_count_distinct instead."""
+    ev = table(spark, sf_dir, "events")
+    u = F.count_distinct(F.col("user_id"))
+    return ev.groupBy("event_type").agg(
+        F.least(u, F.lit(11)).alias("uniq_up_to_10"),
+        (u <= 10).alias("is_exact"),
+    )
+
+
+@query(
+    "ch_entropy",
+    category="funnels",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (
+      SELECT user_id, event_type, n, SUM(n) OVER (PARTITION BY user_id) AS tot
+      FROM c
+    )
+    SELECT user_id,
+           ROUND(-SUM((CAST(n AS DOUBLE) / tot) * log2(CAST(n AS DOUBLE) / tot)), 4)
+             AS entropy
+    FROM t GROUP BY user_id
+    """,
+)
+def ch_entropy(spark, sf_dir):
+    """ClickHouse ``entropy()``: Shannon entropy (bits) of each user's
+    event-type distribution — the behavioral-diversity score. Counts are
+    exact integers, so p is the same rational on both engines; the ≤6-term
+    log2 sum is safely inside the 4-dp rounding. Two aggregations over the
+    SAME user_id partitioning (the window reuses the groupBy exchange)."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.withColumn("tot", F.sum("n").over(W.partitionBy("user_id")))
+    p = F.col("n").cast("double") / F.col("tot")
+    return t.groupBy("user_id").agg(r4(-F.sum(p * F.log2(p))).alias("entropy"))

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.asof_join import asof_join
+from ..operators.bloom import bloom_semi_join
 from ..operators.interval_join import interval_self_join
 from ..tables import spread, table
 from .registry import dsum, query, sql_dsum
@@ -320,3 +321,26 @@ def join_null_safe_eq(spark, sf_dir):
             (F.col("n") * F.col("nb")).alias("n_pairs"),
         )
     )
+
+
+@query(
+    "join_bloom_prefilter",
+    category="join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Bloom-prefiltered semi join — the 100 TB pattern for selective
+    fact⋈dim filters: k broadcast bloom lanes discard fact rows before the
+    exact join, so the wide side is never shuffled (operators/bloom.py;
+    Spark's own runtime bloom injection isn't SQL-surfaced in this build).
+    Final semantics are EXACTLY the plain semi join, so the oracle is a
+    plain IN-subquery."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000.0)
+    kept = bloom_semi_join(o, "o_custkey", c, "c_custkey", n_buckets=1 << 14)
+    return kept.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))

@@ -366,3 +366,32 @@ def string_regex_extended(spark, sf_dir):
             F.col("p_name"), "([a-z]+) ([a-z]+)", "$2 $1"
         ).alias("swapped"),
     )
+
+
+@query(
+    "string_fuzzy_match",
+    category="scalar_fn",
+    oracle="""
+    WITH b AS (SELECT DISTINCT p_brand FROM part)
+    SELECT a.p_brand AS brand_a, c.p_brand AS brand_b,
+           levenshtein(a.p_brand, c.p_brand) AS dist
+    FROM b a JOIN b c ON a.p_brand < c.p_brand
+    WHERE levenshtein(a.p_brand, c.p_brand) <= 2
+    """,
+)
+def string_fuzzy_match(spark, sf_dir):
+    """Fuzzy label matching: Levenshtein distance over the distinct brand
+    vocabulary — the "are these two labels the same entity?" primitive of
+    entity resolution / label-noise cleanup. The distinct-first shape makes
+    the pair space |vocab|², not |table|² (25 brands → 300 pairs at any
+    data scale); the self-join broadcasts. Both engines implement textbook
+    unit-cost edit distance, so the filter and the output are exact."""
+    b = table(spark, sf_dir, "part").select("p_brand").distinct()
+    a = b.select(F.col("p_brand").alias("brand_a"))
+    c = b.select(F.col("p_brand").alias("brand_b"))
+    d = F.levenshtein(F.col("brand_a"), F.col("brand_b"))
+    return (
+        a.join(F.broadcast(c), F.col("brand_a") < F.col("brand_b"))
+        .where(d <= 2)
+        .select("brand_a", "brand_b", d.alias("dist"))
+    )

@@ -377,3 +377,86 @@ def ts_autocorr_lag1(spark, sf_dir):
     return s.select(
         "user_id", "n", F.round((n * sxy - sx * sy) / denom, 4).alias("autocorr_lag1")
     )
+
+
+@query(
+    "ts_linear_interpolate",
+    category="timeseries",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS tu,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    nb AS (
+      SELECT user_id, event_id, ts, tu, v,
+             last_value((CASE WHEN v IS NOT NULL THEN tu END) IGNORE NULLS) OVER wp AS ptu,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             first_value((CASE WHEN v IS NOT NULL THEN tu END) IGNORE NULLS) OVER wn AS ntu,
+             first_value(v IGNORE NULLS) OVER wn AS nv
+      FROM base
+      WINDOW wp AS (PARTITION BY user_id ORDER BY tu, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY tu, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id, ts,
+           ROUND(COALESCE(
+             pv + (nv - pv) * (CAST(tu - ptu AS DOUBLE)
+                               / NULLIF(CAST(ntu - ptu AS DOUBLE), 0.0)),
+             nv, pv), 4) AS v_interp
+    FROM nb
+    """,
+)
+def ts_linear_interpolate(spark, sf_dir):
+    """Time-weighted linear interpolation of dropout readings (every 7th
+    event_id simulates a lost sample): each missing point is reconstructed
+    from its nearest non-null neighbors as
+    ``pv + (nv-pv)·(t-tp)/(tn-tp)`` — the ClickHouse
+    ``interpolate()``/Grafana connect-null-values repair, one step past
+    LOCF (ts_locf_fill). Two mirrored windows over ONE user_id shuffle;
+    time arithmetic in integer microseconds (unix_micros) so the weight is
+    an exact-integer ratio before the single double division; boundary
+    dropouts fall back to the only existing neighbor."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_micros("ts").alias("tu"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("tu", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("tu", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    vtu = F.when(F.col("v").isNotNull(), F.col("tu"))
+    nb = base.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "tu",
+        "v",
+        F.last(vtu, ignorenulls=True).over(wp).alias("ptu"),
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.first(vtu, ignorenulls=True).over(wn).alias("ntu"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+    )
+    frac = (F.col("tu") - F.col("ptu")).cast("double") / F.nullif(
+        (F.col("ntu") - F.col("ptu")).cast("double"), F.lit(0.0)
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    return nb.select(
+        "user_id",
+        "event_id",
+        "ts",
+        r4(F.coalesce(interp, F.col("nv"), F.col("pv"))).alias("v_interp"),
+    )

@@ -338,3 +338,32 @@ def window_nth_value(spark, sf_dir):
         "ts",
         F.round(F.nth_value("value", 2).over(w), 4).alias("second_seen"),
     )
+
+
+@query(
+    "window_distribution",
+    category="window",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 4) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def window_distribution(spark, sf_dir):
+    """Distribution window family: percent_rank + cume_dist over a
+    deterministic (value, pk) order — the "where does this reading sit in
+    its fleet's distribution" query (ClickHouse rank()/count() spelling).
+    The tie-break key makes every row its own peer group, so both
+    functions are rational numbers identical across engines before the
+    4-dp rounding. One shuffle on event_type, both functions share the
+    same Window operator."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        r4(F.percent_rank().over(w)).alias("pct_rank"),
+        r4(F.cume_dist().over(w)).alias("cume"),
+    )
