@@ -11,6 +11,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     minhash_pairs_exact,
     ngram_jaccard_pairs,
+    shingle_index,
     simhash_candidate_pairs,
     simhash_pairs_exact,
 )
@@ -916,4 +917,72 @@ def doc_corpus_dedup_materialize(spark, sf_dir):
         docs.join(exact_keepers, "doc_id", "left_semi")
         .join(drop_near, "doc_id", "left_anti")
         .select("doc_id", "source", "lang")
+    )
+
+
+_CONTAINMENT_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(generate_series(1, len(ws) - 2),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM w
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dpairs AS (
+  SELECT doc_a, doc_b, c FROM inter
+  UNION ALL
+  SELECT doc_b, doc_a, c FROM inter
+)
+SELECT dpairs.doc_a AS contained_id, dpairs.doc_b AS container_id,
+       ROUND(c * 1.0 / sa.n, 4) AS containment
+FROM dpairs JOIN sz sa ON dpairs.doc_a = sa.doc_id
+WHERE c * 5 >= sa.n * 4
+"""
+
+
+@query("doc_containment_dedup", category="documents", oracle=_CONTAINMENT_ORACLE)
+def doc_containment_dedup(spark, sf_dir):
+    """Directed containment C(A→B) = |shingles(A)∩shingles(B)| /
+    |shingles(A)| ≥ 0.8 — the asymmetric cousin of Jaccard that catches a
+    document QUOTED INSIDE a larger one (Jaccard misses it when sizes
+    differ). Same hashed shingle inverted index as doc_neardup_jaccard;
+    the undirected intersection is computed once (a<b) and emitted in both
+    directions; the threshold is an integer cross-multiplication so no
+    float comparison gates rows."""
+    docs = table(spark, sf_dir, "documents")
+    idx = shingle_index(docs, k=3, hashed=True)
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = idx.alias("a"), idx.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    both = inter.unionAll(
+        inter.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"), "c"
+        )
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    return (
+        both.join(sa, "doc_a")
+        .where(F.col("c") * 5 >= F.col("n_a") * 4)
+        .select(
+            F.col("doc_a").alias("contained_id"),
+            F.col("doc_b").alias("container_id"),
+            F.round(F.col("c") / F.col("n_a"), 4).alias("containment"),
+        )
     )

@@ -617,3 +617,97 @@ def ch_entropy(spark, sf_dir):
     t = c.withColumn("tot", F.sum("n").over(W.partitionBy("user_id")))
     p = F.col("n").cast("double") / F.col("tot")
     return t.groupBy("user_id").agg(r4(-F.sum(p * F.log2(p))).alias("entropy"))
+
+
+@query(
+    "ch_max_intersections",
+    category="funnels",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, epoch_us(ts) + 1800000000, -1 FROM events
+    ),
+    r AS (
+      SELECT event_type,
+             SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS conc
+      FROM b
+    )
+    SELECT event_type, MAX(conc) AS max_concurrent
+    FROM r GROUP BY event_type
+    """,
+)
+def ch_max_intersections(spark, sf_dir):
+    """ClickHouse ``maxIntersections``: peak number of concurrent
+    half-open intervals (each event held open 30 min) — peak simultaneous
+    sessions per type. Classic sweep line as pure relational algebra:
+    ±1 boundary rows, one running sum ordered by (t, delta) so closings
+    at t precede openings at t (half-open semantics). Within a tie group
+    the running sum moves monotonically, so MAX is order-independent even
+    though rows within equal (t, delta) are unordered. One union + one
+    shuffle on event_type; time compared in integer microseconds."""
+    ev = table(spark, sf_dir, "events")
+    t = F.unix_micros("ts")
+    starts = ev.select("event_type", t.alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        "event_type", (t + 1800000000).alias("t"), F.lit(-1).alias("delta")
+    )
+    b = starts.unionAll(ends)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = b.select("event_type", F.sum("delta").over(w).alias("conc"))
+    return r.groupBy("event_type").agg(F.max("conc").alias("max_concurrent"))
+
+
+@query(
+    "ch_sequence_next_node",
+    category="funnels",
+    oracle="""
+    WITH nxt AS (
+      SELECT event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    c AS (
+      SELECT cur, nxt, COUNT(*) AS n FROM nxt
+      WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    r AS (
+      SELECT cur, nxt, n,
+             ROW_NUMBER() OVER (PARTITION BY cur ORDER BY n DESC, nxt) AS rk
+      FROM c
+    )
+    SELECT cur AS event_type, nxt AS next_type, n AS n_transitions
+    FROM r WHERE rk = 1
+    """,
+)
+def ch_sequence_next_node(spark, sf_dir):
+    """ClickHouse ``sequenceNextNode``: the most common event immediately
+    following each event type across all user timelines — the Markov
+    next-step of the behavioral graph. lead() over (user, time), exact
+    transition counts, deterministic mode via row_number tie-broken on the
+    successor name. The lead window and nothing else touches the raw
+    table; the transition matrix is |types|² rows regardless of scale."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    c = nxt.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    rk = W.partitionBy("cur").orderBy(F.col("n").desc(), F.col("nxt"))
+    return (
+        c.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("cur").alias("event_type"),
+            F.col("nxt").alias("next_type"),
+            F.col("n").alias("n_transitions"),
+        )
+    )

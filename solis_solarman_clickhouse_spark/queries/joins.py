@@ -19,7 +19,7 @@ from ..operators.asof_join import asof_join
 from ..operators.bloom import bloom_semi_join
 from ..operators.interval_join import interval_self_join
 from ..tables import spread, table
-from .registry import dsum, query, sql_dsum
+from .registry import dsum, query, r4, sql_dsum
 
 
 @query(
@@ -344,3 +344,38 @@ def join_bloom_prefilter(spark, sf_dir):
     c = table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000.0)
     kept = bloom_semi_join(o, "o_custkey", c, "c_custkey", n_buckets=1 << 14)
     return kept.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "join_skew_salted",
+    category="join",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS n_events,
+           ROUND({sql_dsum('value')}, 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Skew-mitigated fact⋈dim join: events.user_id is Zipf-skewed, so a
+    plain shuffle join sends the hot keys to one task. The salted plan
+    appends a deterministic 8-way salt (hash of the fact PK) to the fact
+    key and replicates the dim side 8x, so each hot key fans out over 8
+    tasks; the post-join aggregate is unchanged. This is the manual
+    spelling of AQE's skew-join split (kept explicit because AQE only
+    rebalances sort-merge joins it can see stats for); results are
+    identical to the plain join, which is the oracle."""
+    salt_n = 8
+    ev = table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(salt_n)).cast("int")
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    salts = spark.range(salt_n).select(F.col("id").cast("int").alias("salt"))
+    dim = cust.crossJoin(F.broadcast(salts))
+    joined = ev.join(dim, on=["user_id", "salt"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r4(dsum("value")).alias("total_value"),
+    )

@@ -460,3 +460,50 @@ def ts_linear_interpolate(spark, sf_dir):
         "ts",
         r4(F.coalesce(interp, F.col("nv"), F.col("pv"))).alias("v_interp"),
     )
+
+
+@query(
+    "ts_ema_bounded",
+    category="timeseries",
+    oracle="""
+    WITH ar AS (
+      SELECT user_id, event_id, ts,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS a
+      FROM events
+    )
+    SELECT user_id, event_id, ts,
+           ROUND(
+             list_reduce(list_transform(a, (x, i) -> x * pow(0.9, len(a) - i)),
+                         (acc, x) -> acc + x)
+             / ((1.0 - pow(0.9, len(a))) / 0.1), 4) AS ema
+    FROM ar
+    """,
+)
+def ts_ema_bounded(spark, sf_dir):
+    """Exponential moving average (ClickHouse
+    ``exponentialMovingAverage`` / pandas ``ewm(alpha=.1).mean()`` with a
+    20-sample horizon): weight (1-α)^j on the j-th most recent sample,
+    normalized over the visible window. The recursion is unrolled into a
+    bounded ROWS frame: collect_list keeps frame order, the weighted sum
+    is a SEQUENTIAL left fold (F.aggregate ≡ DuckDB list_reduce, so both
+    engines add in the identical order — bit-equal doubles), and the
+    normalizer uses the closed-form geometric sum on both sides. Spark
+    lambda indexes are 0-based, DuckDB's 1-based; the exponent is written
+    n-1-i resp. n-i so the newest sample always gets weight 1."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, W.currentRow)
+    )
+    ar = ev.select(
+        "user_id", "event_id", "ts", F.collect_list("value").over(w).alias("a")
+    )
+    n = F.size("a")
+    weighted = F.transform(
+        "a", lambda x, i: x * F.pow(F.lit(0.9), (n - 1 - i).cast("double"))
+    )
+    num = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    den = (F.lit(1.0) - F.pow(F.lit(0.9), n.cast("double"))) / F.lit(0.1)
+    return ar.select("user_id", "event_id", "ts", r4(num / den).alias("ema"))

@@ -173,3 +173,65 @@ def vec_quantize_int8(spark, sf_dir):
         ),
     )
     return e.crossJoin(F.broadcast(packed)).select("vec_id", qv.alias("q_embedding"))
+
+
+_KNN_CLASSIFY_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id >= 10),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, c.label,
+         list_dot_product(q.qv, c.cv)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))
+           AS cosine
+  FROM q CROSS JOIN c
+),
+ranked AS (
+  SELECT query_id, neighbor_id, label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+),
+votes AS (
+  SELECT query_id, label, COUNT(*) AS n_votes
+  FROM ranked WHERE rank <= 5 GROUP BY query_id, label
+),
+winner AS (
+  SELECT query_id, label, n_votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, label ASC) AS rk
+  FROM votes
+)
+SELECT query_id, label AS predicted_label, n_votes
+FROM winner WHERE rk = 1
+"""
+
+
+@query("vec_knn_classify", category="vectors", oracle=_KNN_CLASSIFY_ORACLE)
+def vec_knn_classify(spark, sf_dir):
+    """kNN majority-vote classification: each query vector (vec_id < 10)
+    takes the modal label of its 5 exact cosine neighbors drawn from the
+    labeled corpus (vec_id >= 10) — the standard embedding-quality /
+    weak-labeling probe over a training corpus. Reuses the brute-force
+    cosine_topk operator (broadcast queries, corpus never shuffled); votes
+    are integer counts with label-ascending tie-break, so the prediction
+    is deterministic on both engines."""
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10)
+    tk = cosine_topk(corpus, queries, k=5)
+    labels = corpus.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        tk.join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    from pyspark.sql import Window as W
+
+    rk = W.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    )
