@@ -116,3 +116,42 @@ def source_python_datasource(spark, sf_dir):
             F.max("kwh_total").alias("kwh_total_end"),
         )
     )
+
+
+@query(
+    "scan_reservoir_per_group",
+    category="scan",
+    oracle="""
+    WITH h AS (
+      SELECT source, doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+      FROM documents
+    ),
+    rk AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk
+      FROM h
+    )
+    SELECT source, rk, doc_id FROM rk WHERE rk <= 5
+    """,
+)
+def scan_reservoir_per_group(spark, sf_dir):
+    """Deterministic k-per-group reservoir: every source contributes
+    EXACTLY min(k, |group|) documents, chosen by portable md5 rank — the
+    per-source cap a training-mix pipeline applies before mixing (each
+    source's 5 "lottery winners" are stable across runs, engines and
+    cluster sizes, unlike rand()-based reservoirs). One shuffle on
+    source; Catalyst rewrites the rank filter to WindowGroupLimit, so
+    only k rows per group survive the exchange — the 100 TB shape."""
+    docs = table(spark, sf_dir, "documents")
+    hk = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    from pyspark.sql import Window as W
+
+    h = docs.select("source", "doc_id", hk.alias("hk"))
+    rk = h.withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("source").orderBy("hk", "doc_id")),
+    )
+    return rk.where(F.col("rk") <= 5).select("source", "rk", "doc_id")

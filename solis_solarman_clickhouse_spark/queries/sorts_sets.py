@@ -182,3 +182,42 @@ def set_union_by_name(spark, sf_dir):
     return old.unionByName(new, allowMissingColumns=True).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
+
+
+@query(
+    "set_except_all",
+    category="set",
+    oracle="""
+    SELECT o_custkey AS k FROM orders
+    EXCEPT ALL
+    SELECT c_custkey AS k FROM customer
+    """,
+)
+def set_except_all(spark, sf_dir):
+    """EXCEPT ALL — bag semantics: each customer key is removed from the
+    orders multiset once per occurrence on the right, so a customer with 7
+    orders keeps 6 copies. Spark plans exceptAll as a counted aggregate +
+    generate (no row-by-row anti join): one shuffle per side on the key,
+    output scales with multiplicity differences only."""
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return o.exceptAll(c)
+
+
+@query(
+    "set_intersect_all",
+    category="set",
+    oracle="""
+    SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — bag intersection: each priority string survives
+    min(count_left, count_right) times. Same counted-aggregate physical
+    shape as EXCEPT ALL."""
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select(F.col("o_orderpriority").alias("p"))
+    b = o.where(F.col("o_orderstatus") == "O").select(F.col("o_orderpriority").alias("p"))
+    return a.intersectAll(b)

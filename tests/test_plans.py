@@ -338,3 +338,39 @@ def test_dynamic_partition_pruning_on_landing_table(spark, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", before
         )
+
+
+def test_bloom_prefilter_stacks_broadcast_semi_joins(spark):
+    # operators/bloom: 3 bloom lanes + 1 exact join, ALL broadcast left-semi
+    # — the fact side must never reach a shuffle exchange.
+    df = REGISTRY["join_bloom_prefilter"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_salted_join_replicates_dim_broadcast(spark):
+    # the salted dim (customer x 8) must be the broadcast side; the skewed
+    # fact side joins without a sort-merge shuffle.
+    df = REGISTRY["join_skew_salted"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ema_single_window_exchange(spark):
+    # bounded EMA = one window over (user_id) — exactly one shuffle, and
+    # the weighted fold stays in JVM expressions (no python eval).
+    df = REGISTRY["ts_ema_bounded"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_reservoir_sample_uses_window_group_limit(spark):
+    # rank<=k prefilter must appear as WindowGroupLimit so only k rows per
+    # group cross the exchange.
+    df = REGISTRY["scan_reservoir_per_group"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan, plan
