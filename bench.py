@@ -54,6 +54,12 @@ HEADLINE = [
     "sub_correlated_agg",
     "tpch_q21",
     "doc_dedup_clusters",
+    "join_bloom_prefilter",
+    "join_skew_salted",
+    "ts_ema_bounded",
+    "ts_linear_interpolate",
+    "ch_max_intersections",
+    "doc_containment_dedup",
 ]
 
 

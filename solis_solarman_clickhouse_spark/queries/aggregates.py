@@ -12,6 +12,7 @@ so results are independent of partition/summation order on both engines.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..tables import register_views, spread, table
@@ -612,4 +613,58 @@ def agg_mode_deterministic(spark, sf_dir):
     return c.groupBy("o_orderstatus").agg(
         F.min_by("o_orderpriority", key).alias("mode_priority"),
         F.min_by("n", key).alias("mode_count"),
+    )
+
+
+@query(
+    "agg_weighted_median",
+    category="agg",
+    oracle="""
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(n_chars) OVER (PARTITION BY source) AS tot
+      FROM documents
+    ),
+    q AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk
+      FROM c WHERE 2 * cum >= tot
+    )
+    SELECT source, n_chars AS median_len, doc_id AS median_doc
+    FROM q WHERE rk = 1
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Weighted median (ClickHouse ``quantileExactWeighted(0.5)``): the
+    document holding the middle BYTE of each source's corpus — the first
+    doc, in (size, id) order, whose cumulative size reaches half the
+    total. All arithmetic is exact integer cumsum (2·cum ≥ tot instead of
+    a float fraction); one shuffle on source shared by both windows and
+    the ranked pick."""
+    docs = table(spark, sf_dir, "documents")
+    wcum = (
+        W.partitionBy("source")
+        .orderBy("n_chars", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("source")
+    c = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(wcum).alias("cum"),
+        F.sum("n_chars").over(wall).alias("tot"),
+    ).where(F.lit(2) * F.col("cum") >= F.col("tot"))
+    rk = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        c.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("n_chars").alias("median_len"),
+            F.col("doc_id").alias("median_doc"),
+        )
     )

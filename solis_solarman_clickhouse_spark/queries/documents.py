@@ -986,3 +986,56 @@ def doc_containment_dedup(spark, sf_dir):
             F.round(F.col("c") / F.col("n_a"), 4).alias("containment"),
         )
     )
+
+
+@query(
+    "doc_pii_scrub",
+    category="documents",
+    oracle=r"""
+    WITH synth AS (
+      SELECT doc_id,
+             'reach ' || source || '@example.org or admin@' || lang ||
+             '.example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+             '.0.1 tel ' || CAST(100 + doc_id % 900 AS VARCHAR) || '-' ||
+             CAST(1000 + doc_id % 9000 AS VARCHAR) || ' ' || text AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+    FROM synth
+    """,
+)
+def doc_pii_scrub(spark, sf_dir):
+    """PII redaction pass — emails, IPv4 addresses and phone-shaped
+    numbers replaced with typed placeholders before a corpus ships to
+    training (the fixture text is synthetic words, so the PII is
+    deterministically injected from key columns first, making the scrub
+    oracle-checkable). Three chained regexp_replace calls, all JVM-side in
+    one codegen stage; the patterns stay inside the regex subset Java and
+    RE2 interpret identically (explicit classes, bounded repeats, \\b)."""
+    docs = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("reach "), F.col("source"), F.lit("@example.org or admin@"),
+        F.col("lang"), F.lit(".example.com ip 10."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".0.1 tel "),
+        (F.col("doc_id") % 900 + 100).cast("string"), F.lit("-"),
+        (F.col("doc_id") % 9000 + 1000).cast("string"), F.lit(" "),
+        F.col("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                raw, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+            ),
+            r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+            "<IP>",
+        ),
+        r"\b\d{3}-\d{4}\b",
+        "<PHONE>",
+    )
+    return docs.select("doc_id", scrubbed.alias("scrubbed"))

@@ -379,3 +379,41 @@ def join_skew_salted(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         r4(dsum("value")).alias("total_value"),
     )
+
+
+@query(
+    "join_broadcast_range_lookup",
+    category="join",
+    oracle=f"""
+    WITH tiers(tier, lo, hi) AS (
+      VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0),
+             ('high', 200.0, 400.0), ('extreme', 400.0, 1000.0)
+    )
+    SELECT tier, COUNT(*) AS n_events,
+           ROUND({sql_dsum('value')}, 4) AS total_value
+    FROM events JOIN tiers ON value >= lo AND value < hi
+    GROUP BY tier
+    """,
+)
+def join_broadcast_range_lookup(spark, sf_dir):
+    """Range-bracket dimension lookup (tax brackets / rate tiers /
+    alerting thresholds): the dim rows carry [lo, hi) intervals, the join
+    predicate is a pure inequality. With the dim broadcast this is a
+    BroadcastNestedLoopJoin over 4 rows — O(|fact| · |tiers|) with tiny
+    constant and NO shuffle of the fact side, the right plan whenever the
+    bracket table is human-sized. Brackets are half-open so the engine
+    never double-counts a boundary value."""
+    ev = table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0),
+         ("high", 200.0, 400.0), ("extreme", 400.0, 1000.0)],
+        "tier string, lo double, hi double",
+    )
+    joined = ev.join(
+        F.broadcast(tiers),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r4(dsum("value")).alias("total_value"),
+    )

@@ -507,3 +507,75 @@ def ts_ema_bounded(spark, sf_dir):
     num = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
     den = (F.lit(1.0) - F.pow(F.lit(0.9), n.cast("double"))) / F.lit(0.1)
     return ar.select("user_id", "event_id", "ts", r4(num / den).alias("ema"))
+
+
+@query(
+    "ts_anomaly_zscore",
+    category="timeseries",
+    oracle="""
+    WITH ar AS (
+      SELECT user_id, event_id, ts, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS a
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, ts, value, a,
+             list_reduce(a, (x, y) -> x + y) / len(a) AS mu
+      FROM ar
+    ),
+    v AS (
+      SELECT user_id, event_id, ts, value, mu,
+             list_reduce(list_transform(a, x -> (x - mu) * (x - mu)),
+                         (x, y) -> x + y) / len(a) AS var
+      FROM m
+    )
+    SELECT user_id, event_id, ts,
+           ROUND(CASE WHEN var > 0 THEN (value - mu) / sqrt(var) END, 4) AS zscore,
+           CASE WHEN var > 0 THEN abs((value - mu) / sqrt(var)) > 3.0
+                ELSE FALSE END AS is_anomaly
+    FROM v
+    """,
+)
+def ts_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly flag: each reading scored against the mean
+    and population variance of its trailing 20-sample window — the
+    standard online sensor-fault detector. Mean and variance come from
+    SEQUENTIAL left folds over the frame list (F.aggregate ≡ DuckDB
+    list_reduce: identical addition order, bit-equal doubles on both
+    engines — a windowed stddev built from each engine's own aggregate
+    would not hash-match). Single user_id shuffle; constant-valued
+    windows yield NULL score, not a division error."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, W.currentRow)
+    )
+    ar = ev.select(
+        "user_id", "event_id", "ts", "value",
+        F.collect_list("value").over(w).alias("a"),
+    )
+    n = F.size("a").cast("double")
+    m = ar.withColumn(
+        "mu", F.aggregate("a", F.lit(0.0), lambda x, y: x + y) / n
+    )
+    mu = F.col("mu")
+    v = m.withColumn(
+        "var",
+        F.aggregate(
+            F.transform("a", lambda x: (x - mu) * (x - mu)),
+            F.lit(0.0),
+            lambda x, y: x + y,
+        )
+        / F.size("a").cast("double"),
+    )
+    z = (F.col("value") - mu) / F.sqrt(F.col("var"))
+    guarded = F.when(F.col("var") > 0, z)
+    return v.select(
+        "user_id",
+        "event_id",
+        "ts",
+        r4(guarded).alias("zscore"),
+        F.coalesce(F.abs(guarded) > 3.0, F.lit(False)).alias("is_anomaly"),
+    )
