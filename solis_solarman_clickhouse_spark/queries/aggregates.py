@@ -668,3 +668,55 @@ def agg_weighted_median(spark, sf_dir):
             F.col("doc_id").alias("median_doc"),
         )
     )
+
+
+@query(
+    "agg_moments_skew_kurtosis",
+    category="agg",
+    oracle="""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(SUM(n_chars) AS DOUBLE) AS s1,
+             CAST(SUM(n_chars * n_chars) AS DOUBLE) AS s2,
+             CAST(SUM(n_chars * n_chars * n_chars) AS DOUBLE) AS s3
+      FROM documents GROUP BY source
+    )
+    SELECT source, n,
+           ROUND(s1 / n, 4) AS mean_len,
+           ROUND((s2 / n) - (s1 / n) * (s1 / n), 4) AS var_pop,
+           ROUND(((s3 / n) - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow((s2 / n) - (s1 / n) * (s1 / n), 1.5), 4) AS skewness
+    FROM s
+    """,
+)
+def agg_moments_skew_kurtosis(spark, sf_dir):
+    """Population skewness from raw moments — the length-distribution
+    shape check a corpus-curation pipeline runs per source (long-tail vs
+    truncated sources behave differently under packing). Because n_chars
+    is an INTEGER, Σx, Σx², Σx³ are all exact BIGINT sums (no decimal
+    idiom needed, no float accumulation anywhere): both engines derive
+    skewness from identical integers through the identical closed-form
+    double expression. Spark's built-in `skewness()` would NOT hash-match
+    DuckDB's (different accumulation + bias correction); the raw-moment
+    spelling is the portable one. One partial+final aggregation."""
+    docs = table(spark, sf_dir, "documents")
+    x = F.col("n_chars")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x * x).cast("double").alias("s2"),
+        F.sum(x * x * x).cast("double").alias("s3"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1") / n
+    m2 = F.col("s2") / n
+    m3 = F.col("s3") / n
+    var_pop = m2 - m1 * m1
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var_pop, 1.5)
+    return s.select(
+        "source",
+        "n",
+        F.round(m1, 4).alias("mean_len"),
+        F.round(var_pop, 4).alias("var_pop"),
+        F.round(skew, 4).alias("skewness"),
+    )

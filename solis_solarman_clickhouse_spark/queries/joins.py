@@ -417,3 +417,37 @@ def join_broadcast_range_lookup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         r4(dsum("value")).alias("total_value"),
     )
+
+
+@query(
+    "join_unmatched_audit",
+    category="join",
+    oracle="""
+    SELECT CASE WHEN o_custkey IS NULL THEN 'customer_only'
+                WHEN c_custkey IS NULL THEN 'orders_only'
+                ELSE 'matched' END AS bucket,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT COALESCE(c_custkey, o_custkey)) AS n_keys
+    FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+    GROUP BY 1
+    """,
+)
+def join_unmatched_audit(spark, sf_dir):
+    """Reconciliation audit: one full-outer join classified into
+    matched / left-only / right-only with row and key counts — the
+    referential-integrity report run before trusting a landed batch
+    (reference A10's sink has no FK checks; this is the downstream
+    guard). Single shuffle on the key; the classification is a pure
+    projection over the join's null pattern."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    bucket = (
+        F.when(F.col("o_custkey").isNull(), "customer_only")
+        .when(F.col("c_custkey").isNull(), "orders_only")
+        .otherwise("matched")
+    )
+    return j.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.coalesce("c_custkey", "o_custkey")).alias("n_keys"),
+    )

@@ -13,9 +13,12 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..tables import table
 from .registry import dsum, query, r4, sql_dsum
+
+_DEC = T.DecimalType(38, 6)
 
 
 @query(
@@ -578,4 +581,87 @@ def ts_anomaly_zscore(spark, sf_dir):
         "ts",
         r4(guarded).alias("zscore"),
         F.coalesce(F.abs(guarded) > 3.0, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+@query(
+    "ts_seasonal_naive_forecast",
+    category="timeseries",
+    oracle=f"""
+    WITH h AS (
+      SELECT user_id, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             CAST(FLOOR(epoch(ts) / 86400.0) AS BIGINT) AS day, value
+      FROM events
+    ),
+    daily AS (
+      SELECT user_id, hod, day,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS v_mic
+      FROM h GROUP BY user_id, hod, day
+    ),
+    prof AS (
+      SELECT user_id, hod,
+             (2 * SUM(v_mic) + 100 * COUNT(*)) // (200 * COUNT(*)) AS m4,
+             MAX(day) AS last_day
+      FROM daily
+      GROUP BY user_id, hod
+    )
+    SELECT p.user_id, p.hod,
+           p.m4 / 10000.0 AS forecast,
+           d.v_mic / 1000000.0 AS last_actual,
+           ROUND(d.v_mic / 1000000.0 - p.m4 / 10000.0, 4) AS residual
+    FROM prof p JOIN daily d
+      ON d.user_id = p.user_id AND d.hod = p.hod AND d.day = p.last_day
+    """,
+)
+def ts_seasonal_naive_forecast(spark, sf_dir):
+    """Seasonal-naive forecast with residual: each (user, hour-of-day)
+    slot is forecast as its historical mean daily total, compared against
+    the most recent day's actual — the day-ahead PV-production baseline
+    every solar fleet publishes (reference metric kwh_day,
+    tables.sql:27). Two stacked aggregations over the same (user, hod)
+    grouping plus a self-join on the argmax day. Determinism: daily totals become exact integer
+    MICRO-units (decimal sum x 1e6 -> BIGINT) and the per-slot mean is
+    rounded to 4 dp with INTEGER half-up division ((2S+100C) div 200C) —
+    an engine-level ROUND(double) would disagree between Spark (rounds
+    the exact binary expansion) and DuckDB (rounds the shortest repr)
+    whenever the mean lands exactly on a half boundary like 38.51125."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.select(
+        "user_id",
+        F.hour("ts").cast("long").alias("hod"),
+        F.floor(F.col("ts").cast("double") / 86400.0).cast("long").alias("day"),
+        "value",
+    )
+    daily = h.groupBy("user_id", "hod", "day").agg(
+        (F.sum(F.col("value").cast(_DEC)) * 1000000).cast("long").alias("v_mic")
+    )
+    prof = (
+        daily.groupBy("user_id", "hod")
+        .agg(
+            F.sum("v_mic").alias("s_mic"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("day").alias("last_day"),
+        )
+        .withColumn("m4", F.expr("(2 * s_mic + 100 * cnt) div (200 * cnt)"))
+    )
+    d2 = daily.select(
+        F.col("user_id").alias("d_user"),
+        F.col("hod").alias("d_hod"),
+        F.col("day").alias("d_day"),
+        F.col("v_mic").alias("d_mic"),
+    )
+    j = prof.join(
+        d2,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("hod") == F.col("d_hod"))
+        & (F.col("last_day") == F.col("d_day")),
+    )
+    return j.select(
+        "user_id",
+        "hod",
+        (F.col("m4") / 10000.0).alias("forecast"),
+        (F.col("d_mic") / 1000000.0).alias("last_actual"),
+        F.round(
+            F.col("d_mic") / 1000000.0 - F.col("m4") / 10000.0, 4
+        ).alias("residual"),
     )

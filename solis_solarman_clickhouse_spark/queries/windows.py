@@ -367,3 +367,49 @@ def window_distribution(spark, sf_dir):
         r4(F.percent_rank().over(w)).alias("pct_rank"),
         r4(F.cume_dist().over(w)).alias("cume"),
     )
+
+
+@query(
+    "window_cumulative_distinct",
+    category="window",
+    oracle="""
+    WITH f AS (
+      SELECT event_type, ts, event_id,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT event_type, ts, event_id,
+           SUM(first_seen) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS distinct_users_so_far
+    FROM f
+    """,
+)
+def window_cumulative_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) — which no SQL engine allows directly in a
+    window — via the first-occurrence decomposition: flag each (type,
+    user)'s first event with row_number()=1, then a plain running SUM of
+    flags over (type, time). Exactly the cumulative-uniques curve of a
+    growth dashboard. Two windows but ONE shuffle: the second partitions
+    on a prefix of the first's key."""
+    ev = table(spark, sf_dir, "events")
+    wfirst = W.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    f = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(wfirst) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    wrun = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return f.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("first_seen").over(wrun).alias("distinct_users_so_far"),
+    )
