@@ -1039,3 +1039,51 @@ def doc_pii_scrub(spark, sf_dir):
         "<PHONE>",
     )
     return docs.select("doc_id", scrubbed.alias("scrubbed"))
+
+
+@query(
+    "doc_unigram_logprob",
+    category="documents",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ),
+    tot AS (SELECT SUM(c) AS n FROM vocab),
+    scored AS (
+      SELECT t.doc_id, ln(v.c * 1.0 / tot.n) AS lp
+      FROM tok t JOIN vocab v ON t.w = v.w CROSS JOIN tot
+    )
+    SELECT doc_id,
+           ROUND(SUM(lp) / COUNT(*), 4) AS avg_logprob,
+           COUNT(*) AS n_tokens
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark, sf_dir):
+    """Unigram language-model scoring — the perplexity-style quality
+    filter of a training pipeline (docs whose tokens are corpus-atypical
+    score low): train the unigram distribution on the corpus itself in
+    one aggregate, broadcast it back onto the token stream, average the
+    per-token log-probabilities per document. Probabilities are exact
+    count ratios, so ln() sees identical rationals on both engines; the
+    per-doc sum is ≤ ~150 terms, far inside the 4-dp rounding. The vocab
+    table is |vocab| rows (tiny) — the join back is a broadcast, and the
+    token explode never re-shuffles except on doc_id for the final
+    mean."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.log(F.col("c") * 1.0 / F.col("n")).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias("avg_logprob"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

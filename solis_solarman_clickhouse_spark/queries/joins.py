@@ -13,6 +13,7 @@ Physical strategy notes (what we want Catalyst/AQE to pick, verified with
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.asof_join import asof_join
@@ -450,4 +451,58 @@ def join_unmatched_audit(spark, sf_dir):
     return j.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct(F.coalesce("c_custkey", "o_custkey")).alias("n_keys"),
+    )
+
+
+@query(
+    "join_scd2_point_in_time",
+    category="join",
+    oracle="""
+    WITH versions AS (
+      SELECT user_id, value, ts AS valid_from,
+             COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      TIMESTAMP '9999-12-31') AS valid_to
+      FROM events
+      WHERE event_type = 'signup'
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
+    )
+    SELECT o.o_orderkey, o.o_custkey, v.valid_from,
+           ROUND(v.value, 4) AS version_value
+    FROM orders o
+    LEFT JOIN versions v
+      ON o.o_custkey = v.user_id
+     AND o.o_orderdate >= v.valid_from AND o.o_orderdate < v.valid_to
+    """,
+)
+def join_scd2_point_in_time(spark, sf_dir):
+    """SCD2 point-in-time join: 'signup' events become type-2 dimension
+    versions with [valid_from, valid_to) windows built from lead() (one
+    version per (user, ts) — duplicates collapsed deterministically), and
+    each order picks the version valid at its date. Spark side rides the
+    as-of operator (one shuffle, union+window — no interval NLJ); the
+    oracle spells the same thing as an interval join, which is exactly
+    the equivalence SCD2 relies on: at most ONE version interval covers
+    any point in time."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "signup")
+    wdedup = W.partitionBy("user_id", "ts").orderBy("event_id")
+    versions = (
+        ev.withColumn("rn", F.row_number().over(wdedup))
+        .where(F.col("rn") == 1)
+        .select(F.col("user_id").alias("o_custkey"), "ts", "value")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    joined = asof_join(
+        o,
+        versions,
+        on="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        right_payload=["value"],
+        direction="backward",
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("asof_ts").alias("valid_from"),
+        F.round(F.col("asof_value"), 4).alias("version_value"),
     )

@@ -235,3 +235,59 @@ def vec_knn_classify(spark, sf_dir):
         .where(F.col("rk") == 1)
         .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
     )
+
+
+_MATRYOSHKA_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+full_rank AS (
+  SELECT q.query_id, c.neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+           list_dot_product(q.qv, c.cv)
+             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))
+           DESC, c.neighbor_id ASC) AS rank
+  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
+),
+trunc_rank AS (
+  SELECT q.query_id, c.neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+           list_dot_product(q.qv[1:16], c.cv[1:16])
+             / (sqrt(list_dot_product(q.qv[1:16], q.qv[1:16]))
+                * sqrt(list_dot_product(c.cv[1:16], c.cv[1:16])))
+           DESC, c.neighbor_id ASC) AS rank
+  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
+)
+SELECT f.query_id, COUNT(t.neighbor_id) AS overlap_at_5
+FROM full_rank f
+LEFT JOIN trunc_rank t
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id AND t.rank <= 5
+WHERE f.rank <= 5
+GROUP BY f.query_id
+"""
+
+
+@query("vec_matryoshka_recall", category="vectors", oracle=_MATRYOSHKA_ORACLE)
+def vec_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-truncation recall probe: how many of each query's true
+    top-5 cosine neighbors survive when embeddings are truncated to their
+    first 16 dims — the evaluation run before shipping truncated vectors
+    to a cheaper ANN tier. Both rankings reuse the brute-force
+    cosine_topk operator (broadcast queries, one corpus pass each); the
+    overlap join is on (query, neighbor) pairs. slice() on the Spark
+    side ≡ DuckDB list slicing."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    t_full = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = emb16.where(F.col("vec_id") < 10)
+    t_trunc = (
+        cosine_topk(emb16, q16, k=5)
+        .select(F.col("query_id").alias("t_qid"), F.col("neighbor_id").alias("t_nid"))
+    )
+    j = t_full.join(
+        t_trunc,
+        (F.col("query_id") == F.col("t_qid"))
+        & (F.col("neighbor_id") == F.col("t_nid")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(F.count("t_nid").alias("overlap_at_5"))
