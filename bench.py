@@ -130,6 +130,7 @@ def main() -> None:
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
+                "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf),
                 "ingest": ingest,

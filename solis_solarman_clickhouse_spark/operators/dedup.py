@@ -93,22 +93,33 @@ def minhash_signatures(
     """Per-doc minhash signature as array<bigint> (length n_hashes):
     min over shingles of xxhash64(shingle, seed_i) per hash function.
 
-    Shape matters: explode the shingles once, then n_hashes `min()`
-    aggregates. The per-shingle hashing runs in the map-side partial
-    aggregation (parallel, combine before shuffle); the alternative — one
-    `array_min(transform(shingles, hash_i))` per hash function — rebuilds
-    the shingle array n_hashes times because Spark's subexpression
-    elimination won't share subtrees containing lambda variables (measured
-    ~9x slower at sf0.1). Docs with < k tokens keep a null signature via
-    explode_outer."""
-    exploded = spread(docs, id_col).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode_outer(word_shingles(F.col(text_col), k)).alias("_sh"),
+    Shape matters: explode the shingles once, hash each shingle ONCE
+    (xxhash64), and derive the n_hashes functions as linear mixes
+    (a_i·h + b_i) mod p of that single hash — the classic universal
+    family. The n_hashes `min()` aggregates then run on cheap long
+    arithmetic in the map-side partial aggregation (parallel, combine
+    before shuffle). Alternatives measured at sf0.1: one
+    `array_min(transform(shingles, hash_i))` per hash function ~9x
+    slower (Spark's subexpression elimination won't share subtrees with
+    lambda variables, so the shingle array is rebuilt n_hashes times);
+    n_hashes separate xxhash64(shingle, seed) calls ~2x slower (string
+    re-hashing dominates). Docs with < k tokens keep a null signature
+    via explode_outer."""
+    exploded = (
+        spread(docs, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(word_shingles(F.col(text_col), k)).alias("_sh"),
+        )
+        .select(
+            "doc_id",
+            F.pmod(F.xxhash64("_sh"), F.lit(MINHASH_P)).alias("_h"),
+        )
     )
     mins = exploded.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_h{i}")
-            for i in range(n_hashes)
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_P).alias(f"_h{i}")
+            for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
         ]
     )
     sig = F.array(*[F.col(f"_h{i}") for i in range(n_hashes)])
