@@ -189,3 +189,96 @@ def test_langid_on_crafted_texts(spark):
         | ~F.col("predicted_lang").isin("de", "en", "es", "fr")
     )
     assert bad.count() == 0
+
+
+def test_bloom_semi_join_equals_plain_semi(spark):
+    """operators/bloom: the bloom lanes may only REMOVE non-matching rows;
+    the exact tail join restores plain semi-join semantics bit-for-bit,
+    including at tiny bucket counts where false-positive pressure is
+    maximal (n_buckets=64 forces heavy lane collisions)."""
+    from solis_solarman_clickhouse_spark.operators.bloom import bloom_semi_join
+    from solis_solarman_clickhouse_spark.tables import table as t
+
+    from .conftest import SF_DIR
+
+    o = t(spark, SF_DIR, "orders")
+    c = t(spark, SF_DIR, "customer").where(F.col("c_acctbal") > 5000.0)
+    got = sorted(
+        r["o_orderkey"]
+        for r in bloom_semi_join(o, "o_custkey", c, "c_custkey", n_buckets=64)
+        .select("o_orderkey")
+        .collect()
+    )
+    want = sorted(
+        r["o_orderkey"]
+        for r in o.join(
+            c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_semi"
+        )
+        .select("o_orderkey")
+        .collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_containment_bounds_and_asymmetry(spark):
+    """Directed containment is a superset signal of Jaccard: for every
+    Jaccard>=0.8 pair, at least one direction has containment >= 0.8, and
+    every containment value lies in (0, 1]."""
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+
+    from .conftest import SF_DIR
+
+    cont = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in REGISTRY["doc_containment_dedup"].fn(spark, SF_DIR).collect()
+    }
+    jac = REGISTRY["doc_neardup_jaccard"].fn(spark, SF_DIR).collect()
+    assert all(0.0 < v <= 1.0 for v in cont.values())
+    for r in jac:
+        a, b = r["doc_a"], r["doc_b"]
+        assert (a, b) in cont or (b, a) in cont, (a, b)
+
+
+def test_reservoir_exactly_k_per_group(spark):
+    """scan_reservoir_per_group returns exactly min(k, |group|) rows per
+    source and is idempotent (same winners on re-run)."""
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+    from solis_solarman_clickhouse_spark.tables import table as t
+
+    from .conftest import SF_DIR
+
+    res = REGISTRY["scan_reservoir_per_group"].fn(spark, SF_DIR)
+    got = res.groupBy("source").count().collect()
+    sizes = {
+        r["source"]: r["count"]
+        for r in t(spark, SF_DIR, "documents").groupBy("source").count().collect()
+    }
+    assert all(r["count"] == min(5, sizes[r["source"]]) for r in got)
+    again = sorted(map(tuple, res.collect()))
+    assert again == sorted(map(tuple, REGISTRY["scan_reservoir_per_group"].fn(spark, SF_DIR).collect()))
+
+
+def test_ema_bounded_by_window_extremes(spark):
+    """EMA is a convex combination of the window's samples, so it must lie
+    within [min, max] of every trailing window."""
+    from pyspark.sql import Window as W
+
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+    from solis_solarman_clickhouse_spark.tables import table as t
+
+    from .conftest import SF_DIR
+
+    ema = REGISTRY["ts_ema_bounded"].fn(spark, SF_DIR)
+    ev = t(spark, SF_DIR, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-19, W.currentRow)
+    bounds = ev.select(
+        "event_id",
+        F.min("value").over(w).alias("lo"),
+        F.max("value").over(w).alias("hi"),
+    )
+    bad = (
+        ema.join(bounds, "event_id")
+        .where((F.col("ema") < F.col("lo") - 1e-4) | (F.col("ema") > F.col("hi") + 1e-4))
+        .count()
+    )
+    assert bad == 0
