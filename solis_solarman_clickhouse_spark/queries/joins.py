@@ -506,3 +506,69 @@ def join_scd2_point_in_time(spark, sf_dir):
         F.col("asof_ts").alias("valid_from"),
         F.round(F.col("asof_value"), 4).alias("version_value"),
     )
+
+
+@query(
+    "join_asof_tolerance",
+    category="join",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events GROUP BY user_id, ts
+    ),
+    m AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, ev.ts AS asof_ts, ev.value
+      FROM orders o
+      ASOF LEFT JOIN ev ON o.o_custkey = ev.user_id AND o.o_orderdate >= ev.ts
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN asof_ts IS NOT NULL
+                 AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) - epoch_us(asof_ts)
+                     <= 2592000000000
+                THEN asof_ts END AS asof_ts,
+           CASE WHEN asof_ts IS NOT NULL
+                 AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) - epoch_us(asof_ts)
+                     <= 2592000000000
+                THEN ROUND(value, 4) END AS asof_value
+    FROM m
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a STALENESS TOLERANCE (pandas merge_asof
+    tolerance= / kdb wj within-window): the latest event at or before the
+    order date matches only if it is at most 30 days old — older state is
+    treated as missing, the semantics a feature-store lookup needs so a
+    dead sensor doesn't serve year-old features forever. Same one-shuffle
+    as-of operator; the tolerance is a post-filter in integer
+    MICROSECONDS (2 592 000 000 000 = 30 d) because truncating casts to
+    seconds diverge between engines at the boundary."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    ev = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .withColumnRenamed("user_id", "o_custkey")
+    )
+    j = asof_join(
+        o,
+        ev,
+        on="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        right_payload=["value"],
+        direction="backward",
+    )
+    fresh = (
+        F.col("asof_ts").isNotNull()
+        & (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts"))
+            <= 2592000000000
+        )
+    )
+    return j.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(fresh, F.col("asof_ts")).alias("asof_ts"),
+        F.when(fresh, F.round(F.col("asof_value"), 4)).alias("asof_value"),
+    )

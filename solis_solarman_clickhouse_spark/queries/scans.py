@@ -155,3 +155,36 @@ def scan_reservoir_per_group(spark, sf_dir):
         F.row_number().over(W.partitionBy("source").orderBy("hk", "doc_id")),
     )
     return rk.where(F.col("rk") <= 5).select("source", "rk", "doc_id")
+
+
+@query(
+    "scan_files_metadata",
+    category="scan",
+    oracle="""
+    SELECT 'documents.parquet' AS file_name,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    """,
+)
+def scan_files_metadata(spark, sf_dir):
+    """Data-source V2 hidden `_metadata` column: per-input-file row counts
+    and key cardinality — the lineage/debugging scan every lakehouse
+    operator runs ("which file contributed these rows?"). The _metadata
+    struct is populated by the FileScan itself (no extra I/O); the oracle
+    uses DuckDB's filename=true equivalent. Both sides reduce the path to
+    its basename so the check is location-independent."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(
+            F.regexp_extract(F.col("_metadata.file_name"), r"([^/]+)$", 1).alias(
+                "file_name"
+            ),
+            "source",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+    )

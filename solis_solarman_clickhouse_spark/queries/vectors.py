@@ -4,6 +4,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
@@ -291,3 +293,56 @@ def vec_matryoshka_recall(spark, sf_dir):
         "left",
     )
     return j.groupBy("query_id").agg(F.count("t_nid").alias("overlap_at_5"))
+
+
+@query("vec_cosine_topk_pandas", category="vectors", oracle=_TOPK_ORACLE)
+def vec_cosine_topk_pandas(spark, sf_dir):
+    """The SAME exact top-5 cosine search as vec_cosine_topk, but with the
+    dot products computed in an Arrow-batched pandas UDF (numpy matmul
+    over the batch) instead of JVM zip_with/aggregate — the physical path
+    you switch to when per-row JVM expression trees lose to BLAS at high
+    dimensionality. Identical oracle as the built-in variant proves the
+    two paths agree bit-for-bit after 4-dp rounding; bench.py carries
+    both so the crossover is measured, not guessed. Queries are collected
+    to a broadcast numpy matrix (10 x 64 — driver-side by design, same as
+    any broadcast build side)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql.functions import pandas_udf
+
+    emb = table(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        emb.where(F.col("vec_id") < 10).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = [int(r["vec_id"]) for r in qrows]
+    qmat = np.array([list(map(float, r["embedding"])) for r in qrows])  # (q, d)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))  # (q,)
+    bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    @pandas_udf("array<double>")
+    def cosines(vecs: pd.Series) -> pd.Series:
+        ids, qm, qn = bq.value
+        m = np.array(vecs.tolist(), dtype=np.float64)  # (b, d)
+        dots = m @ qm.T  # (b, q)
+        cn = np.sqrt((m * m).sum(axis=1))  # (b,)
+        sims = dots / (cn[:, None] * qn[None, :])
+        return pd.Series(list(sims))
+
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            cosines(F.col("embedding").cast("array<double>")).alias("sims"),
+        )
+        .select(
+            "neighbor_id",
+            F.posexplode("sims").alias("qpos", "cosine"),
+        )
+        .withColumn("query_id", F.element_at(F.lit(qids), F.col("qpos") + 1))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+    )

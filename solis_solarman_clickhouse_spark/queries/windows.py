@@ -413,3 +413,47 @@ def window_cumulative_distinct(spark, sf_dir):
         "event_id",
         F.sum("first_seen").over(wrun).alias("distinct_users_so_far"),
     )
+
+
+@query(
+    "window_pattern_vshape",
+    category="window",
+    oracle="""
+    WITH n AS (
+      SELECT user_id, event_id, ts, value,
+             LAG(value)  OVER w AS pv,
+             LEAD(value) OVER w AS nv
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           COUNT(CASE WHEN value < pv AND value < nv THEN 1 END) AS n_troughs,
+           COUNT(CASE WHEN value > pv AND value > nv THEN 1 END) AS n_peaks,
+           MIN(CASE WHEN value < pv AND value < nv THEN event_id END)
+             AS first_trough_event
+    FROM n GROUP BY user_id
+    """,
+)
+def window_pattern_vshape(spark, sf_dir):
+    """Row-pattern recognition (SQL MATCH_RECOGNIZE's DOWN+UP / V-shape,
+    which Spark lacks as syntax): strict local minima and maxima of each
+    user's series via lag/lead — dip-and-recover detection for telemetry.
+    The pattern predicate is a pure projection over one (user, time)
+    window; counts + first-match aggregate on the same partitioning, so
+    the whole query is one shuffle."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    n = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("pv"),
+        F.lead("value").over(w).alias("nv"),
+    )
+    trough = (F.col("value") < F.col("pv")) & (F.col("value") < F.col("nv"))
+    peak = (F.col("value") > F.col("pv")) & (F.col("value") > F.col("nv"))
+    return n.groupBy("user_id").agg(
+        F.count(F.when(trough, 1)).alias("n_troughs"),
+        F.count(F.when(peak, 1)).alias("n_peaks"),
+        F.min(F.when(trough, F.col("event_id"))).alias("first_trough_event"),
+    )
