@@ -720,3 +720,44 @@ def agg_moments_skew_kurtosis(spark, sf_dir):
         F.round(var_pop, 4).alias("var_pop"),
         F.round(skew, 4).alias("skewness"),
     )
+
+
+@query(
+    "agg_hll_intersection",
+    category="aggregate",
+    check="TOL",
+    oracle="SELECT CAST(1 AS BOOLEAN) AS within_tolerance",
+)
+def agg_hll_intersection(spark, sf_dir):
+    """Sketch set algebra: |A∩B| for two event audiences (click vs view
+    users) via inclusion-exclusion over DataSketches HLL — |A|+|B|-|A∪B|
+    with only three mergeable sketches, the way a 100 TB audience-overlap
+    dashboard avoids a distinct-join. Inclusion-exclusion amplifies HLL
+    error, so the in-query tolerance is 15% of the exact intersection;
+    the output is the deterministic boolean (same contract as
+    agg_hll_sketch_union)."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click")
+    b = ev.where(F.col("event_type") == "view")
+    est_a = a.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("ea"))
+    est_b = b.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("eb"))
+    est_u = (
+        a.unionAll(b)
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("eu"))
+    )
+    exact = (
+        a.select("user_id")
+        .intersect(b.select("user_id"))
+        .agg(F.count(F.lit(1)).alias("ex"))
+    )
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .crossJoin(exact)
+        .select(
+            (
+                F.abs((F.col("ea") + F.col("eb") - F.col("eu")) - F.col("ex"))
+                <= F.greatest(F.lit(0.15) * F.col("ex"), F.lit(3.0))
+            ).alias("within_tolerance")
+        )
+    )

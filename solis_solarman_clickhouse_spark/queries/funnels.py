@@ -711,3 +711,65 @@ def ch_sequence_next_node(spark, sf_dir):
             F.col("n").alias("n_transitions"),
         )
     )
+
+
+@query(
+    "ch_funnel_time_to_convert",
+    category="funnels",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT user_id, t_buy - t_view AS dt_us
+      FROM firsts
+      WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy >= t_view
+    ),
+    rk AS (
+      SELECT user_id, dt_us,
+             ROW_NUMBER() OVER (ORDER BY dt_us, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM conv
+    )
+    SELECT COUNT(*) AS n_converted,
+           MIN(dt_us) AS min_us,
+           MAX(dt_us) AS max_us,
+           MIN(CASE WHEN 2 * rn >= n + 1 THEN dt_us END) AS median_us
+    FROM rk
+    """,
+)
+def ch_funnel_time_to_convert(spark, sf_dir):
+    """Time-to-convert (ClickHouse funnel follow-up: how long from first
+    'view' to first 'purchase'): conditional-min firsts per user, the gap
+    in integer MICROSECONDS (truncating second casts diverge at the
+    boundary between engines), and a lower-median via rank — the
+    conversion-latency KPI next to every windowFunnel dashboard. One
+    aggregation + one global rank over the (tiny) converted-user set."""
+    ev = table(spark, sf_dir, "events")
+    tu = F.unix_micros("ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", tu)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", tu)).alias("t_buy"),
+    )
+    conv = firsts.where(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_view"))
+    ).select("user_id", (F.col("t_buy") - F.col("t_view")).alias("dt_us"))
+    w = W.orderBy("dt_us", "user_id")
+    rk = conv.select(
+        "dt_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    return rk.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("dt_us").alias("min_us"),
+        F.max("dt_us").alias("max_us"),
+        F.min(F.when(2 * F.col("rn") >= F.col("n") + 1, F.col("dt_us"))).alias(
+            "median_us"
+        ),
+    )

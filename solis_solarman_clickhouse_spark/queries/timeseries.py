@@ -665,3 +665,35 @@ def ts_seasonal_naive_forecast(spark, sf_dir):
             F.col("d_mic") / 1000000.0 - F.col("m4") / 10000.0, 4
         ).alias("residual"),
     )
+
+
+@query(
+    "ts_calendar_heatmap",
+    category="timeseries",
+    oracle=f"""
+    SELECT event_type,
+           CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+           COUNT(*) AS n_events,
+           ROUND({sql_dsum('value')}, 4) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def ts_calendar_heatmap(spark, sf_dir):
+    """Calendar heatmap grid (ISO weekday x hour-of-day per type) — the
+    Grafana heatmap panel every telemetry dashboard renders over the
+    reference's 30 s cadence data. ISO dow (Mon=1..Sun=7) is spelled
+    portably: Spark's dayofweek() is Sun=1-based, so the query maps it
+    explicitly rather than trusting dialect defaults. Single partial+
+    final aggregation; 7x24x|types| output rows at any input scale."""
+    ev = table(spark, sf_dir, "events")
+    iso_dow = ((F.dayofweek("ts") + 5) % 7) + 1
+    return ev.groupBy(
+        "event_type",
+        iso_dow.cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r4(dsum("value")).alias("total_value"),
+    )
