@@ -761,3 +761,30 @@ def agg_hll_intersection(spark, sf_dir):
             ).alias("within_tolerance")
         )
     )
+
+
+@query(
+    "agg_count_distinct_multi",
+    category="aggregate",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS u_users,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS u_days,
+           COUNT(*) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count_distinct_multi(spark, sf_dir):
+    """Multiple DISTINCT aggregates over different columns in ONE
+    aggregation — Catalyst plans this with an Expand operator (each input
+    row replicated once per distinct set, null-masked), then a two-level
+    aggregate; the single-pass alternative to running the query once per
+    distinct column. The Expand shape is asserted in tests/test_plans.py
+    — losing it to a naive multi-pass rewrite is a 100 TB regression
+    (three scans instead of one)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("u_users"),
+        F.count_distinct(F.col("ts").cast("date")).alias("u_days"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -395,3 +395,40 @@ def string_fuzzy_match(spark, sf_dir):
         .where(d <= 2)
         .select("brand_a", "brand_b", d.alias("dist"))
     )
+
+
+@query(
+    "array_posexplode_ordinality",
+    category="scalar_fn",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tok AS (
+      SELECT doc_id, i AS pos, ws[i] AS w, len(ws) AS n
+      FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)
+    )
+    SELECT doc_id, pos, w,
+           CAST(pos = 1 AS BOOLEAN) AS is_first,
+           CAST(pos = n AS BOOLEAN) AS is_last
+    FROM tok
+    """,
+)
+def array_posexplode_ordinality(spark, sf_dir):
+    """UNNEST WITH ORDINALITY (ClickHouse arrayJoin + arrayEnumerate):
+    positional token explode with first/last flags — the shape every
+    sequence-labeling feature pipeline needs (position embeddings, BOS/
+    EOS marking). posexplode emits 0-based positions, the ANSI ordinal is
+    1-based; the query pins 1-based on both engines. Pure generator +
+    projection, no shuffle at all."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "w"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    return toks.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "w",
+        (F.col("pos0") == 0).alias("is_first"),
+        (F.col("pos0") + 1 == F.col("n")).alias("is_last"),
+    )

@@ -374,3 +374,12 @@ def test_reservoir_sample_uses_window_group_limit(spark):
     df = REGISTRY["scan_reservoir_per_group"].fn(spark, SF_DIR)
     plan = _plan(df)
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_multi_distinct_uses_expand_not_multipass(spark):
+    # two different DISTINCT columns in one agg must plan as a single scan
+    # + Expand, not separate scans joined back.
+    df = REGISTRY["agg_count_distinct_multi"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Expand" in plan, plan
+    assert plan.count("FileScan") == 1 or plan.count("Scan parquet") == 1, plan
