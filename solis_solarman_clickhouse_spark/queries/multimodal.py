@@ -132,3 +132,36 @@ def mm_video_frame_sample(spark, sf_dir):
     codegen; no Python in the plan)."""
     p = attach_payloads(table(spark, sf_dir, "documents"))
     return sample_frames(p, fps=4.0, max_frames=8)
+
+
+@query(
+    "mm_payload_exact_dedup",
+    category="multimodal",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             sha256(CASE doc_id % 3 WHEN 0 THEN 'IMG0'
+                              WHEN 1 THEN 'AUD0'
+                              ELSE 'VID0' END || text) AS digest
+      FROM documents
+    )
+    SELECT digest, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM p GROUP BY digest
+    """,
+)
+def mm_payload_exact_dedup(spark, sf_dir):
+    """Binary-payload exact dedup: sha2 over the raw payload BYTES (not a
+    text proxy) with min-id keeper election — the first pass of any
+    multimodal corpus pipeline (identical images re-crawled under
+    different URLs collapse here before expensive perceptual hashing).
+    The digest runs payload-column-only (metadata untouched); the oracle
+    reconstructs the same bytes as the VARCHAR concat magic || text
+    (DuckDB's sha256 hashes the string's UTF-8 bytes, which ARE the
+    payload bytes) because the
+    carrier table is synthesized deterministically
+    (operators/multimodal.attach_payloads)."""
+    p = attach_payloads(table(spark, sf_dir, "documents"))
+    return p.groupBy(F.sha2("payload", 256).alias("digest")).agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
