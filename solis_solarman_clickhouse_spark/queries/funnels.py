@@ -773,3 +773,129 @@ def ch_funnel_time_to_convert(spark, sf_dir):
             "median_us"
         ),
     )
+
+
+@query(
+    "ch_bounding_ratio",
+    category="funnels",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, ts, event_id, value, epoch_us(ts) AS tu,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id,
+           ROUND((MAX(CASE WHEN rn_d = 1 THEN value END)
+                  - MIN(CASE WHEN rn_a = 1 THEN value END))
+                 / NULLIF((MAX(tu) - MIN(tu)) / 3600000000.0, 0.0), 4)
+             AS slope_per_hour
+    FROM span GROUP BY user_id
+    """,
+)
+def ch_bounding_ratio(spark, sf_dir):
+    """ClickHouse ``boundingRatio``: (last value − first value) / elapsed
+    time — the cheapest possible trend estimate, used as the sanity check
+    next to the OLS slope (ts_degradation_trend). First/last are min_by/
+    max_by over a (ts, event_id) struct key — ONE partial+final hash
+    aggregation, no window on the Spark side (the oracle needs
+    ROW_NUMBER only because ANSI arg-min has no tie-break); elapsed time
+    in integer microseconds, converted to hours only at the final
+    division."""
+    ev = table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    tu = F.unix_micros("ts")
+    s = ev.groupBy("user_id").agg(
+        F.min_by("value", key).alias("first_v"),
+        F.max_by("value", key).alias("last_v"),
+        F.min(tu).alias("t0"),
+        F.max(tu).alias("t1"),
+    )
+    hours = (F.col("t1") - F.col("t0")) / 3600000000.0
+    return s.select(
+        "user_id",
+        F.round(
+            (F.col("last_v") - F.col("first_v")) / F.nullif(hours, F.lit(0.0)), 4
+        ).alias("slope_per_hour"),
+    )
+
+
+@query(
+    "ch_interval_length_sum",
+    category="funnels",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                    -9223372036854775807)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island_id
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island_id, MAX(e) - MIN(s) AS len_us
+      FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id, COUNT(*) AS n_islands,
+           SUM(len_us) AS covered_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def ch_interval_length_sum(spark, sf_dir):
+    """ClickHouse ``intervalLengthSum``: total time covered by the UNION
+    of per-key intervals (each event held open 30 min), overlaps merged —
+    actual uptime from heartbeats, where naive SUM(duration)
+    double-counts overlap. Sweep: an interval starts a new island iff its
+    start exceeds the running max end of ALL prior intervals (not just
+    the previous row — an earlier long interval can swallow later ones);
+    island count via prefix sum, length via per-island (max e − min s).
+    One user_id shuffle shared by both windows and the final aggregates;
+    all arithmetic integer microseconds."""
+    ev = table(spark, sf_dir, "events")
+    tu = F.unix_micros("ts")
+    iv = ev.select(
+        "user_id", "event_id", tu.alias("s"), (tu + 1800000000).alias("e")
+    )
+    wprev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s")
+            > F.coalesce(F.max("e").over(wprev), F.lit(-9223372036854775807)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    wrun = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(wrun).alias("island_id")
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        (F.max("e") - F.min("s")).alias("len_us")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("len_us").alias("covered_us"),
+    )
