@@ -788,3 +788,69 @@ def agg_count_distinct_multi(spark, sf_dir):
         F.count_distinct(F.col("ts").cast("date")).alias("u_days"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "agg_cramers_v",
+    category="aggregate",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type AS a, CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS b,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT a, b, o,
+             SUM(o) OVER (PARTITION BY a) AS ra,
+             SUM(o) OVER (PARTITION BY b) AS cb,
+             SUM(o) OVER () AS n
+      FROM obs
+    ),
+    chi AS (
+      SELECT SUM(pow(o - ra * cb * 1.0 / n, 2) / (ra * cb * 1.0 / n)) AS chi2,
+             MAX(n) AS n,
+             COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb
+      FROM margins
+    )
+    SELECT ROUND(sqrt(chi2 / (n * LEAST(ka - 1, kb - 1))), 4) AS cramers_v
+    FROM chi
+    """,
+)
+def agg_cramers_v(spark, sf_dir):
+    """ClickHouse ``cramersV``: association strength between two
+    categorical columns (event type × ISO weekday) from the χ²
+    contingency statistic — the feature-redundancy screen of a
+    training-data audit. Observed and marginal counts are exact
+    integers, expected frequencies exact rationals, so both engines
+    evaluate the identical double expression per cell; the ≤35-term χ²
+    sum is far inside the 4-dp rounding. Zero-margin cells cannot occur
+    (margins come from the observed cells themselves)."""
+    ev = table(spark, sf_dir, "events")
+    iso_dow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("long")
+    obs = ev.groupBy(
+        F.col("event_type").alias("a"), iso_dow.alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = obs.select(
+        "a",
+        "b",
+        "o",
+        F.sum("o").over(W.partitionBy("a")).alias("ra"),
+        F.sum("o").over(W.partitionBy("b")).alias("cb"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    e = F.col("ra") * F.col("cb") * 1.0 / F.col("n")
+    chi = m.agg(
+        F.sum(F.pow(F.col("o") - e, 2) / e).alias("chi2"),
+        F.max("n").alias("n"),
+        F.count_distinct("a").alias("ka"),
+        F.count_distinct("b").alias("kb"),
+    )
+    return chi.select(
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("ka") - 1, F.col("kb") - 1))
+            ),
+            4,
+        ).alias("cramers_v")
+    )

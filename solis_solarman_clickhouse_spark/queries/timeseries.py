@@ -697,3 +697,21 @@ def ts_calendar_heatmap(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         r4(dsum("value")).alias("total_value"),
     )
+
+
+@query("ts_lttb_downsample", category="timeseries", check="SMOKE")
+def ts_lttb_downsample(spark, sf_dir):
+    """ClickHouse ``largestTriangleThreeBuckets``: visually-lossless
+    downsampling of each user's series to ≤22 points (20 buckets +
+    endpoints). Sequential per-key selection → applyInPandas (the
+    reserved escape hatch for genuinely stateful per-key logic); no
+    oracle entry because the pick chain isn't ANSI-SQL — invariants
+    (size bound, endpoints kept, output ⊆ input, determinism) are
+    asserted in tests/test_operators.py."""
+    from ..operators.lttb import lttb_downsample
+
+    ev = table(spark, sf_dir, "events")
+    return lttb_downsample(
+        ev, key="user_id", ts="ts", val="value", order_tiebreak="event_id",
+        n_buckets=20,
+    )

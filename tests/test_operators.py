@@ -282,3 +282,34 @@ def test_ema_bounded_by_window_extremes(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_lttb_invariants(spark):
+    """LTTB: ≤ n_buckets+2 points per key, endpoints kept, output ⊆ input,
+    and deterministic across runs."""
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+    from solis_solarman_clickhouse_spark.tables import table as t
+
+    from .conftest import SF_DIR
+
+    out = REGISTRY["ts_lttb_downsample"].fn(spark, SF_DIR)
+    rows = out.collect()
+    ev = t(spark, SF_DIR, "events").select("user_id", "ts", "value").collect()
+    points = {(r["user_id"], r["ts"], round(r["value"], 6)) for r in ev}
+    assert all((r["user_id"], r["ts"], round(r["value"], 6)) in points for r in rows)
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["user_id"], []).append(r)
+    ends = {}
+    for r in ev:
+        lo, hi = ends.get(r["user_id"], (None, None))
+        ends[r["user_id"]] = (
+            min(lo, r["ts"]) if lo else r["ts"],
+            max(hi, r["ts"]) if hi else r["ts"],
+        )
+    for k, pts in by_key.items():
+        assert len(pts) <= 22
+        tss = {p["ts"] for p in pts}
+        assert ends[k][0] in tss and ends[k][1] in tss, k
+    again = sorted((r["user_id"], r["ts"]) for r in REGISTRY["ts_lttb_downsample"].fn(spark, SF_DIR).collect())
+    assert again == sorted((r["user_id"], r["ts"]) for r in rows)
