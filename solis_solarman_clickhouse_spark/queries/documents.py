@@ -1087,3 +1087,65 @@ def doc_unigram_logprob(spark, sf_dir):
         F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias("avg_logprob"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+@query(
+    "doc_zipf_fit",
+    category="documents",
+    oracle="""
+    WITH vocab AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk
+      FROM vocab
+    ),
+    pts AS (SELECT ln(rk) AS x, ln(c) AS y FROM ranked),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts
+    )
+    SELECT n AS vocab_size,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
+    FROM s
+    """,
+)
+def doc_zipf_fit(spark, sf_dir):
+    """Zipf-law fit of the corpus vocabulary: OLS slope of ln(freq) vs
+    ln(rank) — natural text sits near −1, and a corpus whose slope drifts
+    far from it is boilerplate- or spam-heavy (a standard
+    corpus-health probe). Ranks are deterministic (count DESC, word);
+    both engines evaluate ln() on identical integers, and the normal-
+    equation sums run over the same ~1e2-term series, so the 4-dp
+    rounding absorbs the double reorder noise. One explode + two
+    aggregations; the vocabulary relation is tiny at any corpus scale."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = vocab.select(
+        "c",
+        F.row_number()
+        .over(W.orderBy(F.col("c").desc(), F.col("w")))
+        .alias("rk"),
+    )
+    pts = rk.select(F.log(F.col("rk").cast("double")).alias("x"), F.log(F.col("c").cast("double")).alias("y"))
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx"])
+    return s.select(
+        n.alias("vocab_size"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4).alias("zipf_slope"),
+    )

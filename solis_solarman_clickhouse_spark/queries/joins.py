@@ -572,3 +572,39 @@ def join_asof_tolerance(spark, sf_dir):
         F.when(fresh, F.col("asof_ts")).alias("asof_ts"),
         F.when(fresh, F.round(F.col("asof_value"), 4)).alias("asof_value"),
     )
+
+
+@query(
+    "join_left_mark",
+    category="join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_customers,
+           COUNT(CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_custkey = c.c_custkey
+                                     AND o.o_orderstatus = 'F')
+                      THEN 1 END) AS n_with_f_order
+    FROM customer c
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_left_mark(spark, sf_dir):
+    """Mark join: EXISTS as a BOOLEAN COLUMN instead of a filter — the
+    shape BI tools emit for "flag customers with a finished order" and
+    engines plan as a left-mark/left-outer + distinct probe. Spark has no
+    mark-join syntax; the portable plan is a left join against the
+    DISTINCT key set (semantically identical because the build side is
+    deduped — no row multiplication) with the null-ness as the mark."""
+    c = table(spark, sf_dir, "customer")
+    f_cust = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("__mark", F.lit(1))
+    )
+    marked = c.join(F.broadcast(f_cust), "c_custkey", "left")
+    return marked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count("__mark").alias("n_with_f_order"),
+    )

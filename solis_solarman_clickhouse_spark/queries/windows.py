@@ -457,3 +457,44 @@ def window_pattern_vshape(spark, sf_dir):
         F.count(F.when(peak, 1)).alias("n_peaks"),
         F.min(F.when(trough, F.col("event_id"))).alias("first_trough_event"),
     )
+
+
+@query(
+    "window_rolling_median",
+    category="window",
+    oracle="""
+    WITH ar AS (
+      SELECT user_id, event_id, ts,
+             list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) AS a
+      FROM events
+    )
+    SELECT user_id, event_id, ts,
+           a[(len(a) + 1) // 2] AS rolling_median
+    FROM ar
+    """,
+)
+def window_rolling_median(spark, sf_dir):
+    """Rolling median over a trailing 20-sample frame — the robust
+    alternative to the moving average for spiky telemetry (ClickHouse
+    ``medianExact`` over a window). No engine allows percentile functions
+    as window aggregates, so the portable spelling is collect → sort →
+    middle element (lower median: an actual input value, no
+    interpolation — which keeps the result EXACT, not a float blend).
+    One user_id shuffle; the 20-element sort is O(1) per row."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, W.currentRow)
+    )
+    ar = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.array_sort(F.collect_list("value").over(w)).alias("a"),
+    )
+    mid = F.floor((F.size("a") + 1) / 2).cast("int")
+    return ar.select(
+        "user_id", "event_id", "ts", F.element_at("a", mid).alias("rolling_median")
+    )
