@@ -899,3 +899,26 @@ def ch_interval_length_sum(spark, sf_dir):
         F.count(F.lit(1)).alias("n_islands"),
         F.sum("len_us").alias("covered_us"),
     )
+
+
+@query(
+    "ch_group_concat_distinct",
+    category="funnels",
+    oracle="""
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv
+    FROM events GROUP BY user_id
+    """,
+)
+def ch_group_concat_distinct(spark, sf_dir):
+    """groupUniqArray / string_agg(DISTINCT … ORDER BY): each user's
+    distinct event vocabulary as one deterministic CSV — the profile
+    column a segmentation export writes. Spark spells it
+    collect_set → array_sort → array_join (collect_set dedupes map-side,
+    so the shuffle carries ≤|types| values per user)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "types_csv"
+        )
+    )

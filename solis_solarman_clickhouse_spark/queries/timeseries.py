@@ -715,3 +715,53 @@ def ts_lttb_downsample(spark, sf_dir):
         ev, key="user_id", ts="ts", val="value", order_tiebreak="event_id",
         n_buckets=20,
     )
+
+
+@query(
+    "ts_twap",
+    category="timeseries",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_centi,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - epoch_us(ts) AS dt_us
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             SUM(v_centi * dt_us) AS sw,
+             SUM(dt_us) AS w
+      FROM seg WHERE dt_us IS NOT NULL AND dt_us > 0
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           ((2 * sw * 100 + w) // (2 * w)) / 10000.0 AS twap
+    FROM s
+    """,
+)
+def ts_twap(spark, sf_dir):
+    """Time-weighted average (ClickHouse ``avgWeighted`` with hold-until-
+    next-sample weights / TWAP): each reading weighted by how long it was
+    the live value. Fully INTEGER-exact: values become centi-units
+    (ROUND then cast — a bare cast truncates on Spark but rounds on
+    DuckDB), weights are integer microseconds from lead(), and the final
+    4-dp mean uses the same half-up integer division as
+    ts_seasonal_naive_forecast, so no float accumulates anywhere before
+    the one defining division."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tu = F.unix_micros("ts")
+    seg = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_centi"),
+        (F.lead(tu).over(w) - tu).alias("dt_us"),
+    ).where(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+    s = seg.groupBy("user_id").agg(
+        F.sum(F.col("v_centi") * F.col("dt_us")).alias("sw"),
+        F.sum("dt_us").alias("w"),
+    )
+    return s.select(
+        "user_id",
+        (F.expr("(2 * sw * 100 + w) div (2 * w)") / 10000.0).alias("twap"),
+    )

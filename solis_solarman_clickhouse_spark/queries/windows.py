@@ -498,3 +498,66 @@ def window_rolling_median(spark, sf_dir):
     return ar.select(
         "user_id", "event_id", "ts", F.element_at("a", mid).alias("rolling_median")
     )
+
+
+@query(
+    "window_peer_comparison",
+    category="window",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v_mic,
+             CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                    OVER (PARTITION BY event_type) * 1000000 AS BIGINT) AS tot_mic,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    d AS (
+      SELECT event_id, event_type,
+             v_mic * (n - 1) - (tot_mic - v_mic) AS a,
+             (n - 1) * 100 AS b
+      FROM s WHERE n > 1
+    )
+    SELECT event_id, event_type,
+           (CASE WHEN a >= 0 THEN (2 * a + b) // (2 * b)
+                 ELSE -((2 * (-a) + b) // (2 * b)) END) / 10000.0 AS vs_peers
+    FROM d
+    """,
+)
+def window_peer_comparison(spark, sf_dir):
+    """Peer comparison — ANSI's ``EXCLUDE CURRENT ROW`` frame, which
+    Spark's frame spec lacks: each reading vs the mean of the OTHER rows
+    in its group, emulated algebraically as value − (total − value)/(n−1) from one
+    whole-partition window. Fully integer-exact: value and the decimal
+    partition total become micro-units, and the defining division uses
+    the half-away-from-zero integer idiom with POSITIVE operands only —
+    Spark's `div` truncates while DuckDB's `//` floors, so the sign is
+    split out before dividing."""
+    ev = table(spark, sf_dir, "events")
+    wall = W.partitionBy("event_type")
+    s = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("long").alias("v_mic"),
+        (F.sum(F.col("value").cast(_DEC)).over(wall) * 1000000)
+        .cast("long")
+        .alias("tot_mic"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    ).where(F.col("n") > 1)
+    d = s.select(
+        "event_id",
+        "event_type",
+        (
+            F.col("v_mic") * (F.col("n") - 1)
+            - (F.col("tot_mic") - F.col("v_mic"))
+        ).alias("a"),
+        ((F.col("n") - 1) * 100).alias("b"),
+    )
+    m4 = F.when(
+        F.col("a") >= 0, F.expr("(2 * a + b) div (2 * b)")
+    ).otherwise(-F.expr("(2 * (-a) + b) div (2 * b)"))
+    return d.select(
+        "event_id",
+        "event_type",
+        (m4 / 10000.0).alias("vs_peers"),
+    )
