@@ -854,3 +854,34 @@ def agg_cramers_v(spark, sf_dir):
             4,
         ).alias("cramers_v")
     )
+
+
+@query(
+    "agg_filter_clause",
+    category="aggregate",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000.0)
+             AS big_spenders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_filter_clause(spark, sf_dir):
+    """ANSI aggregate FILTER (WHERE …) clause, run VERBATIM through
+    spark.sql — the same SQL string satisfies both engines (Spark ≥ 3.0
+    parses FILTER natively; it plans to the identical conditional
+    aggregate as the count_if family in agg_count_if_family, this entry
+    pins the SYNTAX surface)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000.0)
+                 AS big_spenders
+        FROM orders GROUP BY o_orderpriority
+        """
+    )

@@ -432,3 +432,47 @@ def array_posexplode_ordinality(spark, sf_dir):
         (F.col("pos0") == 0).alias("is_first"),
         (F.col("pos0") + 1 == F.col("n")).alias("is_last"),
     )
+
+
+@query(
+    "string_collation_lcase",
+    category="scalar_fn",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                  ELSE lower(p_type) END AS label,
+             p_brand
+      FROM part
+    )
+    SELECT lower(label) AS type_ci,
+           COUNT(*) AS n_parts,
+           COUNT(DISTINCT p_brand) AS n_brands
+    FROM mixed GROUP BY 1
+    """,
+)
+def string_collation_lcase(spark, sf_dir):
+    """Spark 4 COLLATION surface: grouping under the UTF8_LCASE collation
+    — comparison and hashing become case-insensitive at the ENGINE level,
+    no lower() rewrite in every predicate (ClickHouse's *CaseInsensitive
+    combinators). The fixture strings are single-case, so the query first
+    manufactures mixed-case labels (upper for even keys, lower for odd);
+    the collated groupBy must merge them exactly like the oracle's
+    explicit lower() grouping. Output key lowercased for display parity
+    only."""
+    p = table(spark, sf_dir, "part")
+    label = F.when(
+        F.col("p_partkey") % 2 == 0, F.upper("p_type")
+    ).otherwise(F.lower("p_type"))
+    ci = F.collate(label, "UTF8_LCASE")
+    return (
+        p.groupBy(ci.alias("label_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.count_distinct("p_brand").alias("n_brands"),
+        )
+        .select(
+            F.lower(F.col("label_key")).alias("type_ci"),
+            "n_parts",
+            "n_brands",
+        )
+    )
