@@ -1149,3 +1149,27 @@ def doc_zipf_fit(spark, sf_dir):
         n.alias("vocab_size"),
         F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4).alias("zipf_slope"),
     )
+
+
+@query(
+    "doc_quality_decile",
+    category="documents",
+    oracle="""
+    SELECT doc_id,
+           NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+    FROM documents
+    """,
+)
+def doc_quality_decile(spark, sf_dir):
+    """Corpus-wide quality bucketing: every document assigned a decile of
+    the length distribution via ntile(10) under a deterministic
+    (score, pk) total order — the stratification step before per-decile
+    sampling rates in a data-mix recipe. A single global sort (ntile
+    needs the total order) — at 100 TB this becomes range-partitioned
+    percent_rank instead, which the distribution family already
+    provides."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("n_chars", "doc_id")
+    return docs.select("doc_id", F.ntile(10).over(w).alias("decile"))

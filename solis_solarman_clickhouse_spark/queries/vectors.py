@@ -97,14 +97,17 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.e, b.e)
-      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.995
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
 """
 
 
 @query("vec_neardup_cosine", category="vectors", oracle=_NEARDUP_ORACLE)
 def vec_neardup_cosine(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (cosine >= 0.995) — the
-    embedding-based dedup tier for training-data pipelines."""
+    """Embedding-cosine near-duplicate pairs — the embedding-based dedup
+    tier for training-data pipelines. Threshold 0.45 is CALIBRATED to the
+    synthetic fixture (random near-orthogonal vectors top out at ~0.51
+    cosine, so a production-style >=0.99 cut matches nothing and would
+    test nothing); a real corpus uses >=0.99."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -112,7 +115,7 @@ def vec_neardup_cosine(spark, sf_dir):
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     scored = with_cosine(pairs, "ea", "eb")
-    return scored.filter(F.col("cosine") >= 0.995).select(
+    return scored.filter(F.col("cosine") >= 0.45).select(
         "vec_a", "vec_b", F.round("cosine", 4).alias("cosine")
     )
 
@@ -345,4 +348,60 @@ def vec_cosine_topk_pandas(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+_VEC_CLUSTER_ORACLE = """
+WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        >= 0.42
+),
+edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM pairs
+  UNION SELECT vec_b, vec_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+)
+SELECT a AS vec_id, MIN(b) AS cluster_id,
+       CAST(a = MIN(b) AS BOOLEAN) AS is_keeper
+FROM reach GROUP BY a
+"""
+
+
+@query("vec_dedup_clusters", category="vectors", oracle=_VEC_CLUSTER_ORACLE)
+def vec_dedup_clusters(spark, sf_dir):
+    """Embedding-cluster dedup: connected components over the
+    cosine ≥ 0.995 near-dup graph — semantic duplicates collapse
+    transitively (A≈B, B≈C ⇒ one keeper) exactly like the text-side
+    doc_dedup_clusters, but on the embedding tier. Reuses the iterative
+    min-label propagation operator (operators/graph.py); the oracle
+    recomputes the same transitive closure with a recursive CTE. Only
+    vectors that appear in some near-dup pair are clustered (singletons
+    need no keeper election). Threshold 0.42 calibrated to the synthetic
+    near-orthogonal fixture so the pair graph is non-trivial (see
+    vec_neardup_cosine)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    pairs = (
+        with_cosine(a.join(b, F.col("vec_a") < F.col("vec_b")), "ea", "eb")
+        .filter(F.col("cosine") >= 0.42)
+        .select("vec_a", "vec_b")
+    )
+    from ..operators.graph import connected_components
+
+    cc = connected_components(pairs, src="vec_a", dst="vec_b")
+    return cc.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_keeper"),
     )
