@@ -123,13 +123,17 @@ def join_semi(spark, sf_dir):
     category="join",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
     """,
 )
 def join_anti(spark, sf_dir):
-    """Q-JOIN-5: left anti (NOT EXISTS) — orderless customers."""
+    """Q-JOIN-5: left anti (NOT EXISTS) — customers with no FINISHED
+    order. (The fixture gives every customer at least one order, so the
+    unfiltered anti join would be vacuously empty and test nothing — the
+    status filter keeps the result set non-trivial at every SF.)"""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

@@ -138,13 +138,19 @@ def set_intersect(spark, sf_dir):
     oracle="""
     SELECT c_custkey FROM customer
     EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
     """,
 )
 def set_except(spark, sf_dir):
-    """Q-SET-3: EXCEPT (distinct) — equivalent to the anti-join result set."""
+    """Q-SET-3: EXCEPT (distinct) — equivalent to the anti-join result
+    set (customers minus finished-order customers; unfiltered it would
+    be vacuously empty on the fixture)."""
     c = table(spark, sf_dir, "customer").select("c_custkey")
-    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return c.subtract(o)
 
 

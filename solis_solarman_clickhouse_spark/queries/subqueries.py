@@ -15,15 +15,17 @@ from .registry import query, sql_davg, sql_dsum
 _SCALAR_SQL = f"""
 SELECT o_orderpriority, COUNT(*) AS n_big_orders
 FROM orders
-WHERE o_totalprice > (SELECT {sql_davg('o_totalprice')} * 2 FROM orders)
+WHERE o_totalprice > (SELECT {sql_davg('o_totalprice')} * 1.8 FROM orders)
 GROUP BY o_orderpriority
 """
 
 
 @query("sub_scalar", category="subquery", oracle=_SCALAR_SQL)
 def sub_scalar(spark, sf_dir):
-    """Uncorrelated scalar subquery: orders above 2x the global mean price.
-    Catalyst evaluates the scalar once and broadcasts it into the filter."""
+    """Uncorrelated scalar subquery: orders above 1.8x the global mean
+    price (the fixture's price cap sits just under 2x the mean, so a 2x
+    cut would select zero rows and test nothing). Catalyst evaluates the
+    scalar once and broadcasts it into the filter."""
     register_views(spark, sf_dir)
     return spark.sql(_SCALAR_SQL)
 
