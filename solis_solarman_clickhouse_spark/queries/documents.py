@@ -1173,3 +1173,51 @@ def doc_quality_decile(spark, sf_dir):
 
     w = W.orderBy("n_chars", "doc_id")
     return docs.select("doc_id", F.ntile(10).over(w).alias("decile"))
+
+
+@query(
+    "doc_dedup_keep_longest",
+    category="documents",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars, md5(lower(trim(text))) AS k
+      FROM documents
+    ),
+    rk AS (
+      SELECT doc_id, n_chars, k,
+             ROW_NUMBER() OVER (PARTITION BY k
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY k) AS n_copies
+      FROM keyed
+    )
+    SELECT k AS norm_key, doc_id AS keeper_id, n_chars AS keeper_len, n_copies
+    FROM rk WHERE rn = 1
+    """,
+)
+def doc_dedup_keep_longest(spark, sf_dir):
+    """Quality-aware keeper election: dedup on the NORMALIZED text
+    (lower+trim — catches case/whitespace variants exact-hash dedup
+    misses) keeping the LONGEST raw document instead of the smallest id —
+    the curation policy when near-identical pages differ by truncation.
+    max_by over a (length, -id) struct would need a sign trick for the
+    tie, so the portable spelling is the ranked window; one shuffle on
+    the normalized key."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    k = F.md5(F.lower(F.trim(F.col("text"))))
+    keyed = docs.select("doc_id", "n_chars", k.alias("k"))
+    w = W.partitionBy("k").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    rk = keyed.select(
+        "doc_id",
+        "n_chars",
+        "k",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("k")).alias("n_copies"),
+    )
+    return rk.where(F.col("rn") == 1).select(
+        F.col("k").alias("norm_key"),
+        F.col("doc_id").alias("keeper_id"),
+        F.col("n_chars").alias("keeper_len"),
+        "n_copies",
+    )

@@ -765,3 +765,40 @@ def ts_twap(spark, sf_dir):
         "user_id",
         (F.expr("(2 * sw * 100 + w) div (2 * w)") / 10000.0).alias("twap"),
     )
+
+
+@query(
+    "ts_sequence_gaps",
+    category="timeseries",
+    oracle="""
+    WITH d AS (
+      SELECT event_id,
+             LAG(event_id) OVER (ORDER BY event_id) AS prev_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT prev_id + 1 AS gap_start, event_id - 1 AS gap_end,
+           event_id - prev_id - 1 AS n_missing
+    FROM d
+    WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+    """,
+)
+def ts_sequence_gaps(spark, sf_dir):
+    """Missing-ID detection: contiguous gaps in the event_id sequence as
+    (start, end, count) ranges — the completeness audit run after every
+    ingest window (the reference's bounded queue DROPS newest samples on
+    overflow, solarman.py:312, so landed data has exactly this failure
+    mode). Scoped to one event class ('purchase') because the fixture's
+    global id sequence is gapless — the ranges are then the id spans
+    between consecutive purchases. One lag over the id order; at scale
+    the same query runs per ingest partition so the sort is per-day, not
+    global."""
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = W.orderBy("event_id")
+    d = ev.select(
+        "event_id", F.lag("event_id").over(w).alias("prev_id")
+    ).where(F.col("prev_id").isNotNull() & (F.col("event_id") - F.col("prev_id") > 1))
+    return d.select(
+        (F.col("prev_id") + 1).alias("gap_start"),
+        (F.col("event_id") - 1).alias("gap_end"),
+        (F.col("event_id") - F.col("prev_id") - 1).alias("n_missing"),
+    )
