@@ -154,7 +154,8 @@ def test_no_python_eval_outside_udf_families(spark):
     contain a BatchEvalPython/ArrowEvalPython/MapInPandas stage. Catches a
     refactor that silently drops a hot path off whole-stage codegen."""
     allowed_prefixes = ("udf_", "udtf_", "mm_", "vec_ann_", "stream_", "sink_",
-                        "source_python_datasource", "vec_cosine_topk_pandas")
+                        "source_python_datasource", "vec_cosine_topk_pandas",
+                        "ts_lttb_downsample")
     for name, spec in sorted(REGISTRY.items()):
         if name.startswith(allowed_prefixes):
             continue
