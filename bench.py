@@ -60,6 +60,12 @@ HEADLINE = [
     "ts_linear_interpolate",
     "ch_max_intersections",
     "doc_containment_dedup",
+    "window_rolling_median",
+    "ts_twap",
+    "doc_unigram_logprob",
+    "vec_knn_classify",
+    "vec_cosine_topk_pandas",
+    "mm_payload_exact_dedup",
 ]
 
 

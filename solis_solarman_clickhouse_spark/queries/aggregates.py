@@ -885,3 +885,32 @@ def agg_filter_clause(spark, sf_dir):
         FROM orders GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "agg_pythagorean_means",
+    category="aggregate",
+    oracle=f"""
+    SELECT event_type,
+           ROUND({sql_davg('value')}, 4) AS mean_arith,
+           ROUND(exp(SUM(ln(value)) / COUNT(*)), 4) AS mean_geom,
+           ROUND(COUNT(*) / SUM(1.0 / value), 4) AS mean_harm
+    FROM events WHERE value > 0
+    GROUP BY event_type
+    """,
+)
+def agg_pythagorean_means(spark, sf_dir):
+    """The three Pythagorean means per group: arithmetic (decimal-exact
+    idiom), geometric (exp∘mean∘ln — the right average for ratios/
+    growth factors), harmonic (the right average for rates). The log and
+    reciprocal sums are floating-point, but their partition-order noise
+    is ~1e-12 relative — far below the 4-dp rounding; the strictly
+    positive filter guards ln/division. One partial+final aggregation
+    computes all three."""
+    ev = table(spark, sf_dir, "events").where(F.col("value") > 0)
+    n = F.count(F.lit(1))
+    return ev.groupBy("event_type").agg(
+        r4(davg("value")).alias("mean_arith"),
+        r4(F.exp(F.sum(F.log("value")) / n)).alias("mean_geom"),
+        r4(n / F.sum(F.lit(1.0) / F.col("value"))).alias("mean_harm"),
+    )
