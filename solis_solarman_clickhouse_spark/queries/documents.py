@@ -1221,3 +1221,57 @@ def doc_dedup_keep_longest(spark, sf_dir):
         F.col("n_chars").alias("keeper_len"),
         "n_copies",
     )
+
+
+@query(
+    "doc_vocab_overlap_matrix",
+    category="documents",
+    oracle="""
+    WITH sw AS (
+      SELECT DISTINCT source, UNNEST(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    sz AS (SELECT source, COUNT(*) AS n FROM sw GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS c
+      FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS vocab_jaccard
+    FROM inter
+    JOIN sz sa ON src_a = sa.source
+    JOIN sz sb ON src_b = sb.source
+    """,
+)
+def doc_vocab_overlap_matrix(spark, sf_dir):
+    """Source-level vocabulary overlap matrix: Jaccard between each pair
+    of sources' distinct token sets — the cross-contamination /
+    domain-similarity diagnostic a data-mix designer reads before
+    setting sampling weights (two sources with ~1.0 overlap are the same
+    domain crawled twice). Same inverted-index shape as document
+    near-dup but keyed at source granularity: |sources|² output, the
+    token-level join carries only true collisions."""
+    docs = table(spark, sf_dir, "documents")
+    sw = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    )
+    sz = sw.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sw.alias("a"), sw.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    jac = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select("src_a", "src_b", F.round(jac, 4).alias("vocab_jaccard"))
+    )

@@ -612,3 +612,91 @@ def join_left_mark(spark, sf_dir):
         F.count(F.lit(1)).alias("n_customers"),
         F.count("__mark").alias("n_with_f_order"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    category="join",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events GROUP BY user_id, ts
+    ),
+    bwd AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, ev.ts AS b_ts, ev.value AS b_v
+      FROM orders o
+      ASOF LEFT JOIN ev ON o.o_custkey = ev.user_id AND o.o_orderdate >= ev.ts
+    ),
+    fwd AS (
+      SELECT o.o_orderkey, ev.ts AS f_ts, ev.value AS f_v
+      FROM orders o
+      ASOF LEFT JOIN ev ON o.o_custkey = ev.user_id AND o.o_orderdate <= ev.ts
+    ),
+    j AS (
+      SELECT b.o_orderkey, b.o_custkey,
+             epoch_us(CAST(b.o_orderdate AS TIMESTAMP)) AS t0,
+             epoch_us(b.b_ts) AS bt, b.b_v,
+             epoch_us(f.f_ts) AS ft, f.f_v
+      FROM bwd b JOIN fwd f ON b.o_orderkey = f.o_orderkey
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN bt IS NULL THEN ROUND(f_v, 4)
+                WHEN ft IS NULL THEN ROUND(b_v, 4)
+                WHEN t0 - bt <= ft - t0 THEN ROUND(b_v, 4)
+                ELSE ROUND(f_v, 4) END AS nearest_value,
+           CASE WHEN bt IS NULL THEN ft - t0
+                WHEN ft IS NULL THEN t0 - bt
+                ELSE LEAST(t0 - bt, ft - t0) END AS dist_us
+    FROM j
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest as-of join (pandas merge_asof direction='nearest'): each
+    order takes whichever event is CLOSER in time — backward and forward
+    as-of passes composed, ties to the backward (past) match, distances
+    compared in integer microseconds. Two one-shuffle as-of operators
+    over the same key partitioning plus a PK-equi join to combine; the
+    tie rule is deterministic on both engines."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    ev = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .withColumnRenamed("user_id", "o_custkey")
+    )
+    bwd = asof_join(
+        o, ev, on="o_custkey", left_ts="o_orderdate", right_ts="ts",
+        right_payload=["value"], direction="backward",
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t0"),
+        F.unix_micros("asof_ts").alias("bt"),
+        F.col("asof_value").alias("b_v"),
+    )
+    fwd = asof_join(
+        o, ev, on="o_custkey", left_ts="o_orderdate", right_ts="ts",
+        right_payload=["value"], direction="forward",
+    ).select(
+        F.col("o_orderkey").alias("f_key"),
+        F.unix_micros("asof_ts").alias("ft"),
+        F.col("asof_value").alias("f_v"),
+    )
+    j = bwd.join(fwd, bwd["o_orderkey"] == fwd["f_key"])
+    near_b = (F.col("t0") - F.col("bt")) <= (F.col("ft") - F.col("t0"))
+    value = (
+        F.when(F.col("bt").isNull(), F.round(F.col("f_v"), 4))
+        .when(F.col("ft").isNull(), F.round(F.col("b_v"), 4))
+        .when(near_b, F.round(F.col("b_v"), 4))
+        .otherwise(F.round(F.col("f_v"), 4))
+    )
+    dist = (
+        F.when(F.col("bt").isNull(), F.col("ft") - F.col("t0"))
+        .when(F.col("ft").isNull(), F.col("t0") - F.col("bt"))
+        .otherwise(F.least(F.col("t0") - F.col("bt"), F.col("ft") - F.col("t0")))
+    )
+    return j.select(
+        "o_orderkey",
+        "o_custkey",
+        value.alias("nearest_value"),
+        dist.alias("dist_us"),
+    )
