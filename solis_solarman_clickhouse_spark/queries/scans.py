@@ -15,7 +15,7 @@ import functools
 from pyspark.sql import functions as F
 
 from ..tables import TABLE_NAMES, table
-from .registry import query
+from .registry import davg, query, r4
 
 _COUNT_ORACLE = " UNION ALL ".join(
     f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}" for t in TABLE_NAMES
@@ -187,4 +187,41 @@ def scan_files_metadata(spark, sf_dir):
             F.count(F.lit(1)).alias("n_rows"),
             F.count_distinct("source").alias("n_sources"),
         )
+    )
+
+
+@query(
+    "scan_profile_stats",
+    category="scan",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS user_card,
+           COUNT(DISTINCT event_type) AS type_card,
+           MIN(ts) AS ts_min, MAX(ts) AS ts_max,
+           ROUND(MIN(value), 4) AS v_min, ROUND(MAX(value), 4) AS v_max,
+           ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                      / COUNT(value) AS DOUBLE), 4) AS v_mean,
+           COUNT(*) - COUNT(props) AS props_nulls
+    FROM events
+    """,
+)
+def scan_profile_stats(spark, sf_dir):
+    """One-pass data-profiling scan: row count, key cardinalities, time
+    span, value range/mean, null counts — the table-health summary every
+    catalog page shows and every ingest job should assert on (the
+    reference lands data with no profiling at all; this is the query its
+    operators were missing). Single aggregation, no grouping — partial
+    aggregation reduces each partition to one row before the 1-row
+    exchange."""
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("user_card"),
+        F.count_distinct("event_type").alias("type_card"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.round(F.min("value"), 4).alias("v_min"),
+        F.round(F.max("value"), 4).alias("v_max"),
+        r4(davg("value")).alias("v_mean"),
+        (F.count(F.lit(1)) - F.count("props")).alias("props_nulls"),
     )

@@ -802,3 +802,44 @@ def ts_sequence_gaps(spark, sf_dir):
         (F.col("event_id") - 1).alias("gap_end"),
         (F.col("event_id") - F.col("prev_id") - 1).alias("n_missing"),
     )
+
+
+@query(
+    "ts_wau_growth",
+    category="timeseries",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+             COUNT(DISTINCT user_id) AS wau,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT week, wau, n_events,
+           wau - LAG(wau) OVER (ORDER BY week) AS wau_delta,
+           ROUND((wau - LAG(wau) OVER (ORDER BY week)) * 100.0
+                 / LAG(wau) OVER (ORDER BY week), 4) AS wau_growth_pct
+    FROM m
+    """,
+)
+def ts_wau_growth(spark, sf_dir):
+    """Weekly-active-users with week-over-week growth — THE canonical
+    activity dashboard (ClickHouse uniq + neighbor()). Weekly because the
+    fixture spans one month (a monthly rollup would be a single row and
+    the growth column vacuously NULL); the oracle casts DuckDB's
+    DATE-typed week truncation back to TIMESTAMP to match Spark. The
+    distinct count is the only wide aggregation; the growth window runs
+    on |weeks| rows."""
+    ev = table(spark, sf_dir, "events")
+    m = ev.groupBy(F.date_trunc("week", F.col("ts")).alias("week")).agg(
+        F.count_distinct("user_id").alias("wau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = W.orderBy("week")
+    prev = F.lag("wau").over(w)
+    return m.select(
+        "week",
+        "wau",
+        "n_events",
+        (F.col("wau") - prev).alias("wau_delta"),
+        F.round((F.col("wau") - prev) * 100.0 / prev, 4).alias("wau_growth_pct"),
+    )
