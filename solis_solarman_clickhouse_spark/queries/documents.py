@@ -1275,3 +1275,42 @@ def doc_vocab_overlap_matrix(spark, sf_dir):
         .join(sb, "src_b")
         .select("src_a", "src_b", F.round(jac, 4).alias("vocab_jaccard"))
     )
+
+
+@query(
+    "doc_tokens_per_char",
+    category="documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, n_chars,
+             len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           SUM(n_chars) AS total_chars,
+           SUM(n_tok) AS total_tokens,
+           ROUND(SUM(n_chars) * 1.0 / SUM(n_tok), 4) AS chars_per_token
+    FROM t GROUP BY source
+    """,
+)
+def doc_tokens_per_char(spark, sf_dir):
+    """Tokenizer compression ratio per source (chars per BPE-ish
+    pre-token) — the metric that decides a source's effective token
+    budget and flags sources the tokenizer handles badly (code, non-
+    Latin scripts blow up token counts). Both totals are exact integer
+    sums; the ratio is one double division of identical integers."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "n_chars",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_PATTERN), 0)).alias(
+            "n_tok"
+        ),
+    )
+    return t.groupBy("source").agg(
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(
+            F.sum("n_chars") * 1.0 / F.sum("n_tok"), 4
+        ).alias("chars_per_token"),
+    )

@@ -405,3 +405,44 @@ def vec_dedup_clusters(spark, sf_dir):
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_keeper"),
     )
+
+
+@query(
+    "vec_norm_stats",
+    category="vectors",
+    oracle="""
+    WITH n AS (
+      SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           ROUND(MIN(nrm), 4) AS norm_min,
+           ROUND(MAX(nrm), 4) AS norm_max,
+           ROUND(CAST(SUM(CAST(nrm AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4)
+             AS norm_mean
+    FROM n GROUP BY label
+    """,
+)
+def vec_norm_stats(spark, sf_dir):
+    """Embedding L2-norm distribution per label — the first sanity check
+    on any embedding table (un-normalized vectors break cosine-ranked ANN
+    tiers; a label whose norms drift signals a bad encoder batch). The
+    norm is the same sequential fold on both engines (F.aggregate ≡
+    list_dot_product), min/max are exact picks, and the mean uses the
+    decimal idiom so partition order can't move the 4th decimal."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(F.zip_with(e, e, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
+    )
+    n = emb.select("label", nrm.alias("nrm"))
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.min("nrm"), 4).alias("norm_min"),
+        F.round(F.max("nrm"), 4).alias("norm_max"),
+        F.round(
+            F.sum(F.col("nrm").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("norm_mean"),
+    )
