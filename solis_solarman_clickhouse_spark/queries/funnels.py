@@ -922,3 +922,35 @@ def ch_group_concat_distinct(spark, sf_dir):
             "types_csv"
         )
     )
+
+
+@query(
+    "ch_group_array_ordered",
+    category="funnels",
+    oracle="""
+    SELECT user_id,
+           list(event_type ORDER BY ts, event_id) AS journey,
+           len(list(event_type ORDER BY ts, event_id)) AS n_steps
+    FROM events
+    WHERE event_type IN ('signup', 'purchase')
+    GROUP BY user_id
+    """,
+)
+def ch_group_array_ordered(spark, sf_dir):
+    """ClickHouse ``groupArray`` with guaranteed TIME order (ANSI
+    array_agg … ORDER BY): each user's signup/purchase journey as an
+    ordered array — the input every sequence-mining/funnel model
+    consumes. Spark's collect_list has no ORDER BY clause and makes no
+    ordering promise, so the portable spelling collects (ts, event_id,
+    value) structs and sorts the ARRAY after collection — deterministic
+    regardless of partial-aggregation order; the sort key is then
+    projected away with transform()."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    packed = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    journey = F.transform(packed, lambda s: s["event_type"])
+    g = ev.groupBy("user_id").agg(journey.alias("journey"))
+    return g.select("user_id", "journey", F.size("journey").alias("n_steps"))

@@ -225,3 +225,25 @@ def scan_profile_stats(spark, sf_dir):
         r4(davg("value")).alias("v_mean"),
         (F.count(F.lit(1)) - F.count("props")).alias("props_nulls"),
     )
+
+
+@query(
+    "scan_select_except",
+    category="scan",
+    oracle="""
+    SELECT * EXCLUDE (props, value) FROM events WHERE event_type = 'error'
+    """,
+)
+def scan_select_except(spark, sf_dir):
+    """Projection by EXCLUSION — Spark 4's SELECT * EXCEPT (…) ≡ DuckDB's
+    EXCLUDE: drop the wide/PII columns, keep everything else, without
+    enumerating the keep-list (the schema-evolution-proof way to strip a
+    payload column before export). Catalyst still sees a plain
+    projection, so column pruning reaches the scan exactly as if the
+    kept columns were spelled out."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT * EXCEPT (props, value) FROM events WHERE event_type = 'error'"
+    )
