@@ -247,3 +247,44 @@ def scan_select_except(spark, sf_dir):
     return spark.sql(
         "SELECT * EXCEPT (props, value) FROM events WHERE event_type = 'error'"
     )
+
+
+@query(
+    "scan_validation_report",
+    category="scan",
+    oracle="""
+    WITH checked AS (
+      SELECT CASE
+               WHEN value IS NULL THEN 'null_value'
+               WHEN value < 0 OR value > 100 THEN 'out_of_range'
+               WHEN ts < TIMESTAMP '2024-01-08' THEN 'stale_timestamp'
+               WHEN json_extract(props, '$.k') IS NULL
+                    OR CAST(json_extract_string(props, '$.k') AS INTEGER) > 90
+                 THEN 'bad_props'
+               ELSE 'ok' END AS reason
+      FROM events
+    )
+    SELECT reason, COUNT(*) AS n_rows
+    FROM checked GROUP BY reason
+    """,
+)
+def scan_validation_report(spark, sf_dir):
+    """Ingest validation report: every row classified by the FIRST failed
+    check (null measure → range → staleness → payload-field validity) —
+    the quarantine-split accounting the reference's pipeline never does
+    (it trusts Modbus payloads end-to-end; A9 only validates config).
+    Thresholds are calibrated to the synthetic fixture (value 0.01–490,
+    ts all Jan-2024, props = {"k": int}) so every bucket except
+    null_value is non-empty — an all-'ok' report would test nothing.
+    The CASE chain is one codegen'd projection; at 100 TB the same
+    expression feeds a partitioned quarantine sink instead of a count."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    reason = (
+        F.when(F.col("value").isNull(), "null_value")
+        .when((F.col("value") < 0) | (F.col("value") > 100), "out_of_range")
+        .when(F.col("ts") < F.lit("2024-01-08").cast("timestamp"), "stale_timestamp")
+        .when(k.isNull() | (k > 90), "bad_props")
+        .otherwise("ok")
+    )
+    return ev.groupBy(reason.alias("reason")).agg(F.count(F.lit(1)).alias("n_rows"))

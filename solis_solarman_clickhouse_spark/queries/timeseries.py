@@ -843,3 +843,46 @@ def ts_wau_growth(spark, sf_dir):
         (F.col("wau") - prev).alias("wau_delta"),
         F.round((F.col("wau") - prev) * 100.0 / prev, 4).alias("wau_growth_pct"),
     )
+
+
+@query(
+    "ts_drawdown",
+    category="timeseries",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, value,
+             MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_max
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(MAX(run_max - value), 4) AS max_drawdown,
+           ROUND(MAX(CASE WHEN run_max > 0 THEN (run_max - value) / run_max END), 4)
+             AS max_drawdown_frac
+    FROM r GROUP BY user_id
+    """,
+)
+def ts_drawdown(spark, sf_dir):
+    """Maximum drawdown per key: largest drop from a running peak — the
+    degradation/reliability metric for anything monotonic-ish (peak power
+    output, portfolio value; ClickHouse spells it runningAccumulate +
+    max). Running max is an exact pick (no float accumulation), the drop
+    is one subtraction of engine-identical doubles, and the aggregate
+    rides the same (user, time) shuffle as the window."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = ev.select(
+        "user_id", "value", F.max("value").over(w).alias("run_max")
+    )
+    dd = F.col("run_max") - F.col("value")
+    return r.groupBy("user_id").agg(
+        F.round(F.max(dd), 4).alias("max_drawdown"),
+        F.round(
+            F.max(F.when(F.col("run_max") > 0, dd / F.col("run_max"))), 4
+        ).alias("max_drawdown_frac"),
+    )
