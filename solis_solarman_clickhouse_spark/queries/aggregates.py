@@ -914,3 +914,144 @@ def agg_pythagorean_means(spark, sf_dir):
         r4(F.exp(F.sum(F.log("value")) / n)).alias("mean_geom"),
         r4(n / F.sum(F.lit(1.0) / F.col("value"))).alias("mean_harm"),
     )
+
+
+@query(
+    "agg_mann_whitney_u",
+    category="aggregate",
+    oracle="""
+    WITH pooled AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('view', 'purchase')
+    ),
+    ranked AS (
+      SELECT event_type,
+             -- doubled mid-rank of a tie block: 2*min_rank + ties - 1 (integer)
+             2 * RANK() OVER (ORDER BY value)
+               + COUNT(*) OVER (PARTITION BY value) - 1 AS r2
+      FROM pooled
+    )
+    SELECT
+      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n1,
+      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n2,
+      ROUND(SUM(CASE WHEN event_type = 'view' THEN r2 ELSE 0 END) / 2.0
+            - SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              * (SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) + 1) / 2.0,
+            4) AS u1,
+      ROUND(SUM(CASE WHEN event_type = 'purchase' THEN r2 ELSE 0 END) / 2.0
+            - SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              * (SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) + 1) / 2.0,
+            4) AS u2
+    FROM ranked
+    """,
+)
+def agg_mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing the `value`
+    distribution of two event types — the nonparametric A/B answer to
+    "did purchases shift the metric?" (ClickHouse ships it as
+    mannWhitneyUTest; the reference's stack would reach for it in
+    ClickHouse). Entirely integer arithmetic until the final halving:
+    the mid-rank of a tie block is (2*min_rank + ties - 1)/2, kept
+    DOUBLED so rank sums stay exact BIGINTs; U_g = R_g - n_g(n_g+1)/2.
+    One global window sort (the pooled sample is a filtered fraction of
+    the table) then a single-row aggregate; at 100 TB the rank can be
+    decomposed per-partition with offset correction, but the filtered
+    two-arm sample is typically small enough to window directly."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    r2 = (
+        2 * F.rank().over(W.orderBy("value"))
+        + F.count(F.lit(1)).over(W.partitionBy("value"))
+        - 1
+    )
+    ranked = ev.select("event_type", r2.alias("r2"))
+    is1 = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    is2 = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    n1 = F.sum(is1)
+    n2 = F.sum(is2)
+    r1 = F.sum(F.when(F.col("event_type") == "view", F.col("r2")).otherwise(0))
+    rr2 = F.sum(F.when(F.col("event_type") == "purchase", F.col("r2")).otherwise(0))
+    return ranked.agg(
+        n1.alias("n1"),
+        n2.alias("n2"),
+        F.round(r1 / 2.0 - n1 * (n1 + 1) / 2.0, 4).alias("u1"),
+        F.round(rr2 / 2.0 - n2 * (n2 + 1) / 2.0, 4).alias("u2"),
+    )
+
+
+@query(
+    "agg_welch_ttest",
+    category="aggregate",
+    oracle="""
+    WITH scaled AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n, SUM(y) AS s, SUM(y * y) AS ss
+      FROM scaled GROUP BY event_type
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN event_type = 'view' THEN n END) AS n1,
+        MAX(CASE WHEN event_type = 'view' THEN s END) AS s1,
+        MAX(CASE WHEN event_type = 'view' THEN ss END) AS ss1,
+        MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+        MAX(CASE WHEN event_type = 'purchase' THEN s END) AS s2,
+        MAX(CASE WHEN event_type = 'purchase' THEN ss END) AS ss2
+      FROM m
+    )
+    SELECT n1, n2,
+      ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 100.0, 4)
+        AS mean_diff,
+      ROUND(
+        (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+        / SQRT(
+            (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1
+          + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2
+          ),
+        4) AS t_stat
+    FROM w
+    """,
+)
+def agg_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t statistic between two event types
+    (ClickHouse welchTTest). The fixture's `value` is exactly 2-dp, so
+    y = round(value*100) is an exact BIGINT and every moment (n, Σy,
+    Σy²) is exact integer arithmetic — no decimal-product tie-rounding
+    hazard, no accumulation-order noise. The t statistic is then a
+    fixed dataflow over identical integers on both engines, so the
+    IEEE double result matches bit-for-bit before the 4-dp round. One
+    partial+final aggregation, single-row output; scales as a pure
+    map-side-combine aggregate at any data size."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    scaled = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("y")
+    )
+    m = scaled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ss"),
+    )
+    pick = lambda t, c: F.max(F.when(F.col("event_type") == t, F.col(c)))
+    w = m.agg(
+        pick("view", "n").alias("n1"), pick("view", "s").alias("s1"),
+        pick("view", "ss").alias("ss1"),
+        pick("purchase", "n").alias("n2"), pick("purchase", "s").alias("s2"),
+        pick("purchase", "ss").alias("ss2"),
+    )
+    n1, s1, ss1 = F.col("n1"), F.col("s1").cast("double"), F.col("ss1").cast("double")
+    n2, s2, ss2 = F.col("n2"), F.col("s2").cast("double"), F.col("ss2").cast("double")
+    mdiff = s1 / n1 - s2 / n2
+    se = F.sqrt(
+        (ss1 - s1 * F.col("s1") / n1) / (n1 - 1) / n1
+        + (ss2 - s2 * F.col("s2") / n2) / (n2 - 1) / n2
+    )
+    return w.select(
+        "n1", "n2",
+        F.round(mdiff / 100.0, 4).alias("mean_diff"),
+        F.round(mdiff / se, 4).alias("t_stat"),
+    )

@@ -700,3 +700,63 @@ def join_asof_nearest(spark, sf_dir):
         value.alias("nearest_value"),
         dist.alias("dist_us"),
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    category="join",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """Fact-fact join over a bucketed+sorted physical layout — the 100 TB
+    answer to the recurring orders⋈lineitem shuffle: both sides are
+    written `bucketBy(8, orderkey).sortBy(orderkey)`, so the layout
+    carries the hash distribution and the SortMergeJoin runs
+    exchange-free and sort-free (asserted in
+    tests/test_plans.py::test_bucketed_layout_removes_fact_fact_shuffle);
+    only the tiny post-join status aggregate shuffles. Result
+    hash-matches the plain-join oracle — layout changes the plan, never
+    the answer. Tables are dropped per run; revenue uses the
+    DECIMAL(38,6) idiom shared with Q1/Q3."""
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    suf = uuid.uuid4().hex[:8]
+    ot, lt = f"b_orders_{suf}", f"b_lineitem_{suf}"
+    (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", f"{base}/o").format("parquet").saveAsTable(ot)
+    )
+    (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", f"{base}/l").format("parquet").saveAsTable(lt)
+    )
+    try:
+        j = (
+            spark.table(ot).hint("merge")
+            .join(
+                spark.table(lt).hint("merge"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                    "revenue"
+                ),
+            )
+        )
+        return j.localCheckpoint(eager=True)
+    finally:
+        for t in (ot, lt):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

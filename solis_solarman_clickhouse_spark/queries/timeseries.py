@@ -886,3 +886,125 @@ def ts_drawdown(spark, sf_dir):
             F.max(F.when(F.col("run_max") > 0, dd / F.col("run_max"))), 4
         ).alias("max_drawdown_frac"),
     )
+
+
+@query(
+    "ts_snapshot_diff",
+    category="timeseries",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, event_type FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-02') t WHERE rn = 1
+    ),
+    s2 AS (
+      SELECT user_id, event_type FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t WHERE rn = 1
+    )
+    SELECT CASE WHEN s1.user_id IS NULL THEN 'new'
+                WHEN s1.event_type <> s2.event_type THEN 'changed'
+                ELSE 'unchanged' END AS change_class,
+           COUNT(*) AS n_users
+    FROM s2 LEFT JOIN s1 USING (user_id)
+    GROUP BY change_class
+    """,
+)
+def ts_snapshot_diff(spark, sf_dir):
+    """CDC-style snapshot diff: the last state per key as of T1 vs as of
+    now, every key classified new / changed / unchanged — the audit a
+    warehouse runs between two loads of a last-point-per-key table
+    (ClickHouse: two argMax subqueries joined). The cutoff
+    2024-01-02 is calibrated so all three classes are non-empty on the
+    fixture (16/104/30 at sf0.01). Both snapshots ride the same
+    (user, time-desc) window; deterministic tie-break on event_id. At
+    100 TB each snapshot is a partial last-point aggregate (max_by of a
+    time-ordered struct), so the diff costs one co-partitioned join."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def snap(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type")
+        )
+
+    s1 = snap(ev.where(F.col("ts") < F.lit("2024-01-02").cast("timestamp"))).withColumnRenamed(
+        "event_type", "et1"
+    )
+    s2 = snap(ev)
+    cls = (
+        F.when(F.col("et1").isNull(), "new")
+        .when(F.col("et1") != F.col("event_type"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        s2.join(s1, "user_id", "left")
+        .groupBy(cls.alias("change_class"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "ts_cusum_changepoint",
+    category="timeseries",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) - 7500 AS y
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, ts, event_id,
+             SUM(y) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS ps
+      FROM x
+    ),
+    s AS (
+      SELECT user_id,
+             ps - LEAST(0, MIN(ps) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)) AS cusum
+      FROM p
+    )
+    SELECT user_id,
+           ROUND(MAX(cusum) / 100.0, 4) AS max_cusum,
+           SUM(CASE WHEN cusum > 20000 THEN 1 ELSE 0 END) AS n_alarm_samples
+    FROM s GROUP BY user_id
+    """,
+)
+def ts_cusum_changepoint(spark, sf_dir):
+    """One-sided CUSUM changepoint detector per key (Page's test —
+    S_i = max(0, S_{i-1} + x_i - target); the upward-drift alarm a solar
+    fleet would run on temperature): the recursion is rewritten through
+    the exact identity S_i = P_i - min(0, min_{j<=i} P_j) over prefix
+    sums of the drift, so instead of an unparallelizable sequential fold
+    it becomes two running windows that both engines evaluate on EXACT
+    INTEGERS — the 2-dp fixture values scale to BIGINT (y = 100*x -
+    7500), and nothing touches floating point until the final /100.
+    Target 75.00 / alarm 200.00 are calibrated to the fixture (70 of
+    150 users alarm; counts discriminate). At 100 TB the windows ride
+    one (user, time) shuffle and the aggregate reuses it."""
+    ev = table(spark, sf_dir, "events")
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    y = (F.round(F.col("value") * 100).cast("long") - 7500).alias("y")
+    p = ev.select("user_id", "ts", "event_id", y).withColumn(
+        "ps", F.sum("y").over(run)
+    )
+    cusum = F.col("ps") - F.least(F.lit(0).cast("long"), F.min("ps").over(run))
+    s = p.select("user_id", cusum.alias("cusum"))
+    return s.groupBy("user_id").agg(
+        F.round(F.max("cusum") / 100.0, 4).alias("max_cusum"),
+        F.sum(F.when(F.col("cusum") > 20000, 1).otherwise(0)).alias(
+            "n_alarm_samples"
+        ),
+    )
