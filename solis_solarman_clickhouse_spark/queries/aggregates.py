@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..tables import register_views, spread, table
 from .registry import davg, dsum, query, r4, sql_davg, sql_dsum
@@ -1054,4 +1055,204 @@ def agg_welch_ttest(spark, sf_dir):
         "n1", "n2",
         F.round(mdiff / 100.0, 4).alias("mean_diff"),
         F.round(mdiff / se, 4).alias("t_stat"),
+    )
+
+
+@query(
+    "agg_regr_ols",
+    category="aggregate",
+    oracle="""
+    WITH scaled AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM scaled GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+      ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0, 4) AS slope,
+      ROUND((sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx) * (sx / n))
+            / 100.0, 4) AS intercept,
+      ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+    FROM m
+    """,
+)
+def agg_regr_ols(spark, sf_dir):
+    """Grouped ordinary-least-squares fit of l_extendedprice on l_quantity
+    (ClickHouse simpleLinearRegression; ANSI regr_slope / regr_intercept /
+    regr_r2) — slope recovers the mean unit price per return flag. Built
+    from exact integer moments instead of the builtin regr_* aggregates:
+    l_quantity is an exact small integer and the price is exact at 2 dp, so
+    n, Σx, Σy, Σxy, Σx², Σy² accumulate exactly in DECIMAL(38,0)
+    (Σy² ≈ 1e14/row overflows BIGINT at scale), making the final DOUBLE
+    dataflow bit-identical on both engines before the 4-dp round. One
+    partial+final hash aggregate — map-side combine collapses the shuffle to
+    |groups| rows per partition at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    scaled = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    dec = lambda c: F.sum(c.cast(T.DecimalType(38, 0))).cast("double")
+    m = scaled.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(cov / varx / 100.0, 4).alias("slope"),
+        F.round((sy / n - cov / varx * (sx / n)) / 100.0, 4).alias("intercept"),
+        F.round(cov * cov / (varx * vary), 4).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "ch_rank_corr",
+    category="ch-analytics",
+    oracle="""
+    WITH ranked AS (
+      SELECT
+        2 * RANK() OVER (ORDER BY l_quantity)
+          + COUNT(*) OVER (PARTITION BY l_quantity) - 1 AS rx,
+        2 * RANK() OVER (ORDER BY l_extendedprice)
+          + COUNT(*) OVER (PARTITION BY l_extendedprice) - 1 AS ry
+      FROM lineitem
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(rx * ry AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(rx * rx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ry * ry AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM ranked
+    )
+    SELECT n,
+      ROUND((n * sxy - sx * sy)
+            / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS rho
+    FROM m
+    """,
+)
+def ch_rank_corr(spark, sf_dir):
+    """Spearman rank correlation between quantity and extended price
+    (ClickHouse rankCorr) — the monotone-association answer robust to the
+    price column's skew. Tie blocks get the textbook mid-rank, kept DOUBLED
+    (2*min_rank + ties - 1) so every rank is an exact BIGINT (the doubling
+    cancels in the correlation); the Pearson formula then runs over exact
+    DECIMAL(38,0) rank moments (Σr² ≈ n³ overflows BIGINT past ~2M rows),
+    so the DOUBLE dataflow is bit-identical on both engines. Two global
+    sorts for the ranks; at 100 TB each becomes a range-partitioned sort
+    with per-partition offset correction — still two shuffles, no
+    driver-side state."""
+    li = table(spark, sf_dir, "lineitem")
+    mid = lambda c: (
+        2 * F.rank().over(W.orderBy(c)) + F.count(F.lit(1)).over(W.partitionBy(c)) - 1
+    )
+    ranked = li.select(
+        mid("l_quantity").alias("rx"), mid("l_extendedprice").alias("ry")
+    )
+    dec = lambda c: F.sum(c.cast(T.DecimalType(38, 0))).cast("double")
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.col("rx")).alias("sx"),
+        dec(F.col("ry")).alias("sy"),
+        dec(F.col("rx") * F.col("ry")).alias("sxy"),
+        dec(F.col("rx") * F.col("rx")).alias("sxx"),
+        dec(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            4,
+        ).alias("rho"),
+    )
+
+
+@query(
+    "ch_kolmogorov_smirnov",
+    category="ch-analytics",
+    oracle="""
+    WITH arms AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+      FROM events
+      WHERE event_type IN ('view', 'purchase')
+      GROUP BY value
+    ),
+    ecdf AS (
+      SELECT
+        SUM(c1) OVER (ORDER BY value) AS cum1,
+        SUM(c2) OVER (ORDER BY value) AS cum2,
+        SUM(c1) OVER () AS n1,
+        SUM(c2) OVER () AS n2
+      FROM arms
+    )
+    SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+           ROUND(CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+                 / (MAX(n1) * MAX(n2)), 4) AS d_stat
+    FROM ecdf
+    """,
+)
+def ch_kolmogorov_smirnov(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov D statistic between the `view` and
+    `purchase` value distributions (ClickHouse kolmogorovSmirnovTest) —
+    D = sup |F1(x) - F2(x)| over the pooled sample. The ECDF difference is
+    kept as the exact integer |cum1*n2 - cum2*n1| (cross-multiplied to
+    avoid fractions) and divided once at the end, so the whole computation
+    is integer arithmetic until a single exact division. Pre-aggregating
+    per distinct value collapses the window input to |distinct values|
+    rows; the single cumulative window is a range-partitionable prefix sum
+    at scale."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    arms = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c2"),
+    )
+    wcum = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy("value").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ecdf = arms.select(
+        F.sum("c1").over(wcum).alias("cum1"),
+        F.sum("c2").over(wcum).alias("cum2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    return ecdf.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.round(
+            F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")))
+            .cast("double")
+            / (F.max("n1") * F.max("n2")),
+            4,
+        ).alias("d_stat"),
     )
