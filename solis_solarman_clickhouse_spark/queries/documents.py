@@ -1314,3 +1314,86 @@ def doc_tokens_per_char(spark, sf_dir):
             F.sum("n_chars") * 1.0 / F.sum("n_tok"), 4
         ).alias("chars_per_token"),
     )
+
+
+@query(
+    "doc_winnowing_fingerprint",
+    category="documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    kgrams AS (
+      SELECT doc_id, g.pos,
+             ('0x' || substr(md5(array_to_string(
+                 list_slice(t, g.pos + 1, g.pos + 4), ' ')), 1, 15))::BIGINT
+               AS h,
+             len(t) - 4 + 1 AS m
+      FROM toks, LATERAL (
+        SELECT UNNEST(generate_series(0, len(t) - 4)) AS pos
+      ) g
+      WHERE len(t) >= 4
+    ),
+    winmin AS (
+      SELECT doc_id, pos, m,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+      FROM kgrams
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, sel FROM winmin WHERE pos <= m - 4
+    )
+    SELECT doc_id, COUNT(*) AS n_fp,
+           MIN(sel) AS fp_min, MAX(sel) AS fp_max,
+           CAST(SUM(CAST(sel AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS fp_sum
+    FROM fps GROUP BY doc_id
+    """,
+)
+def doc_winnowing_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every 4-token shingle with the engine-portable
+    md5-prefix hash, slide a window of 4 consecutive shingle hashes, and
+    keep the minimum hash of each window — the guarantee is that any match
+    of ≥ w+k-1 tokens between two documents shares at least one selected
+    fingerprint, at a fraction ~2/(w+1) of all shingles. The fingerprint
+    set is summarized per doc as (count, min, max, sum) so the oracle
+    compares a compact exact signature rather than a giant array. Scan-side
+    generate + one bounded window per doc; at 100 TB this is
+    embarrassingly parallel per document (no cross-doc shuffle until the
+    optional candidate join)."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= 4
+    )
+    kg = toks.select(
+        "doc_id",
+        (F.size("t") - 3).alias("m"),
+        F.posexplode(F.sequence(F.lit(0), F.size("t") - 4)).alias("_i", "pos"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "m",
+        "pos",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice("t", F.col("pos") + 1, 4))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    wmin = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    sel = kg.select(
+        "doc_id", "pos", "m", F.min("h").over(wmin).alias("sel")
+    ).where(F.col("pos") <= F.col("m") - 4)
+    fps = sel.select("doc_id", "sel").distinct()
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.min("sel").alias("fp_min"),
+        F.max("sel").alias("fp_max"),
+        F.sum(F.col("sel").cast("decimal(38,0)")).cast("decimal(38,0)").alias("fp_sum"),
+    )

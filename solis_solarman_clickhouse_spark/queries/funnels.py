@@ -954,3 +954,65 @@ def ch_group_array_ordered(spark, sf_dir):
     journey = F.transform(packed, lambda s: s["event_type"])
     g = ev.groupBy("user_id").agg(journey.alias("journey"))
     return g.select("user_id", "journey", F.size("journey").alias("n_steps"))
+
+
+@query(
+    "ch_min_max_avg_map",
+    category="clickhouse",
+    oracle=f"""
+    WITH per AS (
+      SELECT user_id, event_type,
+             ROUND(MIN(value), 4) AS vmin,
+             ROUND(MAX(value), 4) AS vmax,
+             -- exact half-up 4-dp mean: value is exactly 2-dp, so
+             -- s100 = SUM(value*100) is an exact BIGINT and
+             -- round(s/c, 4) = (2*s100*100 + c) // (2*c) / 1e4 exactly
+             CAST((2 * SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100
+                   + COUNT(value)) // (2 * COUNT(value)) AS DOUBLE)
+               / 10000.0 AS vavg
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           list(event_type ORDER BY event_type) AS map_keys,
+           list(vmin ORDER BY event_type) AS min_values,
+           list(vmax ORDER BY event_type) AS max_values,
+           list(vavg ORDER BY event_type) AS avg_values
+    FROM per GROUP BY user_id
+    """,
+)
+def ch_min_max_avg_map(spark, sf_dir):
+    """ClickHouse ``minMap/maxMap/avgMap(k, v)`` parity alongside the
+    existing sumMap: per user, key-sorted parallel arrays of per-key min,
+    max, and mean — CH's Map combinators all share this keys+values
+    tuple-of-arrays shape. Same two-level plan as sumMap: partial
+    aggregates per (user, key) shuffle once on the composite key, and the
+    per-user array assembly rides the same hash distribution (no second
+    shuffle). min/max are order-safe by definition; the mean uses the
+    decimal-sum idiom, and every float is rounded before array assembly so
+    both engines build identical arrays."""
+    ev = table(spark, sf_dir, "events")
+    per = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            r4(F.min("value")).alias("vmin"),
+            r4(F.max("value")).alias("vmax"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("s100"),
+            F.count("value").alias("c"),
+        )
+        .withColumn(
+            # exact half-up 4-dp mean from integer moments — double ROUND
+            # half-up/half-even divergence at .xxxx5 boundaries can't occur
+            "vavg",
+            F.expr("CAST((2 * s100 * 100 + c) DIV (2 * c) AS DOUBLE) / 10000.0"),
+        )
+        .drop("s100", "c")
+    )
+    pairs = F.array_sort(
+        F.collect_list(F.struct("event_type", "vmin", "vmax", "vavg"))
+    )
+    return per.groupBy("user_id").agg(
+        F.transform(pairs, lambda s: s["event_type"]).alias("map_keys"),
+        F.transform(pairs, lambda s: s["vmin"]).alias("min_values"),
+        F.transform(pairs, lambda s: s["vmax"]).alias("max_values"),
+        F.transform(pairs, lambda s: s["vavg"]).alias("avg_values"),
+    )

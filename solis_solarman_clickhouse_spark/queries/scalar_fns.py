@@ -476,3 +476,55 @@ def string_collation_lcase(spark, sf_dir):
             "n_brands",
         )
     )
+
+
+@query(
+    "string_url_functions",
+    category="scalar",
+    oracle="""
+    WITH u AS (
+      SELECT p_partkey,
+             'https://b' || replace(p_brand, 'Brand#', '')
+               || '.parts.example.com/' || lower(p_type) || '/'
+               || replace(p_name, ' ', '-')
+               || '?size=' || p_size || '&key=' || p_partkey AS url
+      FROM part WHERE p_partkey < 200
+    )
+    SELECT p_partkey,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]size=([^&#]*)', 1) AS size_param
+    FROM u
+    """,
+)
+def string_url_functions(spark, sf_dir):
+    """ClickHouse URL-function parity (protocol() / domain() / path() /
+    extractURLParameter()) via Spark's parse_url — the JVM-side URL
+    decomposition the CH stack uses for access-log analytics. The URL is
+    synthesized from part attributes (the fixtures carry no URL column) so
+    the round-trip is self-checking: the oracle re-extracts the same
+    components with anchored regexes. parse_url stays inside whole-stage
+    codegen (no Python), and as a pure per-row projection it is
+    scan-parallel at any scale."""
+    part = table(spark, sf_dir, "part").where(F.col("p_partkey") < 200)
+    url = F.concat(
+        F.lit("https://b"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("")),
+        F.lit(".parts.example.com/"),
+        F.lower("p_type"),
+        F.lit("/"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("-")),
+        F.lit("?size="),
+        F.col("p_size").cast("string"),
+        F.lit("&key="),
+        F.col("p_partkey").cast("string"),
+    )
+    u = part.select("p_partkey", url.alias("url"))
+    return u.select(
+        "p_partkey",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("size")).alias("size_param"),
+    )
