@@ -1016,3 +1016,121 @@ def ch_min_max_avg_map(spark, sf_dir):
         F.transform(pairs, lambda s: s["vmax"]).alias("max_values"),
         F.transform(pairs, lambda s: s["vavg"]).alias("avg_values"),
     )
+
+
+@query(
+    "ch_theils_u",
+    category="funnels",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type AS x,
+             CAST(json_extract(props, '$.k') AS BIGINT) % 4 AS y
+      FROM events
+    ),
+    cxy AS (SELECT x, y, COUNT(*) AS nxy FROM pairs GROUP BY x, y),
+    tot AS (
+      SELECT x, y, nxy,
+             SUM(nxy) OVER () AS n,
+             SUM(nxy) OVER (PARTITION BY x) AS nx,
+             SUM(nxy) OVER (PARTITION BY y) AS ny
+      FROM cxy
+    )
+    SELECT
+      ROUND(
+        SUM((CAST(nxy AS DOUBLE) / n)
+            * log2(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny)))
+        / (-SUM((CAST(nxy AS DOUBLE) / n) * log2(CAST(nx AS DOUBLE) / n))),
+        4) AS theils_u
+    FROM tot
+    """,
+)
+def ch_theils_u(spark, sf_dir):
+    """ClickHouse ``theilsU(x, y)``: the uncertainty coefficient
+    U(X|Y) = I(X;Y)/H(X) — how much knowing the props bucket reduces
+    uncertainty about the event type (asymmetric, unlike Cramér's V which
+    this complements). H(X) = -Σ_x p(x) log2 p(x) is reconstructed by
+    summing p(x,y) log2 p(x) over every (x,y) cell, which telescopes to
+    the same value because Σ_y p(x,y) = p(x) — so numerator and
+    denominator are one aggregation over the same contingency rows.
+    Counts are exact integers so every log argument is the same rational
+    on both engines; the ≤24-term sum sits far inside the 4-dp round.
+    Two hash aggregations and two windows over the small contingency
+    table."""
+    ev = table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.col("event_type").alias("x"),
+        (F.get_json_object("props", "$.k").cast("long") % 4).alias("y"),
+    )
+    cxy = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("nxy"))
+    tot = cxy.select(
+        "x", "y", "nxy",
+        F.sum("nxy").over(W.partitionBy()).alias("n"),
+        F.sum("nxy").over(W.partitionBy("x")).alias("nx"),
+        F.sum("nxy").over(W.partitionBy("y")).alias("ny"),
+    )
+    pxy = F.col("nxy").cast("double") / F.col("n")
+    mi = F.sum(
+        pxy
+        * F.log2(
+            F.col("nxy").cast("double")
+            * F.col("n")
+            / (F.col("nx").cast("double") * F.col("ny"))
+        )
+    )
+    # H(X) = -Σ_xy p(x,y) log2 p(x)  (telescopes over y)
+    hx = -F.sum(pxy * F.log2(F.col("nx").cast("double") / F.col("n")))
+    return tot.agg(F.round(mi / hx, 4).alias("theils_u"))
+
+
+@query(
+    "ch_sparkbar",
+    category="funnels",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS h, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT event_type, MAX(cnt) AS maxc FROM c GROUP BY 1),
+    grid AS (
+      SELECT mx.event_type, mx.maxc, gs.h
+      FROM mx, LATERAL (SELECT UNNEST(generate_series(0, 23)) AS h) gs
+    )
+    SELECT g.event_type,
+           string_agg(
+             CASE WHEN c.cnt IS NULL THEN '_'
+                  ELSE substr('▁▂▃▄▅▆▇█',
+                              CAST((c.cnt * 8 + g.maxc - 1) // g.maxc AS INT), 1)
+             END, '' ORDER BY g.h) AS bar
+    FROM grid g
+    LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h
+    GROUP BY g.event_type
+    """,
+)
+def ch_sparkbar(spark, sf_dir):
+    """ClickHouse ``sparkbar(24)(hour, count)``: the inline unicode
+    histogram CH renders in dashboards — one 24-char bar per event type,
+    hour-of-day on the x axis, per-hour count mapped to the 8 block
+    glyphs by exact ceiling division against the row's max bucket (so the
+    tallest bucket is always a full block and any non-empty bucket is at
+    least ▁; empty hours render '_'). All bucket math is integer, so both
+    engines pick identical glyphs. One small hash aggregate, then the bar
+    assembles from a per-group hour→count map via transform over
+    sequence(0,23) — no second shuffle, no UDF."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", F.hour("ts").cast("int").alias("h")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per = c.groupBy("event_type").agg(
+        F.map_from_entries(F.collect_list(F.struct("h", "cnt"))).alias("m"),
+        F.max("cnt").alias("maxc"),
+    )
+    return per.select(
+        "event_type",
+        F.expr(
+            "concat_ws('', transform(sequence(0, 23), h -> "
+            "CASE WHEN try_element_at(m, h) IS NULL THEN '_' "
+            "ELSE substring('▁▂▃▄▅▆▇█', "
+            "CAST((try_element_at(m, h) * 8 + maxc - 1) DIV maxc AS INT), 1) "
+            "END))"
+        ).alias("bar"),
+    )

@@ -1008,3 +1008,86 @@ def ts_cusum_changepoint(spark, sf_dir):
             "n_alarm_samples"
         ),
     )
+
+
+@query(
+    "ts_hampel_outliers",
+    category="timeseries",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    ar AS (
+      SELECT user_id, event_id, ts, v,
+             list_sort(list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) AS a
+      FROM s
+    ),
+    med AS (
+      SELECT user_id, event_id, ts, v, a,
+             a[(len(a) + 1) // 2] AS m
+      FROM ar
+    ),
+    mad AS (
+      SELECT user_id, event_id, ts, v, m,
+             list_sort(list_transform(a, x -> ABS(x - m)))[(len(a) + 1) // 2]
+               AS d
+      FROM med
+    )
+    SELECT user_id, event_id, ts,
+           CAST(v AS DOUBLE) / 100.0 AS value,
+           CAST(m AS DOUBLE) / 100.0 AS rolling_median,
+           CAST(d AS DOUBLE) / 100.0 AS rolling_mad
+    FROM mad
+    WHERE d > 0 AND ABS(v - m) > 3 * d
+    """,
+)
+def ts_hampel_outliers(spark, sf_dir):
+    """Hampel-filter outlier detection — the robust despiking step a
+    telemetry pipeline runs before rate/trend analytics (a median/MAD
+    variant of the reference stack's Grafana alerting): flag samples more
+    than 3 rolling MADs from the rolling median over a trailing 20-sample
+    window. Entirely integer-exact: 2-dp values become BIGINTs, both the
+    lower-median and the MAD (median of absolute deviations from the
+    window median) are actual array elements, and the 3-sigma cut compares
+    integers — no float blend anywhere. One user_id shuffle; the
+    per-row 20-element sorts are O(1); windows with MAD = 0 (constant
+    plateaus) are excluded since any deviation there is formally
+    infinite-sigma."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, W.currentRow)
+    )
+    ar = s.select(
+        "user_id", "event_id", "ts", "v",
+        F.array_sort(F.collect_list("v").over(w)).alias("a"),
+    )
+    mid = F.floor((F.size("a") + 1) / 2).cast("int")
+    med = ar.select(
+        "user_id", "event_id", "ts", "v", "a",
+        F.element_at("a", mid).alias("m"),
+    )
+    m = F.col("m")
+    dev = F.array_sort(F.transform(F.col("a"), lambda x: F.abs(x - m)))
+    mad = med.select(
+        "user_id", "event_id", "ts", "v", "m",
+        F.element_at(dev, mid).alias("d"),
+    )
+    return mad.where((F.col("d") > 0) & (F.abs(F.col("v") - m) > 3 * F.col("d"))).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("v").cast("double") / 100.0).alias("value"),
+        (m.cast("double") / 100.0).alias("rolling_median"),
+        (F.col("d").cast("double") / 100.0).alias("rolling_mad"),
+    )
