@@ -1397,3 +1397,74 @@ def doc_winnowing_fingerprint(spark, sf_dir):
         F.max("sel").alias("fp_max"),
         F.sum(F.col("sel").cast("decimal(38,0)")).cast("decimal(38,0)").alias("fp_sum"),
     )
+
+
+@query(
+    "doc_bm25_search",
+    category="documents",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    corpus AS (
+      SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, UNNEST(t) AS tok FROM toks)
+      WHERE tok IN ('table', 'query', 'spark') GROUP BY 1, 2
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    sc AS (
+      SELECT tf.doc_id,
+             SUM(ln((n - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))) AS score
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus
+      GROUP BY 1
+    )
+    SELECT doc_id, ROUND(score, 4) AS score
+    FROM sc ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def doc_bm25_search(spark, sf_dir):
+    """BM25 full-text ranking (k1=1.2, b=0.75) of the corpus against a
+    3-term query — the lexical-retrieval side of a training-data /search
+    stack next to the vector top-k. Classic Robertson idf
+    ln((N-df+0.5)/(df+0.5)) with document-length normalization against
+    the corpus mean. Term frequencies, document frequencies, and lengths
+    are all exact integers; the float score is one identically-spelled
+    dataflow on both engines. Plan shape: tokenize-explode → filtered tf
+    aggregate (the term filter prunes the explode to |Q| terms),
+    broadcast df + corpus stats back, TakeOrderedAndProject top-10 — at
+    100 TB the only shuffle is the (doc, term) partial count."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .where(F.col("tok").isin("table", "query", "spark"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    j = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    den = F.col("tf") + 1.2 * (
+        1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")
+    )
+    sc = j.groupBy("doc_id").agg(
+        F.sum(idf * (F.col("tf") * 2.2) / den).alias("score")
+    )
+    return (
+        sc.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -446,3 +446,92 @@ def vec_norm_stats(spark, sf_dir):
             4,
         ).alias("norm_mean"),
     )
+
+
+_SEMANTIC_TEXT_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e))
+           * sqrt(list_dot_product(b.e, b.e))) >= 0.45
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, g.pos, g.pos + 2), ' ') AS s
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(1, len(t) - 2)) AS pos
+  ) g
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+SELECT c.vec_a, c.vec_b, c.cosine,
+       COUNT(sb.s) AS inter_size,
+       sa_n.n_sh + sb_n.n_sh - COUNT(sb.s) AS union_size
+FROM cand c
+JOIN sizes sa_n ON sa_n.doc_id = c.vec_a
+JOIN sizes sb_n ON sb_n.doc_id = c.vec_b
+LEFT JOIN sh sa ON sa.doc_id = c.vec_a
+LEFT JOIN sh sb ON sb.doc_id = c.vec_b AND sb.s = sa.s
+GROUP BY c.vec_a, c.vec_b, c.cosine, sa_n.n_sh, sb_n.n_sh
+"""
+
+
+@query("doc_semantic_text_dedup", category="vectors", oracle=_SEMANTIC_TEXT_ORACLE)
+def doc_semantic_text_dedup(spark, sf_dir):
+    """Cross-modal dedup audit: embedding-cosine candidate pairs
+    (threshold 0.45, calibrated to the near-orthogonal synthetic vectors
+    like vec_neardup_cosine) joined back to their TEXTS (doc_id = vec_id
+    in the fixtures) and scored with exact 3-token-shingle overlap — the
+    production pattern where the cheap vector signal nominates pairs and
+    the lexical overlap decides keep/merge (catches paraphrases the text
+    tier misses, and false vector neighbors the embedding tier invents).
+    Shingle intersection/union are exact integers from array_intersect on
+    distinct shingle arrays. The candidate set (not the corpus cross
+    join) drives the text comparison, so the expensive lexical step runs
+    on |candidates| rows only; both doc-side joins are broadcasts of the
+    tiny documents table at this SF, fact-side shuffle-free."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    cand = (
+        with_cosine(a.join(b, F.col("vec_a") < F.col("vec_b")), "ea", "eb")
+        .filter(F.col("cosine") >= 0.45)
+        .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
+    )
+    docs = table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 2),
+                lambda i: F.concat_ws(" ", F.slice(t, i, 3)),
+            )
+        ).alias("sh"),
+    ).where(F.size(t) >= 3)
+    j = (
+        cand.join(
+            F.broadcast(sh.select(F.col("doc_id").alias("vec_a"), F.col("sh").alias("sha"))),
+            "vec_a",
+        )
+        .join(
+            F.broadcast(sh.select(F.col("doc_id").alias("vec_b"), F.col("sh").alias("shb"))),
+            "vec_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    return j.select(
+        "vec_a",
+        "vec_b",
+        "cosine",
+        inter.alias("inter_size"),
+        (F.size("sha") + F.size("shb") - inter).alias("union_size"),
+    )
