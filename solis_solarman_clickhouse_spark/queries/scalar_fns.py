@@ -528,3 +528,54 @@ def string_url_functions(spark, sf_dir):
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("size")).alias("size_param"),
     )
+
+
+@query(
+    "ch_ipv4_functions",
+    category="scalar",
+    oracle="""
+    WITH n AS (
+      SELECT o_orderkey,
+             (o_orderkey * 2654435761) % 4294967296 AS ipnum
+      FROM orders WHERE o_orderkey < 500
+    )
+    SELECT o_orderkey, ipnum,
+           CAST(ipnum // 16777216 AS VARCHAR) || '.'
+             || CAST((ipnum // 65536) % 256 AS VARCHAR) || '.'
+             || CAST((ipnum // 256) % 256 AS VARCHAR) || '.'
+             || CAST(ipnum % 256 AS VARCHAR) AS ipstr,
+           CASE WHEN ipnum >= 167772160 AND ipnum < 184549376 THEN 1
+                WHEN ipnum >= 2886729728 AND ipnum < 2887778304 THEN 1
+                WHEN ipnum >= 3232235520 AND ipnum < 3232301056 THEN 1
+                ELSE 0 END AS is_private
+    FROM n
+    """,
+)
+def ch_ipv4_functions(spark, sf_dir):
+    """ClickHouse IPv4 function parity (IPv4NumToString /
+    IPv4StringToNum / isIPAddressInRange for RFC-1918 ranges): a
+    deterministic Knuth-hash IP is synthesized per order (the fixtures
+    carry no IP column), rendered dotted-quad by exact integer
+    octet extraction, and classified against the three private CIDR
+    blocks (10/8, 172.16/12, 192.168/16) as pure integer range checks.
+    All-integer projection — codegen'd scan-side at any scale, the same
+    shape an access-log enrichment stage runs over trillions of rows."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    ipnum = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
+    n = o.select("o_orderkey", ipnum.alias("ipnum"))
+    ipstr = F.concat_ws(
+        ".",
+        F.floor(F.col("ipnum") / 16777216).cast("long").cast("string"),
+        (F.floor(F.col("ipnum") / 65536).cast("long") % 256).cast("string"),
+        (F.floor(F.col("ipnum") / 256).cast("long") % 256).cast("string"),
+        (F.col("ipnum") % 256).cast("string"),
+    )
+    private = (
+        F.when((F.col("ipnum") >= 167772160) & (F.col("ipnum") < 184549376), 1)
+        .when((F.col("ipnum") >= 2886729728) & (F.col("ipnum") < 2887778304), 1)
+        .when((F.col("ipnum") >= 3232235520) & (F.col("ipnum") < 3232301056), 1)
+        .otherwise(0)
+    )
+    return n.select(
+        "o_orderkey", "ipnum", ipstr.alias("ipstr"), private.alias("is_private")
+    )

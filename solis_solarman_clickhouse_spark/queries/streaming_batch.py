@@ -406,3 +406,85 @@ def stream_stream_interval_join(spark, sf_dir):
         .groupBy(F.col("p_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_view_purchase_pairs"))
     )
+
+
+@query(
+    "stream_sliding_distinct_users",
+    category="streaming",
+    oracle="""
+    WITH e AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS tb, event_type, user_id
+      FROM events
+    ),
+    w AS (
+      SELECT tb AS window_start, event_type, user_id FROM e
+      UNION ALL
+      SELECT tb - INTERVAL '5 minutes' AS window_start, event_type, user_id FROM e
+    )
+    SELECT window_start, event_type,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM w GROUP BY 1, 2
+    """,
+)
+def stream_sliding_distinct_users(spark, sf_dir):
+    """Sliding-window audience count: distinct users per event type in a
+    10-minute window sliding every 5 — the streaming DAU-style panel next
+    to stream_sliding_window's sum/count. Batch-equivalent of the
+    streaming plan (window() + dropDuplicates state); the oracle expands
+    each event into its two member windows explicitly. Spark plans
+    count-distinct as a two-phase Expand + partial agg — the dedup
+    happens map-side per (window, type, user) before the final shuffle,
+    so the wide state never concentrates on one node at scale."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_users")
+    )
+
+
+@query(
+    "stream_window_top_type",
+    category="streaming",
+    oracle="""
+    WITH c AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT window_start, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, event_type ASC) AS rk
+      FROM c
+    )
+    SELECT window_start, event_type AS top_type, n
+    FROM r WHERE rk = 1
+    """,
+)
+def stream_window_top_type(spark, sf_dir):
+    """Per-window winner: the most frequent event type in each 5-minute
+    tumbling window (ties -> lexicographically first type) — the 'what
+    dominated this interval' panel, ClickHouse topK(1) per time bucket.
+    Spelled as max_by over a struct whose ordering encodes the tie-break
+    (count DESC via negation, then type ASC), so it stays ONE hash
+    aggregation — no window-rank pass, no second shuffle; the oracle
+    uses the equivalent row_number()=1 formulation."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.window("ts", "5 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # min_by over (−n, type) == 'highest count, then lowest type'
+    pick = F.min_by(
+        F.struct(F.col("event_type").alias("top_type"), F.col("n").alias("n")),
+        F.struct((-F.col("n")).alias("neg"), F.col("event_type").alias("t")),
+    )
+    return (
+        c.groupBy("w")
+        .agg(pick.alias("p"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("p.top_type").alias("top_type"),
+            F.col("p.n").alias("n"),
+        )
+    )
