@@ -384,3 +384,44 @@ def test_multi_distinct_uses_expand_not_multipass(spark):
     plan = _plan(df)
     assert "Expand" in plan, plan
     assert plan.count("FileScan") == 1 or plan.count("Scan parquet") == 1, plan
+
+
+def test_bm25_broadcasts_df_and_corpus_stats(spark):
+    """doc_bm25_search: term document-frequencies and the 1-row corpus
+    stats must come back as broadcasts — the only shuffle is the
+    (doc, term) partial count; the score join never repartitions the
+    term-frequency side."""
+    plan = _plan(REGISTRY["doc_bm25_search"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_hampel_single_user_exchange(spark):
+    """ts_hampel_outliers: the rolling median and MAD ride ONE user_id
+    window exchange — the deviation array is derived from the collected
+    window array in the same stage, not a second shuffle."""
+    plan = _plan(REGISTRY["ts_hampel_outliers"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_window_top_type_single_aggregation_pass(spark):
+    """stream_window_top_type: the per-window winner is min_by inside the
+    same aggregation pipeline — no Window operator (rank) in the plan."""
+    plan = _plan(REGISTRY["stream_window_top_type"].fn(spark, SF_DIR))
+    assert "Window" not in plan, plan
+
+
+def test_rank_corr_no_hash_exchange_after_ranks(spark):
+    """ch_rank_corr: the two rank windows are the only wide operators —
+    the moment aggregation is a single-row global agg (SinglePartition
+    exchange), never a hash repartition of the ranked rows."""
+    plan = _plan(REGISTRY["ch_rank_corr"].fn(spark, SF_DIR))
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_semantic_text_dedup_broadcasts_shingles(spark):
+    """doc_semantic_text_dedup: both document-shingle sides join into the
+    candidate pairs as broadcasts — the candidate set, not the corpus,
+    drives the lexical comparison."""
+    plan = _plan(REGISTRY["doc_semantic_text_dedup"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 2, plan
