@@ -1134,3 +1134,44 @@ def ch_sparkbar(spark, sf_dir):
             "END))"
         ).alias("bar"),
     )
+
+
+@query(
+    "ch_group_array_last_k",
+    category="funnels",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    )
+    SELECT user_id,
+           list(event_type ORDER BY ts, event_id) AS last5_types,
+           list(event_id ORDER BY ts, event_id) AS last5_ids
+    FROM r WHERE rk <= 5
+    GROUP BY user_id
+    """,
+)
+def ch_group_array_last_k(spark, sf_dir):
+    """ClickHouse ``groupArrayLast(5)(x)`` parity with pinned time order:
+    each user's 5 most recent events, emitted oldest→newest — the
+    'recent activity' strip every behavioral dashboard renders. The
+    row_number cut runs DESC so Spark plans it as WindowGroupLimit
+    (per-partition top-5 heaps before the window sort — no full
+    per-user sort materialization), then the kept quintuple re-sorts
+    ascending inside array_sort on a (ts, event_id, type) struct —
+    tie-broken, deterministic, one user_id exchange end to end."""
+    ev = table(spark, sf_dir, "events")
+    wd = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    kept = (
+        ev.withColumn("rk", F.row_number().over(wd))
+        .where(F.col("rk") <= 5)
+    )
+    pairs = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return kept.groupBy("user_id").agg(
+        F.transform(pairs, lambda s: s["event_type"]).alias("last5_types"),
+        F.transform(pairs, lambda s: s["event_id"]).alias("last5_ids"),
+    )

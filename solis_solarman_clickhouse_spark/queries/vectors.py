@@ -535,3 +535,71 @@ def doc_semantic_text_dedup(spark, sf_dir):
         inter.alias("inter_size"),
         (F.size("sha") + F.size("shb") - inter).alias("union_size"),
     )
+
+
+@query(
+    "vec_centroid_quality",
+    category="vectors",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    exploded AS (
+      SELECT label, UNNEST(generate_series(1, len(v))) - 1 AS dim, UNNEST(v) AS x
+      FROM e
+    ),
+    dimavg AS (SELECT label, dim, AVG(x) AS cx FROM exploded GROUP BY label, dim),
+    cent AS (
+      SELECT label, list(cx ORDER BY dim) AS c FROM dimavg GROUP BY label
+    ),
+    scored AS (
+      SELECT e.label,
+             list_dot_product(e.v, cent.c)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(cent.c, cent.c))) AS cos_to_centroid
+      FROM e JOIN cent USING (label)
+    )
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(MIN(cos_to_centroid), 4) AS min_cos,
+           ROUND(MAX(cos_to_centroid), 4) AS max_cos
+    FROM scored GROUP BY label
+    """,
+)
+def vec_centroid_quality(spark, sf_dir):
+    """Cluster-cohesion report: each embedding's cosine to its own label
+    centroid, summarized per label as (n, min, max) — the compactness
+    check run after any clustering / before using labels as supervision
+    (a low min flags mislabeled or outlier vectors). The centroid is the
+    exact per-dimension mean (same explode→avg→re-collect shape as
+    vec_label_centroids); min/max are order-independent so no decimal
+    machinery is needed beyond the shared dataflow. The 5-row centroid
+    table broadcasts back onto the fact side — the membership join adds
+    no shuffle at any corpus size."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    exploded = emb.select(
+        "label", F.posexplode("v").alias("dim", "x")
+    )
+    dimavg = exploded.groupBy("label", "dim").agg(F.avg("x").alias("cx"))
+    cent = dimavg.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cx"))),
+            lambda s: s["cx"],
+        ).alias("c")
+    )
+    j = emb.join(F.broadcast(cent), "label")
+    dot = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda col: F.sqrt(
+        F.aggregate(F.transform(col, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    scored = j.select(
+        "label",
+        (dot / (norm(F.col("v")) * norm(F.col("c")))).alias("cos_to_centroid"),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("cos_to_centroid"), 4).alias("min_cos"),
+        F.round(F.max("cos_to_centroid"), 4).alias("max_cos"),
+    )

@@ -561,3 +561,53 @@ def window_peer_comparison(spark, sf_dir):
         "event_type",
         (m4 / 10000.0).alias("vs_peers"),
     )
+
+
+@query(
+    "window_groups_frame",
+    category="window",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, date_trunc('hour', ts) AS hr,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, hr, v,
+             DENSE_RANK() OVER (PARTITION BY user_id ORDER BY hr) AS g
+      FROM s
+    )
+    SELECT user_id, event_id, hr,
+           CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY g
+                             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS gsum
+    FROM r
+    """,
+)
+def window_groups_frame(spark, sf_dir):
+    """ANSI ``GROUPS`` frame mode — which neither Spark nor DuckDB
+    implements (Spark: ROWS/RANGE only; DuckDB: parser rejects it): per
+    user, the sum of `value` over the current hour's peer group plus the
+    entire previous peer group. The emulation is exact, not approximate:
+    dense_rank over the order key collapses each peer group to one unit
+    step (hour epochs may have gaps, so the rank — not the hour number —
+    is the axis), turning GROUPS n PRECEDING into RANGE n PRECEDING over
+    the rank; both windows ride the same user_id exchange. Values are
+    exact 2-dp integers, and both engines run the SAME two-window
+    emulation, pinning its semantics cross-engine."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    wrank = W.partitionBy("user_id").orderBy("hr")
+    ranked = s.withColumn("g", F.dense_rank().over(wrank))
+    wg = W.partitionBy("user_id").orderBy("g").rangeBetween(-1, 0)
+    return ranked.select(
+        "user_id",
+        "event_id",
+        "hr",
+        (F.sum("v").over(wg).cast("double") / 100.0).alias("gsum"),
+    )
