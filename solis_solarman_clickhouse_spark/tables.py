@@ -36,17 +36,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown fixture table {name!r}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's reader
-        # rejects. Read the raw int64 nanos (legacy conf, runtime-settable)
-        # and truncate to microseconds with integer division — bit-identical
-        # to how DuckDB's TIMESTAMP_NS → TIMESTAMP truncation sees the data,
-        # so oracle comparisons agree. (ns magnitudes ~1.7e18 overflow a
-        # double, hence `div`, never `/`.)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        # Some fixture generations store ts as TIMESTAMP(NANOS); with
+        # spark.sql.legacy.parquet.nanosAsLong it surfaces as int64 nanos.
+        # Branch on the ACTUAL read type: only convert when ts is a long
+        # (nanos → micros truncation matches DuckDB's TIMESTAMP_NS cast);
+        # the current fixtures are already timestamp[us] and pass through.
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Parquet isAdjustedToUTC=false surfaces as TIMESTAMP_NTZ; the
+            # whole query surface (and unix_micros/epoch fns) expects
+            # TIMESTAMP. Session tz is UTC (session.py), so this cast is
+            # wall-clock-preserving and agrees with DuckDB's naive TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def spread(df: DataFrame, *cols: str) -> DataFrame:
@@ -55,9 +61,19 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     single-row-group parquet → a one-task scan that serializes heavy
     aggregation/expression work on one core). On a well-partitioned input
     (any real multi-file table) this is a no-op — no shuffle at scale.
-    Apply AFTER filters so predicate pushdown still reaches the scan."""
+    Apply AFTER filters so predicate pushdown still reaches the scan.
+
+    Plan-safe heuristic: the local fixtures are one parquet file per table,
+    so ``inputFiles()`` (metadata-only, no physical planning and no ``.rdd``
+    lineage pin) tells us when the scan is file-bound to fewer tasks than
+    cores. Multi-file inputs — any real table at scale — pass through
+    untouched, so this never inserts a shuffle on a production layout."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plan (e.g. post-shuffle) — leave as-is
+        return df
+    if n_files == 0 or n_files >= target:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)
 
