@@ -66,6 +66,8 @@ HEADLINE = [
     "vec_knn_classify",
     "vec_cosine_topk_pandas",
     "mm_payload_exact_dedup",
+    "vec_ann_recall_lsh",
+    "vec_ann_recall_ivf",
 ]
 
 
@@ -87,12 +89,20 @@ def main() -> None:
     # the engine, not the compiler.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
+        # Per-query fault isolation: one broken query must cost only its own
+        # row, never the whole bench (round-1 post-mortem).
         best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
@@ -109,40 +119,44 @@ def main() -> None:
     from solis_solarman_clickhouse_spark.ingest.pipeline import run_batch
     from solis_solarman_clickhouse_spark.ingest.sink import IdempotentParquetSink
 
-    raw = generate_raw_registers(spark, inverters=30, days=14)
-    n_rows = raw.count()
-    # min-of-2 like the queries: a single shot right after the query loop
-    # inherits its GC/page-cache state and has been observed 40% slow.
-    ingest_s = float("inf")
-    for _ in range(2):
-        out = tempfile.mkdtemp(prefix="bench_ingest_")
-        try:
-            t0 = time.perf_counter()
-            run_batch(raw, IdempotentParquetSink(out))
-            ingest_s = min(ingest_s, time.perf_counter() - t0)
-        finally:
-            shutil.rmtree(out, ignore_errors=True)
-    ingest = {
-        "rows": n_rows,
-        "sec": round(ingest_s, 3),
-        "rows_per_sec": round(n_rows / ingest_s),
-    }
-    print(f"# ingest: {n_rows} rows in {ingest_s:.2f}s", file=sys.stderr)
+    try:
+        raw = generate_raw_registers(spark, inverters=30, days=14)
+        n_rows = raw.count()
+        # min-of-2 like the queries: a single shot right after the query loop
+        # inherits its GC/page-cache state and has been observed 40% slow.
+        ingest_s = float("inf")
+        for _ in range(2):
+            out = tempfile.mkdtemp(prefix="bench_ingest_")
+            try:
+                t0 = time.perf_counter()
+                run_batch(raw, IdempotentParquetSink(out))
+                ingest_s = min(ingest_s, time.perf_counter() - t0)
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+        ingest = {
+            "rows": n_rows,
+            "sec": round(ingest_s, 3),
+            "rows_per_sec": round(n_rows / ingest_s),
+        }
+        print(f"# ingest: {n_rows} rows in {ingest_s:.2f}s", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        errors["__ingest__"] = f"{type(exc).__name__}: {exc}"[:300]
+        ingest = None
+        print(f"# ingest: ERROR {errors['__ingest__']}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "queries": timings,
-                "sf": float(sf),
-                "ingest": ingest,
-            }
-        )
-    )
+    out: dict = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": timings,
+        "sf": float(sf),
+        "ingest": ingest,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

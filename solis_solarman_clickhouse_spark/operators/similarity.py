@@ -198,6 +198,96 @@ def ivf_topk(
     )
 
 
+def lsh_multitable_planes(
+    n_tables: int, n_planes: int, dim: int, seed: int = 42
+) -> list[np.ndarray]:
+    """Deterministic hyperplane sets for L-table LSH — one (n_planes, dim)
+    matrix per table, drawn sequentially from a single seeded RandomState so
+    Spark plans and SQL oracles can reproduce identical constants."""
+    rng = np.random.RandomState(seed)
+    return [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
+
+
+def lsh_multitable_buckets(
+    df: DataFrame,
+    *,
+    n_tables: int = 16,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L-table OR-construction LSH: each vector lands in one bucket per
+    table (bucket id namespaced as ``t << n_planes | sign_bits``), emitted
+    as L (vec_id, bucket) rows via a single explode. Only ids travel —
+    the L-way row multiplication never carries the vector payload, so the
+    shuffle cost is L × 16 bytes/vector, not L × the embedding."""
+    planes_by_table = lsh_multitable_planes(n_tables, n_planes, dim, seed)
+    v = F.col(vec_col).cast("array<double>")
+    buckets = []
+    for t, planes in enumerate(planes_by_table):
+        b = F.lit(t << n_planes)
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+            b = b + F.when(_dot(v, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        buckets.append(b)
+    return df.select(F.col(id_col).alias("vec_id"), F.explode(F.array(*buckets)).alias("bucket"))
+
+
+def ann_lsh_multitable_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_tables: int = 16,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with L-table LSH: a pair is a candidate if it
+    collides in ANY table (P[miss] = (1 - p^b)^L). Candidates are
+    deduplicated on (query_id, neighbor_id) BEFORE scoring, then vectors
+    are fetched back by id-join — each surviving pair is scored exactly
+    once, and the exploded bucket stream never carries embeddings.
+    Recall/candidate-fraction tradeoff is quantified by the
+    vec_ann_recall_lsh query."""
+    from pyspark.sql import Window as W
+
+    kw = dict(n_tables=n_tables, n_planes=n_planes, dim=dim, seed=seed,
+              id_col=id_col, vec_col=vec_col)
+    cb = lsh_multitable_buckets(corpus, **kw).withColumnRenamed("vec_id", "neighbor_id")
+    qb = lsh_multitable_buckets(queries, **kw).withColumnRenamed("vec_id", "query_id")
+    cand = (
+        F.broadcast(qb)
+        .join(cb, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn(
+            "cosine", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
