@@ -54,25 +54,19 @@ def shingle_index(
     return out
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, *, k: int = 3, threshold: float = 0.8,
-    text_col: str = "text", id_col: str = "doc_id",
+def exact_jaccard_for_candidates(
+    candidates: DataFrame, idx: DataFrame, *, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs via the shingle inverted index.
-
-    |A∩B| from the index self-join, |A∪B| = |A|+|B|−|A∩B|. Scales as the
-    number of truly-colliding shingles, not |docs|²; at 100 TB the hot
-    shingles (boilerplate) should be frequency-capped — see
-    minhash_lsh_pairs for the sublinear path. The join runs on hashed
-    8-byte shingle keys (see shingle_index docstring for collision math).
-    """
-    idx = shingle_index(docs, k=k, text_col=text_col, id_col=id_col, hashed=True)
+    """Exact Jaccard over a candidate-pair set using the FULL shingle
+    index (verification is never frequency-capped — capping only prunes
+    which pairs get considered, never the similarity arithmetic).
+    |A∩B| via a candidate-restricted index join; |A∪B| = |A|+|B|−|A∩B|."""
     sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-
-    a, b = idx.alias("a"), idx.alias("b")
+    ai, bi = idx.alias("ai"), idx.alias("bi")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        candidates.join(ai, F.col("doc_a") == F.col("ai.doc_id"))
+        .join(bi, (F.col("doc_b") == F.col("bi.doc_id")) & (F.col("ai.shingle") == F.col("bi.shingle")))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
@@ -84,6 +78,69 @@ def ngram_jaccard_pairs(
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, *, k: int = 3, threshold: float = 0.8,
+    text_col: str = "text", id_col: str = "doc_id",
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via the shingle inverted index.
+
+    |A∩B| from the index self-join, |A∪B| = |A|+|B|−|A∩B|. Scales as the
+    number of truly-colliding shingles, not |docs|². The join runs on
+    hashed 8-byte shingle keys (see shingle_index docstring for collision
+    math).
+
+    ``max_df_frac`` is the hot-shingle frequency cap for 100 TB corpora:
+    shingles present in more than that fraction of docs (boilerplate —
+    headers, license blurbs) are dropped from CANDIDATE GENERATION only,
+    so the self-join never explodes on a shingle shared by millions of
+    docs (a shingle in d docs contributes d² join rows). Verification
+    then recomputes exact Jaccard on the UNCAPPED index restricted to the
+    surviving pairs, so every reported pair carries its true Jaccard. The
+    only pairs the cap can lose are those similar EXCLUSIVELY through
+    capped boilerplate; byte-identical docs are caught upstream by
+    exact_dedup. With the cap unset the single-pass uncapped plan runs.
+    """
+    idx = shingle_index(docs, k=k, text_col=text_col, id_col=id_col, hashed=True)
+    if max_df_frac is None:
+        sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+        a, b = idx.alias("a"), idx.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+        jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        return (
+            inter.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter(jac >= threshold)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        )
+
+    # Capped path: doc-frequency per shingle (one groupBy — the index is
+    # already distinct per (doc, shingle)), total doc count as a 1-row
+    # broadcast, then keep only cold shingles for the pair-generating join.
+    n_docs = docs.select(F.countDistinct(F.col(id_col)).alias("_n_docs"))
+    cold = (
+        idx.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("_df") <= F.col("_n_docs") * max_df_frac)
+        .select("shingle")
+    )
+    gen_idx = idx.join(cold, "shingle")
+    a, b = gen_idx.alias("a"), gen_idx.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return exact_jaccard_for_candidates(candidates, idx, threshold=threshold)
 
 
 def minhash_signatures(
@@ -168,25 +225,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification restricted to candidates
+    # exact verification restricted to candidates (never frequency-capped)
     idx = shingle_index(docs, k=k, text_col=text_col, id_col=id_col, hashed=True)
-    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    ai, bi = idx.alias("ai"), idx.alias("bi")
-    inter = (
-        candidates.join(ai, F.col("doc_a") == F.col("ai.doc_id"))
-        .join(bi, (F.col("doc_b") == F.col("bi.doc_id")) & (F.col("ai.shingle") == F.col("bi.shingle")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
-    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    return exact_jaccard_for_candidates(candidates, idx, threshold=threshold)
 
 
 def simhash_fingerprints(

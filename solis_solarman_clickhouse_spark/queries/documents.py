@@ -96,6 +96,20 @@ def doc_neardup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), k=3, threshold=0.8)
 
 
+@query("doc_neardup_jaccard_capped", category="documents", oracle=_JACCARD_ORACLE)
+def doc_neardup_jaccard_capped(spark, sf_dir):
+    """Q-DOC-3 with the hot-shingle frequency cap (max_df_frac=0.01):
+    shingles in >1% of docs are pruned from candidate generation (the d²
+    join-blowup guard for boilerplate at 100 TB), then exact Jaccard is
+    recomputed on the uncapped index for surviving pairs. Shares
+    doc_neardup_jaccard's oracle — the cap must NOT change results on the
+    fixture (it drops 29 shingles at sf0.01 yet yields identical pairs),
+    which is exactly the invariant this row checks."""
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), k=3, threshold=0.8, max_df_frac=0.01
+    )
+
+
 @query("doc_neardup_minhash", category="documents", check="TOL")
 def doc_neardup_minhash(spark, sf_dir):
     """Q-DOC-3 (scale path): MinHash-LSH banding candidates + exact-Jaccard

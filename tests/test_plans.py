@@ -425,3 +425,36 @@ def test_semantic_text_dedup_broadcasts_shingles(spark):
     drives the lexical comparison."""
     plan = _plan(REGISTRY["doc_semantic_text_dedup"].fn(spark, SF_DIR))
     assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_jaccard_capped_prunes_hot_shingles_via_equi_joins(spark):
+    """doc_neardup_jaccard_capped: the hot-shingle cap must appear as a
+    doc-frequency aggregate feeding an EQUI semi-filter on the index (no
+    nested-loop join anywhere except the 1-row doc-count broadcast), and
+    the pair-generating self-join must stay a shingle equi-join."""
+    plan = _plan(REGISTRY["doc_neardup_jaccard_capped"].fn(spark, SF_DIR))
+    # frequency cap: the _df aggregate and the 1-row count broadcast exist
+    assert "_df" in plan, plan
+    assert "_n_docs" in plan, plan
+    # every nested-loop in the plan is the 1-row doc-count broadcast (the
+    # self-join plans that subtree once per side); none may involve data
+    nlj_lines = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert all("_n_docs" in l for l in nlj_lines), plan
+    # candidate generation and verification remain equi-joins on shingle
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_jaccard_capped_equals_uncapped_on_fixture(spark):
+    """The cap (max_df_frac=0.01) drops shingles on the fixture yet must
+    not change the reported pairs — capping prunes candidate generation
+    only; verification recomputes exact Jaccard on the full index."""
+    from solis_solarman_clickhouse_spark.operators.dedup import ngram_jaccard_pairs
+    from solis_solarman_clickhouse_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents")
+    base = {tuple(r) for r in ngram_jaccard_pairs(docs, k=3, threshold=0.8).collect()}
+    capped = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.8, max_df_frac=0.01).collect()
+    }
+    assert capped == base
