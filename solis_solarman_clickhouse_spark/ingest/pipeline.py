@@ -55,3 +55,58 @@ def run_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class GracefulStop:
+    """SIGTERM-driven graceful shutdown, the Spark analogue of the
+    reference's handler (solarman.py:408-421: SIGTERM → stop_event →
+    drain → close clients).
+
+    ``query.stop()`` on a checkpointed foreachBatch stream is safe
+    mid-batch: the in-flight micro-batch either commits (offsets + sink
+    write) or is replayed on restart from the checkpoint — the idempotent
+    sink absorbs the replay, so stop-at-any-point loses nothing. Install
+    BEFORE starting queries; ``wait()`` blocks like the reference's
+    ``await stop_event.wait()``."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._stop = threading.Event()
+        self._queries: list = []
+        self._installed = False
+
+    def register(self, query) -> None:
+        self._queries.append(query)
+
+    def install(self) -> None:
+        """Register the SIGTERM/SIGINT handlers (main thread only — same
+        constraint as the reference's signal.signal)."""
+        import signal
+
+        def handler(_signo, _frame):
+            self.request_stop()
+
+        signal.signal(signal.SIGTERM, handler)
+        signal.signal(signal.SIGINT, handler)
+        self._installed = True
+
+    def request_stop(self) -> None:
+        self._stop.set()
+
+    @property
+    def stopping(self) -> bool:
+        return self._stop.is_set()
+
+    def wait(self, poll_s: float = 1.0) -> None:
+        """Block until a stop is requested (or every registered query
+        terminates on its own), then stop all queries and return."""
+        while not self._stop.is_set():
+            if self._queries and all(not q.isActive for q in self._queries):
+                return
+            self._stop.wait(poll_s)
+        for q in self._queries:
+            if q.isActive:
+                q.stop()
+        for q in self._queries:
+            q.awaitTermination()

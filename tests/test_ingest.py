@@ -166,3 +166,37 @@ def test_clickhouse_sink_sql_surface(spark):
         list(FACT_COLUMNS)[::-1],  # reversed input column order
     )
     assert ordered_for_insert(df).columns == list(FACT_COLUMNS)
+
+
+def test_graceful_stop_drains_and_preserves_sink(spark, raw):
+    """A14 lifecycle parity (solarman.py:408-421): a stop request mid-run
+    stops every registered query, wait() returns, and the checkpointed
+    idempotent sink holds a consistent prefix that a restart completes —
+    stop-at-any-point loses nothing."""
+    import threading
+
+    from solis_solarman_clickhouse_spark.ingest.pipeline import (
+        GracefulStop,
+        run_stream,
+        transform,
+    )
+
+    base = tempfile.mkdtemp(prefix="gstop_")
+    raw_path = os.path.join(base, "raw")
+    raw.write.parquet(raw_path)
+    sink = IdempotentParquetSink(os.path.join(base, "fact"))
+    ckpt = os.path.join(base, "ckpt")
+
+    stopper = GracefulStop()  # no install(): signal handlers need the main
+    q = run_stream(spark, raw_path, sink, ckpt)  # thread; request_stop() is
+    stopper.register(q)  # the handler's body and is thread-safe
+    threading.Timer(0.5, stopper.request_stop).start()
+    stopper.wait(poll_s=0.1)
+    assert not q.isActive
+    assert stopper.stopping
+
+    # restart from the same checkpoint: whatever the stop cut off completes
+    q2 = run_stream(spark, raw_path, sink, ckpt)
+    q2.awaitTermination()
+    expected = transform(spark.read.parquet(raw_path)).count()
+    assert sink.read_table(spark).count() == expected
