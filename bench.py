@@ -68,6 +68,8 @@ HEADLINE = [
     "mm_payload_exact_dedup",
     "vec_ann_recall_lsh",
     "vec_ann_recall_ivf",
+    "doc_neardup_simhash_exact",
+    "doc_neardup_jaccard_capped",
 ]
 
 

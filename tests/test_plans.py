@@ -458,3 +458,17 @@ def test_jaccard_capped_equals_uncapped_on_fixture(spark):
         for r in ngram_jaccard_pairs(docs, k=3, threshold=0.8, max_df_frac=0.01).collect()
     }
     assert capped == base
+
+
+def test_multitable_lsh_explode_carries_ids_only(spark):
+    """ann_lsh_multitable_topk: the L-way bucket explode must emit only
+    (vec_id, bucket) — the embedding payload may never ride through the
+    row multiplication (L x vector bytes would dominate the shuffle at
+    scale). Vectors re-enter later via the id-join fetch."""
+    plan = _plan(REGISTRY["vec_ann_recall_lsh"].fn(spark, SF_DIR))
+    for line in plan.splitlines():
+        if "Generate explode" in line:
+            assert "embedding" not in line.split("[", 1)[-1] or "vec_id" in line, line
+    # the candidate pairs deduplicate before scoring: a distinct aggregate
+    # exists between the bucket join and the cosine computation
+    assert "HashAggregate" in plan
