@@ -36,7 +36,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown fixture table {name!r}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        if name != "events":
+            raise
+        # TIMESTAMP(NANOS) fixtures are unreadable without the legacy conf;
+        # enable it and fall through to the bigint branch below.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     if name == "events":
         # Some fixture generations store ts as TIMESTAMP(NANOS); with
         # spark.sql.legacy.parquet.nanosAsLong it surfaces as int64 nanos.
