@@ -99,8 +99,50 @@ IMAGE_META_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
+        T.StructField("parsed", T.BooleanType()),
     ]
 )
+
+
+def parse_image_header(b: bytes | None) -> tuple[int, int, int] | None:
+    """REAL codec-header parsing, stdlib-only: (width, height, channels)
+    from PNG / JPEG / GIF / BMP headers, None for anything unrecognized.
+    This is the production metadata-extraction path (header-only reads —
+    the same bytes PIL's lazy open inspects); full pixel decode stays
+    behind the ``real=True`` gate because no codec library ships here."""
+    import struct
+
+    if b is None or len(b) < 12:
+        return None
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 26 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        color_type = b[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 3)
+        return w, h, channels
+    if b[:3] == b"\xff\xd8\xff":  # JPEG: walk segments to the first SOFn
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):  # baseline/extended/progressive
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return w, h, b[i + 9]
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if i + 4 > len(b):
+                return None
+            i += 2 + struct.unpack(">H", b[i + 2 : i + 4])[0]
+        return None
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return w, h, 3
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return w, abs(h), 3
+    return None
 
 
 def _fake_image_dims(n_bytes: "pd.Series") -> tuple["pd.Series", "pd.Series"]:
@@ -115,26 +157,40 @@ def _fake_image_dims(n_bytes: "pd.Series") -> tuple["pd.Series", "pd.Series"]:
 
 
 def decode_image_meta(payloads: DataFrame, *, real: bool = False) -> DataFrame:
-    """Extract (width, height, channels) for image payloads via an
-    Arrow-batched mapInPandas stage. `real=True` selects the codec path,
-    which is not available in this environment."""
+    """Extract (width, height, channels, parsed) for image payloads via an
+    Arrow-batched mapInPandas stage. Header parsing is REAL
+    (parse_image_header: PNG/JPEG/GIF/BMP, stdlib struct); payloads with
+    no recognizable codec header — e.g. the synthetic fixtures — fall back
+    to the deterministic stand-in with ``parsed=false``. ``real=True``
+    additionally demands full pixel decode, which needs a codec library
+    this environment doesn't ship."""
     if real:
         raise NotImplementedError(
-            "real image decode needs a codec library (PIL); this environment "
-            "ships none — use real=False for the deterministic stand-in"
+            "full pixel decode needs a codec library (PIL); header parsing "
+            "runs regardless — use real=False"
         )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n_bytes = pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int64")
-            width, height = _fake_image_dims(n_bytes)
+            fw, fh = _fake_image_dims(n_bytes)
+            parsed = pdf["payload"].map(parse_image_header)
+            ok = parsed.notna()
+            width = fw.where(~ok, parsed.map(lambda t: t[0] if t else 0)).astype("int32")
+            height = fh.where(~ok, parsed.map(lambda t: t[1] if t else 0)).astype("int32")
+            channels = (
+                pd.Series([3] * len(pdf))
+                .where(~ok, parsed.map(lambda t: t[2] if t else 3))
+                .astype("int32")
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": n_bytes,
                     "width": width,
                     "height": height,
-                    "channels": pd.Series([3] * len(pdf), dtype="int32"),
+                    "channels": channels,
+                    "parsed": ok.astype("bool"),
                 }
             )
 

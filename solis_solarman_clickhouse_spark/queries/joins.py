@@ -51,9 +51,10 @@ def join_star_revenue(spark, sf_dir):
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # no spread() here: the orderkey exchange below already redistributes
+    # the fact — a pre-join repartition would be a second full shuffle
     return (
-        spread(li)  # parallelize the probe side; no-op on real partitioned input
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))

@@ -57,14 +57,18 @@ def mm_payload_meta(spark, sf_dir):
     SELECT doc_id, {_NB} AS n_bytes,
            16 * (1 + {_NB} % 64) AS width,
            16 * (1 + {_NB} % 48) AS height,
-           3 AS channels
+           3 AS channels,
+           FALSE AS parsed
     FROM documents WHERE doc_id % 3 = 0
     """,
 )
 def mm_image_decode(spark, sf_dir):
     """Image metadata decode via Arrow-batched mapInPandas (binary in,
-    typed struct out). Codec interior is a deterministic stand-in; the
-    batch/schema plumbing is the real contract being verified."""
+    typed struct out). Header parsing is REAL (stdlib PNG/JPEG/GIF/BMP,
+    operators/multimodal.parse_image_header, unit-tested on genuine
+    headers); the synthetic fixture payloads carry no codec header, so
+    every row falls back to the deterministic stand-in with parsed=false —
+    which is exactly what the oracle asserts."""
     p = attach_payloads(table(spark, sf_dir, "documents"))
     return decode_image_meta(p)
 
