@@ -40,13 +40,22 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # Convergence test: labels only ever DECREASE under min-propagation, so
+    # sum(label) is strictly monotone while any node changes — an unchanged
+    # sum IS the fixpoint. One scalar aggregate over the (checkpointed)
+    # label table per round, instead of a self-join + count. Decimal(38,0)
+    # accumulation so 64-bit ids at corpus scale can't overflow the probe.
+    def label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["v"] == labels["node"])
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
             .select(
                 "node",
@@ -56,13 +65,8 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node"), F.col("label").alias("component"))
