@@ -61,6 +61,7 @@ _PRIORITY = [
     "sink_parquet_roundtrip", "sink_idempotent_upsert",
     # -- tier 3: LLM-pipeline flagships --
     "doc_neardup_minhash_exact", "doc_neardup_simhash_exact",
+    "doc_neardup_minhash_recall", "doc_neardup_jaccard_capped",
     "doc_neardup_minhash", "doc_neardup_simhash",
     "vec_ann_lsh", "vec_ann_ivf", "vec_ann_recall_lsh", "vec_ann_recall_ivf",
     "mm_payload_meta", "mm_image_decode", "mm_video_frame_sample",

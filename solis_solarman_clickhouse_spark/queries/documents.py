@@ -188,6 +188,90 @@ def doc_neardup_minhash_exact(spark, sf_dir):
     )
 
 
+def _minhash_recall_oracle(n_hashes: int = 16, bands: int = 8) -> str:
+    """EXACT oracle for MinHash-LSH recall: DuckDB recomputes BOTH the
+    exact-Jaccard ground truth AND the full banded-LSH path (portable md5
+    hash family), then measures recall — the number itself is
+    hash-compared, like vec_ann_recall_lsh's plane-literal twin."""
+    from ..operators.dedup import MINHASH_AB, MINHASH_P
+
+    rows = n_hashes // bands
+    base = f"(('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P})"
+    mins = ", ".join(
+        f"MIN(({a} * {base} + {b}) % {MINHASH_P}) AS g{i}"
+        for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
+    )
+    band_conds = " OR ".join(
+        "(" + " AND ".join(f"a.g{b * rows + r} = b.g{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(generate_series(1, len(ws) - 2),
+                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      FROM w
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b
+      FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+    ),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE {band_conds}
+    ),
+    lsh AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i JOIN cand USING (doc_a, doc_b)
+      JOIN sz sa ON i.doc_a = sa.doc_id JOIN sz sb ON i.doc_b = sb.doc_id
+      WHERE i.c * 5 >= (sa.n + sb.n - i.c) * 4
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(COUNT(l.doc_a) AS BIGINT) AS n_hit,
+           ROUND(COUNT(l.doc_a)::DOUBLE / COUNT(*), 4) AS recall
+    FROM truth t LEFT JOIN lsh l ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+    """
+
+
+@query(
+    "doc_neardup_minhash_recall",
+    category="documents",
+    oracle=_minhash_recall_oracle(),
+)
+def doc_neardup_minhash_recall(spark, sf_dir):
+    """Quantified recall of the MinHash-LSH scale path vs exact-Jaccard
+    ground truth, as an EXACT-oracle NUMBER: DuckDB recomputes both
+    pipelines (portable md5 family) and must land on the identical recall.
+    Expected ~1.0 at j>=0.8 with 16 hashes x 8 bands x 2 rows (per-band
+    collision p = j^2 = 0.64, miss chance (1-0.64)^8 ~ 0.03%); the
+    xxhash64 production variant's recall >=0.9 is separately asserted in
+    tests/test_operators.py::test_minhash_lsh_recall."""
+    docs = table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, k=3, threshold=0.8).select("doc_a", "doc_b")
+    approx = (
+        minhash_pairs_exact(docs, n_hashes=16, bands=8, k=3)
+        .select("doc_a", "doc_b", F.lit(1).alias("hit"))
+    )
+    return truth.join(approx, ["doc_a", "doc_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.count("hit").alias("n_hit"),
+        F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall"),
+    )
+
+
 @query("doc_neardup_simhash", category="documents", check="SMOKE")
 def doc_neardup_simhash(spark, sf_dir):
     """SimHash near-dup: 64-bit fingerprints from per-token hash bit votes,
