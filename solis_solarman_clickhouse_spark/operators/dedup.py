@@ -122,25 +122,54 @@ def ngram_jaccard_pairs(
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         )
 
-    # Capped path: doc-frequency per shingle (one groupBy — the index is
-    # already distinct per (doc, shingle)), total doc count as a 1-row
-    # broadcast, then keep only cold shingles for the pair-generating join.
+    # Capped path. HOT shingles (df > max_df_frac·n_docs) are FEW by
+    # construction — at most total-occurrences/(n_docs·frac) of them — so
+    # the hot set broadcasts. The plan fuses candidate generation with
+    # cold-intersection counting in ONE self-join pass (the same shape as
+    # the uncapped plan, minus the d² blowup shingles), then completes
+    # each candidate's intersection over the tiny hot index only; naively
+    # re-joining candidates against the FULL index instead was measured
+    # 8× slower at sf0.1.
     n_docs = docs.select(F.countDistinct(F.col(id_col)).alias("_n_docs"))
-    cold = (
+    hot = (
         idx.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("_df"))
         .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("_df") <= F.col("_n_docs") * max_df_frac)
+        .filter(F.col("_df") > F.col("_n_docs") * max_df_frac)
         .select("shingle")
     )
-    gen_idx = idx.join(cold, "shingle")
-    a, b = gen_idx.alias("a"), gen_idx.alias("b")
-    candidates = (
+    cold_idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
+    hot_idx = idx.join(F.broadcast(hot), "shingle")
+
+    a, b = cold_idx.alias("a"), cold_idx.alias("b")
+    inter_cold = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_cold"))
     )
-    return exact_jaccard_for_candidates(candidates, idx, threshold=threshold)
+    ha = hot_idx.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("_hs"))
+    hb = hot_idx.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("_hs"))
+    inter_hot = (
+        inter_cold.select("doc_a", "doc_b")
+        .join(F.broadcast(ha), "doc_a")
+        .join(F.broadcast(hb), ["doc_b", "_hs"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_hot"))
+    )
+    inter = (
+        inter_cold.join(inter_hot, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.col("n_cold") + F.coalesce(F.col("n_hot"), F.lit(0)))
+    )
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
 
 
 def minhash_signatures(
