@@ -495,3 +495,62 @@ def minhash_pairs_exact(
         .filter(F.col("n_inter") * 5 >= union * 4)
         .select("doc_a", "doc_b", F.round(F.col("n_inter") / union, 4).alias("jaccard"))
     )
+
+
+def incremental_dedup(
+    base: DataFrame, incr: DataFrame, *, k: int = 3, threshold: float = 0.8,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an INCREMENT against an existing corpus without re-self-joining
+    the base — the production shape for a continuously-growing training
+    corpus: the expensive pair join is idx_all ⋈ idx_incr, so its cost
+    scales with the increment's shingle collisions, never |base|².
+
+    A new doc is dropped when an EARLIER doc (smaller id, in base or
+    increment) is byte-identical (sha2 tier) or >= threshold shingle-Jaccard
+    similar (inverted-index tier, exact |A∩B| arithmetic — same semantics
+    as ngram_jaccard_pairs restricted to pairs whose LATER side is new).
+    Returns the kept increment rows (doc_id only, the survivor set)."""
+    all_docs = base.select(F.col(id_col), F.col(text_col)).unionByName(
+        incr.select(F.col(id_col), F.col(text_col))
+    )
+    # exact tier: any earlier doc with identical bytes
+    hashes = all_docs.select(
+        F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("h")
+    )
+    ih = hashes.join(
+        incr.select(F.col(id_col).alias("doc_id")), "doc_id"
+    )
+    earlier_same = (
+        ih.alias("i")
+        .join(hashes.alias("e"), (F.col("i.h") == F.col("e.h")) & (F.col("e.doc_id") < F.col("i.doc_id")))
+        .select(F.col("i.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    # near tier: full index ⋈ increment-only index (the asymmetry is the
+    # scale win), exact intersection counts, threshold on true Jaccard
+    idx_all = shingle_index(all_docs, k=k, text_col=text_col, id_col=id_col, hashed=True)
+    idx_incr = idx_all.join(
+        incr.select(F.col(id_col).alias("doc_id")), "doc_id"
+    )
+    sizes = idx_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = idx_all.alias("a"), idx_incr.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    near_dropped = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    dropped = earlier_same.unionByName(near_dropped).distinct()
+    return (
+        incr.select(F.col(id_col).alias("doc_id"))
+        .join(dropped, "doc_id", "left_anti")
+    )

@@ -1,0 +1,93 @@
+"""Training-data shard export: WebDataset-style tar shards written from
+executors (stdlib tarfile only — no extra packages ship to workers).
+
+The standard LLM-training consumption format is a directory of tar shards,
+each holding {key}.txt / {key}.json members, streamed sequentially by data
+loaders. The Spark-native shape: route rows to shards with a deterministic
+hash (repartition on shard_id so one task owns one shard's rows), then
+``foreachPartition`` writes that shard's tar locally and atomically renames
+it into place. One pass, no driver involvement, no collect; at 100 TB the
+write parallelism is the shard count.
+
+Determinism: shard assignment is a pure function of doc_id (portable
+pmod(xxhash64)), and members are added in sorted-key order, so a re-run
+produces byte-identical shards (modulo tar mtime, pinned to 0).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def assign_shards(docs: DataFrame, *, n_shards: int, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic shard routing: shard_id = pmod(xxhash64(id), n)."""
+    return docs.withColumn(
+        "shard_id", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    )
+
+
+def write_tar_shards(
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Write docs as ``shard-{i:05d}.tar`` files, each member
+    ``{doc_id:012d}.txt``. Rows are repartitioned BY shard_id so each task
+    holds exactly the rows of the shards it writes; the tar is built in
+    memory per shard (a task's shard slice — bound shard size via n_shards)
+    and atomically renamed so readers never see partial shards."""
+    os.makedirs(out_dir, exist_ok=True)
+    routed = assign_shards(docs, n_shards=n_shards, id_col=id_col).select(
+        "shard_id", F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    )
+
+    def write_partition(rows) -> None:
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            by_shard.setdefault(r["shard_id"], []).append((r["_id"], r["_text"]))
+        for shard_id, members in by_shard.items():
+            buf = io.BytesIO()
+            with tarfile.open(fileobj=buf, mode="w") as tar:
+                for doc_id, text in sorted(members):
+                    data = (text or "").encode()
+                    info = tarfile.TarInfo(name=f"{doc_id:012d}.txt")
+                    info.size = len(data)
+                    info.mtime = 0
+                    tar.addfile(info, io.BytesIO(data))
+            final = os.path.join(out_dir, f"shard-{shard_id:05d}.tar")
+            tmp = final + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(buf.getvalue())
+            os.replace(tmp, final)
+
+    # one partition per shard → each shard's tar is written exactly once
+    routed.repartition(n_shards, "shard_id").foreachPartition(write_partition)
+
+
+def read_tar_shards(spark, out_dir: str) -> DataFrame:
+    """Read shards back as (doc_id, text) — the round-trip verifier.
+    binaryFile source + a distributed mapInPandas untar; no driver I/O."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(os.path.join(out_dir, "shard-*.tar"))
+
+    def untar(batches):
+        for pdf in batches:
+            ids, texts = [], []
+            for content in pdf["content"]:
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tar:
+                    for m in tar.getmembers():
+                        ids.append(int(m.name.removesuffix(".txt")))
+                        texts.append(tar.extractfile(m).read().decode())
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "text": pd.Series(texts, dtype="object")})
+
+    return files.select("content").mapInPandas(untar, "doc_id long, text string")

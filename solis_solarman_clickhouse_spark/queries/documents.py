@@ -272,6 +272,62 @@ def doc_neardup_minhash_recall(spark, sf_dir):
     )
 
 
+_INCR_SPLIT = 400  # doc_id < 400 = existing corpus, >= 400 = new increment
+
+_INCR_DEDUP_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(generate_series(1, len(ws) - 2),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM w
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE b.doc_id >= {_INCR_SPLIT}
+  GROUP BY 1, 2
+),
+near_dropped AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+),
+exact_dropped AS (
+  SELECT DISTINCT i.doc_id
+  FROM documents i JOIN documents e
+    ON i.text = e.text AND e.doc_id < i.doc_id
+  WHERE i.doc_id >= {_INCR_SPLIT}
+)
+SELECT doc_id FROM documents
+WHERE doc_id >= {_INCR_SPLIT}
+  AND doc_id NOT IN (SELECT doc_id FROM near_dropped)
+  AND doc_id NOT IN (SELECT doc_id FROM exact_dropped)
+"""
+
+
+@query("doc_incremental_dedup", category="documents", oracle=_INCR_DEDUP_ORACLE)
+def doc_incremental_dedup(spark, sf_dir):
+    """Incremental dedup — the production shape for a continuously-growing
+    corpus: the new batch (doc_id >= 400) dedups against the existing
+    corpus WITHOUT re-self-joining the base. The pair join is
+    idx_all ⋈ idx_increment, so cost scales with the increment's shingle
+    collisions, never |base|²; semantics (exact sha2 tier + >=0.8
+    shingle-Jaccard tier, earlier-id wins) match running the full-corpus
+    dedup and keeping the increment's survivors, which is what the oracle
+    computes."""
+    from ..operators.dedup import incremental_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < _INCR_SPLIT)
+    incr = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+    return incremental_dedup(base, incr, k=3, threshold=0.8)
+
+
 @query("doc_neardup_simhash", category="documents", check="SMOKE")
 def doc_neardup_simhash(spark, sf_dir):
     """SimHash near-dup: 64-bit fingerprints from per-token hash bit votes,

@@ -168,3 +168,25 @@ def sql_ddl_roundtrip(spark, sf_dir):
         ).localCheckpoint(eager=True)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+_TAR_ORACLE = """
+SELECT doc_id, LENGTH(text) AS n_chars FROM documents
+"""
+
+
+@query("sink_tar_shards", category="sink", oracle=_TAR_ORACLE)
+def sink_tar_shards(spark, sf_dir):
+    """Training-data shard export round-trip: docs → deterministic-hash
+    shard routing → per-shard tar written on executors (stdlib tarfile,
+    WebDataset-style {doc_id}.txt members, atomic rename) → distributed
+    untar re-read. The oracle checks the round-trip is lossless: every
+    (doc_id, n_chars) survives. The export itself is the point — tar
+    shards are the standard LLM data-loader input format."""
+    from ..operators.shards import read_tar_shards, write_tar_shards
+
+    docs = table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="tar_shards_"), "shards")
+    write_tar_shards(docs, out, n_shards=8)
+    back = read_tar_shards(spark, out)
+    return back.select("doc_id", F.length("text").alias("n_chars"))

@@ -356,3 +356,58 @@ def test_lttb_invariants(spark):
         assert ends[k][0] in tss and ends[k][1] in tss, k
     again = sorted((r["user_id"], r["ts"]) for r in REGISTRY["ts_lttb_downsample"].fn(spark, SF_DIR).collect())
     assert again == sorted((r["user_id"], r["ts"]) for r in rows)
+
+
+def test_incremental_dedup_equals_full_dedup_survivors(spark):
+    """Incremental dedup of a batch against the base must equal running
+    full-corpus dedup and keeping the increment's survivors — the
+    asymmetric index join changes cost, never semantics."""
+    from solis_solarman_clickhouse_spark.operators.dedup import (
+        exact_dedup,
+        incremental_dedup,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    split = 400
+    base = docs.filter(F.col("doc_id") < split)
+    incr = docs.filter(F.col("doc_id") >= split)
+    got = {r["doc_id"] for r in incremental_dedup(base, incr, k=3, threshold=0.8).collect()}
+
+    # reference: full-corpus pairs + exact groups, survivors = increment
+    # docs with no earlier similar/identical partner
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8).collect()
+    dropped = {r["doc_b"] for r in pairs if r["doc_b"] >= split}
+    for r in exact_dedup(docs).collect():
+        pass  # exact groups keyed by hash; recompute via texts below
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for did, text in texts.items():
+        if did >= split and any(t == text and d < did for d, t in texts.items()):
+            dropped.add(did)
+    expected = {d for d in texts if d >= split} - dropped
+    assert got == expected
+
+
+def test_tar_shards_deterministic_and_complete(spark, tmp_path):
+    """Shard export: every doc lands in exactly one shard, member order is
+    sorted, and a re-run produces byte-identical tar files."""
+    import hashlib
+    import os
+
+    from solis_solarman_clickhouse_spark.operators.shards import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_tar_shards(docs, out1, n_shards=4)
+    write_tar_shards(docs, out2, n_shards=4)
+    files1 = sorted(os.listdir(out1))
+    assert files1 == sorted(os.listdir(out2)) == [f"shard-{i:05d}.tar" for i in range(4)]
+    for f in files1:
+        h1 = hashlib.sha256(open(os.path.join(out1, f), "rb").read()).hexdigest()
+        h2 = hashlib.sha256(open(os.path.join(out2, f), "rb").read()).hexdigest()
+        assert h1 == h2, f"{f} not byte-identical across runs"
+    back = read_tar_shards(spark, out1)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
