@@ -157,3 +157,43 @@ def test_foreach_batch_posts_all_rows_from_executors(spark, mock_ch):
         got.extend(json.loads(line) for line in body.decode().splitlines())
     assert sorted(r["inverter"] for r in got) == sorted(r["inverter"] for r in rows)
     assert all(list(r) == list(FACT_COLUMNS) for r in got)
+
+
+def test_streaming_foreachbatch_to_http_sink(spark, mock_ch, tmp_path):
+    """A11/A12 end-to-end: a Structured Streaming query posts every
+    micro-batch to the ClickHouse HTTP endpoint via foreachBatch — the
+    full reference dataflow (poll -> decode -> derive -> insert) with the
+    queue/retry machinery replaced by triggers + the partition retry
+    loop. All derived fact rows must land on the mock server."""
+    from solis_solarman_clickhouse_spark.ingest.fixture import generate_raw_registers
+    from solis_solarman_clickhouse_spark.ingest.pipeline import transform
+
+    server = mock_ch()
+    raw = generate_raw_registers(spark, inverters=2, days=1)
+    raw_path = str(tmp_path / "raw")
+    raw.write.parquet(raw_path)
+    expected = transform(spark.read.parquet(raw_path)).count()
+
+    settings = _settings(server)
+    schema = spark.read.parquet(raw_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(raw_path)
+    )
+    q = (
+        transform(stream)
+        .writeStream.foreachBatch(
+            lambda df, bid: write_batch_http(df, bid, settings=settings)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    landed = []
+    for _, body in server.requests:
+        landed.extend(json.loads(line) for line in body.decode().splitlines())
+    assert len(landed) == expected
+    assert all(list(r) == list(FACT_COLUMNS) for r in landed)
