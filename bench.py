@@ -70,6 +70,9 @@ HEADLINE = [
     "vec_ann_recall_ivf",
     "doc_neardup_simhash_exact",
     "doc_neardup_jaccard_capped",
+    "doc_neardup_minhash_recall",
+    "doc_incremental_dedup",
+    "sink_tar_shards",
 ]
 
 

@@ -91,3 +91,27 @@ def read_tar_shards(spark, out_dir: str) -> DataFrame:
                                 "text": pd.Series(texts, dtype="object")})
 
     return files.select("content").mapInPandas(untar, "doc_id long, text string")
+
+
+def compact_table(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    target_rows_per_file: int = 1_000_000,
+    sort_cols: tuple[str, ...] = (),
+) -> None:
+    """Small-file compaction: rewrite a table into ~target-size files —
+    the standard maintenance pass after streaming ingest lands thousands
+    of per-trigger files (the micro-batch analogue of ClickHouse's
+    background merges, tables.sql:32's MergeTree behavior).
+
+    Plan shape: one count (metadata-cheap on parquet via statistics),
+    coalesce/repartition to ceil(rows/target) output tasks, optional
+    sortWithinPartitions so downstream scans keep min/max pruning. No
+    driver-side data movement."""
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    out = df.repartition(n_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(out_dir)

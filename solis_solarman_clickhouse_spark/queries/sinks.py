@@ -190,3 +190,31 @@ def sink_tar_shards(spark, sf_dir):
     write_tar_shards(docs, out, n_shards=8)
     back = read_tar_shards(spark, out)
     return back.select("doc_id", F.length("text").alias("n_chars"))
+
+
+_COMPACT_ORACLE = """
+SELECT doc_id, n_chars FROM documents
+"""
+
+
+@query("sink_compact_small_files", category="sink", oracle=_COMPACT_ORACLE)
+def sink_compact_small_files(spark, sf_dir):
+    """Small-file compaction round-trip: fragment documents into one file
+    per ~40 rows (simulating per-trigger streaming landings), compact to
+    target-sized sorted files, re-read. Oracle asserts losslessness; the
+    file-count collapse and sorted layout are asserted in
+    tests/test_operators.py. The micro-batch analogue of MergeTree's
+    background merges (tables.sql:32)."""
+    import tempfile
+
+    from ..operators.shards import compact_table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    base = tempfile.mkdtemp(prefix="compact_")
+    frag, out = os.path.join(base, "frag"), os.path.join(base, "compacted")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)  # the small-file mess
+    compact_table(
+        spark.read.parquet(frag), out,
+        target_rows_per_file=100_000, sort_cols=("doc_id",),
+    )
+    return spark.read.parquet(out).select("doc_id", F.length("text").alias("n_chars"))

