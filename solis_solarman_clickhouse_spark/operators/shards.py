@@ -77,7 +77,11 @@ def read_tar_shards(spark, out_dir: str) -> DataFrame:
     binaryFile source + a distributed mapInPandas untar; no driver I/O."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(os.path.join(out_dir, "shard-*.tar"))
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.tar")
+        .load(out_dir)
+    )
 
     def untar(batches):
         for pdf in batches:
@@ -115,3 +119,47 @@ def compact_table(
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     out.write.mode("overwrite").parquet(out_dir)
+
+
+def zorder_layout(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    cols: tuple[str, str],
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Z-order (Morton-curve) layout for TWO-dimensional data skipping —
+    what a linear sort can't give: `sortWithinPartitions(a, b)` prunes
+    scans filtered on `a`, but filters on `b` alone hit every file. The
+    Z-curve interleaves the bit patterns of both columns' RANKS, so files
+    cover compact rectangles of (a, b) space and parquet min/max stats
+    prune on EITHER column.
+
+    All expression-level (JVM, codegen): percent_rank per column →
+    bits-bit integer grid cell → bit interleave via shift/or fold →
+    repartitionByRange + sortWithinPartitions on the z-value. The two
+    rank windows are the only wide operators; at 100 TB replace
+    percent_rank with approx-quantile bucket bounds computed on a sample
+    (one pass) to avoid global windows."""
+    from pyspark.sql import Window as W
+
+    a, b = cols
+    ra = F.percent_rank().over(W.orderBy(F.col(a)))
+    rb = F.percent_rank().over(W.orderBy(F.col(b)))
+    ga = F.least(F.floor(ra * (1 << bits)), F.lit((1 << bits) - 1)).cast("long")
+    gb = F.least(F.floor(rb * (1 << bits)), F.lit((1 << bits) - 1)).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(ga, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+            .bitwiseOR(F.shiftleft(F.shiftright(gb, i).bitwiseAND(F.lit(1)), 2 * i))
+        )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )

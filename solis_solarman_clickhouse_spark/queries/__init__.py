@@ -63,6 +63,7 @@ _PRIORITY = [
     "doc_neardup_minhash_exact", "doc_neardup_simhash_exact",
     "doc_neardup_minhash_recall", "doc_neardup_jaccard_capped",
     "doc_incremental_dedup", "sink_tar_shards", "sink_compact_small_files",
+    "sink_zorder_layout",
     "doc_neardup_minhash", "doc_neardup_simhash",
     "vec_ann_lsh", "vec_ann_ivf", "vec_ann_recall_lsh", "vec_ann_recall_ivf",
     "mm_payload_meta", "mm_image_decode", "mm_video_frame_sample",

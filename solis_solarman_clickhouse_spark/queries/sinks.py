@@ -218,3 +218,22 @@ def sink_compact_small_files(spark, sf_dir):
         target_rows_per_file=100_000, sort_cols=("doc_id",),
     )
     return spark.read.parquet(out).select("doc_id", F.length("text").alias("n_chars"))
+
+
+@query("sink_zorder_layout", category="sink", oracle="""
+SELECT event_id, user_id FROM events
+""")
+def sink_zorder_layout(spark, sf_dir):
+    """Z-order (Morton-curve) layout round-trip: events rewritten along the
+    interleaved (user_id, value) curve, re-read losslessly. The layout's
+    point — parquet min/max pruning on EITHER column, where a linear sort
+    prunes only its leading column — is measured in
+    tests/test_metrics.py::test_zorder_layout_prunes_on_both_columns."""
+    import tempfile
+
+    from ..operators.shards import zorder_layout
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = os.path.join(tempfile.mkdtemp(prefix="zorder_"), "z")
+    zorder_layout(ev, out, cols=("user_id", "value"), n_files=16)
+    return spark.read.parquet(out).select("event_id", "user_id")

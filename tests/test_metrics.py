@@ -86,3 +86,37 @@ def test_sorted_layout_skips_row_groups(spark, tmp_path):
         spark.conf.set("spark.sql.parquet.filterPushdown", before)
     assert mu["scan_rows"] == n_total, mu
     assert m["scan_rows"] < mu["scan_rows"]
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
+    """Z-order vs linear sort, measured at the parquet reader: the linear
+    (user_id, value)-sorted layout prunes filters on user_id but scans
+    everything for a value-only filter; the Z-ordered layout skips row
+    groups for BOTH single-column filters."""
+    from solis_solarman_clickhouse_spark.operators.shards import zorder_layout
+
+    ev = table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    n_total = ev.count()
+
+    linear, zpath = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id", "value")
+        .write.mode("overwrite").parquet(linear)
+    )
+    zorder_layout(ev, zpath, cols=("user_id", "value"), n_files=16)
+
+    lo_user = F.col("user_id") < 3  # fixture ids span 0..14
+    lo_value = F.col("value") < 5.0  # ~p10 of the value distribution
+
+    def scan_rows(path, cond):
+        return run_with_metrics(spark.read.parquet(path).filter(cond))["scan_rows"]
+
+    # both layouts prune the user_id filter
+    assert scan_rows(linear, lo_user) < n_total
+    assert scan_rows(zpath, lo_user) < n_total
+    # only the Z-order layout prunes the value-only filter
+    assert scan_rows(linear, lo_value) == n_total
+    assert scan_rows(zpath, lo_value) < n_total
+    # and the z layout is lossless
+    assert spark.read.parquet(zpath).count() == n_total
