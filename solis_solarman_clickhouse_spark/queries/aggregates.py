@@ -1256,3 +1256,70 @@ def ch_kolmogorov_smirnov(spark, sf_dir):
             4,
         ).alias("d_stat"),
     )
+
+
+@query(
+    "ch_anova",
+    category="ch-analytics",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v100
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(v100 AS DECIMAL(38,0))) AS BIGINT) AS s,
+             CAST(SUM(CAST(v100 * v100 AS DECIMAL(38,0))) AS BIGINT) AS q
+      FROM v GROUP BY event_type
+    ),
+    arr AS (
+      SELECT list_sort(list({'t': event_type, 'n': n, 's': s, 'q': q})) AS gs FROM g
+    ),
+    m AS (
+      SELECT len(gs) AS k,
+             list_reduce(list_transform(gs, x -> x.n), (a, b) -> a + b) AS n,
+             list_reduce(list_transform(gs, x -> x.s), (a, b) -> a + b) AS s,
+             list_reduce(list_transform(gs, x -> x.q), (a, b) -> a + b) AS q,
+             list_reduce(list_transform(gs, x -> x.s::DOUBLE * x.s / x.n),
+                         (a, b) -> a + b) AS sb_part
+      FROM arr
+    )
+    SELECT k, n,
+           ROUND(((sb_part - s::DOUBLE * s / n) / (k - 1))
+                 / ((q - sb_part) / (n - k)), 4) AS f_stat
+    FROM m
+    """,
+)
+def ch_anova(spark, sf_dir):
+    """One-way ANOVA F-statistic across event types (ClickHouse
+    analysisOfVariance parity). 2-dp values scale to exact BIGINT
+    moments per group; the cross-group reductions run as ORDER-PINNED
+    sequential folds over a sorted struct array (F.aggregate ==
+    list_reduce), so the double arithmetic happens in the identical
+    order on both engines — the same determinism idiom as
+    ts_ema_bounded / ch_rank_corr."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v100 = F.round(F.col("value") * 100).cast("long")
+    g = ev.select("event_type", v100.alias("v100")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v100").cast(T.DecimalType(38, 0))).cast("long").alias("s"),
+        F.sum((F.col("v100") * F.col("v100")).cast(T.DecimalType(38, 0)))
+        .cast("long")
+        .alias("q"),
+    )
+    arr = g.agg(
+        F.array_sort(F.collect_list(F.struct("event_type", "n", "s", "q"))).alias("gs")
+    )
+    fold = lambda expr: F.aggregate(expr, F.lit(0.0), lambda a, b: a + b)  # noqa: E731
+    gs = F.col("gs")
+    k = F.size(gs)
+    n = fold(F.transform(gs, lambda x: x["n"].cast("double"))).cast("long")
+    s = fold(F.transform(gs, lambda x: x["s"].cast("double")))
+    q = fold(F.transform(gs, lambda x: x["q"].cast("double")))
+    sb_part = fold(F.transform(gs, lambda x: x["s"].cast("double") * x["s"] / x["n"]))
+    ssb = (sb_part - s * s / n) / (k - 1)
+    ssw = (q - sb_part) / (n - k)
+    return arr.select(
+        k.alias("k"), n.alias("n"), F.round(ssb / ssw, 4).alias("f_stat")
+    )
