@@ -358,3 +358,73 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def semdedup_bucketed(
+    corpus: DataFrame,
+    *,
+    tau: float = 0.45,
+    n_tables: int = 4,
+    n_planes: int = 3,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style embedding dedup (Abbas et al. 2023: partition the
+    embedding space, compare pairs only WITHIN a partition, drop all but
+    one of each semantic-duplicate group). The space partitioner here is
+    L-table hyperplane LSH instead of k-means so the whole path — bucket
+    assignment, candidate pairs, cosine cut, keeper policy — is
+    reproducible from literal constants by an ANSI-SQL oracle.
+
+    Scale shape: the only non-broadcast joins are (a) the bucket
+    self-equi-join that carries (id, bucket) rows only — L x 16 bytes per
+    vector, never the embedding payload — and (b) two id-equi-joins that
+    fetch vectors back for exactly the deduplicated candidate set. No
+    all-pairs stage exists anywhere; cost scales with collision density
+    (sum of per-bucket pair counts), which the table/plane counts tune.
+    Keeper policy is deterministic min-id: a vector is dropped iff some
+    LOWER-id vector shares a bucket (any table) at cosine >= tau, so the
+    survivor set is unique regardless of partitioning or join order.
+
+    Returns one row per corpus vector: (vec_id, is_kept, witness_id,
+    n_dups) where witness_id = the smallest lower-id duplicate for
+    dropped rows (NULL when kept) and n_dups = how many lower-id
+    duplicates nominated the drop."""
+    kw = dict(n_tables=n_tables, n_planes=n_planes, dim=dim, seed=seed,
+              id_col=id_col, vec_col=vec_col)
+    b = lsh_multitable_buckets(corpus, **kw)
+    lo = b.withColumnRenamed("vec_id", "vec_a")
+    hi = b.withColumnRenamed("vec_id", "vec_b")
+    cand = (
+        lo.join(hi, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("vec_a"),
+                       F.col(vec_col).cast("array<double>").alias("ea"))
+    vb = corpus.select(F.col(id_col).alias("vec_b"),
+                       F.col(vec_col).cast("array<double>").alias("eb"))
+    dup = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn(
+            "cosine",
+            _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+        )
+        .filter(F.col("cosine") >= tau)
+        .groupBy(F.col("vec_b").alias("vec_id"))
+        .agg(F.min("vec_a").alias("witness_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("vec_id"))
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("witness_id").isNull().alias("is_kept"),
+            "witness_id",
+            F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+        )
+    )

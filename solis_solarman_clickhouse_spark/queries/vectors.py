@@ -735,3 +735,72 @@ def vec_centroid_quality(spark, sf_dir):
         F.round(F.min("cos_to_centroid"), 4).alias("min_cos"),
         F.round(F.max("cos_to_centroid"), 4).alias("max_cos"),
     )
+
+
+def _semdedup_oracle(n_tables: int, n_planes: int, dim: int, seed: int, tau: float) -> str:
+    """ANSI-SQL twin of semdedup_bucketed: the plane constants are inlined
+    as literals so DuckDB reproduces bucket assignment, candidate pairs,
+    the cosine cut, and the min-id keeper policy bit-for-bit."""
+    from ..operators.similarity import lsh_multitable_planes
+
+    rows = []
+    for t, planes in enumerate(lsh_multitable_planes(n_tables, n_planes, dim, seed)):
+        for p in range(n_planes):
+            vals = ", ".join(repr(float(x)) for x in planes[p])
+            rows.append(f"({t}, {p}, [{vals}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+WITH planes(tbl, pid, plane) AS (VALUES
+{values}
+),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+buckets AS (
+  SELECT vec_id,
+         (tbl * {1 << n_planes})
+           + SUM(CASE WHEN list_dot_product(e, plane) > 0 THEN 1 << pid ELSE 0 END) AS bucket
+  FROM emb CROSS JOIN planes
+  GROUP BY vec_id, tbl
+),
+cand AS (
+  SELECT DISTINCT lo.vec_id AS vec_a, hi.vec_id AS vec_b
+  FROM buckets lo JOIN buckets hi USING (bucket)
+  WHERE lo.vec_id < hi.vec_id
+),
+dup AS (
+  SELECT c.vec_b AS vec_id, MIN(c.vec_a) AS witness_id,
+         CAST(COUNT(*) AS BIGINT) AS n_dups
+  FROM cand c
+  JOIN emb a ON a.vec_id = c.vec_a
+  JOIN emb b ON b.vec_id = c.vec_b
+  WHERE list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= {tau!r}
+  GROUP BY c.vec_b
+)
+SELECT e.vec_id,
+       d.witness_id IS NULL AS is_kept,
+       d.witness_id,
+       COALESCE(d.n_dups, 0) AS n_dups
+FROM emb e LEFT JOIN dup d ON e.vec_id = d.vec_id
+"""
+
+
+@query(
+    "vec_semdedup",
+    category="vectors",
+    oracle=_semdedup_oracle(n_tables=4, n_planes=3, dim=64, seed=7, tau=0.45),
+)
+def vec_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) re-expressed Spark-first: partition
+    the embedding space (here literal-hyperplane LSH so the oracle can
+    replay it; k-means in vec_ann_ivf is the swap-in), compare cosine
+    only WITHIN partitions, and drop every vector that has a lower-id
+    duplicate at cosine >= 0.45 (threshold calibrated to the synthetic
+    near-orthogonal fixtures, like vec_neardup_cosine). One row per
+    corpus vector with the keep/drop verdict and the dropping witness —
+    the semantic-dedup tier of the training-data funnel. EXACT oracle:
+    DuckDB recomputes the whole approximate pipeline from the same plane
+    constants, not just the final counts."""
+    from ..operators.similarity import semdedup_bucketed
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semdedup_bucketed(emb, tau=0.45, n_tables=4, n_planes=3, dim=64, seed=7)
