@@ -1622,3 +1622,92 @@ def doc_bm25_search(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+_DUP_SPAN_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+g AS (
+  SELECT doc_id, pos - 1 AS pos,
+         substr(md5(array_to_string(list_slice(t, pos, pos + 7), ' ')), 1, 16) AS h
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(t) - 7)) AS pos) s
+  WHERE len(t) >= 8
+),
+dupg AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT g.doc_id, u.tok
+  FROM g JOIN dupg USING (h),
+       LATERAL (SELECT UNNEST(generate_series(g.pos, g.pos + 7)) AS tok) u
+),
+ncov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered FROM cov GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(n.n_covered, 0) AS n_covered,
+       ROUND(COALESCE(n.n_covered, 0) * 1.0 / b.n_tokens, 4) AS dup_coverage,
+       COALESCE(n.n_covered, 0) * 2 <= b.n_tokens AS keep
+FROM base b LEFT JOIN ncov n USING (doc_id)
+"""
+
+
+@query("doc_dup_span_coverage", category="documents", oracle=_DUP_SPAN_ORACLE)
+def doc_dup_span_coverage(spark, sf_dir):
+    """Duplicated-span coverage filter — the n-gram-granular stand-in for
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a token position is
+    'duplicated' when some 8-gram window containing it also appears in
+    ANOTHER document; docs whose duplicated coverage exceeds 50% are
+    dropped. Unlike whole-doc Jaccard this catches boilerplate spans
+    pasted into otherwise-unique documents.
+
+    Scale shape: one explode to 8-gram rows carrying (doc_id, pos,
+    16-hex-char md5 of the gram) — never the gram text; document
+    frequency is one groupBy on that fixed-width key (map-side
+    combinable); covered positions re-explode ONLY grams that proved
+    duplicated (bounded 8x on the duplicated subset, not the corpus).
+    The keep verdict is integer arithmetic (2*covered <= tokens), no
+    float compare. md5 is the portable-oracle stand-in for xxhash64 —
+    the one-line swap for production. Reference delegates all analytics
+    to ClickHouse (solarman.py:192-225); this family is the engine's
+    training-data surface beyond that."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    toks = docs.select("doc_id", t.alias("t"), F.size(t).cast("long").alias("n_tokens"))
+    grams = (
+        toks.where(F.col("n_tokens") >= 8)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), (F.col("n_tokens") - 7).cast("int")),
+                    lambda i: F.substring(
+                        F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, 8))), 1, 16
+                    ),
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    dupg = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("h")
+    )
+    cov = (
+        grams.join(dupg, "h")
+        .select("doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("tok"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_covered"))
+    )
+    return (
+        toks.select("doc_id", "n_tokens")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_covered", F.lit(0)).alias("n_covered"),
+            F.round(F.coalesce("n_covered", F.lit(0)) * 1.0 / F.col("n_tokens"), 4).alias(
+                "dup_coverage"
+            ),
+            (F.coalesce("n_covered", F.lit(0)) * 2 <= F.col("n_tokens")).alias("keep"),
+        )
+    )
