@@ -1091,3 +1091,146 @@ def ts_hampel_outliers(spark, sf_dir):
         (m.cast("double") / 100.0).alias("rolling_median"),
         (F.col("d").cast("double") / 100.0).alias("rolling_mad"),
     )
+
+
+@query(
+    "ts_holt_forecast",
+    category="timeseries",
+    oracle="""
+    WITH ar AS (
+      SELECT user_id, event_id, ts,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS a
+      FROM events
+    ),
+    st AS (
+      SELECT user_id, event_id, ts,
+             list_reduce(
+               list_transform(a, x -> [x, 0.0]),
+               (acc, x) -> [
+                 0.4 * x[1] + 0.6 * (acc[1] + acc[2]),
+                 0.3 * (0.4 * x[1] + 0.6 * (acc[1] + acc[2]) - acc[1]) + 0.7 * acc[2]
+               ]) AS lb
+      FROM ar
+    )
+    SELECT user_id, event_id, ts,
+           ROUND(lb[1], 4) AS level,
+           ROUND(lb[2], 4) AS trend,
+           ROUND(lb[1] + 5 * lb[2], 4) AS forecast_5
+    FROM st
+    """,
+)
+def ts_holt_forecast(spark, sf_dir):
+    """Holt's linear-trend double exponential smoothing (alpha=0.4,
+    beta=0.3) over each reading's trailing 20-sample window, plus the
+    5-step-ahead forecast l + 5b — the next tier above ts_ema_bounded
+    when the series has drift (a degrading inverter's declining output
+    trends; a flat EMA lags it). The coupled level/trend recursion has no
+    prefix-sum identity, so it runs as a SEQUENTIAL left fold over the
+    frame list with a 2-element [level, trend] accumulator: F.aggregate
+    and DuckDB list_reduce add in the identical order on identical
+    doubles, so the floats are bit-equal (same discipline as
+    ts_ema_bounded / ts_anomaly_zscore). DuckDB's list_reduce seeds with
+    the first element, so values are lifted to [x, 0.0] pairs and Spark
+    mirrors that seed with zero=[a[0], 0.0] folding a[2:]. Bounded frame
+    = bounded state: the fold is O(20) per row at any corpus size, and
+    the only exchange is the per-user window shuffle."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, W.currentRow)
+    )
+    ar = ev.select(
+        "user_id", "event_id", "ts", F.collect_list("value").over(w).alias("a")
+    )
+    a = F.col("a")
+    new_l = lambda acc, x: F.lit(0.4) * x + F.lit(0.6) * (
+        F.element_at(acc, 1) + F.element_at(acc, 2)
+    )
+    lb = F.aggregate(
+        F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
+        F.array(F.element_at(a, 1), F.lit(0.0)),
+        lambda acc, x: F.array(
+            new_l(acc, x),
+            F.lit(0.3) * (new_l(acc, x) - F.element_at(acc, 1))
+            + F.lit(0.7) * F.element_at(acc, 2),
+        ),
+    )
+    st = ar.select("user_id", "event_id", "ts", lb.alias("lb"))
+    return st.select(
+        "user_id",
+        "event_id",
+        "ts",
+        r4(F.element_at("lb", 1)).alias("level"),
+        r4(F.element_at("lb", 2)).alias("trend"),
+        r4(F.element_at("lb", 1) + F.lit(5.0) * F.element_at("lb", 2)).alias("forecast_5"),
+    )
+
+
+@query(
+    "ch_exp_time_decayed_avg",
+    category="timeseries",
+    oracle="""
+    WITH ar AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS tu,
+             list(value)        OVER w AS av,
+             list(epoch_us(ts)) OVER w AS at
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    wt AS (
+      SELECT user_id, event_id, ts,
+             list_transform(
+               av, (x, i) ->
+                 x * ROUND(exp(-((tu - at[i]) / 3600000000.0)), 8)) AS wv,
+             list_transform(
+               at, t -> ROUND(exp(-((tu - t) / 3600000000.0)), 8)) AS w
+      FROM ar
+    )
+    SELECT user_id, event_id, ts,
+           ROUND(list_reduce(wv, (a, b) -> a + b)
+                 / list_reduce(w, (a, b) -> a + b), 4) AS decayed_avg
+    FROM wt
+    """,
+)
+def ch_exp_time_decayed_avg(spark, sf_dir):
+    """ClickHouse ``exponentialTimeDecayedAvg(3600)(value, ts)`` parity:
+    each reading averaged with weights exp(-(t_now - t_i)/decay) over its
+    trailing 20-sample window — decay in TIME units (1 h), so irregular
+    sampling decays correctly where row-count EMA (ts_ema_bounded) would
+    not. Time deltas are exact integer microseconds; the single division
+    by 3600e6 produces a bit-identical double on both engines (IEEE
+    exact rounding), and each weight is quantized ROUND(exp(.), 8)
+    BEFORE the fold so a possible 1-ulp libm difference between the JVM
+    and DuckDB exp() cannot reach the sum. Numerator and denominator are
+    SEQUENTIAL left folds in identical order (F.aggregate ==
+    list_reduce). Bounded frame, one per-user exchange, no UDF."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, W.currentRow)
+    )
+    tu = F.unix_micros("ts")
+    ar = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        tu.alias("tu"),
+        F.collect_list("value").over(w).alias("av"),
+        F.collect_list(tu).over(w).alias("at"),
+    )
+    decay_w = lambda t: F.round(
+        F.exp(-((F.col("tu") - t) / F.lit(3600000000.0))), 8
+    )
+    wv = F.transform(
+        "av", lambda x, i: x * decay_w(F.element_at(F.col("at"), i + F.lit(1)))
+    )
+    wl = F.transform("at", lambda t: decay_w(t))
+    num = F.aggregate(wv, F.lit(0.0), lambda a, b: a + b)
+    den = F.aggregate(wl, F.lit(0.0), lambda a, b: a + b)
+    return ar.select(
+        "user_id", "event_id", "ts", r4(num / den).alias("decayed_avg")
+    )
