@@ -1323,3 +1323,60 @@ def ch_anova(spark, sf_dir):
     return arr.select(
         k.alias("k"), n.alias("n"), F.round(ssb / ssw, 4).alias("f_stat")
     )
+
+
+@query(
+    "ch_contingency",
+    category="aggregate",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type AS a, CAST(EXTRACT(month FROM ts) AS BIGINT) AS b,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT a, b, o,
+             SUM(o) OVER (PARTITION BY a) AS ra,
+             SUM(o) OVER (PARTITION BY b) AS cb,
+             SUM(o) OVER () AS n
+      FROM obs
+    ),
+    chi AS (
+      SELECT SUM(pow(o - ra * cb * 1.0 / n, 2) / (ra * cb * 1.0 / n)) AS chi2,
+             MAX(n) AS n
+      FROM margins
+    )
+    SELECT ROUND(sqrt(chi2 / (chi2 + n)), 4) AS contingency
+    FROM chi
+    """,
+)
+def ch_contingency(spark, sf_dir):
+    """ClickHouse ``contingency``: Pearson's contingency coefficient
+    sqrt(chi2/(chi2+n)) between event type and calendar month — the
+    bounded-[0,1) companion of agg_cramers_v (same exact-integer
+    contingency machinery, different normalizer and column pair, so the
+    two queries cross-check each other's chi2 path). One groupBy on the
+    two low-cardinality keys, window margins over the tiny cell table —
+    the corpus-sized scan aggregates map-side."""
+    ev = table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.col("event_type").alias("a"), F.month("ts").cast("long").alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = obs.select(
+        "a",
+        "b",
+        "o",
+        F.sum("o").over(W.partitionBy("a")).alias("ra"),
+        F.sum("o").over(W.partitionBy("b")).alias("cb"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    e = F.col("ra") * F.col("cb") * 1.0 / F.col("n")
+    chi = m.agg(
+        F.sum(F.pow(F.col("o") - e, 2) / e).alias("chi2"),
+        F.max("n").alias("n"),
+    )
+    return chi.select(
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("chi2") + F.col("n"))), 4
+        ).alias("contingency")
+    )
