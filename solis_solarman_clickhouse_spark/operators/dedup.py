@@ -80,6 +80,46 @@ def exact_jaccard_for_candidates(
     )
 
 
+def in_bucket_pairs(banded: DataFrame, item, pair) -> DataFrame:
+    """Distinct in-bucket pairs from a (band, bucket, ...) candidate stream:
+    ONE groupBy collects each bucket's members as a sorted array, then an
+    array comprehension expands ordered pairs (x before y, so ids ascend).
+
+    This replaces the banded SELF-JOIN shape measured ~2× slower at sf0.1 —
+    the join ran the whole upstream pipeline once per side (broadcast
+    exchanges defeat ReuseExchange), the groupBy runs it once, map-side
+    combinable. Worst case matches the self-join (a degenerate bucket of d
+    members yields d²/2 pairs either way); the collected array costs
+    item_size·d bytes in one aggregation buffer, negligible long after the
+    d² pair stream itself has become the problem.
+
+    SKEW CAVEAT: each bucket's pair expansion runs inside ONE task, so
+    this shape requires fine-grained buckets (hashed band signatures,
+    16-bit+ band values). With coarse buckets (e.g. the 6-7-bit pigeonhole
+    bands of simhash_pairs_exact, ≤128 buckets/band) the biggest bucket
+    serializes the stage — measured 2-3× slower than the self-join there;
+    that call site keeps the join.
+
+    ``item`` is the per-member expression to collect (id, or a struct
+    carrying payload); ``pair(x, y)`` builds the output struct from two
+    members with x sorting strictly before y."""
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(item)).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                lambda y: pair(x, y),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pairs).alias("p")).select("p.*").distinct()
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, *, k: int = 3, threshold: float = 0.8,
     text_col: str = "text", id_col: str = "doc_id",
@@ -221,6 +261,10 @@ def minhash_lsh_pairs(
     bands=8 × rows=4 over 32 hashes → collision prob at j=0.8 per band =
     0.8⁴≈0.41, overall 1-(1-0.41)⁸ ≈ 98.5% recall; false candidates are
     removed by the exact re-check, so precision is 1.0 by construction.
+
+    Candidate generation goes through in_bucket_pairs (one groupBy + array
+    pair expansion — see its docstring for the measured win over the
+    banded self-join it replaced).
     """
     rows = n_hashes // bands
     sigs = minhash_signatures(docs, n_hashes=n_hashes, k=k, text_col=text_col, id_col=id_col)
@@ -243,16 +287,10 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    candidates = in_bucket_pairs(
+        banded,
+        F.col("doc_id"),
+        lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
     )
     # exact verification restricted to candidates (never frequency-capped)
     idx = shingle_index(docs, k=k, text_col=text_col, id_col=id_col, hashed=True)
@@ -302,23 +340,15 @@ def simhash_candidate_pairs(docs: DataFrame, *, max_hamming: int = 8) -> DataFra
             )
         ).alias("band", "bucket"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
-    return pairs
+    return in_bucket_pairs(
+        banded,
+        F.struct(F.col("doc_id"), F.col("simhash")),
+        lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+        ),
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def simhash_fingerprints_md5(
@@ -377,7 +407,18 @@ def simhash_pairs_exact(
         .alias(f"b{i}")
         for i in range(n_bands)
     ]
-    banded = fps.select("doc_id", "simhash", F.posexplode(F.array(*[c for c in band_cols])).alias("band", "band_bits"))
+    # NOTE: stays a SELF-JOIN on purpose. The pigeonhole bands are only
+    # ~bits/(max_hamming+1) ≈ 6-7 bits wide → ≤128 distinct buckets per
+    # band, so in_bucket_pairs would collect huge member arrays and expand
+    # each bucket's d²/2 pairs inside ONE task (measured 2-3× SLOWER at
+    # sf0.1 than this join, which spreads the same pair volume across the
+    # shuffle). in_bucket_pairs wins only when buckets are fine-grained;
+    # see its docstring.
+    banded = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*[c for c in band_cols])).alias("band", "band_bits"),
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -466,16 +507,10 @@ def minhash_pairs_exact(
             )
         ).alias("band", "bucket"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    candidates = in_bucket_pairs(
+        banded,
+        F.col("doc_id"),
+        lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
     )
     idx = shingle_index(docs, k=k, text_col=text_col, id_col=id_col, hashed=True)
     sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))

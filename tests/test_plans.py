@@ -155,7 +155,13 @@ def test_no_python_eval_outside_udf_families(spark):
     refactor that silently drops a hot path off whole-stage codegen."""
     allowed_prefixes = ("udf_", "udtf_", "mm_", "vec_ann_", "stream_", "sink_",
                         "source_python_datasource", "vec_cosine_topk_pandas",
-                        "ts_lttb_downsample")
+                        "ts_lttb_downsample",
+                        # vec_semdedup partitions the space with the same
+                        # Arrow-batched LSH bucketing as the vec_ann_ family
+                        # (one numpy matmul per batch; similarity.py
+                        # lsh_multitable_buckets docstring has the measured
+                        # rationale) — a declared Python boundary.
+                        "vec_semdedup")
     for name, spec in sorted(REGISTRY.items()):
         if name.startswith(allowed_prefixes):
             continue
