@@ -1711,3 +1711,100 @@ def doc_dup_span_coverage(spark, sf_dir):
             (F.coalesce("n_covered", F.lit(0)) * 2 <= F.col("n_tokens")).alias("keep"),
         )
     )
+
+
+def _qcls_weights(n: int = 64, seed: int = 1337) -> list[float]:
+    """Deterministic stand-in weight vector for the hashed linear
+    classifier: w_j in [-0.5, 0.5), reproducible from the Knuth
+    multiplicative constant — in production these come from a trained
+    fasttext/logreg quality model; literalizing them keeps the entire
+    scoring path oracle-replayable."""
+    return [
+        (((j + seed) * 2654435761) % 1000) / 1000.0 - 0.5 for j in range(n)
+    ]
+
+
+def _quality_classifier_oracle() -> str:
+    w = _qcls_weights()
+    wlit = "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, n_tokens,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS j,
+             COUNT(*) AS cnt
+      FROM toks GROUP BY doc_id, n_tokens, j
+    ),
+    folded AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(0.0,
+                 list_transform(list(j * 1000000 + cnt ORDER BY j),
+                                p -> (p % 1000000) * 1.0 / MAX(n_tokens)
+                                     * ({wlit})[(p // 1000000) + 1])),
+               (a, b) -> a + b) AS logit
+      FROM feat GROUP BY doc_id
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-ROUND(logit, 8))), 4) AS quality_prob,
+           ROUND(logit, 8) >= 0.0 AS keep
+    FROM folded
+    """
+
+
+@query(
+    "doc_quality_classifier",
+    category="documents",
+    oracle=_quality_classifier_oracle(),
+)
+def doc_quality_classifier(spark, sf_dir):
+    """Model-based quality filter (the DCLM / FineWeb-Edu tier): a hashed
+    bag-of-words linear classifier — token → 64-bucket portable md5 hash,
+    tf = count/n_tokens, logit = Σ tf_j·w_j, P(keep) = σ(logit) — i.e.
+    fasttext-without-the-training, with the trained weights literalized
+    (swap _qcls_weights for real coefficients and nothing else changes).
+    Feature counts are exact integers from one token explode + groupBy;
+    the dot product folds the doc's PRESENT buckets in ascending-j order
+    on both engines (features packed as j·1e6+cnt so the sorted fold and
+    the weight lookup decode the same integer), the logit is quantized to
+    8 dp before the sigmoid so a 1-ulp libm exp() divergence can't move
+    the 4-dp output, and the keep cut compares the quantized logit to
+    zero. Per-doc state is O(64); everything map-side-combines."""
+    w = _qcls_weights()
+    wcol = F.array(*[F.lit(x) for x in w])
+    docs = table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    toks = docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.explode(t).alias("tok"),
+    )
+    feat = toks.groupBy(
+        "doc_id",
+        "n_tokens",
+        (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long") % 64).alias("j"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    packed = feat.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.col("j") * 1000000 + F.col("cnt"))).alias("ps"),
+        F.max("n_tokens").alias("n_tokens"),
+    )
+    logit = F.aggregate(
+        F.transform(
+            "ps",
+            lambda p: (p % 1000000) * F.lit(1.0)
+            / F.col("n_tokens")
+            * F.element_at(wcol, (F.floor(p / 1000000) + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    q = F.round(logit, 8)
+    return packed.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-q)), 4).alias("quality_prob"),
+        (q >= 0.0).alias("keep"),
+    )
