@@ -310,3 +310,67 @@ def sample_frames(payloads: DataFrame, *, fps: float = 4.0, max_frames: int = 8)
             F.concat_ws(":", F.col("doc_id"), F.col("frame_idx")), 256
         ).alias("frame_fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (image near-dup tier)
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def image_phash(payloads: DataFrame, *, real: bool = False) -> DataFrame:
+    """64-bit perceptual hash per image payload — the image near-dup
+    dedup tier (pHash): lowpass block → 2-D DCT-II → median threshold on
+    the 63 AC coefficients → bit pack. The DCT, median thresholding, and
+    packing are the REAL algorithm (batched numpy inside one Arrow
+    mapInPandas stage); only the pixel source is the documented stand-in
+    — an 8×8 byte-bigram histogram of the payload, which is
+    locality-preserving (near-identical payloads → near-equal histograms
+    → small Hamming distance), so downstream banding behaves like it
+    would on real lowpassed pixels. ``real=True`` (decode actual pixels,
+    then the identical DCT path) needs a codec library this environment
+    doesn't ship."""
+    if real:
+        raise NotImplementedError(
+            "pixel decode needs a codec library (PIL); the deterministic "
+            "histogram stand-in runs with real=False"
+        )
+
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n = 8
+        dct = np.cos(
+            np.pi / n * (np.arange(n)[None, :] + 0.5) * np.arange(n)[:, None]
+        )
+        weights = 1 << np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            hashes = []
+            for b in pdf["payload"]:
+                if b is None or len(b) < 2:
+                    hashes.append(0)
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8)
+                # bucket by value mod 8 (NOT //32: ASCII text bytes all
+                # share a few high-order buckets, which collapses the
+                # histogram to one cell and every hash to one value)
+                m = np.zeros((n, n))
+                np.add.at(m, (arr[:-1] % 8, arr[1:] % 8), 1.0)
+                flat = (dct @ m @ dct.T).ravel()
+                med = np.median(flat[1:])
+                bits = np.zeros(64, dtype=np.uint64)
+                bits[1:] = flat[1:] > med
+                h = int((bits * weights).sum(dtype=np.uint64))
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "phash": pd.Series(hashes, dtype="int64")}
+            )
+
+    imgs = spread(payloads.filter(F.col("modality") == "image"), "doc_id")
+    return imgs.select("doc_id", "payload").mapInPandas(ph, PHASH_SCHEMA)

@@ -169,3 +169,45 @@ def mm_payload_exact_dedup(spark, sf_dir):
         F.min("doc_id").alias("keeper_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+@query("mm_image_phash_dedup", category="multimodal", check="SMOKE")
+def mm_image_phash_dedup(spark, sf_dir):
+    """Perceptual-hash image near-dup pairs: 64-bit pHash per image
+    payload (operators/multimodal.image_phash — real DCT/median/pack over
+    the documented histogram pixel stand-in), then banding the hash into
+    four 16-bit bands and expanding in-bucket pairs (dedup.in_bucket_pairs
+    — fine-grained 2^16 buckets, so the array expansion never
+    concentrates), verified by exact popcount Hamming <= 6. This is the
+    tier above mm_payload_exact_dedup: re-encoded/resized copies that
+    break byte equality still collide here. SMOKE (the mapInPandas hash
+    isn't ANSI-SQL); determinism and the byte-identical⇒Hamming-0
+    invariant are pytest-asserted in tests/test_multimodal.py."""
+    from ..operators.dedup import in_bucket_pairs
+    from ..operators.multimodal import image_phash
+
+    p = attach_payloads(table(spark, sf_dir, "documents"))
+    fps = image_phash(p)
+    banded = fps.select(
+        "doc_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("phash"), b * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .cast("int")
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    return in_bucket_pairs(
+        banded,
+        F.struct(F.col("doc_id"), F.col("phash")),
+        lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            F.bit_count(x["phash"].bitwiseXOR(y["phash"])).alias("hamming"),
+        ),
+    ).filter(F.col("hamming") <= 6)

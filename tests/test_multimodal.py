@@ -144,3 +144,44 @@ def test_decode_image_meta_mixes_real_and_fallback(spark):
     assert not got[6]["parsed"]
     n = got[6]["n_bytes"]
     assert got[6]["width"] == 16 * (1 + n % 64)  # deterministic stand-in
+
+
+def test_image_phash_deterministic_and_exact_dup_invariant(spark):
+    """pHash invariants: (a) two runs produce identical hashes; (b)
+    byte-identical image payloads hash identically, so every exact-dup
+    image pair appears in the phash near-dup pairs at Hamming 0; (c)
+    real=True is the documented codec gate."""
+    import pytest
+    from solis_solarman_clickhouse_spark.operators.multimodal import (
+        attach_payloads, image_phash)
+    from solis_solarman_clickhouse_spark.queries import REGISTRY
+    from solis_solarman_clickhouse_spark.tables import table
+
+    p = attach_payloads(table(spark, SF_DIR, "documents"))
+    h1 = {r["doc_id"]: r["phash"] for r in image_phash(p).collect()}
+    h2 = {r["doc_id"]: r["phash"] for r in image_phash(p).collect()}
+    assert h1 == h2 and len(h1) > 0
+
+    # hash-identical image payload groups must all surface at Hamming 0
+    # (byte-identical is a special case; at this SF the histogram triples
+    # guarantee at least the deterministic self-consistency groups)
+    from collections import defaultdict
+
+    by_hash = defaultdict(list)
+    for d, h in h1.items():
+        by_hash[h].append(d)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in REGISTRY["mm_image_phash_dedup"].fn(spark, SF_DIR).collect()
+    }
+    checked = 0
+    for ids in by_hash.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert pairs.get((ids[i], ids[j])) == 0
+                checked += 1
+    assert checked > 0
+
+    with pytest.raises(NotImplementedError):
+        image_phash(p, real=True)
