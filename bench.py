@@ -73,6 +73,12 @@ HEADLINE = [
     "doc_neardup_minhash_recall",
     "doc_incremental_dedup",
     "sink_tar_shards",
+    "vec_semdedup",
+    "doc_dup_span_coverage",
+    "doc_quality_classifier",
+    "mm_image_phash_dedup",
+    "ts_holt_forecast",
+    "ch_exp_time_decayed_avg",
 ]
 
 

@@ -1214,23 +1214,38 @@ def ch_exp_time_decayed_avg(spark, sf_dir):
         .rowsBetween(-19, W.currentRow)
     )
     tu = F.unix_micros("ts")
+    # ONE struct array over the frame (not separate value/time arrays:
+    # halves the window buffer), and ONE exp per element (weights
+    # pre-materialized by a transform, then a single [num, den] fold —
+    # addition order per component identical to the oracle's two
+    # list_reduces, so the doubles stay bit-equal).
     ar = ev.select(
         "user_id",
         "event_id",
         "ts",
         tu.alias("tu"),
-        F.collect_list("value").over(w).alias("av"),
-        F.collect_list(tu).over(w).alias("at"),
+        F.collect_list(F.struct(F.col("value").alias("v"), tu.alias("t"))).over(w).alias("a"),
     )
-    decay_w = lambda t: F.round(
-        F.exp(-((F.col("tu") - t) / F.lit(3600000000.0))), 8
+    wts = F.transform(
+        "a",
+        lambda s: F.struct(
+            s["v"].alias("v"),
+            F.round(
+                F.exp(-((F.col("tu") - s["t"]) / F.lit(3600000000.0))), 8
+            ).alias("w"),
+        ),
     )
-    wv = F.transform(
-        "av", lambda x, i: x * decay_w(F.element_at(F.col("at"), i + F.lit(1)))
+    nd = F.aggregate(
+        wts,
+        F.array(F.lit(0.0), F.lit(0.0)),
+        lambda acc, x: F.array(
+            F.element_at(acc, 1) + x["v"] * x["w"],
+            F.element_at(acc, 2) + x["w"],
+        ),
     )
-    wl = F.transform("at", lambda t: decay_w(t))
-    num = F.aggregate(wv, F.lit(0.0), lambda a, b: a + b)
-    den = F.aggregate(wl, F.lit(0.0), lambda a, b: a + b)
     return ar.select(
-        "user_id", "event_id", "ts", r4(num / den).alias("decayed_avg")
+        "user_id",
+        "event_id",
+        "ts",
+        r4(F.element_at(nd, 1) / F.element_at(nd, 2)).alias("decayed_avg"),
     )
