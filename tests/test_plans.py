@@ -478,3 +478,66 @@ def test_multitable_lsh_explode_carries_ids_only(spark):
     # the candidate pairs deduplicate before scoring: a distinct aggregate
     # exists between the bucket join and the cosine computation
     assert "HashAggregate" in plan
+
+
+def test_semdedup_bucket_stream_carries_ids_only(spark):
+    """vec_semdedup: the L-way LSH bucket explode must emit only
+    (vec_id, bucket) — embeddings re-enter via the candidate id-joins, so
+    the bucket self-join shuffles 16-byte rows, not 256-byte vectors."""
+    plan = _plan(REGISTRY["vec_semdedup"].fn(spark, SF_DIR))
+    for line in plan.splitlines():
+        if "Generate explode" in line:
+            assert "embedding" not in line.split("[", 1)[-1] or "vec_id" in line, line
+    # candidate pairs deduplicate before the exact cosine scoring
+    assert "HashAggregate" in plan
+
+
+def test_in_bucket_pairs_single_pipeline_no_self_join(spark):
+    """doc_neardup_minhash: in_bucket_pairs candidate generation runs the
+    signature pipeline ONCE — the plan must contain no join upstream of
+    the first aggregate-over-buckets (the old banded self-join shape ran
+    the shingle explode + 32 min-aggregates once per side). The only
+    joins left are the candidate-restricted verification joins."""
+    from solis_solarman_clickhouse_spark.tables import table
+    from solis_solarman_clickhouse_spark.operators.dedup import (
+        in_bucket_pairs, minhash_signatures)
+    from pyspark.sql import functions as F
+
+    sigs = minhash_signatures(table(spark, SF_DIR, "documents"), n_hashes=32)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.xxhash64(F.element_at("signature", b + 1)) for b in range(8)])
+        ).alias("band", "bucket"),
+    )
+    cand = in_bucket_pairs(
+        banded, F.col("doc_id"),
+        lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+    )
+    plan = _plan(cand)
+    assert "Join" not in plan, plan
+    # shingle explode appears exactly once (one Generate for shingles, one
+    # for the band posexplode, one for the pair expansion)
+    n_gen = sum(1 for line in plan.splitlines() if "Generate" in line)
+    assert n_gen == 3, plan
+
+
+def test_quality_classifier_aggregates_map_side(spark):
+    """doc_quality_classifier: the token-feature count and the per-doc
+    packing are plain hash aggregates (partial_count → count, both
+    map-side combinable) with no join anywhere — corpus cost is two
+    shuffles (doc_id×j, then doc_id), independent of vocabulary size."""
+    plan = _plan(REGISTRY["doc_quality_classifier"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_dup_span_coverage_reexplodes_only_duplicated_grams(spark):
+    """doc_dup_span_coverage: the 8x coverage re-explode must sit above the
+    df>=2 join (only grams that PROVED duplicated expand), and the gram
+    stream must carry the fixed-width hash, never the gram text."""
+    plan = _plan(REGISTRY["doc_dup_span_coverage"].fn(spark, SF_DIR))
+    assert "sequence(pos" in plan or "sequence" in plan
+    for line in plan.splitlines():
+        if "Generate explode(sequence" in line:
+            assert "concat_ws" not in line, line
