@@ -804,3 +804,91 @@ def vec_semdedup(spark, sf_dir):
 
     emb = table(spark, sf_dir, "embeddings")
     return semdedup_bucketed(emb, tau=0.45, n_tables=4, n_planes=3, dim=64, seed=7)
+
+
+def _pq_codebooks(n_sub: int = 8, n_cent: int = 16, sub_dim: int = 8, seed: int = 11):
+    """Deterministic PQ codebooks (trained k-means in production —
+    literalized here so both engines replay the same assignment)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [rng.standard_normal((n_cent, sub_dim)) * 0.1 for _ in range(n_sub)]
+
+
+def _pq_oracle(n_sub: int = 8, n_cent: int = 16, sub_dim: int = 8, seed: int = 11) -> str:
+    cbs = _pq_codebooks(n_sub, n_cent, sub_dim, seed)
+    rows = []
+    for s, cb in enumerate(cbs):
+        for c in range(n_cent):
+            vals = ", ".join(repr(float(x)) for x in cb[c])
+            rows.append(f"({s}, {c}, [{vals}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+WITH cb(sub, cid, cent) AS (VALUES
+{values}
+),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+dists AS (
+  SELECT vec_id, sub, cid,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(cent,
+               (x, i) -> (e[sub * {sub_dim} + i] - x) * (e[sub * {sub_dim} + i] - x))),
+           (a, b) -> a + b) AS d
+  FROM emb CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, sub, cid, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS r
+  FROM dists
+)
+SELECT vec_id,
+       list(cid ORDER BY sub) AS code,
+       ROUND(list_reduce(list_prepend(0.0, list(d ORDER BY sub)),
+                         (a, b) -> a + b), 4) AS sq_err
+FROM best WHERE r = 1
+GROUP BY vec_id
+"""
+
+
+@query("vec_pq_quantize", category="vectors", oracle=_pq_oracle())
+def vec_pq_quantize(spark, sf_dir):
+    """Product quantization (Jégou et al. 2011) — the vector-compression
+    tier under any billion-scale ANN index: the 64-dim embedding splits
+    into 8 subvectors, each assigned to its nearest of 16 literal
+    codebook centroids (ties → lower centroid id), emitting an 8-byte
+    code (32× compression) plus the exact squared reconstruction error.
+    All JVM-side: per-centroid distances are SEQUENTIAL zip_with folds
+    (bit-equal with the oracle's list_reduce), argmin is array_min over
+    (distance, cid) structs — no UDF, no shuffle at all (scan → project).
+    The 128-fold expression tree exceeds whole-stage-codegen's method
+    budget and runs interpreted; at production scale the same literal
+    codebooks drop into an Arrow-batched matmul like
+    similarity.lsh_multitable_buckets (measured ~5× there), trading the
+    no-Python plan guarantee for throughput."""
+    cbs = _pq_codebooks()
+    e = F.col("embedding").cast("array<double>")
+    best_cols = []
+    for s, cb in enumerate(cbs):
+        sub = F.slice(e, s * 8 + 1, 8)
+        cands = []
+        for c in range(len(cb)):
+            cent = F.array(*[F.lit(float(x)) for x in cb[c]])
+            d = F.aggregate(
+                F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            cands.append(F.struct(d.alias("d"), F.lit(c).alias("c")))
+        best_cols.append(F.array_min(F.array(*cands)).alias(f"b{s}"))
+    emb = table(spark, sf_dir, "embeddings")
+    bested = emb.select("vec_id", *best_cols)
+    code = F.array(*[F.col(f"b{s}")["c"] for s in range(len(cbs))])
+    err = F.aggregate(
+        F.array(*[F.col(f"b{s}")["d"] for s in range(len(cbs))]),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return bested.select(
+        "vec_id", code.alias("code"), F.round(err, 4).alias("sq_err")
+    )
