@@ -1175,3 +1175,61 @@ def ch_group_array_last_k(spark, sf_dir):
         F.transform(pairs, lambda s: s["event_type"]).alias("last5_types"),
         F.transform(pairs, lambda s: s["event_id"]).alias("last5_ids"),
     )
+
+
+@query(
+    "ch_array_cumsum_diff",
+    category="clickhouse",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, event_id,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE), 4) AS cs,
+             ROUND(CAST(COALESCE(
+                     CAST(value AS DECIMAL(38,6))
+                       - LAG(CAST(value AS DECIMAL(38,6)))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS df
+      FROM events
+    )
+    SELECT user_id,
+           list(cs ORDER BY ts, event_id) AS cum_sums,
+           list(df ORDER BY ts, event_id) AS diffs
+    FROM m GROUP BY user_id
+    """,
+)
+def ch_array_cumsum_diff(spark, sf_dir):
+    """ClickHouse ``arrayCumSum`` + ``arrayDifference`` parity over each
+    user's time-ordered value array (the per-device cumulative-energy and
+    step-change views of the reference's kwh counters, tables.sql:5-32).
+    Values accumulate as DECIMAL(38,6) so both the running sums and the
+    adjacent differences are exact regardless of length; array order is
+    pinned by array_sort over (ts, event_id, …) structs. Both engines run
+    the identical linear plan: one running-DECIMAL window + lag, then one
+    per-user collect — window and groupBy share the user_id exchange."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = F.sum(F.col("value").cast("decimal(38,6)")).over(w)
+    lagv = F.lag(F.col("value").cast("decimal(38,6)")).over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    diff = F.coalesce(
+        F.col("value").cast("decimal(38,6)") - lagv,
+        F.col("value").cast("decimal(38,6)"),
+    )
+    rows = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(cum.cast("double"), 4).alias("cs"),
+        F.round(diff.cast("double"), 4).alias("df"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "cs", "df")))
+    return rows.groupBy("user_id").agg(
+        F.transform(ordered, lambda s: s["cs"]).alias("cum_sums"),
+        F.transform(ordered, lambda s: s["df"]).alias("diffs"),
+    )
