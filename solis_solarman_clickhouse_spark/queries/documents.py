@@ -1668,7 +1668,19 @@ def doc_dup_span_coverage(spark, sf_dir):
     the one-line swap for production. Reference delegates all analytics
     to ClickHouse (solarman.py:192-225); this family is the engine's
     training-data surface beyond that."""
-    docs = table(spark, sf_dir, "documents")
+    return _span_cov_frame(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_tokens",
+        "n_covered",
+        F.round(F.col("n_covered") * 1.0 / F.col("n_tokens"), 4).alias("dup_coverage"),
+        (F.col("n_covered") * 2 <= F.col("n_tokens")).alias("keep"),
+    )
+
+
+def _span_cov_frame(docs):
+    """(doc_id, n_tokens, n_covered) for the duplicated-8-gram coverage of
+    whatever corpus slice ``docs`` carries — tier-composable: run it on a
+    survivor set and the document frequencies reflect that set only."""
     t = F.split("text", " ")
     toks = docs.select("doc_id", t.alias("t"), F.size(t).cast("long").alias("n_tokens"))
     grams = (
@@ -1702,13 +1714,7 @@ def doc_dup_span_coverage(spark, sf_dir):
         toks.select("doc_id", "n_tokens")
         .join(cov, "doc_id", "left")
         .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("n_covered", F.lit(0)).alias("n_covered"),
-            F.round(F.coalesce("n_covered", F.lit(0)) * 1.0 / F.col("n_tokens"), 4).alias(
-                "dup_coverage"
-            ),
-            (F.coalesce("n_covered", F.lit(0)) * 2 <= F.col("n_tokens")).alias("keep"),
+            "doc_id", "n_tokens", F.coalesce("n_covered", F.lit(0)).alias("n_covered")
         )
     )
 
@@ -1774,9 +1780,20 @@ def doc_quality_classifier(spark, sf_dir):
     8 dp before the sigmoid so a 1-ulp libm exp() divergence can't move
     the 4-dp output, and the keep cut compares the quantized logit to
     zero. Per-doc state is O(64); everything map-side-combines."""
+    q = F.col("q8_logit")
+    return _quality_logit_frame(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-q)), 4).alias("quality_prob"),
+        (q >= 0.0).alias("keep"),
+    )
+
+
+def _quality_logit_frame(docs):
+    """(doc_id, q8_logit) — the hashed-linear-classifier logit, quantized
+    to 8 dp, for whatever corpus slice ``docs`` carries. Per-doc only, so
+    tiers can run it on any survivor subset unchanged."""
     w = _qcls_weights()
     wcol = F.array(*[F.lit(x) for x in w])
-    docs = table(spark, sf_dir, "documents")
     t = F.split("text", " ")
     toks = docs.select(
         "doc_id",
@@ -1802,9 +1819,162 @@ def doc_quality_classifier(spark, sf_dir):
         F.lit(0.0),
         lambda a, b: a + b,
     )
-    q = F.round(logit, 8)
-    return packed.select(
-        "doc_id",
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-q)), 4).alias("quality_prob"),
-        (q >= 0.0).alias("keep"),
+    return packed.select("doc_id", F.round(logit, 8).alias("q8_logit"))
+
+
+def _curation_v3_oracle() -> str:
+    from ..operators.similarity import lsh_multitable_planes
+
+    w = _qcls_weights()
+    wlit = "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
+    rows = []
+    for t, planes in enumerate(lsh_multitable_planes(4, 3, 64, 7)):
+        for p in range(3):
+            vals = ", ".join(repr(float(x)) for x in planes[p])
+            rows.append(f"({t}, {p}, [{vals}]::DOUBLE[])")
+    plane_values = ",\n".join(rows)
+    return f"""
+WITH sha AS (SELECT doc_id, sha256(text) AS dg FROM documents),
+keepA AS (
+  SELECT s.doc_id FROM sha s
+  JOIN (SELECT dg, MIN(doc_id) AS keeper FROM sha GROUP BY dg) k
+    ON s.dg = k.dg AND s.doc_id = k.keeper
+),
+a AS (SELECT d.* FROM documents d JOIN keepA USING (doc_id)),
+toksS AS (SELECT doc_id, string_split(text, ' ') AS t FROM a),
+baseS AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toksS),
+g AS (
+  SELECT doc_id, pos - 1 AS pos,
+         substr(md5(array_to_string(list_slice(t, pos, pos + 7), ' ')), 1, 16) AS h
+  FROM toksS, LATERAL (SELECT UNNEST(generate_series(1, len(t) - 7)) AS pos) s
+  WHERE len(t) >= 8
+),
+dupg AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT g.doc_id, u.tok
+  FROM g JOIN dupg USING (h),
+       LATERAL (SELECT UNNEST(generate_series(g.pos, g.pos + 7)) AS tok) u
+),
+ncov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered FROM cov GROUP BY doc_id),
+keepB AS (
+  SELECT b.doc_id FROM baseS b LEFT JOIN ncov n USING (doc_id)
+  WHERE COALESCE(n.n_covered, 0) * 2 <= b.n_tokens
+),
+b AS (SELECT a.* FROM a JOIN keepB USING (doc_id)),
+toksQ AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM b
+),
+feat AS (
+  SELECT doc_id, n_tokens,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS j,
+         COUNT(*) AS cnt
+  FROM toksQ GROUP BY doc_id, n_tokens, j
+),
+folded AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(list(j * 1000000 + cnt ORDER BY j),
+                            p -> (p % 1000000) * 1.0 / MAX(n_tokens)
+                                 * ({wlit})[(p // 1000000) + 1])),
+           (x, y) -> x + y) AS logit
+  FROM feat GROUP BY doc_id
+),
+keepC AS (SELECT doc_id FROM folded WHERE ROUND(logit, 8) >= 0.0),
+c AS (SELECT b.* FROM b JOIN keepC USING (doc_id)),
+planes(tbl, pid, plane) AS (VALUES
+{plane_values}
+),
+embc AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS ev
+  FROM embeddings e JOIN c ON e.vec_id = c.doc_id
+),
+buckets AS (
+  SELECT vec_id,
+         (tbl * 8)
+           + SUM(CASE WHEN list_dot_product(ev, plane) > 0 THEN 1 << pid ELSE 0 END) AS bucket
+  FROM embc CROSS JOIN planes
+  GROUP BY vec_id, tbl
+),
+cand AS (
+  SELECT DISTINCT lo.vec_id AS vec_a, hi.vec_id AS vec_b
+  FROM buckets lo JOIN buckets hi USING (bucket)
+  WHERE lo.vec_id < hi.vec_id
+),
+dropD AS (
+  SELECT DISTINCT cn.vec_b AS doc_id
+  FROM cand cn
+  JOIN embc ea ON ea.vec_id = cn.vec_a
+  JOIN embc eb ON eb.vec_id = cn.vec_b
+  WHERE list_dot_product(ea.ev, eb.ev)
+        / (sqrt(list_dot_product(ea.ev, ea.ev)) * sqrt(list_dot_product(eb.ev, eb.ev)))
+        >= 0.45
+)
+SELECT d.doc_id,
+       CASE WHEN ka.doc_id IS NULL THEN 'exact'
+            WHEN kb.doc_id IS NULL THEN 'span'
+            WHEN kc.doc_id IS NULL THEN 'quality'
+            WHEN dd.doc_id IS NOT NULL THEN 'semantic'
+            ELSE 'kept' END AS stage
+FROM documents d
+LEFT JOIN keepA ka USING (doc_id)
+LEFT JOIN keepB kb USING (doc_id)
+LEFT JOIN keepC kc USING (doc_id)
+LEFT JOIN dropD dd USING (doc_id)
+"""
+
+
+@query("doc_curation_v3", category="documents", oracle=_curation_v3_oracle())
+def doc_curation_v3(spark, sf_dir):
+    """The modern curation funnel as ONE declarative plan — each doc exits
+    with the stage that dropped it: 'exact' (sha2 min-id dedup) → 'span'
+    (duplicated-8-gram coverage > 50%, recomputed on exact survivors) →
+    'quality' (hashed linear classifier logit < 0) → 'semantic' (lower-id
+    LSH-bucketed embedding neighbor at cosine >= 0.45 among quality
+    survivors; docs without an embedding pass through) → 'kept'. Tier
+    thresholds and constants are IDENTICAL to the standalone queries
+    (doc_exact_dedup / doc_dup_span_coverage / doc_quality_classifier /
+    vec_semdedup), so this query proves the tiers compose lazily into a
+    single Catalyst DAG — no materialization barriers between stages, and
+    Catalyst pushes each tier's column needs down independently. The
+    oracle replays all four tiers including the plane constants."""
+    from ..operators.similarity import semdedup_bucketed
+
+    docs = table(spark, sf_dir, "documents")
+    sha = docs.select("doc_id", F.sha2("text", 256).alias("dg"))
+    keeper = sha.groupBy("dg").agg(F.min("doc_id").alias("keeper"))
+    keep_a = (
+        sha.join(keeper, "dg")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id")
     )
+    a = docs.join(keep_a, "doc_id")
+    covb = _span_cov_frame(a)
+    keep_b = covb.filter(F.col("n_covered") * 2 <= F.col("n_tokens")).select("doc_id")
+    b = a.join(keep_b, "doc_id")
+    keep_c = _quality_logit_frame(b).filter(F.col("q8_logit") >= 0.0).select("doc_id")
+    c = b.join(keep_c, "doc_id")
+    emb = table(spark, sf_dir, "embeddings")
+    embc = emb.join(c.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    drop_d = (
+        semdedup_bucketed(embc, tau=0.45, n_tables=4, n_planes=3, dim=64, seed=7)
+        .filter(~F.col("is_kept"))
+        .select(F.col("vec_id").alias("doc_id"), F.lit(1).alias("_d"))
+    )
+    verdict = (
+        docs.select("doc_id")
+        .join(keep_a.withColumn("_a", F.lit(1)), "doc_id", "left")
+        .join(keep_b.withColumn("_b", F.lit(1)), "doc_id", "left")
+        .join(keep_c.withColumn("_c", F.lit(1)), "doc_id", "left")
+        .join(drop_d, "doc_id", "left")
+    )
+    stage = (
+        F.when(F.col("_a").isNull(), F.lit("exact"))
+        .when(F.col("_b").isNull(), F.lit("span"))
+        .when(F.col("_c").isNull(), F.lit("quality"))
+        .when(F.col("_d").isNotNull(), F.lit("semantic"))
+        .otherwise(F.lit("kept"))
+    )
+    return verdict.select("doc_id", stage.alias("stage"))

@@ -161,7 +161,11 @@ def test_no_python_eval_outside_udf_families(spark):
                         # (one numpy matmul per batch; similarity.py
                         # lsh_multitable_buckets docstring has the measured
                         # rationale) — a declared Python boundary.
-                        "vec_semdedup")
+                        "vec_semdedup",
+                        # doc_curation_v3's semantic tier IS vec_semdedup
+                        # (same Arrow-batched bucketing); all other tiers
+                        # stay JVM-side.
+                        "doc_curation_v3")
     for name, spec in sorted(REGISTRY.items()):
         if name.startswith(allowed_prefixes):
             continue
