@@ -79,6 +79,8 @@ HEADLINE = [
     "mm_image_phash_dedup",
     "ts_holt_forecast",
     "ch_exp_time_decayed_avg",
+    "doc_curation_v3",
+    "vec_pq_quantize",
 ]
 
 

@@ -70,6 +70,11 @@ _PRIORITY = [
     "mm_payload_exact_dedup", "doc_dedup_clusters", "doc_langid",
     "doc_quality_score", "doc_token_count_bpe", "doc_fingerprint",
     "vec_neardup_cosine",
+    # -- round-2 session-2 flagships --
+    "doc_curation_v3", "vec_semdedup", "doc_dup_span_coverage",
+    "doc_quality_classifier", "vec_pq_quantize", "mm_image_phash_dedup",
+    "ts_holt_forecast", "ch_exp_time_decayed_avg", "ch_contingency",
+    "ch_array_cumsum_diff",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger
