@@ -892,3 +892,127 @@ def vec_pq_quantize(spark, sf_dir):
     return bested.select(
         "vec_id", code.alias("code"), F.round(err, 4).alias("sq_err")
     )
+
+
+def _pq_sub_dists(s: int, cb) -> list:
+    """16 per-centroid squared-L2 distance columns for subspace ``s`` —
+    each a SEQUENTIAL zip_with fold, bit-equal with the oracle's
+    list_reduce."""
+    e = F.col("embedding").cast("array<double>")
+    sub = F.slice(e, s * 8 + 1, 8)
+    out = []
+    for c in range(len(cb)):
+        cent = F.array(*[F.lit(float(x)) for x in cb[c]])
+        out.append(
+            F.aggregate(
+                F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return out
+
+
+def _pq_adc_oracle(n_sub: int = 8, n_cent: int = 16, sub_dim: int = 8,
+                   seed: int = 11, k: int = 5) -> str:
+    cbs = _pq_codebooks(n_sub, n_cent, sub_dim, seed)
+    rows = []
+    for s, cb in enumerate(cbs):
+        for c in range(n_cent):
+            vals = ", ".join(repr(float(x)) for x in cb[c])
+            rows.append(f"({s}, {c}, [{vals}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+WITH cb(sub, cid, cent) AS (VALUES
+{values}
+),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+dists AS (
+  SELECT vec_id, sub, cid,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(cent,
+               (x, i) -> (e[sub * {sub_dim} + i] - x) * (e[sub * {sub_dim} + i] - x))),
+           (a, b) -> a + b) AS d
+  FROM emb CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, sub, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS r
+  FROM dists
+),
+codes AS (SELECT vec_id AS neighbor_id, sub, cid FROM best WHERE r = 1),
+adc AS (
+  SELECT q.vec_id AS query_id, c.neighbor_id, q.sub, q.d
+  FROM dists q JOIN codes c ON q.sub = c.sub AND q.cid = c.cid
+  WHERE q.vec_id < 10 AND q.vec_id <> c.neighbor_id
+),
+summed AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list_prepend(0.0, list(d ORDER BY sub)), (a, b) -> a + b) AS ad
+  FROM adc GROUP BY query_id, neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, ad,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ad ASC, neighbor_id ASC) AS rank
+  FROM summed
+)
+SELECT query_id, rank, neighbor_id, ROUND(ad, 4) AS adc_dist
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@query("vec_pq_adc_topk", category="vectors", oracle=_pq_adc_oracle())
+def vec_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance PQ search (the IVF-PQ inner loop, Jégou et al.
+    2011): each query precomputes its 8×16 distance table to the literal
+    codebooks (exact folds on the query side only), then every corpus
+    vector is scored from its 8-byte CODE alone — one table lookup per
+    subspace, zip_with(dt, code) + fold, never touching the corpus
+    embeddings. Top-5 by approximate squared L2, ties → lower id. This
+    is the compressed-domain scan that makes billion-vector search fit
+    in RAM: the scored relation carries (id, 8 bytes), 32× less than raw
+    vectors; at production scale the same scan runs per probed IVF list
+    rather than the full corpus (vec_ann_ivf is the coarse stage). The
+    tiny query side broadcasts; EXACT oracle replays codebook
+    assignment, distance tables, and ranking from the same literals."""
+    cbs = _pq_codebooks()
+    emb = table(spark, sf_dir, "embeddings")
+    best_cols = []
+    for s, cb in enumerate(cbs):
+        cands = [
+            F.struct(d.alias("d"), F.lit(c).alias("c"))
+            for c, d in enumerate(_pq_sub_dists(s, cb))
+        ]
+        best_cols.append(F.array_min(F.array(*cands)).alias(f"b{s}"))
+    codes = emb.select(
+        F.col("vec_id").alias("neighbor_id"), *best_cols
+    ).select(
+        "neighbor_id",
+        F.array(*[F.col(f"b{s}")["c"] for s in range(len(cbs))]).alias("code"),
+    )
+    dt = F.array(*[F.array(*_pq_sub_dists(s, cb)) for s, cb in enumerate(cbs)])
+    qd = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), dt.alias("dt")
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qd))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "ad",
+            F.aggregate(
+                F.zip_with("dt", "code", lambda t, c: F.element_at(t, c + F.lit(1))),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("ad").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", F.round("ad", 4).alias("adc_dist"))
+    )
