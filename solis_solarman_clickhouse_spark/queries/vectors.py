@@ -806,16 +806,38 @@ def vec_semdedup(spark, sf_dir):
     return semdedup_bucketed(emb, tau=0.45, n_tables=4, n_planes=3, dim=64, seed=7)
 
 
-def _pq_codebooks(n_sub: int = 8, n_cent: int = 16, sub_dim: int = 8, seed: int = 11):
-    """Deterministic PQ codebooks (trained k-means in production —
-    literalized here so both engines replay the same assignment)."""
+def _pq_codebooks(n_sub: int = 32, n_cent: int = 32, sub_dim: int = 2,
+                  seed: int = 11, train_iters: int = 12):
+    """Deterministic TRAINED PQ codebooks: Lloyd's k-means on synthetic
+    samples drawn from the embedding distribution (iid N(0, 0.125²) per
+    dim — the fixture generator's law, so codebooks trained on samples
+    generalize across scale factors), then literalized so both engines
+    replay the same assignment. Config 32 subspaces × 32 centroids over
+    2-dim subvectors was selected by measured recall@5 on the fixtures:
+    untrained 8×16 → 0.16-0.20, trained 8×16 → 0.16, trained 32×16 →
+    0.52-0.62, trained 32×32 → 0.64-0.68 (sf0.01/sf0.1) — isotropic
+    random data is quantization's worst case, so narrow subspaces win;
+    clustered production embeddings would use coarser m with the same
+    training path. ~1e8 flops at import, cached by module load."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
-    return [rng.standard_normal((n_cent, sub_dim)) * 0.1 for _ in range(n_sub)]
+    cbs = []
+    for _ in range(n_sub):
+        samp = rng.standard_normal((4000, sub_dim)) * 0.125
+        cb = samp[rng.choice(4000, n_cent, replace=False)].copy()
+        for _ in range(train_iters):
+            d = ((samp[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for c in range(n_cent):
+                m = samp[a == c]
+                if len(m):
+                    cb[c] = m.mean(0)
+        cbs.append(cb)
+    return cbs
 
 
-def _pq_oracle(n_sub: int = 8, n_cent: int = 16, sub_dim: int = 8, seed: int = 11) -> str:
+def _pq_oracle(n_sub: int = 32, n_cent: int = 32, sub_dim: int = 2, seed: int = 11) -> str:
     cbs = _pq_codebooks(n_sub, n_cent, sub_dim, seed)
     rows = []
     for s, cb in enumerate(cbs):
@@ -855,65 +877,85 @@ GROUP BY vec_id
 def vec_pq_quantize(spark, sf_dir):
     """Product quantization (Jégou et al. 2011) — the vector-compression
     tier under any billion-scale ANN index: the 64-dim embedding splits
-    into 8 subvectors, each assigned to its nearest of 16 literal
-    codebook centroids (ties → lower centroid id), emitting an 8-byte
-    code (32× compression) plus the exact squared reconstruction error.
-    All JVM-side: per-centroid distances are SEQUENTIAL zip_with folds
-    (bit-equal with the oracle's list_reduce), argmin is array_min over
-    (distance, cid) structs — no UDF, no shuffle at all (scan → project).
-    The 128-fold expression tree exceeds whole-stage-codegen's method
-    budget and runs interpreted; at production scale the same literal
-    codebooks drop into an Arrow-batched matmul like
-    similarity.lsh_multitable_buckets (measured ~5× there), trading the
-    no-Python plan guarantee for throughput."""
-    cbs = _pq_codebooks()
-    e = F.col("embedding").cast("array<double>")
-    best_cols = []
-    for s, cb in enumerate(cbs):
-        sub = F.slice(e, s * 8 + 1, 8)
-        cands = []
-        for c in range(len(cb)):
-            cent = F.array(*[F.lit(float(x)) for x in cb[c]])
-            d = F.aggregate(
-                F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            cands.append(F.struct(d.alias("d"), F.lit(c).alias("c")))
-        best_cols.append(F.array_min(F.array(*cands)).alias(f"b{s}"))
+    into 32 two-dim subvectors, each assigned to its nearest of 32
+    TRAINED codebook centroids (_pq_codebooks: deterministic k-means on
+    the embedding distribution; ties → lower centroid id), emitting a
+    20-byte code (12.8× compression) plus the exact squared
+    reconstruction error. Runs in the PQ family's Arrow boundary
+    (_pq_code_frame — batched numpy with oracle-order-pinned
+    arithmetic); no shuffle at all (scan → project). Measured recall@5
+    of searching these codes: 0.64-0.68 (vec_pq_adc_recall)."""
     emb = table(spark, sf_dir, "embeddings")
-    bested = emb.select("vec_id", *best_cols)
-    code = F.array(*[F.col(f"b{s}")["c"] for s in range(len(cbs))])
-    err = F.aggregate(
-        F.array(*[F.col(f"b{s}")["d"] for s in range(len(cbs))]),
-        F.lit(0.0),
-        lambda a, b: a + b,
-    )
-    return bested.select(
-        "vec_id", code.alias("code"), F.round(err, 4).alias("sq_err")
+    return _pq_code_frame(emb).select(
+        "vec_id", "code", F.round("sq_err", 4).alias("sq_err")
     )
 
 
-def _pq_sub_dists(s: int, cb) -> list:
-    """16 per-centroid squared-L2 distance columns for subspace ``s`` —
-    each a SEQUENTIAL zip_with fold, bit-equal with the oracle's
-    list_reduce."""
-    e = F.col("embedding").cast("array<double>")
-    sub = F.slice(e, s * 8 + 1, 8)
-    out = []
-    for c in range(len(cb)):
-        cent = F.array(*[F.lit(float(x)) for x in cb[c]])
-        out.append(
-            F.aggregate(
-                F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+def _pq_code_frame(emb):
+    """(vec_id, code array<int>, sq_err double) via ONE Arrow-batched
+    mapInPandas stage — the declared Python boundary of the PQ family
+    (the 32×32 literal-codebook assignment as ~1000 Catalyst fold
+    expressions ran INTERPRETED and measured 30-90 s on 2000 rows at
+    sf0.1; the batched numpy version is <1 s, same tradeoff as
+    similarity.lsh_multitable_buckets). Arithmetic is ORDER-PINNED to
+    the oracle's folds: per-centroid distance is x²+y² (two exact
+    products, one add — equal to the fold's 0.0+t1+t2), argmin takes the
+    first minimum (= lowest centroid id on ties), and sq_err accumulates
+    subspace distances in ascending-s order, never np.sum's pairwise
+    tree."""
+    import numpy as np
+    import pandas as pd
+
+    CB = np.stack(_pq_codebooks())  # (n_sub, n_cent, 2), float64
+
+    def assign(batches):
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = len(m)
+            codes = np.zeros((n, CB.shape[0]), dtype=np.int32)
+            err = np.zeros(n)
+            for s in range(CB.shape[0]):
+                diff = m[:, 2 * s : 2 * s + 2][:, None, :] - CB[s][None, :, :]
+                d = diff[:, :, 0] * diff[:, :, 0] + diff[:, :, 1] * diff[:, :, 1]
+                a = d.argmin(1)
+                codes[:, s] = a
+                err += d[np.arange(n), a]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "code": list(codes), "sq_err": err}
             )
-        )
-    return out
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, code array<int>, sq_err double"
+    )
 
 
-def _pq_adc_oracle(n_sub: int = 8, n_cent: int = 16, sub_dim: int = 8,
+def _pq_query_tables(emb):
+    """(query_id, dt array<array<double>>) — each query's 32×32 distance
+    table to the literal codebooks, same Arrow-batched stage and the
+    same order-pinned x²+y² arithmetic as _pq_code_frame."""
+    import numpy as np
+    import pandas as pd
+
+    CB = np.stack(_pq_codebooks())
+
+    def tables(batches):
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            dts = []
+            for row in m:
+                dt = []
+                for s in range(CB.shape[0]):
+                    diff = row[2 * s : 2 * s + 2][None, :] - CB[s]
+                    dt.append(diff[:, 0] * diff[:, 0] + diff[:, 1] * diff[:, 1])
+                dts.append([list(map(float, d)) for d in dt])
+            yield pd.DataFrame({"query_id": pdf["vec_id"], "dt": dts})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        tables, "query_id long, dt array<array<double>>"
+    )
+
+
+def _pq_adc_oracle(n_sub: int = 32, n_cent: int = 32, sub_dim: int = 2,
                    seed: int = 11, k: int = 5) -> str:
     cbs = _pq_codebooks(n_sub, n_cent, sub_dim, seed)
     rows = []
@@ -966,36 +1008,25 @@ FROM ranked WHERE rank <= {k}
 @query("vec_pq_adc_topk", category="vectors", oracle=_pq_adc_oracle())
 def vec_pq_adc_topk(spark, sf_dir):
     """Asymmetric-distance PQ search (the IVF-PQ inner loop, Jégou et al.
-    2011): each query precomputes its 8×16 distance table to the literal
-    codebooks (exact folds on the query side only), then every corpus
-    vector is scored from its 8-byte CODE alone — one table lookup per
-    subspace, zip_with(dt, code) + fold, never touching the corpus
-    embeddings. Top-5 by approximate squared L2, ties → lower id. This
-    is the compressed-domain scan that makes billion-vector search fit
-    in RAM: the scored relation carries (id, 8 bytes), 32× less than raw
-    vectors; at production scale the same scan runs per probed IVF list
+    2011): each query precomputes its 32×32 distance table to the
+    literal TRAINED codebooks (exact folds on the query side only), then
+    every corpus vector is scored from its 20-byte CODE alone — one
+    table lookup per subspace, zip_with(dt, code) + fold, never touching
+    the corpus embeddings. Top-5 by approximate squared L2, ties → lower
+    id. This is the compressed-domain scan that makes billion-vector
+    search fit in RAM: the scored relation carries (id, 20 bytes), 12.8×
+    less than raw vectors; at production scale the same scan runs per probed IVF list
     rather than the full corpus (vec_ann_ivf is the coarse stage). The
     tiny query side broadcasts; EXACT oracle replays codebook
-    assignment, distance tables, and ranking from the same literals."""
-    cbs = _pq_codebooks()
+    assignment, distance tables, and ranking from the same literals.
+    Code assignment and query tables run in the family's Arrow boundary
+    (_pq_code_frame / _pq_query_tables); the per-candidate scoring fold
+    stays JVM-side."""
     emb = table(spark, sf_dir, "embeddings")
-    best_cols = []
-    for s, cb in enumerate(cbs):
-        cands = [
-            F.struct(d.alias("d"), F.lit(c).alias("c"))
-            for c, d in enumerate(_pq_sub_dists(s, cb))
-        ]
-        best_cols.append(F.array_min(F.array(*cands)).alias(f"b{s}"))
-    codes = emb.select(
-        F.col("vec_id").alias("neighbor_id"), *best_cols
-    ).select(
-        "neighbor_id",
-        F.array(*[F.col(f"b{s}")["c"] for s in range(len(cbs))]).alias("code"),
+    codes = _pq_code_frame(emb).select(
+        F.col("vec_id").alias("neighbor_id"), "code"
     )
-    dt = F.array(*[F.array(*_pq_sub_dists(s, cb)) for s, cb in enumerate(cbs)])
-    qd = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), dt.alias("dt")
-    )
+    qd = _pq_query_tables(emb.filter(F.col("vec_id") < 10))
     scored = (
         codes.crossJoin(F.broadcast(qd))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1015,4 +1046,79 @@ def vec_pq_adc_topk(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id", F.round("ad", 4).alias("adc_dist"))
+    )
+
+
+def _pq_adc_recall_oracle(k: int = 5) -> str:
+    adc = _pq_adc_oracle(k=k)
+    return f"""
+WITH adc_top AS ({adc}),
+emb2 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+truth_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(q.e, (x, i) -> (x - c.e[i]) * (x - c.e[i]))),
+           (a, b) -> a + b) AS d
+  FROM emb2 q CROSS JOIN emb2 c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS r
+    FROM truth_scored) WHERE r <= {k}
+)
+SELECT CAST(COUNT(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(COUNT(a.query_id) AS BIGINT) AS n_hit,
+       ROUND(COUNT(a.query_id)::DOUBLE / COUNT(*), 4) AS recall_at_k
+FROM truth t
+LEFT JOIN adc_top a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+"""
+
+
+@query("vec_pq_adc_recall", category="vectors", oracle=_pq_adc_recall_oracle())
+def vec_pq_adc_recall(spark, sf_dir):
+    """Recall@5 of compressed-domain ADC search vs exact L2 brute force —
+    the quantization-error counterpart of vec_ann_recall_lsh/_ivf: LSH/IVF
+    lose recall by candidate pruning, PQ loses it by distance distortion,
+    and a production IVF-PQ index pays both; this row prices the second
+    term alone (full-corpus ADC scan, no pruning). EXACT oracle: DuckDB
+    replays the codebook assignment, the ADC ranking, AND the exact-L2
+    ground truth, so the recall NUMBER is hash-compared. Ground-truth
+    distances fold per-dimension in ascending order on both engines."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+    )
+    d = F.aggregate(
+        F.zip_with("qe", "ce", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("neighbor_id").asc())
+    truth = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("d", d)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    approx = vec_pq_adc_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return truth.join(approx, ["query_id", "neighbor_id"], "left").agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_truth"),
+        F.count("hit").alias("n_hit"),
+        F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall_at_k"),
     )

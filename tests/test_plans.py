@@ -162,6 +162,11 @@ def test_no_python_eval_outside_udf_families(spark):
                         # lsh_multitable_buckets docstring has the measured
                         # rationale) — a declared Python boundary.
                         "vec_semdedup",
+                        # the PQ family assigns codes / builds query
+                        # distance tables in the same Arrow boundary
+                        # (vectors._pq_code_frame: ~1000 interpreted
+                        # Catalyst folds measured 30-90 s vs <1 s batched)
+                        "vec_pq_",
                         # doc_curation_v3's semantic tier IS vec_semdedup
                         # (same Arrow-batched bucketing); all other tiers
                         # stay JVM-side.
