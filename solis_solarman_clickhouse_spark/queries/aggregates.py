@@ -1380,3 +1380,115 @@ def ch_contingency(spark, sf_dir):
             F.sqrt(F.col("chi2") / (F.col("chi2") + F.col("n"))), 4
         ).alias("contingency")
     )
+
+
+@query(
+    "agg_theta_set_ops",
+    category="aggregate",
+    check="TOL",
+    oracle="""
+    SELECT CAST(1 AS BOOLEAN) AS union_ok,
+           CAST(1 AS BOOLEAN) AS inter_ok,
+           CAST(1 AS BOOLEAN) AS diff_ok
+    """,
+)
+def agg_theta_set_ops(spark, sf_dir):
+    """DataSketches Theta set algebra — the sketch family built for set
+    OPERATIONS (HLL unions only; Theta intersects and differences
+    natively, without inclusion-exclusion error amplification):
+    click-audience ∪/∩/∖ view-audience, each from mergeable per-month
+    partial sketches (theta_sketch_agg → theta_union_agg — the two-level
+    merge a 100 TB dashboard ships to combine per-partition sketches
+    without re-scanning). Each estimate is gated in-query against the
+    exact count at 10% + 3 absolute; output is the deterministic boolean
+    triple (agg_hll_intersection contract)."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click")
+    b = ev.where(F.col("event_type") == "view")
+    ska = a.groupBy(F.month("ts").alias("m")).agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    ).agg(F.theta_union_agg("sk").alias("ska"))
+    skb = b.groupBy(F.month("ts").alias("m")).agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    ).agg(F.theta_union_agg("sk").alias("skb"))
+    est = ska.crossJoin(skb).select(
+        F.theta_sketch_estimate(F.theta_union(F.col("ska"), F.col("skb"))).alias("eu"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("ska"), F.col("skb"))
+        ).alias("ei"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("ska"), F.col("skb"))
+        ).alias("ed"),
+    )
+    exact = (
+        a.select("user_id").union(b.select("user_id")).distinct()
+        .agg(F.count(F.lit(1)).alias("xu"))
+        .crossJoin(
+            a.select("user_id").intersect(b.select("user_id"))
+            .agg(F.count(F.lit(1)).alias("xi"))
+        )
+        .crossJoin(
+            a.select("user_id").distinct().exceptAll(b.select("user_id").distinct())
+            .agg(F.count(F.lit(1)).alias("xd"))
+        )
+    )
+    gate = lambda e, x: F.abs(F.col(e) - F.col(x)) <= F.greatest(
+        F.lit(0.10) * F.col(x), F.lit(3.0)
+    )
+    return est.crossJoin(exact).select(
+        gate("eu", "xu").alias("union_ok"),
+        gate("ei", "xi").alias("inter_ok"),
+        gate("ed", "xd").alias("diff_ok"),
+    )
+
+
+@query(
+    "agg_kll_quantiles",
+    category="aggregate",
+    check="TOL",
+    oracle="""
+    SELECT CAST(1 AS BOOLEAN) AS median_ok, CAST(1 AS BOOLEAN) AS p95_ok,
+           CAST(1 AS BOOLEAN) AS rank_ok
+    """,
+)
+def agg_kll_quantiles(spark, sf_dir):
+    """DataSketches KLL quantile sketch — the mergeable streaming-quantile
+    structure (rank error ε≈1.7% at k=200, independent of stream size):
+    per-month partial sketches of event values merged via
+    kll_sketch_merge into one corpus sketch, then median / p95 /
+    rank-of-100 read off it. Each is gated in-query against the exact
+    percentile_approx(…, 1e6)-free truth (exact sort-based percentile
+    via DOUBLE sort) at 5% relative rank tolerance; deterministic
+    boolean output (agg_hll_sketch_union contract). This is the
+    distributed-quantile answer at 100 TB — exact grouped quantiles
+    (agg_percentiles) re-sort per query, the sketch merges in one pass
+    and answers any quantile after."""
+    ev = table(spark, sf_dir, "events")
+    monthly = ev.groupBy(F.month("ts").alias("m")).agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    merged = monthly.agg(F.kll_merge_agg_double("sk").alias("sk"))
+    est = merged.select(
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias("em"),
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.95)).alias("e95"),
+        F.kll_sketch_get_rank_double(F.col("sk"), F.lit(100.0)).alias("er"),
+    )
+    exact = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("xm"),
+        F.expr("percentile(value, 0.95)").alias("x95"),
+        (
+            F.sum(F.when(F.col("value") <= 100.0, 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("xr"),
+    )
+    return est.crossJoin(exact).select(
+        (
+            F.abs(F.col("em") - F.col("xm"))
+            <= F.lit(0.05) * F.greatest(F.abs(F.col("xm")), F.lit(1.0))
+        ).alias("median_ok"),
+        (
+            F.abs(F.col("e95") - F.col("x95"))
+            <= F.lit(0.05) * F.greatest(F.abs(F.col("x95")), F.lit(1.0))
+        ).alias("p95_ok"),
+        (F.abs(F.col("er") - F.col("xr")) <= F.lit(0.05)).alias("rank_ok"),
+    )
