@@ -74,7 +74,8 @@ _PRIORITY = [
     "doc_curation_v3", "vec_semdedup", "doc_dup_span_coverage",
     "doc_quality_classifier", "vec_pq_quantize", "mm_image_phash_dedup",
     "ts_holt_forecast", "ch_exp_time_decayed_avg", "ch_contingency",
-    "ch_array_cumsum_diff",
+    "ch_array_cumsum_diff", "vec_pq_adc_topk", "vec_pq_adc_recall",
+    "agg_theta_set_ops", "agg_kll_quantiles",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

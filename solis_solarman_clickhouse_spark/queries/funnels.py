@@ -1233,3 +1233,56 @@ def ch_array_cumsum_diff(spark, sf_dir):
         F.transform(ordered, lambda s: s["cs"]).alias("cum_sums"),
         F.transform(ordered, lambda s: s["df"]).alias("diffs"),
     )
+
+
+@query(
+    "ch_array_enumerate_compact",
+    category="clickhouse",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS occ,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT user_id,
+           list(occ ORDER BY ts, event_id) AS enumerate_uniq,
+           list(event_type ORDER BY ts, event_id)
+             FILTER (WHERE prev IS NULL OR event_type <> prev) AS compacted
+    FROM seq GROUP BY user_id
+    """,
+)
+def ch_array_enumerate_compact(spark, sf_dir):
+    """ClickHouse ``arrayEnumerateUniq`` + ``arrayCompact`` parity over
+    each user's time-ordered event-type sequence: the first array gives
+    each element's occurrence index among equal values (1st click, 2nd
+    click, …) — the per-user repeat counter behind frequency capping;
+    the second collapses consecutive duplicates — the state-transition
+    view of a status stream (the reference's inverter state column
+    compacts the same way). Both derive from plain windows over ONE
+    user_id exchange shared with the final collect; array order pinned
+    by array_sort over (ts, event_id, …) structs."""
+    ev = table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.row_number().over(wu).alias("occ"),
+        F.lag("event_type").over(wseq).alias("prev"),
+    )
+    ordered_occ = F.array_sort(F.collect_list(F.struct("ts", "event_id", "occ")))
+    keep = F.col("prev").isNull() | (F.col("event_type") != F.col("prev"))
+    ordered_types = F.array_sort(
+        F.collect_list(
+            F.when(keep, F.struct("ts", "event_id", "event_type")).otherwise(None)
+        )
+    )
+    return seq.groupBy("user_id").agg(
+        F.transform(ordered_occ, lambda s: s["occ"]).alias("enumerate_uniq"),
+        F.transform(ordered_types, lambda s: s["event_type"]).alias("compacted"),
+    )
