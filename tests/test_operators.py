@@ -432,3 +432,46 @@ def test_compaction_collapses_files_preserving_content(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == n
     assert back.select("doc_id").distinct().count() == n
+
+
+def test_in_bucket_pairs_matches_self_join(spark):
+    """in_bucket_pairs must produce EXACTLY the self-join's candidate set —
+    including under a degenerate hot bucket (one bucket holding half the
+    ids) and with struct payloads. The array-expansion shape may only
+    change the plan, never the pairs."""
+    from pyspark.sql import functions as F
+
+    from solis_solarman_clickhouse_spark.operators.dedup import in_bucket_pairs
+
+    rows = []
+    # bucket 7 is hot: ids 0..49 all land in it (plus their own bucket);
+    # remaining ids spread across fine buckets with a few collisions
+    for i in range(100):
+        rows.append((i, 0, 7 if i < 50 else 1000 + i))
+        rows.append((i, 1, i % 13))
+    banded = spark.createDataFrame(rows, "doc_id long, band int, bucket long")
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in in_bucket_pairs(
+            banded,
+            F.col("doc_id"),
+            lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+        ).collect()
+    }
+    a, b = banded.alias("a"), banded.alias("b")
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+            .collect()
+        )
+    }
+    assert got == want and len(got) > 1225  # hot bucket alone gives 50*49/2
