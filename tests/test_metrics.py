@@ -120,3 +120,39 @@ def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
     assert scan_rows(zpath, lo_value) < n_total
     # and the z layout is lossless
     assert spark.read.parquet(zpath).count() == n_total
+
+
+def test_bloom_filter_layout_prunes_point_lookup(spark, tmp_path):
+    """ClickHouse bloom_filter-skip-index parity, measured: an UNSORTED
+    high-cardinality column gets no min/max pruning (every row group
+    spans the domain), but the bloom-filter layout skips row groups on a
+    point lookup; the bloom-less control scans every row."""
+    from solis_solarman_clickhouse_spark.operators.shards import bloom_filter_layout
+
+    # the sf0.001 fixture is a single row group — synthesize enough rows
+    # for multiple groups, with xxhash64 ids so the column is UNSORTED
+    # high-cardinality (the regime where min/max stats are useless)
+    ev = spark.range(0, 200_000).select(
+        (F.xxhash64("id") % 1_000_000).alias("event_id"),
+        (F.col("id") % 100).alias("user_id"),
+    )
+    n_total = ev.count()
+    pb, pn = str(tmp_path / "bloom"), str(tmp_path / "nobloom")
+    bloom_filter_layout(
+        ev, pb, bloom_cols=("event_id",), expected_ndv=1_000_000,
+        row_group_bytes=256 * 1024, n_files=1,
+    )
+    ev.repartition(1).write.mode("overwrite").option(
+        "parquet.block.size", 256 * 1024
+    ).parquet(pn)
+    # a mid-domain present value (NOT the max — the max is prunable by
+    # min/max stats alone, which would let the control pass spuriously)
+    target = int(ev.limit(1).collect()[0]["event_id"])
+    db = spark.read.parquet(pb).filter(F.col("event_id") == target)
+    dn = spark.read.parquet(pn).filter(F.col("event_id") == target)
+    mb, mn = run_with_metrics(db), run_with_metrics(dn)
+    assert db.count() == dn.count() >= 1
+    # control scans everything (no sort → min/max can't prune)
+    assert mn["scan_rows"] == n_total, mn
+    # bloom layout skips most row groups
+    assert mb["scan_rows"] < n_total // 4, (mb, n_total)
