@@ -75,7 +75,8 @@ _PRIORITY = [
     "doc_quality_classifier", "vec_pq_quantize", "mm_image_phash_dedup",
     "ts_holt_forecast", "ch_exp_time_decayed_avg", "ch_contingency",
     "ch_array_cumsum_diff", "vec_pq_adc_topk", "vec_pq_adc_recall",
-    "agg_theta_set_ops", "agg_kll_quantiles",
+    "agg_theta_set_ops", "agg_kll_quantiles", "ch_array_enumerate_compact",
+    "sink_bloom_layout",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger
