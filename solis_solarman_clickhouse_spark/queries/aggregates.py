@@ -1492,3 +1492,73 @@ def agg_kll_quantiles(spark, sf_dir):
         ).alias("p95_ok"),
         (F.abs(F.col("er") - F.col("xr")) <= F.lit(0.05)).alias("rank_ok"),
     )
+
+
+@query(
+    "agg_corr_covar",
+    category="aggregate",
+    oracle="""
+    WITH scaled AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+             CAST(o_orderkey AS BIGINT) % 7 + CAST(o_custkey AS BIGINT) % 1000 AS y
+      FROM orders
+    ),
+    m AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM scaled GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+      ROUND((sxy - sx * sy / n) / n / 10000.0, 4) AS covar_pop,
+      ROUND((sxy - sx * sy / n) / (n - 1) / 10000.0, 4) AS covar_samp,
+      ROUND((n * sxy - sx * sy)
+            / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) AS corr
+    FROM m
+    """,
+)
+def agg_corr_covar(spark, sf_dir):
+    """ANSI covar_pop / covar_samp / corr (ClickHouse covarPop /
+    covarSamp / corr) between order value and a synthetic
+    customer-mix column, grouped by order priority — built from exact DECIMAL(38,0)
+    integer moments like agg_regr_ols (prices exact at 2 dp; the builtin
+    double-accumulating aggregates would be partitioning-dependent), so
+    the final DOUBLE expressions are bit-identical on both engines
+    before the 4-dp round; covariances unscale by the 100² price factor.
+    One partial+final hash aggregate, map-side combinable."""
+    o = table(spark, sf_dir, "orders")
+    scaled = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+        (
+            F.col("o_orderkey").cast("long") % 7
+            + F.col("o_custkey").cast("long") % 1000
+        ).alias("y"),
+    )
+    dec = lambda c: F.sum(c.cast(T.DecimalType(38, 0))).cast("double")
+    m = scaled.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "o_orderpriority",
+        "n",
+        F.round((sxy - sx * sy / n) / n / 10000.0, 4).alias("covar_pop"),
+        F.round((sxy - sx * sy / n) / (n - 1) / 10000.0, 4).alias("covar_samp"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            4,
+        ).alias("corr"),
+    )
