@@ -1939,7 +1939,15 @@ def doc_curation_v3(spark, sf_dir):
     vec_semdedup), so this query proves the tiers compose lazily into a
     single Catalyst DAG — no materialization barriers between stages, and
     Catalyst pushes each tier's column needs down independently. The
-    oracle replays all four tiers including the plane constants."""
+    oracle replays all four tiers including the plane constants.
+
+    Cost note (measured ~10 s at sf0.1 vs ~4 s for the tiers summed):
+    the per-stage verdict joins each re-expand the shared upstream
+    lineage (sha×4, span×3, classifier×2 — ReuseExchange doesn't span
+    those branches), the deliberate price of keeping this a pure lazy
+    plan. A production run at 100 TB materializes each tier's survivor
+    set instead (the doc_corpus_dedup_materialize pattern), which also
+    caps lineage depth; semantics are identical."""
     from ..operators.similarity import semdedup_bucketed
 
     docs = table(spark, sf_dir, "documents")
