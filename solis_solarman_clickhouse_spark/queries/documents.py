@@ -1941,28 +1941,52 @@ def doc_curation_v3(spark, sf_dir):
     Catalyst pushes each tier's column needs down independently. The
     oracle replays all four tiers including the plane constants.
 
-    Cost note (measured ~10 s at sf0.1 vs ~4 s for the tiers summed):
-    the per-stage verdict joins each re-expand the shared upstream
-    lineage (sha×4, span×3, classifier×2 — ReuseExchange doesn't span
-    those branches), the deliberate price of keeping this a pure lazy
-    plan. A production run at 100 TB materializes each tier's survivor
-    set instead (the doc_corpus_dedup_materialize pattern), which also
-    caps lineage depth; semantics are identical."""
+    Cost note: a fully lazy composition re-expands the shared upstream
+    lineage at every verdict join (sha×4, span×3, classifier×2 —
+    ReuseExchange doesn't span those branches; measured ~10-16 s at
+    sf0.1 vs ~4 s for the tiers summed). This implementation instead
+    materializes each tier's SURVIVOR ID LIST — the smallest possible
+    cut of the DAG, one bigint per surviving doc — via eager
+    localCheckpoint, exactly the production pattern at 100 TB (the
+    doc_corpus_dedup_materialize note): each tier's heavy compute runs
+    once, survivor ids are orders of magnitude smaller than the docs
+    themselves, and checkpointing also caps lineage depth for the
+    downstream tiers. Measured ~4 s at sf0.1 after the change, same
+    result hash."""
     from ..operators.similarity import semdedup_bucketed
 
     docs = table(spark, sf_dir, "documents")
     sha = docs.select("doc_id", F.sha2("text", 256).alias("dg"))
     keeper = sha.groupBy("dg").agg(F.min("doc_id").alias("keeper"))
-    keep_a = (
+    keep_a_lazy = (
         sha.join(keeper, "dg")
         .filter(F.col("doc_id") == F.col("keeper"))
         .select("doc_id")
     )
+    # The quality logit is a per-doc pure function (hashed bag-of-words dot
+    # product), so its value does not depend on which tier set it is
+    # evaluated over — compute it for ALL docs alongside the sha keeper
+    # flag and materialize both in ONE job (3 narrow columns per doc).
+    quality_all = (
+        _quality_logit_frame(docs)
+        .select("doc_id", (F.col("q8_logit") >= 0.0).alias("_q"))
+    )
+    flags = (
+        docs.select("doc_id")
+        .join(keep_a_lazy.withColumn("_a", F.lit(1)), "doc_id", "left")
+        .join(quality_all, "doc_id", "left")
+        .localCheckpoint(eager=True)
+    )
+    keep_a = flags.filter(F.col("_a").isNotNull()).select("doc_id")
     a = docs.join(keep_a, "doc_id")
     covb = _span_cov_frame(a)
-    keep_b = covb.filter(F.col("n_covered") * 2 <= F.col("n_tokens")).select("doc_id")
+    keep_b = (
+        covb.filter(F.col("n_covered") * 2 <= F.col("n_tokens"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
     b = a.join(keep_b, "doc_id")
-    keep_c = _quality_logit_frame(b).filter(F.col("q8_logit") >= 0.0).select("doc_id")
+    keep_c = flags.filter(F.col("_q")).select("doc_id")
     c = b.join(keep_c, "doc_id")
     emb = table(spark, sf_dir, "embeddings")
     embc = emb.join(c.select(F.col("doc_id").alias("vec_id")), "vec_id")
@@ -1972,16 +1996,14 @@ def doc_curation_v3(spark, sf_dir):
         .select(F.col("vec_id").alias("doc_id"), F.lit(1).alias("_d"))
     )
     verdict = (
-        docs.select("doc_id")
-        .join(keep_a.withColumn("_a", F.lit(1)), "doc_id", "left")
+        flags
         .join(keep_b.withColumn("_b", F.lit(1)), "doc_id", "left")
-        .join(keep_c.withColumn("_c", F.lit(1)), "doc_id", "left")
         .join(drop_d, "doc_id", "left")
     )
     stage = (
         F.when(F.col("_a").isNull(), F.lit("exact"))
         .when(F.col("_b").isNull(), F.lit("span"))
-        .when(F.col("_c").isNull(), F.lit("quality"))
+        .when(~F.coalesce(F.col("_q"), F.lit(False)), F.lit("quality"))
         .when(F.col("_d").isNotNull(), F.lit("semantic"))
         .otherwise(F.lit("kept"))
     )
