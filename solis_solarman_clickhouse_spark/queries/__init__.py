@@ -77,6 +77,9 @@ _PRIORITY = [
     "ch_array_cumsum_diff", "vec_pq_adc_topk", "vec_pq_adc_recall",
     "agg_theta_set_ops", "agg_kll_quantiles", "ch_array_enumerate_compact",
     "sink_bloom_layout",
+    # -- round-2 session-3 additions --
+    "doc_chunk_split", "ch_student_ttest", "ch_any_heavy",
+    "ch_categorical_iv", "ch_stochastic_linreg",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

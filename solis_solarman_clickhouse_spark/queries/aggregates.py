@@ -1562,3 +1562,288 @@ def agg_corr_covar(spark, sf_dir):
             4,
         ).alias("corr"),
     )
+
+
+@query(
+    "ch_student_ttest",
+    category="aggregate",
+    oracle="""
+    WITH scaled AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n, SUM(y) AS s, SUM(y * y) AS ss
+      FROM scaled GROUP BY event_type
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN event_type = 'view' THEN n END) AS n1,
+        MAX(CASE WHEN event_type = 'view' THEN s END) AS s1,
+        MAX(CASE WHEN event_type = 'view' THEN ss END) AS ss1,
+        MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+        MAX(CASE WHEN event_type = 'purchase' THEN s END) AS s2,
+        MAX(CASE WHEN event_type = 'purchase' THEN ss END) AS ss2
+      FROM m
+    )
+    SELECT n1, n2,
+      ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 100.0, 4)
+        AS mean_diff,
+      ROUND(
+        (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+        / SQRT(
+            ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+             + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))
+            / (n1 + n2 - 2)
+            * (1.0 / n1 + 1.0 / n2)
+          ),
+        4) AS t_stat
+    FROM w
+    """,
+)
+def ch_student_ttest(spark, sf_dir):
+    """Student's pooled-variance t statistic between two event types
+    (ClickHouse studentTTest) — the equal-variance sibling of
+    agg_welch_ttest, sharing its exact-integer-moment discipline: the
+    2-dp fixture values scale to exact BIGINTs, so (n, Σy, Σy²) are
+    exact on both engines and the pooled variance
+    ((ss1 - s1²/n1) + (ss2 - s2²/n2)) / (n1 + n2 - 2) is a fixed IEEE
+    dataflow over identical integers — bit-equal before the 4-dp
+    round. One partial+final aggregate, single-row output; map-side
+    combine all the way, so at 100 TB the reduce side sees 2 rows."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    scaled = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("y")
+    )
+    m = scaled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ss"),
+    )
+    pick = lambda t, c: F.max(F.when(F.col("event_type") == t, F.col(c)))
+    w = m.agg(
+        pick("view", "n").alias("n1"), pick("view", "s").alias("s1"),
+        pick("view", "ss").alias("ss1"),
+        pick("purchase", "n").alias("n2"), pick("purchase", "s").alias("s2"),
+        pick("purchase", "ss").alias("ss2"),
+    )
+    n1, s1, ss1 = F.col("n1"), F.col("s1").cast("double"), F.col("ss1").cast("double")
+    n2, s2, ss2 = F.col("n2"), F.col("s2").cast("double"), F.col("ss2").cast("double")
+    mdiff = s1 / n1 - s2 / n2
+    sp2 = (
+        (ss1 - s1 * F.col("s1") / n1) + (ss2 - s2 * F.col("s2") / n2)
+    ) / (n1 + n2 - 2)
+    se = F.sqrt(sp2 * (F.lit(1.0) / n1 + F.lit(1.0) / n2))
+    return w.select(
+        "n1", "n2",
+        F.round(mdiff / 100.0, 4).alias("mean_diff"),
+        F.round(mdiff / se, 4).alias("t_stat"),
+    )
+
+
+@query(
+    "ch_any_heavy",
+    category="aggregate",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS a
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           split_part(
+             list_reduce(
+               list_prepend('|0', a),
+               (acc, x) -> CASE
+                 WHEN CAST(split_part(acc, '|', 2) AS BIGINT) = 0
+                   THEN x || '|1'
+                 WHEN split_part(acc, '|', 1) = x
+                   THEN split_part(acc, '|', 1) || '|'
+                        || CAST(CAST(split_part(acc, '|', 2) AS BIGINT) + 1 AS VARCHAR)
+                 ELSE split_part(acc, '|', 1) || '|'
+                      || CAST(CAST(split_part(acc, '|', 2) AS BIGINT) - 1 AS VARCHAR)
+               END),
+             '|', 1) AS heavy_type,
+           len(a) AS n_events
+    FROM ordered
+    """,
+)
+def ch_any_heavy(spark, sf_dir):
+    """ClickHouse ``anyHeavy`` parity: the Boyer-Moore majority-vote
+    candidate of each user's event_type stream in time order. The
+    single-pass heavy-hitter state (candidate, counter) is encoded as a
+    'cand|count' string and advanced by a SEQUENTIAL left fold over the
+    time-ordered list (F.aggregate ≡ DuckDB list_reduce with the state
+    prepended as the first element, since list_reduce's accumulator must
+    share the element type) — identical integer/string steps on both
+    engines, so the emitted candidate is deterministic, unlike the
+    engine-defined tie behavior of the native anyHeavy. One user_id
+    exchange; the per-user list is bounded by per-user activity, and at
+    100 TB the same fold runs as a streaming applyInPandasWithState pass
+    without changing semantics. Event types never contain '|'."""
+    ev = table(spark, sf_dir, "events")
+    ordered = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ).alias("a")
+    )
+    bar = F.lit("|")
+    cand = lambda acc: F.split_part(acc, bar, F.lit(1))
+    cnt = lambda acc: F.split_part(acc, bar, F.lit(2)).cast("long")
+    step = lambda acc, x: (
+        F.when(cnt(acc) == 0, F.concat(x, F.lit("|1")))
+        .when(
+            cand(acc) == x,
+            F.concat(cand(acc), bar, (cnt(acc) + 1).cast("string")),
+        )
+        .otherwise(F.concat(cand(acc), bar, (cnt(acc) - 1).cast("string")))
+    )
+    folded = F.aggregate(F.col("a"), F.lit("|0"), step)
+    return ordered.select(
+        "user_id",
+        F.split_part(folded, bar, F.lit(1)).alias("heavy_type"),
+        F.size("a").cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "ch_categorical_iv",
+    category="aggregate",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS category,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_good,
+             SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS n_bad
+      FROM orders GROUP BY o_orderpriority
+    ),
+    t AS (
+      SELECT category, n_good, n_bad,
+             SUM(n_good) OVER () AS tot_good,
+             SUM(n_bad) OVER () AS tot_bad
+      FROM c
+    )
+    SELECT category, n_good, n_bad,
+           ROUND(ln((CAST(n_good AS DOUBLE) / tot_good)
+                    / (CAST(n_bad AS DOUBLE) / tot_bad)), 4) AS woe,
+           ROUND((CAST(n_good AS DOUBLE) / tot_good
+                  - CAST(n_bad AS DOUBLE) / tot_bad)
+                 * ln((CAST(n_good AS DOUBLE) / tot_good)
+                      / (CAST(n_bad AS DOUBLE) / tot_bad)), 4) AS iv_term
+    FROM t
+    """,
+)
+def ch_categorical_iv(spark, sf_dir):
+    """ClickHouse ``categoricalInformationValue`` parity: per-category
+    Weight-of-Evidence and Information-Value contribution of order
+    priority toward the binary outcome o_orderstatus = 'F' — the
+    feature-screening statistic of credit-scoring / feature-selection
+    pipelines. Counts are exact integers on both engines, so each WoE
+    argument is the same rational and the single ln() per category (5
+    categories) sits safely inside the 4-dp round (ch_entropy's log
+    discipline). One partial+final aggregate plus an unpartitioned
+    window over 5 rows — at 100 TB the reduce side sees one row per
+    category, nothing else."""
+    o = table(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_good"),
+        F.sum(F.when(F.col("o_orderstatus") != "F", 1).otherwise(0)).alias("n_bad"),
+    )
+    w = W.partitionBy()
+    t = c.withColumn("tot_good", F.sum("n_good").over(w)).withColumn(
+        "tot_bad", F.sum("n_bad").over(w)
+    )
+    pg = F.col("n_good").cast("double") / F.col("tot_good")
+    pb = F.col("n_bad").cast("double") / F.col("tot_bad")
+    woe = F.log(pg / pb)
+    return t.select(
+        "category", "n_good", "n_bad",
+        F.round(woe, 4).alias("woe"),
+        F.round((pg - pb) * woe, 4).alias("iv_term"),
+    )
+
+
+@query(
+    "ch_stochastic_linreg",
+    category="aggregate",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS grp,
+             list([CAST(l_quantity AS DOUBLE) / 50.0,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) / 10000000.0]
+                  ORDER BY l_orderkey, l_linenumber,
+                           CAST(l_quantity AS DOUBLE) / 50.0,
+                           CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           / 10000000.0) AS a
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    fit AS (
+      SELECT grp, len(a) AS n,
+             list_reduce(
+               list_prepend([0.0::DOUBLE, 0.0::DOUBLE], a),
+               (acc, e) -> [
+                 acc[1] - 0.05 * ((acc[1] * e[1] + acc[2]) - e[2]) * e[1],
+                 acc[2] - 0.05 * ((acc[1] * e[1] + acc[2]) - e[2])]) AS w
+      FROM pts
+    )
+    SELECT grp, n, ROUND(w[1], 6) AS weight, ROUND(w[2], 6) AS bias
+    FROM fit
+    """,
+)
+def ch_stochastic_linreg(spark, sf_dir):
+    """ClickHouse ``stochasticLinearRegression`` parity: one epoch of
+    per-sample SGD (lr=0.05, no regularization) fitting normalized
+    extendedprice from normalized quantity, per return flag. The
+    sequential recursion w ← w − lr·(ŷ−y)·x is inherently order-
+    dependent, so the sample order is PINNED to the full tuple
+    (l_orderkey, l_linenumber, x, y) — the fixture's (orderkey,
+    linenumber) alone is NOT unique, and any tie left unpinned would
+    let the engines fold in different orders — and the update runs as
+    a left fold whose accumulator is a 2-element DOUBLE LIST
+    ([weight, bias], matching the element type as DuckDB list_reduce
+    requires, state prepended). The state is a LIST and not a struct
+    deliberately: DuckDB v1.0.0 evaluates struct_pack fold fields
+    sequentially, so a y-expression reading acc.x sees the
+    ALREADY-UPDATED x (verified with a 3-element probe); list-valued
+    accumulators evaluate both elements against the old state. With
+    that pinned, F.aggregate and list_reduce execute the identical
+    +,·,− IEEE dataflow, bit-equal before the 6-dp round. Inputs are exact: quantity is an
+    integer and the 2-dp price scales to an exact BIGINT before the
+    normalizing division. One grp shuffle; the fold is serial per group
+    by definition of SGD — at 100 TB you fit per-shard models this way
+    and average (parameter mixing), which is this same query over a
+    finer group key."""
+    li = table(spark, sf_dir, "lineitem")
+    pts = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "l_orderkey", "l_linenumber",
+                        (F.col("l_quantity").cast("double") / 50.0).alias("x"),
+                        (
+                            F.round(F.col("l_extendedprice") * 100).cast("long")
+                            / 10000000.0
+                        ).alias("y"),
+                    )
+                )
+            ),
+            lambda s: F.array(s["x"], s["y"]),
+        ).alias("a")
+    )
+    init = F.array(F.lit(0.0), F.lit(0.0))
+    step = lambda acc, e: F.array(
+        acc[0] - 0.05 * ((acc[0] * e[0] + acc[1]) - e[1]) * e[0],
+        acc[1] - 0.05 * ((acc[0] * e[0] + acc[1]) - e[1]),
+    )
+    fit = pts.select(
+        "grp",
+        F.size("a").cast("long").alias("n"),
+        F.aggregate("a", init, step).alias("w"),
+    )
+    return fit.select(
+        "grp", "n",
+        F.round(F.col("w")[0], 6).alias("weight"),
+        F.round(F.col("w")[1], 6).alias("bias"),
+    )

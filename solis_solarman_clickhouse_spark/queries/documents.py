@@ -2008,3 +2008,55 @@ def doc_curation_v3(spark, sf_dir):
         .otherwise(F.lit("kept"))
     )
     return verdict.select("doc_id", stage.alias("stage"))
+
+
+@query(
+    "doc_chunk_split",
+    category="documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t, n, UNNEST(generate_series(0, n - 1, 24)) AS st
+      FROM toks
+    )
+    SELECT doc_id,
+           st // 24 AS chunk_id,
+           st AS chunk_start,
+           len(list_slice(t, st + 1, st + 32)) AS n_chunk_tokens,
+           array_to_string(list_slice(t, st + 1, st + 32), ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def doc_chunk_split(spark, sf_dir):
+    """Fixed-size token chunking with overlap — the context-window prep
+    step of every RAG / pre-training pipeline (chunk_size=32 tokens,
+    overlap=8, i.e. stride 24): each document explodes into chunks
+    starting at 0, 24, 48, ... while the start is inside the document,
+    each chunk carrying up to 32 whitespace tokens. Pure JVM exprs:
+    split → sequence(0, n-1, 24) → explode → slice → array_join, all
+    inside whole-stage codegen, zero shuffles — at 100 TB this is a
+    map-only pass whose output is the training corpus itself, so the
+    plan (scan → project → generate) is exactly what a 1000-executor
+    run wants: no exchange, pushdown-friendly, linear in input bytes.
+    Deterministic string arithmetic on both engines (no floats)."""
+    docs = table(spark, sf_dir, "documents")
+    d = (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .withColumn("n", F.size("t"))
+        .withColumn(
+            "st",
+            F.explode(F.sequence(F.lit(0), F.col("n") - F.lit(1), F.lit(24))),
+        )
+    )
+    chunk = F.slice(F.col("t"), F.col("st") + F.lit(1), F.lit(32))
+    return d.select(
+        "doc_id",
+        (F.col("st") / 24).cast("long").alias("chunk_id"),
+        F.col("st").alias("chunk_start"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
