@@ -80,6 +80,7 @@ _PRIORITY = [
     # -- round-2 session-3 additions --
     "doc_chunk_split", "ch_student_ttest", "ch_any_heavy",
     "ch_categorical_iv", "ch_stochastic_linreg",
+    "vec_ivfpq_topk", "vec_ivfpq_recall",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

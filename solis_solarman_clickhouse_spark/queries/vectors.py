@@ -1122,3 +1122,338 @@ def vec_pq_adc_recall(spark, sf_dir):
         F.count("hit").alias("n_hit"),
         F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the full composite index (coarse inverted lists + residual PQ +
+# per-probe ADC) — FAISS IndexIVFPQ semantics, Jégou et al. 2011 §IV.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_N_LISTS = 16
+_IVFPQ_N_PROBE = 8
+_IVFPQ_CACHE: dict = {}
+
+
+def _ivfpq_coarse(n_lists: int = _IVFPQ_N_LISTS, dim: int = 64, seed: int = 13,
+                  iters: int = 10):
+    """Deterministic TRAINED coarse quantizer: Lloyd's k-means on synthetic
+    samples from the embedding law (iid N(0, 0.125²) per dim — the fixture
+    generator's distribution, so the same centroids generalize across
+    scale factors), literalized so both engines replay the identical
+    assignment — the full-dim sibling of _pq_codebooks. Cached per
+    config."""
+    key = (n_lists, dim, seed, iters)
+    if key not in _IVFPQ_CACHE:
+        rng = np.random.RandomState(seed)
+        samp = rng.standard_normal((4000, dim)) * 0.125
+        cb = samp[rng.choice(4000, n_lists, replace=False)].copy()
+        for _ in range(iters):
+            d = ((samp[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for c in range(n_lists):
+                m = samp[a == c]
+                if len(m):
+                    cb[c] = m.mean(0)
+        _IVFPQ_CACHE[key] = cb
+    return _IVFPQ_CACHE[key]
+
+
+def _coarse_dists(m, cents):
+    """Squared L2 from each row of m to each centroid with the PER-DIM
+    accumulation order PINNED to the oracle's fold (0.0 + t0 + t1 + …):
+    a j-ascending loop of += — never np.sum's pairwise tree."""
+    d = np.zeros((len(m), len(cents)))
+    diff = m[:, None, :] - cents[None, :, :]
+    for j in range(m.shape[1]):
+        d += diff[:, :, j] * diff[:, :, j]
+    return d
+
+
+def _ivfpq_code_frame(emb):
+    """(vec_id, list_id, code array<int>) in ONE Arrow-batched mapInPandas
+    stage: coarse-assign to the nearest literal centroid (ties → lower
+    list id via first-argmin), then PQ-encode the RESIDUAL vector against
+    the literal codebooks — the compressed representation of a FAISS
+    IVFPQ index (by_residual=true). Same Python-boundary rationale and
+    order-pinned arithmetic as _pq_code_frame."""
+    cents = _ivfpq_coarse()
+    CB = np.stack(_pq_codebooks())
+
+    def encode(batches):
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            lists = _coarse_dists(m, cents).argmin(1)
+            r = m - cents[lists]
+            codes = np.zeros((len(m), CB.shape[0]), dtype=np.int32)
+            for s in range(CB.shape[0]):
+                diff = r[:, 2 * s : 2 * s + 2][:, None, :] - CB[s][None, :, :]
+                d = diff[:, :, 0] * diff[:, :, 0] + diff[:, :, 1] * diff[:, :, 1]
+                codes[:, s] = d.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "list_id": lists.astype(np.int32),
+                    "code": list(codes),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, list_id int, code array<int>"
+    )
+
+
+def _ivfpq_query_probes(emb, n_probe: int = _IVFPQ_N_PROBE):
+    """(query_id, list_id, dt array<array<double>>) — one row per probed
+    inverted list: the n_probe nearest coarse centroids (stable argsort =
+    ties → lower list id) and, per probe, the query RESIDUAL's 32×32
+    distance table to the literal codebooks. Residuals differ per probed
+    list, so the table is per-(query, list) — exactly the per-list table
+    an IVFPQ scan precomputes before walking the list."""
+    cents = _ivfpq_coarse()
+    CB = np.stack(_pq_codebooks())
+
+    def tables(batches):
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qids, lids, dts = [], [], []
+            cd = _coarse_dists(m, cents)
+            for qi in range(len(m)):
+                probes = np.argsort(cd[qi], kind="stable")[:n_probe]
+                for lid in probes:
+                    qres = m[qi] - cents[lid]
+                    dt = []
+                    for s in range(CB.shape[0]):
+                        diff = qres[2 * s : 2 * s + 2][None, :] - CB[s]
+                        dt.append(
+                            [
+                                float(x)
+                                for x in diff[:, 0] * diff[:, 0]
+                                + diff[:, 1] * diff[:, 1]
+                            ]
+                        )
+                    qids.append(pdf["vec_id"].iloc[qi])
+                    lids.append(int(lid))
+                    dts.append(dt)
+            yield pd.DataFrame({"query_id": qids, "list_id": lids, "dt": dts})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        tables, "query_id long, list_id int, dt array<array<double>>"
+    )
+
+
+def _ivfpq_literal_values():
+    cents = _ivfpq_coarse()
+    cent_rows = ",\n".join(
+        f"({lid}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for lid, c in enumerate(cents)
+    )
+    cbs = _pq_codebooks()
+    cb_rows = ",\n".join(
+        f"({s}, {c}, [{', '.join(repr(float(x)) for x in cb[c])}]::DOUBLE[])"
+        for s, cb in enumerate(cbs)
+        for c in range(len(cb))
+    )
+    return cent_rows, cb_rows
+
+
+def _ivfpq_topk_oracle(n_probe: int = _IVFPQ_N_PROBE, k: int = 5) -> str:
+    cent_rows, cb_rows = _ivfpq_literal_values()
+    return f"""
+WITH cents(lid, ccent) AS (VALUES
+{cent_rows}
+),
+cb(sub, cid, cent) AS (VALUES
+{cb_rows}
+),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cd AS (
+  SELECT vec_id, lid,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(ccent, (x, i) -> (e[i] - x) * (e[i] - x))),
+           (a, b) -> a + b) AS d
+  FROM emb CROSS JOIN cents
+),
+asg AS (
+  SELECT vec_id, lid FROM (
+    SELECT vec_id, lid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, lid) AS r
+    FROM cd) WHERE r = 1
+),
+res AS (
+  SELECT emb.vec_id, a.lid,
+         list_transform(e, (x, i) -> x - c.ccent[i]) AS rv
+  FROM emb JOIN asg a ON emb.vec_id = a.vec_id
+  JOIN cents c ON a.lid = c.lid
+),
+rd AS (
+  SELECT vec_id, lid, sub, cid,
+         (rv[sub * 2 + 1] - cent[1]) * (rv[sub * 2 + 1] - cent[1])
+         + (rv[sub * 2 + 2] - cent[2]) * (rv[sub * 2 + 2] - cent[2]) AS d
+  FROM res CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, lid, sub, cid FROM (
+    SELECT vec_id, lid, sub, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS r
+    FROM rd) WHERE r = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, lid FROM (
+    SELECT vec_id, lid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, lid) AS r
+    FROM cd WHERE vec_id < 10) WHERE r <= {n_probe}
+),
+qres AS (
+  SELECT p.query_id, p.lid,
+         list_transform(e, (x, i) -> x - c.ccent[i]) AS rv
+  FROM probes p JOIN emb ON emb.vec_id = p.query_id
+  JOIN cents c ON p.lid = c.lid
+),
+qdt AS (
+  SELECT query_id, lid, sub, cid,
+         (rv[sub * 2 + 1] - cent[1]) * (rv[sub * 2 + 1] - cent[1])
+         + (rv[sub * 2 + 2] - cent[2]) * (rv[sub * 2 + 2] - cent[2]) AS d
+  FROM qres CROSS JOIN cb
+),
+adc AS (
+  SELECT q.query_id, c.neighbor_id, q.sub, q.d
+  FROM qdt q
+  JOIN codes c ON q.lid = c.lid AND q.sub = c.sub AND q.cid = c.cid
+  WHERE q.query_id <> c.neighbor_id
+),
+summed AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list_prepend(0.0, list(d ORDER BY sub)),
+                     (a, b) -> a + b) AS ad
+  FROM adc GROUP BY query_id, neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, ad,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ad ASC, neighbor_id ASC) AS rank
+  FROM summed
+)
+SELECT query_id, rank, neighbor_id, ROUND(ad, 4) AS adc_dist
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@query("vec_ivfpq_topk", category="vectors", oracle=_ivfpq_topk_oracle())
+def vec_ivfpq_topk(spark, sf_dir):
+    """The full IVF-PQ composite (FAISS IndexIVFPQ, Jégou et al. 2011):
+    coarse quantizer partitions the corpus into 16 inverted lists, every
+    corpus vector is stored as its list id + a 20-byte PQ code of its
+    RESIDUAL to the list centroid, and each query probes its 8 nearest
+    lists, scoring candidates compressed-domain via a per-(query, probe)
+    ADC distance table — the memory-bound billion-scale ANN design: the
+    scan touches n_probe/n_lists of the corpus and reads 21 bytes per
+    candidate instead of 512. The join is a broadcast equi-join on
+    list_id (query side: 10 queries × 8 probes), candidate scoring is a
+    JVM zip_with lookup fold, and the only Python is the family's Arrow
+    boundary (encode + table build). EXACT oracle: DuckDB replays coarse
+    assignment, residual codes, probe choice, distance tables, and
+    ranking from the same literal centroids/codebooks. Recall is priced
+    by vec_ivfpq_recall (candidate pruning × quantization distortion —
+    isotropic random embeddings are the worst case for both)."""
+    from pyspark.sql import Window as W
+
+    emb = table(spark, sf_dir, "embeddings")
+    codes = _ivfpq_code_frame(emb).select(
+        F.col("vec_id").alias("neighbor_id"), "list_id", "code"
+    )
+    probes = _ivfpq_query_probes(emb.filter(F.col("vec_id") < 10))
+    scored = (
+        codes.join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "ad",
+            F.aggregate(
+                F.zip_with("dt", "code", lambda t, c: F.element_at(t, c + F.lit(1))),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("ad").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", F.round("ad", 4).alias("adc_dist"))
+    )
+
+
+def _ivfpq_recall_oracle(k: int = 5) -> str:
+    topk = _ivfpq_topk_oracle(k=k)
+    return f"""
+WITH ivfpq_top AS ({topk}),
+emb2 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+truth_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(
+           list_prepend(0.0,
+             list_transform(q.e, (x, i) -> (x - c.e[i]) * (x - c.e[i]))),
+           (a, b) -> a + b) AS d
+  FROM emb2 q CROSS JOIN emb2 c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS r
+    FROM truth_scored) WHERE r <= {k}
+)
+SELECT CAST(COUNT(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(COUNT(a.query_id) AS BIGINT) AS n_hit,
+       ROUND(COUNT(a.query_id)::DOUBLE / COUNT(*), 4) AS recall_at_k
+FROM truth t
+LEFT JOIN ivfpq_top a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+"""
+
+
+@query("vec_ivfpq_recall", category="vectors", oracle=_ivfpq_recall_oracle())
+def vec_ivfpq_recall(spark, sf_dir):
+    """Recall@5 of the IVF-PQ composite vs exact-L2 brute force — the
+    end-to-end price of BOTH approximation terms at once: candidate
+    pruning (8 of 16 lists probed → vec_ann_recall_ivf's term) and
+    compressed-domain distance distortion (vec_pq_adc_recall's term).
+    Measured ~0.5 on the isotropic fixtures (ADC-alone ceiling is
+    0.64-0.68; random gaussian embeddings are quantization's worst
+    case — clustered production embeddings fare far better at the same
+    config). EXACT oracle: DuckDB replays the whole approximate path
+    AND the brute-force truth, so the recall NUMBER is hash-compared."""
+    from pyspark.sql import Window as W
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+    )
+    d = F.aggregate(
+        F.zip_with("qe", "ce", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("neighbor_id").asc())
+    truth = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("d", d)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    approx = vec_ivfpq_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return truth.join(approx, ["query_id", "neighbor_id"], "left").agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_truth"),
+        F.count("hit").alias("n_hit"),
+        F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall_at_k"),
+    )

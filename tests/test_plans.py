@@ -167,6 +167,10 @@ def test_no_python_eval_outside_udf_families(spark):
                         # (vectors._pq_code_frame: ~1000 interpreted
                         # Catalyst folds measured 30-90 s vs <1 s batched)
                         "vec_pq_",
+                        # the IVF-PQ composite encodes/probes in the same
+                        # Arrow boundary (_ivfpq_code_frame /
+                        # _ivfpq_query_probes); ADC scoring stays JVM-side
+                        "vec_ivfpq_",
                         # doc_curation_v3's semantic tier IS vec_semdedup
                         # (same Arrow-batched bucketing); all other tiers
                         # stay JVM-side.
