@@ -24,6 +24,7 @@ from . import subqueries  # noqa: E402,F401
 from . import funnels  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import sinks  # noqa: E402,F401
+from . import graph  # noqa: E402,F401
 
 
 # The external driver checks queries in insertion order with a bounded
@@ -81,6 +82,7 @@ _PRIORITY = [
     "doc_chunk_split", "ch_student_ttest", "ch_any_heavy",
     "ch_categorical_iv", "ch_stochastic_linreg",
     "vec_ivfpq_topk", "vec_ivfpq_recall",
+    "scan_stratified_sample", "doc_importance_resample", "graph_pagerank",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

@@ -2060,3 +2060,88 @@ def doc_chunk_split(spark, sf_dir):
         F.size(chunk).alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def _importance_resample_oracle() -> str:
+    w = _qcls_weights()
+    wlit = "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, n_tokens,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS j,
+             COUNT(*) AS cnt
+      FROM toks GROUP BY doc_id, n_tokens, j
+    ),
+    folded AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(0.0,
+                 list_transform(list(j * 1000000 + cnt ORDER BY j),
+                                p -> (p % 1000000) * 1.0 / MAX(n_tokens)
+                                     * ({wlit})[(p // 1000000) + 1])),
+               (a, b) -> a + b) AS logit
+      FROM feat GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(ROUND(1000000.0 / (1.0 + exp(-ROUND(logit, 8)))) AS BIGINT)
+               AS t6,
+             ((doc_id * 2654435761) % 4294967296) % 1000000 AS u6
+      FROM folded
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN s.u6 < s.t6 THEN 1 ELSE 0 END) AS n_kept,
+           ROUND(CAST(SUM(s.t6) AS DOUBLE) / COUNT(*) / 1000000.0, 4)
+             AS avg_keep_prob
+    FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+    GROUP BY d.source
+    """
+
+
+@query(
+    "doc_importance_resample",
+    category="documents",
+    oracle=_importance_resample_oracle(),
+)
+def doc_importance_resample(spark, sf_dir):
+    """Model-based importance resampling (the DCLM / quality-weighted
+    sampling tier): instead of a hard keep cut, each document survives
+    with probability σ(quality logit) — high-quality docs are kept
+    nearly always, low-quality docs are down-sampled rather than purged,
+    preserving distributional diversity. The Bernoulli draw is
+    DETERMINISTIC: the keep probability quantizes to an integer
+    threshold t6 = round(1e6·σ(q8_logit)) and compares against the
+    per-doc Knuth-hash uniform u6 ∈ [0, 1e6) — stable across engines,
+    reruns, and partitionings, and immune to 1-ulp libm exp()
+    divergence everywhere except a ~1e-10-measure boundary set. The
+    logit reuses _quality_logit_frame (one token explode + groupBy, all
+    map-side-combinable); the report aggregates per source with the
+    mean keep-probability derived from the exact BIGINT t6 sum.
+    At 100 TB this is the classifier scan + one filter — no extra
+    shuffle over the quality tier it extends."""
+    docs = table(spark, sf_dir, "documents")
+    scored = _quality_logit_frame(docs).select(
+        "doc_id",
+        F.round(F.lit(1000000.0) / (F.lit(1.0) + F.exp(-F.col("q8_logit"))))
+        .cast("long")
+        .alias("t6"),
+        (((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % 1000000)
+        .alias("u6"),
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("u6") < F.col("t6"), 1).otherwise(0)).alias("n_kept"),
+            F.round(F.sum("t6").cast("double") / F.count(F.lit(1)) / 1000000.0, 4)
+              .alias("avg_keep_prob"),
+        )
+    )

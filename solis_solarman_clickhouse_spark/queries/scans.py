@@ -288,3 +288,49 @@ def scan_validation_report(spark, sf_dir):
         .otherwise("ok")
     )
     return ev.groupBy(reason.alias("reason")).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "scan_stratified_sample",
+    category="scan",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE ((o_orderkey * 2654435761) % 4294967296) % 100 <
+          CASE o_orderpriority
+            WHEN '1-URGENT' THEN 20
+            WHEN '2-HIGH' THEN 10
+            ELSE 5
+          END
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_stratified_sample(spark, sf_dir):
+    """Stratified deterministic sampling (``df.sampleBy`` parity, the
+    class-rebalancing step of training-data curation): each stratum keeps
+    its own fraction — 20 % of urgent orders, 10 % of high, 5 % of the
+    rest — selected by the same Knuth multiplicative key hash as
+    scan_sample_hash, so membership is stable across reruns, engines,
+    partitionings, and cluster sizes (rand()-based sampleBy is none of
+    those). The per-stratum threshold is a CASE on the stratum column
+    inside ONE scan predicate: no per-stratum passes, no shuffle before
+    the filter, and the hash+compare pushes into the scan stage — at
+    100 TB this is a single map-side filter however many strata exist."""
+    o = table(spark, sf_dir, "orders")
+    pct = ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)) % 100
+    frac = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 20)
+        .when(F.col("o_orderpriority") == "2-HIGH", 10)
+        .otherwise(5)
+    )
+    return (
+        o.filter(pct < frac)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
