@@ -90,8 +90,16 @@ def graph_pagerank(spark, sf_dir):
         )
         .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        # The edge list is walked by every sweep (3 contrib joins) plus the
+        # degree/node/N derivations — persist it so the distinct+union
+        # subtree runs once and each sweep reads the in-memory relation
+        # (the iterative-graph analogue of operators/graph.py's
+        # checkpoint-per-round; at 100 TB this is a StorageLevel.DISK
+        # materialization of the edge RDD, standard for PageRank).
+        .persist()
     )
     nodes = edges.select("src").distinct().withColumnRenamed("src", "node")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))

@@ -554,3 +554,47 @@ def test_dup_span_coverage_reexplodes_only_duplicated_grams(spark):
     for line in plan.splitlines():
         if "Generate explode(sequence" in line:
             assert "concat_ws" not in line, line
+
+
+def test_chunk_split_is_map_only(spark):
+    """doc_chunk_split must stay a shuffle-free scan→project→generate
+    pipeline — the 100 TB contract of the chunking pass is 'linear in
+    input bytes, no exchange'."""
+    df = REGISTRY["doc_chunk_split"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan, plan
+
+
+def test_stratified_sample_filters_in_scan_stage(spark):
+    """The per-stratum hash predicate must run before the aggregation's
+    exchange (one map-side filter, not per-stratum passes): exactly one
+    Exchange in the whole plan — the groupBy's."""
+    df = REGISTRY["scan_stratified_sample"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange") <= 2, plan  # partial/final agg boundary only
+    assert "Filter" in plan, plan
+
+
+def test_ivfpq_scoring_broadcasts_probe_side(spark):
+    """vec_ivfpq_topk's candidate scan must be a broadcast equi-join on
+    list_id (the tiny query×probe side ships to the codes), never a
+    shuffle of the corpus codes toward the queries."""
+    df = REGISTRY["vec_ivfpq_topk"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pagerank_reuses_exchanges_across_sweeps(spark):
+    """graph_pagerank's 3 unrolled sweeps re-walk the same edges/degree
+    relations; ReuseExchange (or the adaptive equivalent) must kick in so
+    the edge-build subtree is not re-shuffled once per sweep from
+    scratch."""
+    df = REGISTRY["graph_pagerank"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert (
+        plan.count("InMemoryTableScan") >= 4
+        or "ReusedExchange" in plan
+        or "TableCacheQueryStage" in plan
+    ), plan
