@@ -2145,3 +2145,87 @@ def doc_importance_resample(spark, sf_dir):
               .alias("avg_keep_prob"),
         )
     )
+
+
+@query(
+    "doc_line_dedup",
+    category="documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, st // 16 AS seg_idx,
+             array_to_string(list_slice(t, st + 1, st + 16), ' ') AS seg
+      FROM (SELECT doc_id, t, UNNEST(generate_series(0, n - 1, 16)) AS st
+            FROM toks)
+    ),
+    keeper AS (
+      SELECT seg, MIN(doc_id * 1000000 + seg_idx) AS first_key
+      FROM segs GROUP BY seg
+    ),
+    marked AS (
+      SELECT s.doc_id, s.seg_idx, s.seg,
+             (s.doc_id * 1000000 + s.seg_idx) = k.first_key AS keep
+      FROM segs s JOIN keeper k ON s.seg = k.seg
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n_removed,
+           COALESCE(
+             array_to_string(list(seg ORDER BY seg_idx) FILTER (WHERE keep), ' '),
+             '') AS cleaned_text
+    FROM marked GROUP BY doc_id
+    """,
+)
+def doc_line_dedup(spark, sf_dir):
+    """Corpus-wide segment-level exact dedup with text REASSEMBLY — the
+    C4 / Dolma 'duplicate paragraph removal' tier, at 16-token segment
+    granularity (the fixture text has no line breaks; swap the splitter
+    for split(text, '\\n') on real corpora and nothing else changes):
+    every segment that appeared earlier ANYWHERE in the corpus (first
+    occurrence = lowest (doc_id, seg_idx), encoded as one comparable
+    BIGINT) is dropped, and each document's surviving segments
+    reassemble in position order. Differs from doc_dup_span_coverage
+    (which SCORES docs by duplicated-8-gram coverage and drops whole
+    docs) — this tier EDITS documents, the other filters them. One
+    explode + one groupBy on segment text + one per-doc regroup: two
+    shuffles total, both on keys that scale with corpus size, no
+    all-pairs anything. At 100 TB the segment-hash groupBy is the same
+    shape as doc_exact_dedup's — hash-partitioned exact aggregation."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    segs = (
+        toks.withColumn(
+            "st", F.explode(F.sequence(F.lit(0), F.col("n") - F.lit(1), F.lit(16)))
+        )
+        .select(
+            "doc_id",
+            (F.col("st") / 16).cast("long").alias("seg_idx"),
+            F.array_join(F.slice(F.col("t"), F.col("st") + F.lit(1), F.lit(16)), " ")
+            .alias("seg"),
+        )
+    )
+    keeper = segs.groupBy("seg").agg(
+        F.min(F.col("doc_id") * 1000000 + F.col("seg_idx")).alias("first_key")
+    )
+    marked = segs.join(keeper, "seg").withColumn(
+        "keep", (F.col("doc_id") * 1000000 + F.col("seg_idx")) == F.col("first_key")
+    )
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("keep"), F.struct("seg_idx", "seg")).otherwise(None)
+            )
+        ),
+        lambda s: s["seg"],
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_removed"),
+        F.array_join(kept_sorted, " ").alias("cleaned_text"),
+    )

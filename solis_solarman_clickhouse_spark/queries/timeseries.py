@@ -1249,3 +1249,107 @@ def ch_exp_time_decayed_avg(spark, sf_dir):
         "ts",
         r4(F.element_at(nd, 1) / F.element_at(nd, 2)).alias("decayed_avg"),
     )
+
+
+@query(
+    "ts_stl_decompose",
+    category="timeseries",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS ys
+      FROM events
+    ),
+    tr AS (
+      SELECT user_id, event_id, ts, ys,
+             SUM(ys) OVER w AS sum_s,
+             COUNT(*) OVER w AS cnt
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+    ),
+    d AS (
+      SELECT user_id, event_id, ts, sum_s, cnt,
+             (ys * cnt - sum_s) * (27720 // cnt) AS dn
+      FROM tr
+    ),
+    se AS (
+      SELECT user_id, event_id, ts, sum_s, cnt, dn,
+             SUM(dn) OVER (PARTITION BY user_id, hour(ts)) AS s_num,
+             COUNT(*) OVER (PARTITION BY user_id, hour(ts)) AS s_cnt
+      FROM d
+    )
+    SELECT user_id, event_id, ts,
+           CAST(CASE WHEN sum_s >= 0 THEN 1 ELSE -1 END
+                * ((2 * abs(sum_s * 10000) + cnt * 100)
+                   // (2 * (cnt * 100))) AS DOUBLE) / 10000.0 AS trend,
+           CAST(CASE WHEN s_num >= 0 THEN 1 ELSE -1 END
+                * ((2 * abs(s_num * 10000) + s_cnt * 2772000)
+                   // (2 * (s_cnt * 2772000))) AS DOUBLE) / 10000.0 AS seasonal,
+           CAST(CASE WHEN dn * s_cnt - s_num >= 0 THEN 1 ELSE -1 END
+                * ((2 * abs((dn * s_cnt - s_num) * 10000) + s_cnt * 2772000)
+                   // (2 * (s_cnt * 2772000))) AS DOUBLE) / 10000.0 AS residual
+    FROM se
+    """,
+)
+def ts_stl_decompose(spark, sf_dir):
+    """STL-style decomposition (trend + seasonal + residual) of each
+    user's value series: trend = centered 11-sample moving average,
+    seasonal = hour-of-day mean of the detrended series, residual = the
+    rest. The engine-parity trick: the detrended value y − trend is a
+    RATIONAL with denominator cnt ∈ [6,11] (window truncates at series
+    edges), so it is carried as the exact BIGINT numerator
+    (y·cnt − Σy)·(27720 div cnt) over the common denominator 27720
+    (divisible by every count 1..12) — hour-of-day averaging then sums
+    exact integers, immune to the float summation-order divergence a
+    naive avg(detrended) would hit, and every emitted double is one
+    fixed dataflow over identical integers. Plan: two window passes —
+    one user_id exchange, one (user_id, hour) exchange — no joins, no
+    collects; both partitionings scale with users, not time."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-5, 5)
+    )
+    s = ev.select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("ys"),
+    )
+    tr = s.select(
+        "user_id", "event_id", "ts", "ys",
+        F.sum("ys").over(w).alias("sum_s"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    d = tr.withColumn(
+        "dn",
+        (F.col("ys") * F.col("cnt") - F.col("sum_s"))
+        * F.expr("27720 div cnt"),
+    )
+    wh = W.partitionBy("user_id", F.hour("ts"))
+    se = d.select(
+        "user_id", "event_id", "ts", "sum_s", "cnt", "dn",
+        F.sum("dn").over(wh).alias("s_num"),
+        F.count(F.lit(1)).over(wh).alias("s_cnt"),
+    )
+    # 4-dp values via exact integer HALF-AWAY-FROM-ZERO division rather
+    # than ROUND on doubles: a quotient landing exactly on a .00005
+    # boundary rounds half-up in Spark but half-even in DuckDB (the
+    # ch_min_max_avg_map hazard) — the sign is split out so the positive
+    # `div` ≡ `//` everywhere.
+    def half4(num: str, den: str) -> F.Column:
+        return (
+            F.expr(
+                f"CASE WHEN {num} >= 0 THEN 1 ELSE -1 END"
+                f" * ((2 * abs(({num}) * 10000) + ({den}))"
+                f" div (2 * ({den})))"
+            ).cast("double")
+            / 10000.0
+        )
+
+    return se.select(
+        "user_id", "event_id", "ts",
+        half4("sum_s", "cnt * 100").alias("trend"),
+        half4("s_num", "s_cnt * 2772000").alias("seasonal"),
+        half4("dn * s_cnt - s_num", "s_cnt * 2772000").alias("residual"),
+    )
