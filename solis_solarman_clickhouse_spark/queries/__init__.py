@@ -83,7 +83,7 @@ _PRIORITY = [
     "ch_categorical_iv", "ch_stochastic_linreg",
     "vec_ivfpq_topk", "vec_ivfpq_recall",
     "scan_stratified_sample", "doc_importance_resample", "graph_pagerank",
-    "doc_line_dedup", "ts_stl_decompose",
+    "doc_line_dedup", "ts_stl_decompose", "sink_summing_mv",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

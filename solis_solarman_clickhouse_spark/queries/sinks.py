@@ -261,3 +261,62 @@ def sink_bloom_layout(spark, sf_dir):
         row_group_bytes=256 * 1024,
     )
     return spark.read.parquet(out)
+
+
+_SUMMING_MV_ORACLE = """
+SELECT user_id, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_value
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+@query("sink_summing_mv", category="sink", oracle=_SUMMING_MV_ORACLE)
+def sink_summing_mv(spark, sf_dir):
+    """Incremental materialized-view maintenance — ClickHouse
+    SummingMergeTree + MATERIALIZED VIEW parity (tables.sql's Buffer →
+    MergeTree flow feeds exactly this pattern downstream): the event
+    stream arrives in TWO batches (split by event_id parity, a stand-in
+    for arrival order); each batch folds to per-(user, event_type)
+    PARTIAL aggregate state (count + exact integer value sum — the
+    mergeable state of a SummingMergeTree row), batch 1 lands as the MV
+    parquet, batch 2 MERGES by union + re-sum (the background-merge
+    compaction), and the query returns the maintained view. The oracle
+    recomputes from ALL raw events, proving merge-of-partials ≡ full
+    recompute — the algebraic-aggregate contract that lets a 100 TB
+    deployment keep dashboards on pre-aggregated state and never rescan
+    raw history: each refresh touches one increment plus the compact MV.
+    Counts and sums stay BIGINT-exact through every merge."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("ys"),
+    )
+
+    def partial(df):
+        return df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("ys").alias("sum_scaled"),
+        )
+
+    mv_dir = os.path.join(tempfile.mkdtemp(prefix="summing_mv_"), "mv")
+    partial(ev.filter(F.col("event_id") % 2 == 0)).write.mode("overwrite").parquet(
+        mv_dir
+    )
+    increment = partial(ev.filter(F.col("event_id") % 2 == 1))
+    merged = (
+        spark.read.parquet(mv_dir)
+        .unionByName(increment)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_scaled").alias("sum_scaled"),
+        )
+    )
+    merged_dir = os.path.join(tempfile.mkdtemp(prefix="summing_mv_"), "mv2")
+    merged.write.mode("overwrite").parquet(merged_dir)
+    return spark.read.parquet(merged_dir).select(
+        "user_id", "event_type", "n_events",
+        (F.col("sum_scaled").cast("double") / 100.0).alias("sum_value"),
+    )

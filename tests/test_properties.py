@@ -180,3 +180,95 @@ def test_connected_components_chain_transitivity(spark):
         r["node"]: r["component"] for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_chunk_split_reconstructs_documents(spark):
+    """Dropping each chunk's 8-token overlap tail (keeping the first 24
+    = stride tokens, and the last chunk whole) must re-concatenate to
+    the original text for every document — chunking loses nothing."""
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+
+    chunks = REGISTRY["doc_chunk_split"].fn(spark, SF_DIR)
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))).alias("cs")
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    "cs",
+                    lambda s, i: F.when(
+                        i < F.size("cs") - 1,
+                        F.array_join(
+                            F.slice(F.split(s["chunk_text"], " "), 1, 24), " "
+                        ),
+                    ).otherwise(s["chunk_text"]),
+                ),
+                " ",
+            ).alias("rebuilt"),
+        )
+    )
+    bad = (
+        rebuilt.join(docs, "doc_id")
+        .filter(F.col("rebuilt") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_line_dedup_preserves_unique_docs_and_counts(spark):
+    """Segment accounting: per-doc segments = ceil(n_tokens/16); a doc
+    whose segments are all first occurrences keeps its exact text."""
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+
+    out = REGISTRY["doc_line_dedup"].fn(spark, SF_DIR)
+    docs = table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    j = out.join(docs, "doc_id")
+    bad_counts = j.filter(
+        F.col("n_segments") != F.ceil(F.col("n_tokens") / 16.0)
+    ).count()
+    assert bad_counts == 0
+    intact = j.filter(F.col("n_removed") == 0)
+    assert intact.count() > 0
+    assert intact.filter(F.col("cleaned_text") != F.col("text")).count() == 0
+
+
+def test_pagerank_conserves_mass_and_positivity(spark):
+    """Bidirectional edges mean no dangling mass: total rank stays within
+    integer-floor slippage of the initial 1e12, and every node keeps a
+    positive rank ≥ the teleport floor."""
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+
+    r = REGISTRY["graph_pagerank"].fn(spark, SF_DIR)
+    row = r.agg(
+        F.sum("rank_e12").alias("mass"),
+        F.min("rank_e12").alias("mn"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    # integer-floor slippage: the init div loses up to n-1 units and each
+    # sweep floors contrib/base/damp once per node — bound it loosely at
+    # 100 units/node (1.6e-5 relative at the sf0.001 graph's 160 nodes)
+    assert abs(row["mass"] - 1_000_000_000_000) < 100 * row["n"], row
+    assert row["mn"] > 0
+
+
+def test_stochastic_linreg_stays_stable(spark):
+    """One SGD epoch at lr=0.05 over normalized inputs must neither
+    diverge nor collapse: parameters finite and bounded, the bias pulled
+    toward the positive price mean, and with few samples (sf0.001) the
+    per-group weights may still straddle zero — so assert stability and
+    the bias signal, not a converged slope."""
+    import math
+
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["ch_stochastic_linreg"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert math.isfinite(r["weight"]) and math.isfinite(r["bias"])
+        assert abs(r["weight"]) < 5 and 0.0 < r["bias"] < 5, r
