@@ -81,6 +81,12 @@ HEADLINE = [
     "ch_exp_time_decayed_avg",
     "doc_curation_v3",
     "vec_pq_quantize",
+    "doc_chunk_split",
+    "doc_line_dedup",
+    "doc_importance_resample",
+    "vec_ivfpq_topk",
+    "graph_pagerank",
+    "ts_stl_decompose",
 ]
 
 

@@ -806,6 +806,9 @@ def vec_semdedup(spark, sf_dir):
     return semdedup_bucketed(emb, tau=0.45, n_tables=4, n_planes=3, dim=64, seed=7)
 
 
+_PQ_CB_CACHE: dict = {}
+
+
 def _pq_codebooks(n_sub: int = 32, n_cent: int = 32, sub_dim: int = 2,
                   seed: int = 11, train_iters: int = 12):
     """Deterministic TRAINED PQ codebooks: Lloyd's k-means on synthetic
@@ -821,6 +824,9 @@ def _pq_codebooks(n_sub: int = 32, n_cent: int = 32, sub_dim: int = 2,
     training path. ~1e8 flops at import, cached by module load."""
     import numpy as np
 
+    key = (n_sub, n_cent, sub_dim, seed, train_iters)
+    if key in _PQ_CB_CACHE:
+        return _PQ_CB_CACHE[key]
     rng = np.random.RandomState(seed)
     cbs = []
     for _ in range(n_sub):
@@ -834,6 +840,7 @@ def _pq_codebooks(n_sub: int = 32, n_cent: int = 32, sub_dim: int = 2,
                 if len(m):
                     cb[c] = m.mean(0)
         cbs.append(cb)
+    _PQ_CB_CACHE[key] = cbs
     return cbs
 
 
