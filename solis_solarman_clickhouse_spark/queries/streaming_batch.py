@@ -488,3 +488,86 @@ def stream_window_top_type(spark, sf_dir):
             F.col("p.n").alias("n"),
         )
     )
+
+
+_STREAM_MV_ORACLE = """
+SELECT user_id, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_value
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+@query("stream_incremental_mv", category="streaming", oracle=_STREAM_MV_ORACLE)
+def stream_incremental_mv(spark, sf_dir):
+    """The streaming twin of sink_summing_mv: a multi-batch file stream
+    (maxFilesPerTrigger=1 over a 4-file copy of events, availableNow)
+    maintains the per-(user, event_type) summing MV via foreachBatch —
+    each micro-batch folds to mergeable partial state (count + exact
+    BIGINT sum) and merges into the landed MV, with a batchId marker
+    making replays idempotent (the IdempotentParquetSink discipline).
+    EXACT, not SMOKE: the maintained view is deterministic because
+    merge-of-integer-partials is order-free, so the oracle's full
+    GROUP BY over raw events must hash-match whatever micro-batch
+    boundaries the stream happened to take — the strongest form of the
+    incremental-maintenance contract (ClickHouse MV + SummingMergeTree
+    fed by the Buffer flush, tables.sql:61). At 100 TB each refresh
+    reads one increment plus the compact MV; raw history is never
+    rescanned."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("ys"),
+    )
+    workdir = tempfile.mkdtemp(prefix="strm_mv_")
+    src = os.path.join(workdir, "src")
+    mv_dir = os.path.join(workdir, "mv")
+    marks = os.path.join(workdir, "marks")
+    os.makedirs(marks, exist_ok=True)
+    ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(src)
+
+    def upsert(batch_df, batch_id):
+        mark = os.path.join(marks, str(batch_id))
+        if os.path.exists(mark):
+            return
+        part = batch_df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("ys").alias("sum_scaled"),
+        )
+        s = batch_df.sparkSession
+        if os.path.exists(mv_dir):
+            part = (
+                s.read.parquet(mv_dir)
+                .unionByName(part)
+                .groupBy("user_id", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_scaled").alias("sum_scaled"),
+                )
+            )
+        staged = os.path.join(workdir, f"mv_stage_{batch_id}")
+        part.write.mode("overwrite").parquet(staged)
+        import shutil
+
+        if os.path.exists(mv_dir):
+            shutil.rmtree(mv_dir)
+        os.rename(staged, mv_dir)
+        open(mark, "w").close()
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(mv_dir).select(
+        "user_id", "event_type", "n_events",
+        (F.col("sum_scaled").cast("double") / 100.0).alias("sum_value"),
+    )
