@@ -84,7 +84,7 @@ _PRIORITY = [
     "vec_ivfpq_topk", "vec_ivfpq_recall",
     "scan_stratified_sample", "doc_importance_resample", "graph_pagerank",
     "doc_line_dedup", "ts_stl_decompose", "sink_summing_mv",
-    "stream_incremental_mv",
+    "stream_incremental_mv", "scan_merge_schema",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

@@ -334,3 +334,53 @@ def scan_stratified_sample(spark, sf_dir):
             .alias("sum_price"),
         )
     )
+
+
+@query(
+    "scan_merge_schema",
+    category="scan",
+    oracle="""
+    WITH unified AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority, 1 AS batch
+      FROM orders WHERE month(o_orderdate) <= 6
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority, 2 AS batch
+      FROM orders WHERE month(o_orderdate) > 6
+    )
+    SELECT batch, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+    FROM unified
+    GROUP BY batch, o_orderpriority
+    """,
+)
+def scan_merge_schema(spark, sf_dir):
+    """Schema-evolution scan (``mergeSchema``): a corpus landed over time
+    where later batches added a column — batch 1 carries (orderkey,
+    totalprice), batch 2 additionally o_orderpriority — read as ONE
+    relation whose unified schema null-fills the column for old files.
+    This is the reader-side counterpart of set_union_by_name and the
+    default state of any long-lived 100 TB lake: schemas drift, history
+    is never rewritten. The two batches land as Hive-style batch=N
+    partition directories, so the scan also proves partition discovery +
+    per-file schema reconciliation happen in one pass (Spark merges
+    footers distributed, not on the driver). Exact: counts + DECIMAL
+    sums per (batch, priority-or-null)."""
+    import os
+    import tempfile
+
+    o = table(spark, sf_dir, "orders")
+    root = os.path.join(tempfile.mkdtemp(prefix="mergeschema_"), "orders_evolved")
+    o.filter(F.month("o_orderdate") <= 6).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(os.path.join(root, "batch=1"))
+    o.filter(F.month("o_orderdate") > 6).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(os.path.join(root, "batch=2"))
+    unified = spark.read.option("mergeSchema", "true").parquet(root)
+    return unified.groupBy("batch", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
