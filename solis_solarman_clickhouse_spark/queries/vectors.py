@@ -1248,6 +1248,43 @@ def _ivfpq_query_probes(emb, n_probe: int = _IVFPQ_N_PROBE):
     )
 
 
+def _ivfpq_query_probes_local(spark, emb, n_probe: int = _IVFPQ_N_PROBE,
+                              max_queries: int = 64):
+    """Driver-side twin of _ivfpq_query_probes for the bounded query sets
+    an ANN lookup actually has (10 here; guarded at max_queries like
+    vec_cosine_topk_pandas's collect): the probe/table build is a few
+    thousand flops per query, so shipping it through a dedicated Arrow
+    stage + broadcast-collect costs more in stage scheduling than the
+    work itself (measured ~3 s of the 7.5 s bench row). Identical
+    order-pinned arithmetic; the result becomes a local relation that
+    broadcasts for free. Unbounded query sets use the mapInPandas
+    variant unchanged."""
+    rows = emb.select("vec_id", "embedding").limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"query side exceeds {max_queries} vectors — use _ivfpq_query_probes"
+        )
+    cents = _ivfpq_coarse()
+    CB = np.stack(_pq_codebooks())
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cd = _coarse_dists(m, cents)
+    out = []
+    for qi in range(len(m)):
+        for lid in np.argsort(cd[qi], kind="stable")[:n_probe]:
+            qres = m[qi] - cents[lid]
+            dt = []
+            for s in range(CB.shape[0]):
+                diff = qres[2 * s : 2 * s + 2][None, :] - CB[s]
+                dt.append(
+                    [float(x) for x in diff[:, 0] * diff[:, 0]
+                     + diff[:, 1] * diff[:, 1]]
+                )
+            out.append((rows[qi]["vec_id"], int(lid), dt))
+    return spark.createDataFrame(
+        out, "query_id long, list_id int, dt array<array<double>>"
+    )
+
+
 def _ivfpq_literal_values():
     cents = _ivfpq_coarse()
     cent_rows = ",\n".join(
@@ -1369,7 +1406,7 @@ def vec_ivfpq_topk(spark, sf_dir):
     codes = _ivfpq_code_frame(emb).select(
         F.col("vec_id").alias("neighbor_id"), "list_id", "code"
     )
-    probes = _ivfpq_query_probes(emb.filter(F.col("vec_id") < 10))
+    probes = _ivfpq_query_probes_local(spark, emb.filter(F.col("vec_id") < 10))
     scored = (
         codes.join(F.broadcast(probes), "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
