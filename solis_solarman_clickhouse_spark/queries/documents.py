@@ -2229,3 +2229,96 @@ def doc_line_dedup(spark, sf_dir):
         F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_removed"),
         F.array_join(kept_sorted, " ").alias("cleaned_text"),
     )
+
+
+@query(
+    "doc_bigram_lm_perplexity",
+    category="documents",
+    oracle="""
+    WITH arr AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, t[i] AS tok, i AS pos
+      FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t))) AS i FROM arr)
+    ),
+    big AS (
+      SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT tok AS w1, COUNT(*) AS n1 FROM toks GROUP BY tok),
+    v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM toks),
+    scored AS (
+      SELECT g.doc_id,
+             CAST(ROUND(ln((c2.n2 + 1.0) / (c1.n1 + v.vocab)) * 100000000)
+                  AS BIGINT) AS lp8
+      FROM big g
+      JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
+      JOIN c1 ON g.w1 = c1.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST((2 * SUM(-lp8) * 10000 + COUNT(*) * 100000000)
+                // (2 * (COUNT(*) * 100000000)) AS DOUBLE) / 10000.0
+             AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_bigram_lm_perplexity(spark, sf_dir):
+    """Bigram language-model perplexity filter — the KenLM-style quality
+    tier above doc_unigram_logprob: the corpus trains its own add-one-
+    smoothed bigram model (P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V)) and every
+    document is scored by its average negative log-likelihood; high
+    avg_nll = improbable word sequences = boilerplate/garbled text. The
+    cross-engine discipline: each bigram's log-prob quantizes to an
+    exact BIGINT at 1e8 scale (so per-doc summation is integer — ORDER-
+    FREE, where summing quantized doubles would still be order-
+    sensitive), and the 4-dp mean emits via integer half-away division
+    (positive numerators, so div ≡ //). Plan: one posexplode, bigrams
+    from a lag window over the SAME doc_id partitioning, two count
+    joins (c1/c2 shuffle on token keys — corpus-sized, hash-partitioned,
+    the doc_ngram_df shape) and one broadcast scalar V. All counts are
+    map-side-combinable; nothing collects."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    from pyspark.sql import Window as W
+
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select(
+            "doc_id", F.col("tok").alias("w1"),
+            F.lead("tok").over(wdoc).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = toks.groupBy(F.col("tok").alias("w1")).agg(F.count(F.lit(1)).alias("n1"))
+    v = toks.agg(F.countDistinct("tok").alias("vocab"))
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("n2") + 1.0) / (F.col("n1") + F.col("vocab")))
+                * 100000000
+            )
+            .cast("long")
+            .alias("lp8"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.expr(
+                "(2 * sum(-lp8) * 10000 + count(1) * 100000000)"
+                " div (2 * (count(1) * 100000000))"
+            ).cast("double")
+            / 10000.0
+        ).alias("avg_nll"),
+    )

@@ -522,10 +522,18 @@ def stream_incremental_mv(spark, sf_dir):
     )
     workdir = tempfile.mkdtemp(prefix="strm_mv_")
     src = os.path.join(workdir, "src")
+    ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(src)
+    run_mv_stream(spark, ev.schema, src, workdir)
+    return read_mv(spark, os.path.join(workdir, "mv"))
+
+
+def mv_upsert(workdir: str):
+    """foreachBatch merge for the summing MV: batchId-marker idempotence,
+    partial (count, exact BIGINT sum) state, atomic staged swap. Module-
+    level so the restart/replay test drives the identical code path."""
     mv_dir = os.path.join(workdir, "mv")
     marks = os.path.join(workdir, "marks")
     os.makedirs(marks, exist_ok=True)
-    ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(src)
 
     def upsert(batch_df, batch_id):
         mark = os.path.join(marks, str(batch_id))
@@ -555,18 +563,23 @@ def stream_incremental_mv(spark, sf_dir):
         os.rename(staged, mv_dir)
         open(mark, "w").close()
 
-    stream = (
-        spark.readStream.schema(ev.schema)
+    return upsert
+
+
+def run_mv_stream(spark, schema, src: str, workdir: str) -> None:
+    q = (
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-    )
-    q = (
-        stream.writeStream.foreachBatch(upsert)
+        .writeStream.foreachBatch(mv_upsert(workdir))
         .option("checkpointLocation", os.path.join(workdir, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+
+
+def read_mv(spark, mv_dir: str):
     return spark.read.parquet(mv_dir).select(
         "user_id", "event_type", "n_events",
         (F.col("sum_scaled").cast("double") / 100.0).alias("sum_value"),

@@ -275,3 +275,72 @@ def test_stream_stream_join_subset_of_batch(spark):
     )
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
+
+
+def test_incremental_mv_restart_and_replay_idempotence(spark, tmp_path):
+    """The summing MV must survive the two real failure modes: (1) new
+    files arriving after the stream stopped — restart from the same
+    checkpoint processes ONLY the increment; (2) a lost checkpoint
+    forcing full batch replay — the batchId markers make re-merging a
+    no-op. After both, the maintained view equals a full recompute."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from solis_solarman_clickhouse_spark.queries.streaming_batch import (
+        read_mv,
+        run_mv_stream,
+    )
+    from solis_solarman_clickhouse_spark.tables import table
+
+    from .conftest import SF_DIR
+
+    ev = table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("ys"),
+    )
+    workdir = str(tmp_path / "mvwork")
+    src = os.path.join(workdir, "src")
+    os.makedirs(src, exist_ok=True)
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    for i, half in enumerate([first]):
+        half.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(workdir, f"stage{i}")
+        )
+    # land the first half as two files, stream it, stop
+    first.repartitionByRange(2, "event_id").write.mode("overwrite").parquet(src)
+    run_mv_stream(spark, ev.schema, src, workdir)
+    mv1 = read_mv(spark, os.path.join(workdir, "mv"))
+    n_first = first.count()
+    assert mv1.agg(F.sum("n_events")).collect()[0][0] == n_first
+
+    # new files arrive; restart from the SAME checkpoint
+    second.repartitionByRange(2, "event_id").write.mode("append").parquet(src)
+    run_mv_stream(spark, ev.schema, src, workdir)
+    expected = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("ys").cast("double") / 100.0).alias("sum_value"),
+        )
+    )
+    mv2 = read_mv(spark, os.path.join(workdir, "mv"))
+    assert mv2.count() == expected.count()
+    assert (
+        mv2.join(expected, ["user_id", "event_type", "n_events", "sum_value"])
+        .count()
+        == expected.count()
+    )
+
+    # checkpoint loss: full replay must not double-count (markers hold)
+    import shutil
+
+    shutil.rmtree(os.path.join(workdir, "ckpt"))
+    run_mv_stream(spark, ev.schema, src, workdir)
+    mv3 = read_mv(spark, os.path.join(workdir, "mv"))
+    assert (
+        mv3.join(expected, ["user_id", "event_type", "n_events", "sum_value"])
+        .count()
+        == expected.count()
+    )
