@@ -2322,3 +2322,147 @@ def doc_bigram_lm_perplexity(spark, sf_dir):
             / 10000.0
         ).alias("avg_nll"),
     )
+
+
+def _bpe_oracle(k_rounds: int = 6) -> str:
+    body = """
+    WITH wf AS (
+      SELECT tok AS w, COUNT(*) AS f
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    w0 AS (
+      SELECT f, array_to_string(string_split(w, ''), ' ') AS seg FROM wf
+    )"""
+    for k in range(1, k_rounds + 1):
+        body += f""",
+    p{k} AS (
+      SELECT t[i] AS a, t[i + 1] AS b, SUM(f) AS cnt
+      FROM (SELECT f, string_split(seg, ' ') AS t,
+                   UNNEST(generate_series(1, len(string_split(seg, ' ')) - 1)) AS i
+            FROM w{k - 1})
+      GROUP BY a, b
+    ),
+    b{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+    w{k} AS (
+      SELECT f,
+             list_reduce(
+               list_prepend('', string_split(seg, ' ')),
+               (acc, x) -> CASE
+                 WHEN acc = '' THEN x
+                 WHEN (acc = b{k}.a OR ends_with(acc, ' ' || b{k}.a))
+                      AND x = b{k}.b
+                   THEN substr(acc, 1, len(acc) - len(b{k}.a))
+                        || b{k}.a || b{k}.b
+                 ELSE acc || ' ' || x END) AS seg
+      FROM w{k - 1} CROSS JOIN b{k}
+    )"""
+    selects = [
+        f"""
+    SELECT {k} AS round, a AS tok_a, b AS tok_b,
+           CAST(cnt AS BIGINT) AS pair_count,
+           (SELECT CAST(SUM(f * len(string_split(seg, ' '))) AS BIGINT)
+            FROM w{k}) AS corpus_tokens_after
+    FROM b{k}"""
+        for k in range(1, k_rounds + 1)
+    ]
+    return body + "\nUNION ALL".join(selects)
+
+
+@query("doc_bpe_train", category="documents", oracle=_bpe_oracle())
+def doc_bpe_train(spark, sf_dir):
+    """BPE tokenizer TRAINING as a declarative plan (Sennrich et al.
+    2016 — the algorithm behind GPT/Llama vocabularies): 6 merge rounds
+    over the corpus's word-frequency table, each round (1) counting
+    adjacent-token pairs weighted by word frequency, (2) picking the
+    most frequent pair (ties → lexicographic, so the learned vocabulary
+    is engine-independent), (3) applying the merge greedily
+    left-to-right inside every word via a sequential left fold whose
+    accumulator is the space-joined token string (F.aggregate ≡ DuckDB
+    list_reduce; the fold's boundary test `acc ends_with ' '||a` makes
+    the merge non-overlapping, matching reference BPE). Each round's
+    word table is a few thousand rows post-groupBy, checkpointed so the
+    per-round lineage stays flat; the heavy work — the token-pair count
+    — is one explode + hash aggregate per round over the WORD table,
+    not the corpus, which is exactly why BPE training scales: 100 TB of
+    text folds to a vocabulary-sized frequency table in one pass and
+    the merge loop never touches raw text again. Emits one row per
+    round (merge rule, its count, corpus token count after) — the
+    oracle replays all 6 rounds including tie-breaks. (Reference BPE
+    adds an end-of-word sentinel; elided here, same algebra.)"""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select("f", F.array_join(F.split("w", ""), " ").alias("seg"))
+        .localCheckpoint(eager=True)
+    )
+    rounds = []
+    for k in range(1, 7):
+        t = F.split("seg", " ")
+        pairs = (
+            words.select("f", t.alias("t"), F.size(t).alias("n"))
+            .select(
+                "f",
+                F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"),
+                "t", "n",
+            )
+            .where(F.col("i") < F.col("n"))
+            .select(
+                "f",
+                F.element_at("t", F.col("i")).alias("a"),
+                F.element_at("t", F.col("i") + 1).alias("b"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("f").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+        ).limit(1)
+        merged = words.crossJoin(F.broadcast(best)).select(
+            "f",
+            F.aggregate(
+                F.split("seg", " "),
+                F.lit(""),
+                lambda acc, x: (
+                    F.when(acc == "", x)
+                    .when(
+                        (
+                            (acc == F.col("a"))
+                            | acc.endswith(F.concat(F.lit(" "), F.col("a")))
+                        )
+                        & (x == F.col("b")),
+                        F.concat(
+                            acc.substr(
+                                F.lit(1), F.length(acc) - F.length(F.col("a"))
+                            ),
+                            F.col("a"),
+                            F.col("b"),
+                        ),
+                    )
+                    .otherwise(F.concat(acc, F.lit(" "), x))
+                ),
+            ).alias("seg"),
+        ).localCheckpoint(eager=True)
+        after = merged.agg(
+            F.sum(F.col("f") * F.size(F.split("seg", " ")))
+            .cast("long")
+            .alias("corpus_tokens_after")
+        )
+        rounds.append(
+            best.crossJoin(after).select(
+                F.lit(k).alias("round"),
+                F.col("a").alias("tok_a"),
+                F.col("b").alias("tok_b"),
+                F.col("cnt").cast("long").alias("pair_count"),
+                "corpus_tokens_after",
+            )
+        )
+        words = merged
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out
