@@ -87,6 +87,9 @@ HEADLINE = [
     "vec_ivfpq_topk",
     "graph_pagerank",
     "ts_stl_decompose",
+    "doc_bigram_lm_perplexity",
+    "doc_bpe_train",
+    "stream_incremental_mv",
 ]
 
 
