@@ -3,7 +3,8 @@
 The reference's sink is at-least-once with possible duplicates
 (solarman.py:202-225); Q-SINK-2 demonstrates the batchId-idempotent
 upgrade: replaying the same batch twice lands the identical table.
-SMOKE: results are re-read from disk; rows-only driver check, full
+Q-SINK-1 is EXACT (lossless round-trip vs a direct-aggregation oracle);
+Q-SINK-2 stays SMOKE (generated input has no parquet oracle) with full
 assertions in tests/test_ingest.py.
 """
 
@@ -18,10 +19,22 @@ from ..tables import table
 from .registry import query
 
 
-@query("sink_parquet_roundtrip", category="sink", check="SMOKE")
+@query(
+    "sink_parquet_roundtrip",
+    category="sink",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y%m') AS ym, o_orderstatus,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
 def sink_parquet_roundtrip(spark, sf_dir):
     """Q-SINK-1: write an aggregate result as partitioned parquet (sorted
-    within partitions, mirroring tables.sql:32 ordering), re-read it."""
+    within partitions, mirroring tables.sql:32 ordering), re-read it.
+    EXACT (upgraded from SMOKE): the round-trip must be lossless, so the
+    re-read table hash-matches the oracle's direct aggregation — the
+    partition column is cast back to string because partition-directory
+    values re-infer as ints on read."""
     out = os.path.join(tempfile.mkdtemp(prefix="sink1_"), "agg")
     res = (
         table(spark, sf_dir, "orders")
@@ -32,7 +45,9 @@ def sink_parquet_roundtrip(spark, sf_dir):
     res.repartition("ym").sortWithinPartitions("o_orderstatus").write.mode(
         "overwrite"
     ).partitionBy("ym").parquet(out)
-    return spark.read.parquet(out).select("ym", "o_orderstatus", "n")
+    return spark.read.parquet(out).select(
+        F.col("ym").cast("string").alias("ym"), "o_orderstatus", "n"
+    )
 
 
 @query("sink_idempotent_upsert", category="sink", check="SMOKE")

@@ -303,7 +303,24 @@ def stream_peak_tracker_tws(spark, sf_dir):
     )
 
 
-@query("stream_static_enrich", category="streaming", check="SMOKE")
+@query(
+    "stream_static_enrich",
+    category="streaming",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, MAX(value) AS value
+      FROM events GROUP BY user_id, ts
+    ),
+    j AS (
+      SELECT COALESCE(c.c_mktsegment, '<none>') AS segment, e.value
+      FROM ev e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    )
+    SELECT segment, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+             AS sum_value
+    FROM j GROUP BY segment
+    """,
+)
 def stream_static_enrich(spark, sf_dir):
     """Stream-static join: the streaming events replay enriched against
     the STATIC customer dimension (the reference's targets.json config
@@ -311,8 +328,11 @@ def stream_static_enrich(spark, sf_dir):
     standard streaming-ETL enrichment. No watermark needed (no stream
     state); the static side is re-resolvable per micro-batch, which is
     how dimension updates propagate mid-stream on a real deployment.
-    Returns the landed per-segment aggregate; batch-join equivalence is
-    asserted in tests/test_streaming.py."""
+    EXACT (upgraded from SMOKE): append-mode enrichment emits every
+    input row exactly once whatever the trigger boundaries, so the
+    landed per-segment aggregate hash-matches a batch join — the
+    stream-static counterpart of stream_incremental_mv's contract.
+    Batch-join equivalence is also asserted in tests/test_streaming.py."""
     ev = (
         table(spark, sf_dir, "events")
         .groupBy("user_id", "ts")
