@@ -85,7 +85,7 @@ _PRIORITY = [
     "scan_stratified_sample", "doc_importance_resample", "graph_pagerank",
     "doc_line_dedup", "ts_stl_decompose", "sink_summing_mv",
     "stream_incremental_mv", "scan_merge_schema",
-    "doc_bigram_lm_perplexity", "doc_bpe_train",
+    "doc_bigram_lm_perplexity", "doc_bpe_train", "doc_bpe_encode",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

@@ -2324,15 +2324,17 @@ def doc_bigram_lm_perplexity(spark, sf_dir):
     )
 
 
-def _bpe_oracle(k_rounds: int = 6) -> str:
-    body = """
+def _bpe_oracle(k_rounds: int = 6, carry_w: bool = False,
+                body_only: bool = False) -> str:
+    wcol = "w, " if carry_w else ""
+    body = f"""
     WITH wf AS (
       SELECT tok AS w, COUNT(*) AS f
       FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
       GROUP BY tok
     ),
     w0 AS (
-      SELECT f, array_to_string(string_split(w, ''), ' ') AS seg FROM wf
+      SELECT {wcol}f, array_to_string(string_split(w, ''), ' ') AS seg FROM wf
     )"""
     for k in range(1, k_rounds + 1):
         body += f""",
@@ -2345,7 +2347,7 @@ def _bpe_oracle(k_rounds: int = 6) -> str:
     ),
     b{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
     w{k} AS (
-      SELECT f,
+      SELECT {wcol}f,
              list_reduce(
                list_prepend('', string_split(seg, ' ')),
                (acc, x) -> CASE
@@ -2357,6 +2359,8 @@ def _bpe_oracle(k_rounds: int = 6) -> str:
                  ELSE acc || ' ' || x END) AS seg
       FROM w{k - 1} CROSS JOIN b{k}
     )"""
+    if body_only:
+        return body
     selects = [
         f"""
     SELECT {k} AS round, a AS tok_a, b AS tok_b,
@@ -2369,39 +2373,20 @@ def _bpe_oracle(k_rounds: int = 6) -> str:
     return body + "\nUNION ALL".join(selects)
 
 
-@query("doc_bpe_train", category="documents", oracle=_bpe_oracle())
-def doc_bpe_train(spark, sf_dir):
-    """BPE tokenizer TRAINING as a declarative plan (Sennrich et al.
-    2016 — the algorithm behind GPT/Llama vocabularies): 6 merge rounds
-    over the corpus's word-frequency table, each round (1) counting
-    adjacent-token pairs weighted by word frequency, (2) picking the
-    most frequent pair (ties → lexicographic, so the learned vocabulary
-    is engine-independent), (3) applying the merge greedily
-    left-to-right inside every word via a sequential left fold whose
-    accumulator is the space-joined token string (F.aggregate ≡ DuckDB
-    list_reduce; the fold's boundary test `acc ends_with ' '||a` makes
-    the merge non-overlapping, matching reference BPE). Each round's
-    word table is a few thousand rows post-groupBy, checkpointed so the
-    per-round lineage stays flat; the heavy work — the token-pair count
-    — is one explode + hash aggregate per round over the WORD table,
-    not the corpus, which is exactly why BPE training scales: 100 TB of
-    text folds to a vocabulary-sized frequency table in one pass and
-    the merge loop never touches raw text again. Emits one row per
-    round (merge rule, its count, corpus token count after) — the
-    oracle replays all 6 rounds including tie-breaks. (Reference BPE
-    adds an end-of-word sentinel; elided here, same algebra.)"""
-    from pyspark.sql import Window as W
-
+def _bpe_train_frames(spark, sf_dir, k_rounds: int = 6):
+    """Shared BPE training loop: returns (per-round rule frames, final
+    word table carrying (w, f, seg)) so train and encode replay the
+    identical merges. See doc_bpe_train for the algorithm notes."""
     docs = table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
-        .select("f", F.array_join(F.split("w", ""), " ").alias("seg"))
+        .select("w", "f", F.array_join(F.split("w", ""), " ").alias("seg"))
         .localCheckpoint(eager=True)
     )
     rounds = []
-    for k in range(1, 7):
+    for k in range(1, k_rounds + 1):
         t = F.split("seg", " ")
         pairs = (
             words.select("f", t.alias("t"), F.size(t).alias("n"))
@@ -2423,6 +2408,7 @@ def doc_bpe_train(spark, sf_dir):
             F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
         ).limit(1)
         merged = words.crossJoin(F.broadcast(best)).select(
+            "w",
             "f",
             F.aggregate(
                 F.split("seg", " "),
@@ -2462,7 +2448,78 @@ def doc_bpe_train(spark, sf_dir):
             )
         )
         words = merged
+    return rounds, words
+
+
+@query("doc_bpe_train", category="documents", oracle=_bpe_oracle())
+def doc_bpe_train(spark, sf_dir):
+    """BPE tokenizer TRAINING as a declarative plan (Sennrich et al.
+    2016 — the algorithm behind GPT/Llama vocabularies): 6 merge rounds
+    over the corpus's word-frequency table, each round (1) counting
+    adjacent-token pairs weighted by word frequency, (2) picking the
+    most frequent pair (ties → lexicographic, so the learned vocabulary
+    is engine-independent), (3) applying the merge greedily
+    left-to-right inside every word via a sequential left fold whose
+    accumulator is the space-joined token string (F.aggregate ≡ DuckDB
+    list_reduce; the fold's boundary test `acc ends_with ' '||a` makes
+    the merge non-overlapping, matching reference BPE). Each round's
+    word table is a few thousand rows post-groupBy, checkpointed so the
+    per-round lineage stays flat; the heavy work — the token-pair count
+    — is one explode + hash aggregate per round over the WORD table,
+    not the corpus, which is exactly why BPE training scales: 100 TB of
+    text folds to a vocabulary-sized frequency table in one pass and
+    the merge loop never touches raw text again. Emits one row per
+    round (merge rule, its count, corpus token count after) — the
+    oracle replays all 6 rounds including tie-breaks. (Reference BPE
+    adds an end-of-word sentinel; elided here, same algebra.)"""
+    rounds, _ = _bpe_train_frames(spark, sf_dir)
     out = rounds[0]
     for r in rounds[1:]:
         out = out.unionByName(r)
     return out
+
+
+_BPE_ENCODE_TAIL = """,
+    docw AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(w)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(string_split(w6.seg, ' '))) AS BIGINT) AS n_bpe_tokens
+    FROM docw JOIN w6 USING (w)
+    GROUP BY doc_id
+"""
+
+
+@query(
+    "doc_bpe_encode",
+    category="documents",
+    oracle=_bpe_oracle(carry_w=True, body_only=True) + _BPE_ENCODE_TAIL,
+)
+def doc_bpe_encode(spark, sf_dir):
+    """BPE ENCODING with the vocabulary doc_bpe_train just learned — the
+    train→apply round trip of a real tokenizer pipeline: every document
+    is re-tokenized through the 6 learned merges and reports its word /
+    character / BPE-token counts (the compression the merges bought).
+    Key scale property: encoding joins the corpus's words against the
+    DISTINCT-WORD table (vocabulary-sized, broadcastable) — the merges
+    are never re-applied per occurrence, so 100 TB of text encodes via
+    one explode + one hash join however long the merge list grows. The
+    oracle replays the full training chain WITH the word column carried
+    through, then the same join — train and encode provably share one
+    vocabulary. All-integer outputs."""
+    _, words = _bpe_train_frames(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    docw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    enc = docw.join(
+        F.broadcast(words.select("w", F.size(F.split("seg", " ")).alias("ntok"))),
+        "w",
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("w")).cast("long").alias("n_chars"),
+        F.sum("ntok").cast("long").alias("n_bpe_tokens"),
+    )
