@@ -90,6 +90,8 @@ HEADLINE = [
     "doc_bigram_lm_perplexity",
     "doc_bpe_train",
     "stream_incremental_mv",
+    "graph_triangle_count",
+    "ts_kalman_1d",
 ]
 
 

@@ -86,6 +86,9 @@ _PRIORITY = [
     "doc_line_dedup", "ts_stl_decompose", "sink_summing_mv",
     "stream_incremental_mv", "scan_merge_schema",
     "doc_bigram_lm_perplexity", "doc_bpe_train", "doc_bpe_encode",
+    # -- round-2 session-4 additions --
+    "graph_triangle_count", "graph_common_neighbors", "ts_kalman_1d",
+    "json_variant_extract",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

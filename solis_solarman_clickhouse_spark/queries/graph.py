@@ -134,3 +134,216 @@ def graph_pagerank(spark, sf_dir):
         .alias("node_type"),
         F.col("r").cast("long").alias("rank_e12"),
     )
+
+
+# --- customer affinity graph (shared by triangle count / link prediction) --
+#
+# The fixtures have no natural SPARSE unipartite graph (the trading graph
+# is bipartite — zero triangles by construction — and the supplier
+# co-supply projection is near-complete at every SF: measured 25.9 mean
+# suppliers/part at sf0.01, so ALL C(s,2) pairs exist). The affinity graph
+# instead links each customer to its successor in three deterministic
+# rankings — next-higher (acctbal, custkey) within the same nation, within
+# the same market segment, and globally. Union of three functional chains
+# ⇒ out-degree ≤ 3, |E| ≈ 2.7|V| at every SF (measured 385 edges / 40
+# triangles at sf0.001, 4 079 / 472 at sf0.01), data-derived and
+# order-deterministic on both engines (the (acctbal, custkey) sort key is
+# unique).
+
+_CHAIN_EDGES_SQL = """
+    e1 AS (
+      SELECT c_custkey AS a,
+             LEAD(c_custkey) OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal, c_custkey) AS b
+      FROM customer),
+    e2 AS (
+      SELECT c_custkey AS a,
+             LEAD(c_custkey) OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal, c_custkey) AS b
+      FROM customer),
+    e3 AS (
+      SELECT c_custkey AS a,
+             LEAD(c_custkey) OVER (ORDER BY c_acctbal, c_custkey) AS b
+      FROM customer),
+    edges AS (
+      SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+      FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+            UNION ALL SELECT * FROM e3)
+      WHERE b IS NOT NULL),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+      GROUP BY node)
+"""
+
+
+def _chain_edges(spark, sf_dir):
+    """(edges u<v, deg) DataFrames for the customer affinity graph."""
+    from pyspark.sql import Window as W
+
+    c = table(spark, sf_dir, "customer")
+    chains = []
+    for part in ("c_nationkey", "c_mktsegment", None):
+        w = (
+            W.partitionBy(part).orderBy("c_acctbal", "c_custkey")
+            if part
+            else W.orderBy("c_acctbal", "c_custkey")
+        )
+        chains.append(
+            c.select(
+                F.col("c_custkey").alias("a"),
+                F.lead("c_custkey").over(w).alias("b"),
+            )
+        )
+    e0 = chains[0].unionAll(chains[1]).unionAll(chains[2]).where(F.col("b").isNotNull())
+    edges = e0.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return edges, deg
+
+
+@query(
+    "graph_triangle_count",
+    category="graph",
+    oracle=f"""
+    WITH {_CHAIN_EDGES_SQL},
+    dir AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v),
+    tri AS (
+      SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+      FROM dir ab
+      JOIN dir bc ON bc.src = ab.dst
+      JOIN dir ac ON ac.src = ab.src AND ac.dst = bc.dst),
+    pern AS (
+      SELECT node, COUNT(*) AS n_tri FROM (
+        SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+      GROUP BY node)
+    SELECT p.node AS custkey, d.d AS degree, p.n_tri,
+           (2 * p.n_tri * 1000000) // (d.d * (d.d - 1)) AS lcc_e6
+    FROM pern p JOIN deg d ON d.node = p.node
+    ORDER BY custkey
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Exact triangle counting + local clustering coefficient over the
+    customer affinity graph — the canonical "is this community tightly
+    knit" graph analytic (cf. Cohen 2009 MapReduce triangle enumeration).
+    The SCALE-CORRECT plan, not the naive one: each undirected edge is
+    oriented from its lower-(degree, id) endpoint to the higher one, so
+    every triangle is emitted exactly once and the wedge join's fan-out
+    is bounded by per-node OUT-degree ≤ O(sqrt(|E|)) (arboricity bound) —
+    on a skewed graph the naive undirected wedge join explodes around
+    hubs, the degree-oriented one provably cannot. Three joins total
+    (wedge build + closure check), all equi-joins AQE can re-plan; the
+    per-node count re-explodes each triangle to its three corners. LCC is
+    integer-exact: 2·tri·1e6 // d(d−1) (positive domain, so Spark's
+    truncating div ≡ DuckDB's flooring //)."""
+    edges, deg = _chain_edges(spark, sf_dir)
+    e = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    dir_e = e.select(
+        F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    ab = dir_e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = dir_e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = dir_e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    pern = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        pern.join(deg, "node")
+        .select(
+            F.col("node").alias("custkey"),
+            F.col("d").alias("degree"),
+            "n_tri",
+            F.expr("(2 * n_tri * 1000000) div (d * (d - 1))").alias("lcc_e6"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "graph_common_neighbors",
+    category="graph",
+    oracle=f"""
+    WITH {_CHAIN_EDGES_SQL},
+    und AS (
+      SELECT u AS s, v AS t FROM edges
+      UNION ALL SELECT v AS s, u AS t FROM edges),
+    cand AS (
+      SELECT n1.s AS u, n2.s AS v, COUNT(*) AS cn
+      FROM und n1 JOIN und n2 ON n1.t = n2.t AND n1.s < n2.s
+      GROUP BY n1.s, n2.s),
+    nonadj AS (
+      SELECT c.* FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = c.u AND e.v = c.v))
+    SELECT n.u, n.v, n.cn,
+           (n.cn * 1000000) // (du.d + dv.d - n.cn) AS jaccard_e6
+    FROM nonadj n
+    JOIN deg du ON du.node = n.u
+    JOIN deg dv ON dv.node = n.v
+    ORDER BY n.cn DESC, n.u, n.v LIMIT 20
+    """,
+)
+def graph_common_neighbors(spark, sf_dir):
+    """Link prediction by common-neighbor count + neighborhood Jaccard
+    over the customer affinity graph: the top-20 NON-adjacent pairs most
+    likely to become edges (Liben-Nowell & Kleinberg 2003). Candidate
+    pairs come from one wedge self-join on the undirected adjacency list
+    — only pairs sharing ≥1 neighbor are ever materialized (the same
+    inverted-index discipline as the n-gram Jaccard dedup: never
+    all-pairs) — then an anti-join strikes existing edges and the Jaccard
+    denominator d(u)+d(v)−cn needs no neighbor-set intersection beyond
+    the wedge count already in hand. Integer-exact score at 1e6 scale;
+    total order (cn DESC, u, v) is unique per pair, so LIMIT 20 is
+    deterministic on both engines. At 100 TB the wedge join is the
+    bounded stage: cap hub degree (drop nodes above a degree ceiling)
+    exactly as doc_neardup_jaccard_capped caps hot shingles; out-degree
+    here is ≤ 3 by construction."""
+    edges, deg = _chain_edges(spark, sf_dir)
+    und = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    )
+    n1 = und.select(F.col("s").alias("u"), F.col("t").alias("w"))
+    n2 = und.select(F.col("s").alias("v"), F.col("t").alias("w"))
+    cand = (
+        n1.join(n2, "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    nonadj = cand.join(edges, ["u", "v"], "left_anti")
+    return (
+        nonadj.join(
+            deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u"
+        )
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.expr("(cn * 1000000) div (du + dv - cn)").alias("jaccard_e6"),
+        )
+        .orderBy(F.col("cn").desc(), "u", "v")
+        .limit(20)
+    )

@@ -579,3 +579,45 @@ def ch_ipv4_functions(spark, sf_dir):
     return n.select(
         "o_orderkey", "ipnum", ipstr.alias("ipstr"), private.alias("is_private")
     )
+
+
+@query(
+    "json_variant_extract",
+    category="scalar_fn",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY 1 ORDER BY k_bucket
+    """,
+)
+def json_variant_extract(spark, sf_dir):
+    """Spark 4 VARIANT path for semi-structured data: ``parse_json``
+    turns the ``events.props`` JSON string into a binary VARIANT value
+    ONCE at the scan, and ``variant_get`` extracts typed fields from the
+    parsed tree — unlike ``get_json_object`` (json_extract twin), which
+    re-tokenizes the JSON text on every extraction expression. On a
+    100 TB semi-structured corpus that one-parse-many-reads difference is
+    the whole game (and VARIANT columns persisted to Parquet keep the
+    shredded binary form, skipping the parse entirely on re-read). The
+    aggregation rolls extracted ints into deciles so the VARIANT values
+    flow through partial+final hash aggregation, not just a projection.
+    Oracle: DuckDB json_extract — both engines produce identical BIGINTs,
+    integer div for the bucket."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "bigint")
+    return (
+        v.select(k.alias("k"))
+        .groupBy(F.expr("k div 10").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("k_bucket")
+    )

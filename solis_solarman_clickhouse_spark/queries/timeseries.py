@@ -1353,3 +1353,84 @@ def ts_stl_decompose(spark, sf_dir):
         half4("s_num", "s_cnt * 2772000").alias("seasonal"),
         half4("dn * s_cnt - s_num", "s_cnt * 2772000").alias("residual"),
     )
+
+
+@query(
+    "ts_kalman_1d",
+    category="timeseries",
+    oracle="""
+    WITH ar AS (
+      SELECT user_id, event_id, ts,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS a
+      FROM events
+    ),
+    st AS (
+      SELECT user_id, event_id, ts,
+             list_reduce(
+               list_transform(a, x -> [x, 1.0]),
+               (acc, x) -> [
+                 acc[1] + ROUND((acc[2] + 0.04) / (acc[2] + 0.04 + 1.0), 8)
+                          * (x[1] - acc[1]),
+                 (1.0 - ROUND((acc[2] + 0.04) / (acc[2] + 0.04 + 1.0), 8))
+                          * (acc[2] + 0.04)
+               ]) AS xp
+      FROM ar
+    )
+    SELECT user_id, event_id, ts,
+           ROUND(xp[1], 4) AS filtered,
+           ROUND(xp[2], 6) AS variance
+    FROM st
+    """,
+)
+def ts_kalman_1d(spark, sf_dir):
+    """1-D Kalman filter (random-walk state model, process variance
+    Q=0.04, observation variance R=1.0) over each reading's trailing
+    20-sample window — the optimal-in-the-MSE-sense denoiser for a
+    drifting level observed through noise, one tier above ts_ema_bounded
+    (fixed gain) and ts_holt_forecast (fixed alpha/beta): the Kalman gain
+    ANNEALS as the posterior variance converges, so early samples in the
+    window are trusted less than an EMA would. The coupled (x, P)
+    recursion — predict P+Q, gain K=(P+Q)/(P+Q+R), update x+K(z−x),
+    (1−K)(P+Q) — has no prefix-sum identity, so it runs as a SEQUENTIAL
+    left fold with a 2-element [x, P] accumulator, the ts_holt_forecast
+    discipline: F.aggregate and DuckDB list_reduce add identical doubles
+    in identical order, and the per-step gain is quantized ROUND(K, 8)
+    (positive domain, so Spark HALF_UP ≡ DuckDB half-away) before it
+    multiplies the innovation, so a last-ulp libm divergence in the
+    division can never reach the state. DuckDB's list_reduce seeds with
+    the first element, so values are lifted to [z, 1.0] pairs — the 1.0
+    second slot doubles as the P₀=1 prior and is ignored on subsequent
+    elements. Bounded frame = bounded state: O(20) per row at any corpus
+    size; the per-user window shuffle is the only exchange."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, W.currentRow)
+    )
+    ar = ev.select(
+        "user_id", "event_id", "ts", F.collect_list("value").over(w).alias("a")
+    )
+    a = F.col("a")
+    gain = lambda acc: F.round(
+        (F.element_at(acc, 2) + F.lit(0.04))
+        / (F.element_at(acc, 2) + F.lit(0.04) + F.lit(1.0)),
+        8,
+    )
+    xp = F.aggregate(
+        F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
+        F.array(F.element_at(a, 1), F.lit(1.0)),
+        lambda acc, x: F.array(
+            F.element_at(acc, 1) + gain(acc) * (x - F.element_at(acc, 1)),
+            (F.lit(1.0) - gain(acc)) * (F.element_at(acc, 2) + F.lit(0.04)),
+        ),
+    )
+    st = ar.select("user_id", "event_id", "ts", xp.alias("xp"))
+    return st.select(
+        "user_id",
+        "event_id",
+        "ts",
+        r4(F.element_at("xp", 1)).alias("filtered"),
+        F.round(F.element_at("xp", 2), 6).alias("variance"),
+    )
