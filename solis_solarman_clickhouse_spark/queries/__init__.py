@@ -88,7 +88,8 @@ _PRIORITY = [
     "doc_bigram_lm_perplexity", "doc_bpe_train", "doc_bpe_encode",
     # -- round-2 session-4 additions --
     "graph_triangle_count", "graph_common_neighbors", "ts_kalman_1d",
-    "json_variant_extract",
+    "json_variant_extract", "vec_range_search", "ch_geohash_encode",
+    "doc_dsir_selection",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

@@ -2523,3 +2523,104 @@ def doc_bpe_encode(spark, sf_dir):
         F.sum(F.length("w")).cast("long").alias("n_chars"),
         F.sum("ntok").cast("long").alias("n_bpe_tokens"),
     )
+
+
+_DSIR_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, ('0x' || substr(md5(UNNEST(string_split(text, ' '))), 1, 15))::BIGINT
+                 % 256 AS b
+  FROM documents
+),
+tgt AS (
+  SELECT t.b, COUNT(*) AS c FROM tok t
+  JOIN documents d ON d.doc_id = t.doc_id AND d.source = 'src0'
+  GROUP BY t.b
+),
+raw AS (SELECT b, COUNT(*) AS c FROM tok GROUP BY b),
+tots AS (
+  SELECT (SELECT SUM(c) FROM tgt) AS nt, (SELECT SUM(c) FROM raw) AS nr
+),
+lr AS (
+  SELECT r.b,
+         CAST(ROUND(ln(((COALESCE(t.c, 0) + 1.0) * (tots.nr + 256))
+                       / ((r.c + 1.0) * (tots.nt + 256))) * 100000000) AS BIGINT)
+           AS lr8
+  FROM raw r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN tots
+)
+SELECT tok.doc_id, COUNT(*) AS n_tokens,
+       SUM(lr.lr8) AS dsir_e8,
+       CASE WHEN SUM(lr.lr8) > 0 THEN 1 ELSE 0 END AS selected
+FROM tok JOIN lr ON lr.b = tok.b
+GROUP BY tok.doc_id
+"""
+
+
+@query("doc_dsir_selection", category="documents", oracle=_DSIR_ORACLE)
+def doc_dsir_selection(spark, sf_dir):
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): rank raw-corpus documents by how target-like they
+    are under hashed n-gram importance weights. The target here is the
+    'src0' slice (stand-in for "high-quality domain"); features are
+    unigrams hashed into 256 buckets with the portable md5 hash (the
+    doc_neardup_minhash_exact family), and each doc's importance weight
+    is sum_tokens log(p_target(b)/p_raw(b)) with add-one smoothing. The
+    per-BUCKET log-ratio is computed once over the 256-row bucket table
+    and quantized to a 1e8-scaled BIGINT there — so the per-doc score is
+    an ORDER-FREE integer sum (the doc_bigram_lm_perplexity discipline:
+    libm's last-ulp never reaches a multi-term double sum), and
+    selection is the integer cut dsir_e8 > 0. Plan shape: one token
+    explode feeds both the 256-row stats (two tiny aggregates broadcast
+    back) and the per-doc scoring join — at 100 TB the stats pass is a
+    map-side-combinable count and the scoring join is a broadcast hash
+    join on a 256-row table; nothing ever shuffles except the final
+    per-doc groupBy."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split("text", " ")).alias("w"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long") % 256
+        ).alias("b"),
+    )
+    tgt = tok.where(F.col("source") == "src0").groupBy("b").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tots = raw.join(tgt, "b", "left").agg(
+        F.sum("tc").alias("nt"), F.sum("rc").alias("nr")
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) * (F.col("nr") + 256))
+                    / ((F.col("rc") + 1.0) * (F.col("nt") + 256))
+                )
+                * 100000000,
+                0,
+            )
+            .cast("long")
+            .alias("lr8"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr8").alias("dsir_e8"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dsir_e8",
+            F.when(F.col("dsir_e8") > 0, 1).otherwise(0).alias("selected"),
+        )
+    )

@@ -621,3 +621,103 @@ def json_variant_extract(spark, sf_dir):
         )
         .orderBy("k_bucket")
     )
+
+
+def _geohash_oracle() -> str:
+    chars = "0123456789bcdefghjkmnpqrstuvwxyz"
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey * 73) % 18000 AS lat_e2,
+             (c_custkey * 151) % 36000 AS lon_e2
+      FROM customer),
+    grid AS (
+      SELECT c_custkey, lat_e2, lon_e2,
+             (lat_e2 * 32768) // 18000 AS ilat,
+             (lon_e2 * 32768) // 36000 AS ilon
+      FROM pts),
+    z AS (
+      SELECT c_custkey, lat_e2, lon_e2,
+             (SELECT SUM(((ilon >> i) & 1) * (1::BIGINT << (2 * i + 1))
+                         + ((ilat >> i) & 1) * (1::BIGINT << (2 * i)))
+              FROM UNNEST(generate_series(0, 14)) AS t(i)) AS zv
+      FROM grid),
+    gh AS (
+      SELECT c_custkey, lat_e2, lon_e2,
+             (SELECT string_agg(substr('{chars}',
+                     CAST(((zv >> (25 - 5 * k)) & 31) + 1 AS INT), 1), ''
+                     ORDER BY k)
+              FROM UNNEST(generate_series(0, 5)) AS t(k)) AS geohash
+      FROM z)
+    SELECT c_custkey,
+           ROUND(lat_e2 / 100.0 - 90.0, 2) AS lat,
+           ROUND(lon_e2 / 100.0 - 180.0, 2) AS lon,
+           geohash,
+           substr(geohash, 1, 4) AS cell4,
+           COUNT(*) OVER (PARTITION BY substr(geohash, 1, 4)) AS n_in_cell4
+    FROM gh
+    """
+
+
+@query("ch_geohash_encode", category="scalar_fn", oracle=_geohash_oracle())
+def ch_geohash_encode(spark, sf_dir):
+    """ClickHouse ``geohashEncode(lon, lat, 6)`` parity — the geo-family
+    representative: 6-character base32 geohash per point plus a
+    prefix-cell occupancy count (the groupBy-cell spatial bucketing a
+    geo dashboard runs). Points derive deterministically from
+    c_custkey (the fixtures carry no geo columns), carried at integer
+    1e2 scale so the whole computation is BIGINT-exact end to end: grid
+    cell = lat_e2*2^15 // 18000 (never a double), Morton interleave of
+    the 15+15 bit cells via shift/mask — the sink_zorder_layout idiom —
+    and base32 chars picked by substr on 5-bit groups. Zero libm calls,
+    zero float comparisons ⇒ bit-identical across engines. Pure
+    map-side until the single window over the 4-char prefix cell (the
+    spatial aggregation); at 100 TB that exchange IS the geo
+    partitioning — a geohash prefix is the standard spatial shard key
+    (points near each other share prefixes), which is the reason
+    geohashes beat raw (lat, lon) pairs for distributed joins."""
+    chars = "0123456789bcdefghjkmnpqrstuvwxyz"
+    from pyspark.sql import Window as W
+
+    c = table(spark, sf_dir, "customer")
+    g = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 73) % 18000).alias("lat_e2"),
+        ((F.col("c_custkey") * 151) % 36000).alias("lon_e2"),
+    ).select(
+        "c_custkey",
+        "lat_e2",
+        "lon_e2",
+        F.expr("(lat_e2 * 32768) div 18000").alias("ilat"),
+        F.expr("(lon_e2 * 32768) div 36000").alias("ilon"),
+    )
+    z = F.lit(0).cast("long")
+    for i in range(15):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("ilon"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("ilat"), i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    g = g.withColumn("zv", z)
+    gh = F.concat(
+        *[
+            F.substring(
+                F.lit(chars),
+                F.shiftright(F.col("zv"), 25 - 5 * k).bitwiseAND(F.lit(31)).cast("int")
+                + F.lit(1),
+                1,
+            )
+            for k in range(6)
+        ]
+    )
+    g = g.withColumn("geohash", gh)
+    return g.select(
+        "c_custkey",
+        F.round(F.col("lat_e2") / 100.0 - 90.0, 2).alias("lat"),
+        F.round(F.col("lon_e2") / 100.0 - 180.0, 2).alias("lon"),
+        "geohash",
+        F.substring("geohash", 1, 4).alias("cell4"),
+        F.count(F.lit(1))
+        .over(W.partitionBy(F.substring("geohash", 1, 4)))
+        .alias("n_in_cell4"),
+    )

@@ -1501,3 +1501,55 @@ def vec_ivfpq_recall(spark, sf_dir):
         F.count("hit").alias("n_hit"),
         F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall_at_k"),
     )
+
+
+_RANGE_SEARCH_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_dot_product(q.qv, c.cv)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS cosine
+  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 4) AS cosine
+FROM scored WHERE cosine >= 0.25
+"""
+
+
+@query("vec_range_search", category="vectors", oracle=_RANGE_SEARCH_ORACLE)
+def vec_range_search(spark, sf_dir):
+    """Range (radius) search — the similarity-search dual of top-k: ALL
+    corpus vectors within cosine >= 0.25 of each query vector, however
+    many or few that is (FAISS range_search semantics). Top-k hides
+    density differences; range search exposes them — a retrieval
+    pipeline uses it to harvest every candidate above a relevance floor
+    rather than a fixed count, and a dedup pipeline to pull a doc's
+    whole duplicate neighborhood. Same plan skeleton as vec_cosine_topk
+    (broadcast 10-row query side x one corpus scan, JVM zip_with dot
+    products) but with NO window: the filter replaces the rank, so the
+    plan is a pure map — no shuffle at all after the broadcast, which is
+    exactly what makes range search cheaper than top-k at 100 TB (top-k
+    needs the per-query ordering; a threshold doesn't). Threshold 0.25
+    is calibrated to the near-orthogonal synthetic embeddings (~30-40
+    hits per 10 queries at each SF — nonempty but selective)."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = with_cosine(scored, "qv", "cv")
+    return scored.filter(F.col("cosine") >= 0.25).select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine")
+    )
