@@ -90,42 +90,38 @@ def graph_pagerank(spark, sf_dir):
         )
         .distinct()
     )
-    edges = (
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        # The edge list is walked by every sweep (3 contrib joins) plus the
-        # degree/node/N derivations — persist it so the distinct+union
-        # subtree runs once and each sweep reads the in-memory relation
-        # (the iterative-graph analogue of operators/graph.py's
-        # checkpoint-per-round; at 100 TB this is a StorageLevel.DISK
-        # materialization of the edge RDD, standard for PageRank).
-        .persist()
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    nodes = edges.select("src").distinct().withColumnRenamed("src", "node")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    # Every sweep walks the degree-annotated edge list — persist THAT
+    # (src, dst, od) relation once, so the distinct+union+degree subtree
+    # runs a single time and each sweep reads the in-memory rows (the
+    # iterative-graph analogue of operators/graph.py's checkpoint-per-
+    # round; at 100 TB this is a StorageLevel.DISK materialization of
+    # the edge list, standard for PageRank).
+    ed = edges.join(deg, "src").persist()
+    # Bidirectional construction ⇒ every node has out-degree ≥ 1, so the
+    # degree table's key set IS the node set — no extra distinct pass.
+    nodes = deg.select(F.col("src").alias("node")).persist()
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    r = (
-        nodes.crossJoin(F.broadcast(nn))
-        .select("node", "n", F.expr(f"{_SCALE} div n").alias("r"))
-    )
+    base = nodes.crossJoin(F.broadcast(nn))
+    r = base.select("node", "n", F.expr(f"{_SCALE} div n").alias("r"))
     for _ in range(3):
-        contrib = (
-            edges.join(deg, "src")
-            .join(r.select(F.col("node").alias("src"), "r"), "src")
-            .select("dst", F.expr("r div od").alias("contrib"))
-        )
+        # The rank vector is |V|-sized — broadcast it onto the (big) edge
+        # list so the scatter never shuffles edges, and the per-dst sum
+        # combines MAP-SIDE before the one |V|-sized exchange per sweep.
+        contrib = ed.join(
+            F.broadcast(r.select(F.col("node").alias("src"), "r")), "src"
+        ).select("dst", F.expr("r div od").alias("contrib"))
         s = contrib.groupBy("dst").agg(F.sum("contrib").alias("m"))
-        r = (
-            nodes.crossJoin(F.broadcast(nn))
-            .join(s.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
-                "node",
-                "n",
-                F.expr(
-                    f"(15 * ({_SCALE} div n)) div 100"
-                    " + (85 * coalesce(m, 0)) div 100"
-                ).alias("r"),
-            )
+        r = base.join(s.withColumnRenamed("dst", "node"), "node", "left").select(
+            "node",
+            "n",
+            F.expr(
+                f"(15 * ({_SCALE} div n)) div 100"
+                " + (85 * coalesce(m, 0)) div 100"
+            ).alias("r"),
         )
     return r.select(
         "node",

@@ -156,11 +156,11 @@ def test_no_python_eval_outside_udf_families(spark):
     allowed_prefixes = ("udf_", "udtf_", "mm_", "vec_ann_", "stream_", "sink_",
                         "source_python_datasource", "vec_cosine_topk_pandas",
                         "ts_lttb_downsample",
-                        # vec_semdedup partitions the space with the same
-                        # Arrow-batched LSH bucketing as the vec_ann_ family
-                        # (one numpy matmul per batch; similarity.py
-                        # lsh_multitable_buckets docstring has the measured
-                        # rationale) — a declared Python boundary.
+                        # vec_semdedup's 12-plane config now takes the
+                        # JVM expression path in lsh_multitable_buckets
+                        # (≤16 planes); it stays listed because the
+                        # >16-plane Arrow path remains its documented
+                        # fallback if the config widens.
                         "vec_semdedup",
                         # the PQ family assigns codes / builds query
                         # distance tables in the same Arrow boundary
