@@ -92,6 +92,8 @@ HEADLINE = [
     "stream_incremental_mv",
     "graph_triangle_count",
     "ts_kalman_1d",
+    "doc_minhash_band_sweep",
+    "vec_binary_quantize_topk",
 ]
 
 

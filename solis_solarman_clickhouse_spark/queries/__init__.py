@@ -89,7 +89,9 @@ _PRIORITY = [
     # -- round-2 session-4 additions --
     "graph_triangle_count", "graph_common_neighbors", "ts_kalman_1d",
     "json_variant_extract", "vec_range_search", "ch_geohash_encode",
-    "doc_dsir_selection",
+    "doc_dsir_selection", "doc_minhash_band_sweep",
+    "vec_binary_quantize_topk", "vec_binary_quantize_recall",
+    "stream_dedup_within_watermark",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

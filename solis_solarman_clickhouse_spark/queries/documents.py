@@ -2624,3 +2624,148 @@ def doc_dsir_selection(spark, sf_dir):
             F.when(F.col("dsir_e8") > 0, 1).otherwise(0).alias("selected"),
         )
     )
+
+
+def _band_sweep_oracle(n_hashes: int = 16) -> str:
+    from ..operators.dedup import MINHASH_AB, MINHASH_P
+
+    base = f"(('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P})"
+    mins = ", ".join(
+        f"MIN(({a} * {base} + {b}) % {MINHASH_P}) AS g{i}"
+        for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
+    )
+    cfg_sql = []
+    for bands in (16, 8, 4):
+        rows = n_hashes // bands
+        band_conds = " OR ".join(
+            "("
+            + " AND ".join(f"a.g{b * rows + r} = b.g{b * rows + r}" for r in range(rows))
+            + ")"
+            for b in range(bands)
+        )
+        cfg_sql.append(f"""
+    SELECT {bands} AS bands, {rows} AS rows_per_band,
+           (SELECT COUNT(*) FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE {band_conds}) AS n_candidates,
+           (SELECT COUNT(*) FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            JOIN truth t ON t.doc_a = a.doc_id AND t.doc_b = b.doc_id
+            WHERE {band_conds}) AS n_true_candidates,
+           (SELECT COUNT(*) FROM truth) AS n_true_total
+        """)
+    union = "\nUNION ALL\n".join(cfg_sql)
+    return f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(generate_series(1, len(ws) - 2),
+                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      FROM w
+    ),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter0 AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.s = b.s
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter0 i
+      JOIN sz sa ON i.doc_a = sa.doc_id
+      JOIN sz sb ON i.doc_b = sb.doc_id
+      WHERE i.cnt * 5 >= (sa.n + sb.n - i.cnt) * 4
+    ),
+    cfg AS (
+{union}
+    )
+    SELECT bands, rows_per_band, n_candidates, n_true_candidates, n_true_total,
+           CASE WHEN n_true_total = 0 THEN 1000000
+                ELSE (n_true_candidates * 1000000) // n_true_total END AS recall_e6,
+           CASE WHEN n_candidates = 0 THEN 1000000
+                ELSE (n_true_candidates * 1000000) // n_candidates END AS precision_e6
+    FROM cfg
+    """
+
+
+@query("doc_minhash_band_sweep", category="documents", oracle=_band_sweep_oracle())
+def doc_minhash_band_sweep(spark, sf_dir):
+    """MinHash-LSH band-configuration sweep — the tuning table every
+    near-dup deployment needs before committing a (bands x rows) choice
+    at 100 TB: from ONE set of 16 portable md5 signatures, band them
+    three ways (16x1, 8x2, 4x4) and price each config's candidate count
+    vs its recall of the exact-Jaccard >= 0.8 ground truth. More rows
+    per band = sharper S-curve = fewer false candidates but lower
+    recall; the sweep makes the tradeoff a measured number (integer
+    1e6-scale recall/precision — no float ratios) instead of folklore.
+    The signature table is computed ONCE (persisted — 16 ints/doc) and
+    each config re-bands it with a cheap in-bucket pair expansion;
+    ground truth reuses the inverted-index exact-Jaccard join (never
+    all-pairs on the Spark side — pairs must share a shingle to score).
+    The DuckDB oracle replays signatures, all three bandings, and the
+    truth set from the same constants, so every count in the table is
+    hash-compared."""
+    from ..operators.dedup import (
+        in_bucket_pairs,
+        minhash_signatures_md5,
+        ngram_jaccard_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_md5(docs, n_hashes=16, k=3).persist()
+    truth = (
+        ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_total"))
+    out = None
+    for bands in (16, 8, 4):
+        rows = 16 // bands
+        banded = sigs.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"g{b * rows + r}").cast("string")
+                                for r in range(rows)
+                            ],
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+        cand = in_bucket_pairs(
+            banded,
+            F.col("doc_id"),
+            lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+        )
+        hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+        row = (
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_true_candidates")))
+            .crossJoin(n_true)
+            .select(
+                F.lit(bands).alias("bands"),
+                F.lit(rows).alias("rows_per_band"),
+                "n_candidates",
+                "n_true_candidates",
+                "n_true_total",
+                F.expr(
+                    "CASE WHEN n_true_total = 0 THEN 1000000"
+                    " ELSE (n_true_candidates * 1000000) div n_true_total END"
+                ).alias("recall_e6"),
+                F.expr(
+                    "CASE WHEN n_candidates = 0 THEN 1000000"
+                    " ELSE (n_true_candidates * 1000000) div n_candidates END"
+                ).alias("precision_e6"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

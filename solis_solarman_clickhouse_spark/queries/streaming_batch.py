@@ -604,3 +604,73 @@ def read_mv(spark, mv_dir: str):
         "user_id", "event_type", "n_events",
         (F.col("sum_scaled").cast("double") / 100.0).alias("sum_value"),
     )
+
+
+@query(
+    "stream_dedup_within_watermark",
+    category="streaming",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_within_watermark(spark, sf_dir):
+    """Spark 4 ``dropDuplicatesWithinWatermark`` — bounded-state streaming
+    dedup, the production answer to stream_dedup_first's unbounded state:
+    a key's dedup state is dropped once the watermark passes it, so state
+    size tracks the watermark window instead of the whole stream history
+    (exactly what a forever-running ingest daemon needs — the reference's
+    at-least-once retry loop, solarman.py:202-225, re-sends rows and
+    ClickHouse never dedups them at all). Duplicates are injected
+    IN-PLAN: every 10th event re-arrives 5 minutes later, the stream
+    replays as 4 time-ranged files under a 30-minute watermark, and
+    because every injected duplicate lands well inside the watermark
+    delay the operator's contract GUARANTEES it is dropped — so the
+    landed per-type counts hash-match the raw per-type counts and the
+    check is EXACT, not SMOKE (the survivor row per key may be either
+    copy by arrival order; the per-type aggregate is copy-invariant by
+    construction)."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    dups = ev.filter(F.col("event_id") % 10 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES")
+    )
+    full = ev.unionByName(dups)
+    workdir = tempfile.mkdtemp(prefix="strm_ddww_")
+    src = os.path.join(workdir, "src")
+    # The file source orders batches by file MODIFICATION TIME — four
+    # part-files from one write share an mtime and replay in arbitrary
+    # order, which lets the watermark leap ahead and late-drop a whole
+    # time slice (observed: a quarter of the stream dropped). Write the
+    # four time-slices SEQUENTIALLY so mtimes (and therefore replay
+    # order) follow event time, as a real tailing ingest would.
+    sliced = full.withColumn(
+        "_slice", F.ntile(4).over(W.orderBy("ts", "event_id"))
+    )
+    for i in range(1, 5):
+        sliced.filter(F.col("_slice") == i).drop("_slice").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"b{i}"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "b*"))
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = "strm_ddww_out"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
