@@ -91,7 +91,7 @@ _PRIORITY = [
     "json_variant_extract", "vec_range_search", "ch_geohash_encode",
     "doc_dsir_selection", "doc_minhash_band_sweep",
     "vec_binary_quantize_topk", "vec_binary_quantize_recall",
-    "stream_dedup_within_watermark",
+    "stream_dedup_within_watermark", "graph_bfs_distance",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

@@ -343,3 +343,70 @@ def graph_common_neighbors(spark, sf_dir):
         .orderBy(F.col("cn").desc(), "u", "v")
         .limit(20)
     )
+
+
+@query(
+    "graph_bfs_distance",
+    category="graph",
+    oracle="""
+    WITH RECURSIVE e1 AS (
+      SELECT c_custkey AS a,
+             LEAD(c_custkey) OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal, c_custkey) AS b
+      FROM customer),
+    e2 AS (
+      SELECT c_custkey AS a,
+             LEAD(c_custkey) OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal, c_custkey) AS b
+      FROM customer),
+    e3 AS (
+      SELECT c_custkey AS a,
+             LEAD(c_custkey) OVER (ORDER BY c_acctbal, c_custkey) AS b
+      FROM customer),
+    edges AS (
+      SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+      FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+            UNION ALL SELECT * FROM e3)
+      WHERE b IS NOT NULL),
+    und AS (
+      SELECT u AS s, v AS t FROM edges
+      UNION ALL SELECT v AS s, u AS t FROM edges),
+    srcn AS (SELECT MIN(u) AS node FROM edges),
+    bfs(node, d) AS (
+      SELECT node, 0 FROM srcn
+      UNION ALL
+      SELECT und.t, bfs.d + 1 FROM bfs JOIN und ON und.s = bfs.node
+      WHERE bfs.d < 4
+    )
+    SELECT node, MIN(d) AS dist FROM bfs GROUP BY node ORDER BY node
+    """,
+)
+def graph_bfs_distance(spark, sf_dir):
+    """Single-source BFS shortest-path distances (≤ 4 hops) over the
+    customer affinity graph, from its minimum-id node — the reachability
+    primitive under "how far is every account from this flagged one".
+    Spark side is the scale-correct FRONTIER iteration, not path
+    enumeration: 4 unrolled rounds of (join the current distance table
+    onto the adjacency list, add 1, union, min per node) — each round is
+    one equi-join + one map-side-combinable min aggregate, and the
+    distance table stays |V|-bounded no matter how many paths exist. The
+    DuckDB oracle instead enumerates all ≤4-hop paths with WITH
+    RECURSIVE and takes MIN(d) per node — exponentially worse shape,
+    feasible only at fixture scale, which is exactly the point of the
+    comparison (same numbers, different asymptotics; the repo's
+    recursive-CTE twin of the operators/graph.py min-propagation
+    pattern). Positive-domain integer arithmetic throughout."""
+    edges, _deg = _chain_edges(spark, sf_dir)
+    und = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    ).persist()
+    srcn = edges.agg(F.min("u").alias("node"))
+    dist = srcn.select("node", F.lit(0).alias("d"))
+    for _ in range(4):
+        nxt = (
+            und.join(
+                F.broadcast(dist.withColumnRenamed("node", "s")), "s"
+            ).select(F.col("t").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = dist.unionAll(nxt).groupBy("node").agg(F.min("d").alias("d"))
+    return dist.select("node", F.col("d").alias("dist")).orderBy("node")
