@@ -1847,3 +1847,111 @@ def ch_stochastic_linreg(spark, sf_dir):
         F.round(F.col("w")[0], 6).alias("weight"),
         F.round(F.col("w")[1], 6).alias("bias"),
     )
+
+
+_CMS_ORACLE = """
+WITH h AS (
+  SELECT event_type,
+         UNNEST(generate_series(0, 3)) AS row_id,
+         ('0x' || substr(md5(UNNEST(generate_series(0, 3))::VARCHAR
+                             || ':' || event_type), 1, 15))::BIGINT % 256
+           AS bucket
+  FROM events
+),
+counters AS (
+  SELECT row_id, bucket, COUNT(*) AS c FROM h GROUP BY row_id, bucket
+),
+keys AS (
+  SELECT DISTINCT event_type FROM events
+),
+probes AS (
+  SELECT k.event_type, t.row_id,
+         ('0x' || substr(md5(t.row_id::VARCHAR || ':' || k.event_type), 1, 15))::BIGINT
+           % 256 AS bucket
+  FROM keys k, (SELECT UNNEST(generate_series(0, 3)) AS row_id) t
+),
+est AS (
+  SELECT p.event_type, MIN(c.c) AS cms_estimate
+  FROM probes p JOIN counters c ON c.row_id = p.row_id AND c.bucket = p.bucket
+  GROUP BY p.event_type
+),
+exact AS (
+  SELECT event_type, COUNT(*) AS exact_count FROM events GROUP BY event_type
+)
+SELECT e.event_type, x.exact_count, e.cms_estimate,
+       e.cms_estimate - x.exact_count AS overestimate
+FROM est e JOIN exact x USING (event_type)
+ORDER BY event_type
+"""
+
+
+@query("agg_count_min_sketch", category="aggregate", oracle=_CMS_ORACLE)
+def agg_count_min_sketch(spark, sf_dir):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) built from scratch
+    with the engine-portable md5 hash family — 4 rows × 256 counters,
+    point estimate = min over rows of the probed counter. Unlike the
+    opaque-binary sketch builtins this one is WHITE-BOX: the counter
+    table is an ordinary groupBy (map-side combinable, mergeable across
+    partitions/months by plain SUM — the same two-level-merge story as
+    the theta/KLL rows), the estimate is a 4-way min join, and because
+    the hashing is deterministic on both engines the oracle replays the
+    ENTIRE sketch and the estimates hash-match EXACTly — including the
+    one-sided error (estimate ≥ exact always; overestimate column shows
+    the collision inflation directly against the exact counts). At
+    100 TB the counter table is fixed 1024 cells regardless of stream
+    size — the whole point of the sketch."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("row_id")
+    ).select(
+        "event_type",
+        "row_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("row_id").cast("string"), F.lit(":"), F.col("event_type"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 256
+        ).alias("bucket"),
+    )
+    counters = h.groupBy("row_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    keys = ev.select("event_type").distinct()
+    probes = keys.crossJoin(
+        spark.range(4).select(F.col("id").cast("int").alias("row_id"))
+    ).select(
+        "event_type",
+        "row_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("row_id").cast("string"), F.lit(":"), F.col("event_type"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 256
+        ).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["row_id", "bucket"])
+        .groupBy("event_type")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy("event_type")
+    )

@@ -147,3 +147,50 @@ def sql_recursive_cte(spark, sf_dir):
     spines; bulk series still use sequence()+explode (ts_gap_fill)."""
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
+
+
+@query(
+    "sub_not_in_null_trap",
+    category="subquery",
+    oracle="""
+    WITH probe AS (
+      SELECT CASE WHEN o_orderstatus = 'P' THEN o_custkey ELSE NULL END AS k
+      FROM orders
+    )
+    SELECT
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT k FROM probe)) AS not_in_count,
+      (SELECT COUNT(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey))
+        AS not_exists_count,
+      (SELECT COUNT(*) FROM probe WHERE k IS NULL) AS n_nulls
+    """,
+)
+def sub_not_in_null_trap(spark, sf_dir):
+    """The ANSI NOT IN null trap, planned correctly: when the subquery
+    column contains even one NULL, ``x NOT IN (...)`` can never be TRUE
+    (x <> NULL is UNKNOWN), so the NOT IN count is 0 while the NOT EXISTS
+    count keeps its natural value (customers with no 'P'-status order:
+    7 at sf0.001, 56 at sf0.01 — non-vacuous) — the classic silent-wrong-answer
+    migration bug, pinned here as a hash-checked contract on both
+    engines. Physically this is the one query shape where Spark CANNOT
+    use a hash anti join: null-aware anti join (NOT IN) plans as a
+    BroadcastNestedLoopJoin unless the build side is provably
+    null-free, while NOT EXISTS stays a broadcast hash LeftAnti — the
+    two counts side by side are also a planner-behavior regression
+    test. The NULLs are injected deterministically (open orders'
+    custkeys become NULL)."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+      WITH probe AS (
+        SELECT CASE WHEN o_orderstatus = 'P' THEN o_custkey ELSE NULL END AS k
+        FROM orders
+      )
+      SELECT
+        (SELECT COUNT(*) FROM customer
+         WHERE c_custkey NOT IN (SELECT k FROM probe)) AS not_in_count,
+        (SELECT COUNT(*) FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM probe p
+                           WHERE p.k = c.c_custkey)) AS not_exists_count,
+        (SELECT COUNT(*) FROM probe WHERE k IS NULL) AS n_nulls
+    """)

@@ -1707,3 +1707,62 @@ def vec_binary_quantize_recall(spark, sf_dir):
         "n_queries",
         F.expr("(n_hits * 1000000) div (n_queries * 5)").alias("recall_e6"),
     )
+
+
+_MIPS_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_dot_product(q.qv, c.cv) AS ip
+  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, ip,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ip DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, ROUND(ip, 4) AS inner_product
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("vec_mips_topk", category="vectors", oracle=_MIPS_ORACLE)
+def vec_mips_topk(spark, sf_dir):
+    """Maximum Inner Product Search (MIPS) top-5 — the retrieval
+    objective of recommender and two-tower models, where vector NORM
+    carries signal (an item's popularity prior lives in its magnitude):
+    rank by raw dot product, NOT cosine. Deliberately distinct from
+    vec_cosine_topk — on fixtures with varying norms the two rankings
+    disagree, and the difference is the point (the MIPS→cosine
+    reductions of ALSH, Shrivastava & Li 2014, exist precisely because
+    cosine-only ANN indexes can't serve MIPS directly). Same plan
+    skeleton: 10 broadcast queries × one corpus scan, JVM zip_with fold
+    (sequential order matches DuckDB list_dot_product bit-for-bit),
+    per-query window top-5."""
+    from pyspark.sql import Window as W
+    from ..operators.similarity import _dot
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _dot(F.col("qv"), F.col("cv")).alias("ip"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("ip").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", F.round("ip", 4).alias("inner_product"))
+    )
