@@ -1955,3 +1955,134 @@ def agg_count_min_sketch(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_BLOOM_WB_ORACLE = """
+WITH members AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
+),
+mbits AS (
+  SELECT ('0x' || substr(md5(j.j::VARCHAR || ':' || m.k::VARCHAR), 1, 15))::BIGINT
+           % 8192 AS bitpos
+  FROM members m, (SELECT UNNEST(generate_series(0, 2)) AS j) j
+),
+bloom AS (
+  SELECT bitpos // 32 AS word, bit_or((1::BIGINT << (bitpos % 32))) AS w
+  FROM mbits GROUP BY bitpos // 32
+),
+probes AS (
+  SELECT c.c_custkey,
+         ('0x' || substr(md5(j.j::VARCHAR || ':' || c.c_custkey::VARCHAR), 1, 15))::BIGINT
+           % 8192 AS bitpos
+  FROM customer c, (SELECT UNNEST(generate_series(0, 2)) AS j) j
+),
+verdict AS (
+  SELECT p.c_custkey,
+         MIN(CASE WHEN (COALESCE(b.w, 0) >> (p.bitpos % 32)) & 1 = 1
+                  THEN 1 ELSE 0 END) AS bloom_pos
+  FROM probes p LEFT JOIN bloom b ON b.word = p.bitpos // 32
+  GROUP BY p.c_custkey
+),
+joined AS (
+  SELECT v.c_custkey, v.bloom_pos,
+         CASE WHEN m.k IS NULL THEN 0 ELSE 1 END AS is_member
+  FROM verdict v LEFT JOIN members m ON m.k = v.c_custkey
+)
+SELECT COUNT(*) AS n_customers,
+       SUM(is_member) AS n_members,
+       SUM(bloom_pos) AS n_bloom_positive,
+       SUM(CASE WHEN bloom_pos = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+         AS n_false_positive,
+       (SUM(CASE WHEN bloom_pos = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+          * 1000000) // (COUNT(*) - SUM(is_member)) AS fp_rate_e6
+FROM joined
+"""
+
+
+@query("agg_bloom_filter_membership", category="aggregate", oracle=_BLOOM_WB_ORACLE)
+def agg_bloom_filter_membership(spark, sf_dir):
+    """White-box Bloom filter (Bloom 1970), the manual twin of
+    join_bloom_prefilter's engine-built lanes: an 8192-bit (1 KiB) filter over
+    'P'-order customers as 256 x 32-bit words (positive-domain — the
+    1<<63 sign corner never arises), k=3 portable md5 hashes, built by a
+    plain mergeable bit_or groupBy (256-row state, the fixed-footprint
+    sketch story again) and broadcast onto the probe side. Every
+    customer is probed; the output prices the filter exactly: member
+    count, bloom positives, FALSE positives (bloom's one-sided error —
+    no false negatives is asserted by n_bloom_positive >= n_members,
+    visible in the hashed row), and the 1e6-scale FP rate vs the
+    theoretical (1-e^{-kn/m})^k at this fill (sized so the saturated sf0.01 member set still leaves a measurable, small FP rate). At 100 TB this is
+    the shape that makes semi-join pushdown cheap: the 1 KiB filter
+    ships to every scan task; only bloom-positive rows reach the
+    shuffle. EXACT — DuckDB replays hashing, packing, probing, and
+    counting bit-for-bit."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    members = (
+        o.where(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    js = spark.range(3).select(F.col("id").cast("int").alias("j"))
+
+    def bitpos(key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), key_col.cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 8192
+        )
+
+    mbits = members.crossJoin(F.broadcast(js)).select(bitpos(F.col("k")).alias("bitpos"))
+    bloom = mbits.groupBy(F.expr("bitpos div 32").alias("word")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bitpos % 32 AS INT))")
+        ).alias("w")
+    )
+    probes = c.crossJoin(F.broadcast(js)).select(
+        "c_custkey", bitpos(F.col("c_custkey")).alias("bitpos")
+    )
+    verdict = (
+        probes.withColumn("word", F.expr("bitpos div 32"))
+        .join(F.broadcast(bloom), "word", "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.min(
+                F.when(
+                    F.expr(
+                        "shiftright(coalesce(w, CAST(0 AS BIGINT)),"
+                        " CAST(bitpos % 32 AS INT)) & 1"
+                    )
+                    == 1,
+                    1,
+                ).otherwise(0)
+            ).alias("bloom_pos")
+        )
+    )
+    joined = verdict.join(
+        members.withColumnRenamed("k", "c_custkey").withColumn("is_member", F.lit(1)),
+        "c_custkey",
+        "left",
+    ).select("c_custkey", "bloom_pos", F.coalesce("is_member", F.lit(0)).alias("is_member"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("is_member").alias("n_members"),
+        F.sum("bloom_pos").alias("n_bloom_positive"),
+        F.sum(
+            F.when((F.col("bloom_pos") == 1) & (F.col("is_member") == 0), 1).otherwise(0)
+        ).alias("n_false_positive"),
+    ).select(
+        "n_customers",
+        "n_members",
+        "n_bloom_positive",
+        "n_false_positive",
+        F.expr("(n_false_positive * 1000000) div (n_customers - n_members)").alias(
+            "fp_rate_e6"
+        ),
+    )

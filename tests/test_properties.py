@@ -272,3 +272,79 @@ def test_stochastic_linreg_stays_stable(spark):
     for r in rows:
         assert math.isfinite(r["weight"]) and math.isfinite(r["bias"])
         assert abs(r["weight"]) < 5 and 0.0 < r["bias"] < 5, r
+
+
+# --- session-4 operator invariants ---------------------------------------
+
+
+def test_triangle_count_invariants(spark):
+    """Per-node triangle participation sums to 3x the global triangle
+    count (each triangle has exactly three corners), and the local
+    clustering coefficient is a valid [0, 1] ratio at 1e6 scale."""
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["graph_triangle_count"].fn(spark, SF_DIR).collect()
+    assert rows, "fixture graph should contain triangles"
+    total_participation = sum(r.n_tri for r in rows)
+    assert total_participation % 3 == 0
+    for r in rows:
+        assert 0 <= r.lcc_e6 <= 1_000_000
+        assert r.degree >= 2  # a triangle member has at least two edges
+
+
+def test_bfs_distance_invariants(spark):
+    """BFS distances start at 0 for exactly one source, are bounded by
+    the unroll depth, and every distance-d node (d>0) has a neighbor at
+    distance d-1 (frontier consistency)."""
+    from solis_solarman_clickhouse_spark.queries.graph import _chain_edges
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+
+    dist = {r.node: r.dist for r in REGISTRY["graph_bfs_distance"].fn(spark, SF_DIR).collect()}
+    assert list(dist.values()).count(0) == 1
+    assert max(dist.values()) <= 4
+    edges, _ = _chain_edges(spark, SF_DIR)
+    adj = {}
+    for r in edges.collect():
+        adj.setdefault(r.u, set()).add(r.v)
+        adj.setdefault(r.v, set()).add(r.u)
+    for node, d in dist.items():
+        if d > 0:
+            assert any(dist.get(n) == d - 1 for n in adj[node]), (node, d)
+
+
+def test_band_sweep_nesting(spark):
+    """Band configs over one signature set are NESTED: a pair agreeing on
+    a 4x4 band agrees on both contained 8x2 bands, and so on — so the
+    candidate count must be non-increasing and recall non-increasing as
+    rows-per-band grows, with recall 1.0 at 16x1 on the fixtures."""
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+
+    rows = {r.bands: r for r in REGISTRY["doc_minhash_band_sweep"].fn(spark, SF_DIR).collect()}
+    assert rows[16].n_candidates >= rows[8].n_candidates >= rows[4].n_candidates
+    assert rows[16].recall_e6 >= rows[8].recall_e6 >= rows[4].recall_e6
+    assert rows[16].recall_e6 == 1_000_000
+    for r in rows.values():
+        assert r.n_true_candidates <= r.n_candidates
+        assert r.n_true_candidates <= r.n_true_total
+
+
+def test_count_min_one_sided_error(spark):
+    """Count-Min estimates are NEVER below the true count (one-sided
+    error by construction: collisions only inflate counters)."""
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+
+    for r in REGISTRY["agg_count_min_sketch"].fn(spark, SF_DIR).collect():
+        assert r.cms_estimate >= r.exact_count
+        assert r.overestimate >= 0
+
+
+def test_kalman_variance_converges(spark):
+    """The Kalman posterior variance is positive and below the prior 1.0
+    after a full 20-sample window: the steady state of
+    P = (1-K)(P+Q) with Q=0.04, R=1 is ~0.18, far under the prior."""
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["ts_kalman_1d"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.variance <= 1.0
