@@ -93,7 +93,8 @@ _PRIORITY = [
     "vec_binary_quantize_topk", "vec_binary_quantize_recall",
     "stream_dedup_within_watermark", "graph_bfs_distance",
     "agg_count_min_sketch", "sub_not_in_null_trap", "vec_mips_topk",
-    "agg_bloom_filter_membership",
+    "agg_bloom_filter_membership", "agg_regr_multi", "ts_theil_sen_slope",
+    "ingest_crc16_modbus",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

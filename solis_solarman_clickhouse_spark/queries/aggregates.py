@@ -2086,3 +2086,102 @@ def agg_bloom_filter_membership(spark, sf_dir):
             "fp_rate_e6"
         ),
     )
+
+
+@query(
+    "agg_regr_multi",
+    category="aggregate",
+    oracle="""
+    WITH scaled AS (
+      SELECT l_linestatus,
+             CAST(l_quantity AS BIGINT) AS x1,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_linestatus, COUNT(*) AS n,
+             CAST(SUM(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,0))) AS DOUBLE) AS s11,
+             CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s12,
+             CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s22,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x1 * y AS DECIMAL(38,0))) AS DOUBLE) AS s1y,
+             CAST(SUM(CAST(x2 * y AS DECIMAL(38,0))) AS DOUBLE) AS s2y
+      FROM scaled GROUP BY l_linestatus
+    ),
+    solved AS (
+      SELECT l_linestatus, n,
+             n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2) AS det,
+             sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+               + s2 * (s1y * s12 - s11 * s2y) AS det0,
+             n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s2y - s1y * s2) AS det1,
+             n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2)
+               + sy * (s1 * s12 - s11 * s2) AS det2
+      FROM m
+    )
+    SELECT l_linestatus, n,
+           ROUND(det0 / det / 100.0, 4) AS intercept,
+           ROUND(det1 / det / 100.0, 4) AS beta_quantity,
+           ROUND(det2 / det / 100.0, 4) AS beta_discount_pct
+    FROM solved
+    """,
+)
+def agg_regr_multi(spark, sf_dir):
+    """TWO-feature OLS (price on quantity AND discount-percent) solved in
+    closed form by Cramer's rule over the 3×3 normal equations — the
+    multivariate step past agg_regr_ols's single regressor and
+    ch_stochastic_linreg's SGD: the nine sufficient moments (n, Σx₁,
+    Σx₂, Σx₁², Σx₁x₂, Σx₂², Σy, Σx₁y, Σx₂y) accumulate EXACTLY in
+    DECIMAL(38,0) from integer-scaled inputs in ONE map-side-combinable
+    pass, then the determinant arithmetic runs on identical doubles on
+    both engines — bit-equal before the 4-dp round, no iteration, no
+    matrix library. This moments-then-solve shape is how distributed
+    OLS actually ships at 100 TB (the XᵀX Gram matrix is p×p tiny;
+    only the moment aggregation touches data)."""
+    li = table(spark, sf_dir, "lineitem")
+    scaled = li.select(
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    dec = lambda c: F.sum(c.cast(T.DecimalType(38, 0))).cast("double")
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    m = scaled.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(x1).alias("s1"), dec(x2).alias("s2"),
+        dec(x1 * x1).alias("s11"), dec(x1 * x2).alias("s12"),
+        dec(x2 * x2).alias("s22"),
+        dec(y).alias("sy"), dec(x1 * y).alias("s1y"), dec(x2 * y).alias("s2y"),
+    )
+    solved = m.select(
+        "l_linestatus",
+        "n",
+        F.expr(
+            "n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
+            " + s2 * (s1 * s12 - s11 * s2)"
+        ).alias("det"),
+        F.expr(
+            "sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)"
+            " + s2 * (s1y * s12 - s11 * s2y)"
+        ).alias("det0"),
+        F.expr(
+            "n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2)"
+            " + s2 * (s1 * s2y - s1y * s2)"
+        ).alias("det1"),
+        F.expr(
+            "n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2)"
+            " + sy * (s1 * s12 - s11 * s2)"
+        ).alias("det2"),
+    )
+    return solved.select(
+        "l_linestatus",
+        "n",
+        F.round(F.col("det0") / F.col("det") / 100.0, 4).alias("intercept"),
+        F.round(F.col("det1") / F.col("det") / 100.0, 4).alias("beta_quantity"),
+        F.round(F.col("det2") / F.col("det") / 100.0, 4).alias("beta_discount_pct"),
+    )

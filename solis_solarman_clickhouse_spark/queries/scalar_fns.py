@@ -721,3 +721,99 @@ def ch_geohash_encode(spark, sf_dir):
         .over(W.partitionBy(F.substring("geohash", 1, 4)))
         .alias("n_in_cell4"),
     )
+
+
+_CRC16_ORACLE = """
+WITH frames AS (
+  SELECT event_id,
+         CAST(ROUND(value * 10) AS BIGINT) % 65536 AS v,
+         (CAST(ROUND(value * 10) AS BIGINT)
+          + CASE WHEN event_id % 100 = 0 THEN 1 ELSE 0 END) % 65536 AS rv
+  FROM events
+),
+crcs AS (
+  SELECT event_id,
+         list_reduce(
+           list_prepend(65535::BIGINT, [1::BIGINT, 4::BIGINT, 2::BIGINT,
+                                        v // 256, v % 256]),
+           (crc, b) -> list_reduce(
+             list_prepend(xor(crc, b),
+                          [0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT,
+                           0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT]),
+             (c, i) -> CASE WHEN c % 2 = 1 THEN xor(c // 2, 40961)
+                            ELSE c // 2 END)) AS crc_expected,
+         list_reduce(
+           list_prepend(65535::BIGINT, [1::BIGINT, 4::BIGINT, 2::BIGINT,
+                                        rv // 256, rv % 256]),
+           (crc, b) -> list_reduce(
+             list_prepend(xor(crc, b),
+                          [0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT,
+                           0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT]),
+             (c, i) -> CASE WHEN c % 2 = 1 THEN xor(c // 2, 40961)
+                            ELSE c // 2 END)) AS crc_received
+  FROM frames
+)
+SELECT event_id, crc_expected, crc_received,
+       CASE WHEN crc_expected = crc_received THEN 1 ELSE 0 END AS crc_ok
+FROM crcs ORDER BY event_id
+"""
+
+
+@query("ingest_crc16_modbus", category="ingest", oracle=_CRC16_ORACLE)
+def ingest_crc16_modbus(spark, sf_dir):
+    """Modbus-RTU CRC16 frame-integrity check as a pure Catalyst fold —
+    the byte-level validation tier beneath the reference's register
+    reads (solarman.py:340-361 trusts pysolarmanv5's CRC; here the
+    polynomial itself runs in the engine so a corrupted frame is caught
+    IN the pipeline, the validation-report discipline of
+    scan_validation_report applied to the wire format). Each event
+    synthesizes its 5-byte read-response frame [addr=01, fn=04, len=02,
+    hi, lo]; 1% of frames (event_id % 100 = 0) arrive with a flipped
+    value bit. The CRC is the classic reflected-0xA001 fold: OUTER
+    aggregate over frame bytes, INNER 8-step aggregate for the bit
+    loop — nested HOFs, zero UDFs, zero joins, and DuckDB replays the
+    identical nesting via list_reduce with list_prepend seeding (the
+    fold-seed idiom this repo's verify notes document), so every CRC
+    value hash-matches. Map-only plan: at 100 TB this validates at scan
+    speed with no exchange at all."""
+    ev = table(spark, sf_dir, "events")
+    frames = ev.select(
+        "event_id",
+        (F.round(F.col("value") * 10).cast("long") % 65536).alias("v"),
+        (
+            (
+                F.round(F.col("value") * 10).cast("long")
+                + F.when(F.col("event_id") % 100 == 0, 1).otherwise(0)
+            )
+            % 65536
+        ).alias("rv"),
+    )
+
+    def crc_expr(vcol: str) -> F.Column:
+        return F.expr(
+            f"""
+            aggregate(
+              array(CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(2 AS BIGINT),
+                    {vcol} div 256, {vcol} % 256),
+              CAST(65535 AS BIGINT),
+              (crc, b) -> aggregate(
+                sequence(1, 8),
+                crc ^ b,
+                (c, i) -> IF(c % 2 = 1, (c div 2) ^ CAST(40961 AS BIGINT),
+                             c div 2)))
+            """
+        )
+
+    crcs = frames.select(
+        "event_id",
+        crc_expr("v").alias("crc_expected"),
+        crc_expr("rv").alias("crc_received"),
+    )
+    return crcs.select(
+        "event_id",
+        "crc_expected",
+        "crc_received",
+        F.when(F.col("crc_expected") == F.col("crc_received"), 1)
+        .otherwise(0)
+        .alias("crc_ok"),
+    ).orderBy("event_id")
