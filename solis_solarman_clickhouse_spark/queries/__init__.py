@@ -94,7 +94,7 @@ _PRIORITY = [
     "stream_dedup_within_watermark", "graph_bfs_distance",
     "agg_count_min_sketch", "sub_not_in_null_trap", "vec_mips_topk",
     "agg_bloom_filter_membership", "agg_regr_multi", "ts_theil_sen_slope",
-    "ingest_crc16_modbus",
+    "ingest_crc16_modbus", "udf_arrow_python", "vec_random_projection_recall",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

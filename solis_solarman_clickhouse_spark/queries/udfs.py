@@ -137,3 +137,39 @@ def udtf_split_tokens(spark, sf_dir):
     return spark.sql(
         "SELECT doc_id, s.pos, s.tok FROM _udtf_docs, LATERAL split_tokens(text) s"
     )
+
+
+@query(
+    "udf_arrow_python",
+    category="udf",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN user_id % 7 = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE ROUND(LEAST(100.0, value / (user_id % 7) * 100), 4)
+           END AS clamped_pct
+    FROM events
+    """,
+)
+def udf_arrow_python(spark, sf_dir):
+    """Spark 4 ARROW-OPTIMIZED row Python UDF (``useArrow=True``) — the
+    third UDF tier between classic pickled row UDFs and pandas_udf:
+    row-at-a-time Python semantics (plain scalars in, scalar out — no
+    pandas API surface) but Arrow-batch serialization, removing the
+    pickle round trip that makes classic UDFs the slowest path. Same
+    clamp math and the same oracle as udf_scalar_clamp, so the three
+    tiers (built-in expr via proj_clamp_nullsafe, pandas_udf via
+    udf_scalar_clamp, arrow-Python here) are provably value-identical —
+    the benchmark-visible difference is purely the boundary. Still a
+    declared Python boundary: never in an unlisted hot path."""
+
+    @F.udf("double", useArrow=True)
+    def clamp(value, denom):
+        if denom == 0:
+            return None
+        return round(min(100.0, value / denom * 100), 4)
+
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        clamp(F.col("value"), (F.col("user_id") % 7).cast("double")).alias("clamped_pct"),
+    )

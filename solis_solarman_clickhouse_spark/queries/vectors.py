@@ -1766,3 +1766,139 @@ def vec_mips_topk(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id", F.round("ip", 4).alias("inner_product"))
     )
+
+
+def _jl_matrix(out_dim: int = 16, in_dim: int = 64, seed: int = 23):
+    """Deterministic ±1 (Achlioptas) random-projection matrix, literalized
+    so both engines replay the identical projection."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return (rng.randint(0, 2, size=(out_dim, in_dim)) * 2 - 1).tolist()
+
+
+def _jl_rows_sql() -> str:
+    return ", ".join(
+        "[" + ", ".join(f"{x}.0" for x in row) + "]" for row in _jl_matrix()
+    )
+
+
+_JL_PROJ_DUCK = f"""
+proj AS (
+  SELECT vec_id,
+         list_transform([{_jl_rows_sql()}],
+                        r -> list_dot_product(r, e)) AS p
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+)
+"""
+
+_JL_RECALL_ORACLE = f"""
+WITH {_JL_PROJ_DUCK},
+q AS (SELECT vec_id AS query_id, p AS qp FROM proj WHERE vec_id < 10),
+jl_rank AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+           list_reduce(list_transform(generate_series(1, 16),
+                                      i -> (q.qp[i] - c.p[i]) * (q.qp[i] - c.p[i])),
+                       (a, b) -> a + b) ASC, c.vec_id ASC) AS rank
+  FROM q JOIN proj c ON c.vec_id <> q.query_id
+),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+qe AS (SELECT vec_id AS query_id, e AS qv FROM emb WHERE vec_id < 10),
+ex_rank AS (
+  SELECT qe.query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY qe.query_id ORDER BY
+           list_reduce(list_transform(generate_series(1, 64),
+                                      i -> (qe.qv[i] - c.e[i]) * (qe.qv[i] - c.e[i])),
+                       (a, b) -> a + b) ASC, c.vec_id ASC) AS rank
+  FROM qe JOIN emb c ON c.vec_id <> qe.query_id
+)
+SELECT f.query_id, COUNT(t.neighbor_id) AS overlap_at_5
+FROM ex_rank f
+LEFT JOIN jl_rank t
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id AND t.rank <= 5
+WHERE f.rank <= 5
+GROUP BY f.query_id
+"""
+
+
+@query("vec_random_projection_recall", category="vectors", oracle=_JL_RECALL_ORACLE)
+def vec_random_projection_recall(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection (Achlioptas ±1 matrix,
+    64→16 dims) priced by recall@5 against exact L2 — the THIRD
+    compression tier next to truncation (vec_matryoshka_recall) and
+    quantization (vec_pq_adc_recall): a dense random projection mixes
+    ALL input dims into each output dim, so unlike matryoshka
+    truncation it needs no training-time dimension ordering, and JL
+    guarantees distance preservation in expectation at any data
+    distribution. The literal ±1 matrix is replayed verbatim by the
+    oracle; projection is a 16-fold of sequential dot products
+    (zip_with/aggregate — identical fold order to list_dot_product),
+    both rankings are plain window top-5s, and the per-query overlap
+    count is the output. At 100 TB the projection is a map-only pass
+    that shrinks every downstream shuffle/index 4× — the standard
+    preprocessing step before LSH or IVF tiers. Measured recall ~0.02
+    here: the isotropic near-orthogonal fixtures are (as with
+    vec_binary_quantize_recall) the distance-preservation worst case —
+    at 16 dims the JL distance estimate's ~35% stderr swamps the tiny
+    exact-neighbor margin, and the hash-compared overlap table records
+    exactly that; clustered real embeddings sit far higher."""
+    from pyspark.sql import Window as W
+
+    rows_sql = ", ".join(
+        "array(" + ", ".join(f"{x}.0D" for x in row) + ")" for row in _jl_matrix()
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    proj = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(array({rows_sql}), r -> "
+            "aggregate(zip_with(r, CAST(embedding AS array<double>),"
+            " (x, y) -> x * y), 0D, (a, v) -> a + v))"
+        ).alias("p"),
+    )
+
+    def l2(a, b, n):
+        return F.expr(
+            f"aggregate(transform(sequence(1, {n}),"
+            f" i -> (element_at({a}, i) - element_at({b}, i))"
+            f" * (element_at({a}, i) - element_at({b}, i))), 0D, (x, y) -> x + y)"
+        )
+
+    qp = proj.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("p").alias("qp")
+    )
+    jl_scored = (
+        F.broadcast(qp)
+        .crossJoin(proj.select(F.col("vec_id").alias("neighbor_id"), "p"))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", l2("qp", "p", 16).alias("d"))
+    )
+    wj = W.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("neighbor_id").asc())
+    jl_rank = jl_scored.withColumn("rank", F.row_number().over(wj)).where(
+        F.col("rank") <= 5
+    ).select("query_id", "neighbor_id")
+
+    e = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    qe = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    ex_scored = (
+        F.broadcast(qe)
+        .crossJoin(e)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", l2("qv", "cv", 64).alias("d"))
+    )
+    ex_rank = ex_scored.withColumn("rank", F.row_number().over(wj)).where(
+        F.col("rank") <= 5
+    ).select("query_id", "neighbor_id")
+
+    return (
+        ex_rank.join(jl_rank.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("overlap_at_5"))
+    )

@@ -598,3 +598,28 @@ def test_pagerank_reuses_exchanges_across_sweeps(spark):
         or "ReusedExchange" in plan
         or "TableCacheQueryStage" in plan
     ), plan
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Dynamic partition pruning: a fact table partitioned on a join key
+    joined to a FILTERED dimension must get a runtime dynamicpruning
+    subquery in its PartitionFilters — the fact side reads only the
+    partitions the filtered dim can reach, decided at execution, not
+    parse, time. This is the join-shaped analogue of the static month
+    pruning above and the single biggest scan-saver for star joins over
+    partitioned 100 TB facts."""
+    fact_dir = str(tmp_path / "fact_part")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev.withColumn("utype", (F.col("user_id") % 10).cast("int")).write.partitionBy(
+        "utype"
+    ).mode("overwrite").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.range(10).select(
+        F.col("id").cast("int").alias("utype"),
+        (F.col("id") % 3).alias("seg"),
+    ).where(F.col("seg") == 0)
+    joined = fact.join(dim, "utype").groupBy("seg").count()
+    plan = _formatted(joined)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "dynamicpruning" in pf[0], plan
+    assert joined.count() > 0
