@@ -2185,3 +2185,54 @@ def agg_regr_multi(spark, sf_dir):
         F.round(F.col("det1") / F.col("det") / 100.0, 4).alias("beta_quantity"),
         F.round(F.col("det2") / F.col("det") / 100.0, 4).alias("beta_discount_pct"),
     )
+
+
+@query(
+    "agg_log2_histogram",
+    category="aggregate",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             LENGTH(bin(CAST(ROUND(value * 100) AS BIGINT) + 1)) - 1 AS k
+      FROM events
+    )
+    SELECT event_type, k,
+           CAST((1::BIGINT << k) AS BIGINT) AS lo_cents,
+           CAST((1::BIGINT << (k + 1)) AS BIGINT) AS hi_cents,
+           COUNT(*) AS n
+    FROM b GROUP BY event_type, k
+    ORDER BY event_type, k
+    """,
+)
+def agg_log2_histogram(spark, sf_dir):
+    """Exponential (power-of-two) bucket histogram — the
+    HdrHistogram/Prometheus-native-histogram shape for latency-like
+    skewed distributions, where ch_histogram's equal-width buckets
+    waste resolution: bucket k holds values in [2^k, 2^{k+1}) cents.
+    The bucket index is computed with ZERO libm — it's the bit length
+    of the integer cent value (length of its binary string minus one),
+    identical on both engines (Spark F.bin ≡ DuckDB bin), dodging the
+    floor(log2(x)) boundary hazard where a power-of-two input could
+    land on either side of a last-ulp log. Fixed bucket count
+    regardless of data size, plain map-side-combinable counts — the
+    same bounded-state story as the count-min/KLL rows, and the
+    standard wire format for latency SLO dashboards at any scale."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        (
+            F.length(F.bin(F.round(F.col("value") * 100).cast("long") + 1)) - 1
+        ).alias("k"),
+    )
+    return (
+        b.groupBy("event_type", "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "k",
+            F.expr("shiftleft(CAST(1 AS BIGINT), k)").alias("lo_cents"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), k + 1)").alias("hi_cents"),
+            "n",
+        )
+        .orderBy("event_type", "k")
+    )

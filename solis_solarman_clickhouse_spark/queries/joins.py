@@ -761,3 +761,77 @@ def join_bucketed_colocated(spark, sf_dir):
     finally:
         for t in (ot, lt):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@query(
+    "join_feature_store_pit",
+    category="join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           ROUND(c.click_value, 4) AS f_click,
+           ROUND(p.purchase_value, 4) AS f_purchase
+    FROM orders o
+    ASOF LEFT JOIN clicks c
+      ON o.o_custkey = c.user_id AND o.o_orderdate >= c.ts
+    ASOF LEFT JOIN purchases p
+      ON o.o_custkey = p.user_id AND o.o_orderdate >= p.ts
+    """,
+)
+def join_feature_store_pit(spark, sf_dir):
+    """Feature-store POINT-IN-TIME join — the training-data correctness
+    primitive every feature platform (Feast/Tecton-style) is built
+    around: each label row (an order) picks up, from EACH feature table
+    independently, the latest value known AT OR BEFORE the label
+    timestamp — never a later one (that would be target leakage). Two
+    backward as-of joins composed over different feature streams
+    (click-value and purchase-value features derived from events),
+    each the repo's union+window asof_join operator: per feature table
+    one shuffle on the entity key, no range explosion, missing features
+    stay NULL rather than dropping the label row. At 100 TB the
+    composition matters: feature tables join one at a time (each
+    bounded state), not as one N-way interval monster. Oracle: DuckDB's
+    native chained ASOF LEFT JOINs."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    ev = table(spark, sf_dir, "events")
+
+    def feat(event_type, out):
+        return (
+            ev.where(F.col("event_type") == event_type)
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias(out))
+            .withColumnRenamed("user_id", "o_custkey")
+        )
+
+    j1 = asof_join(
+        o,
+        feat("click", "click_value"),
+        on="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        right_payload=["click_value"],
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.col("asof_click_value").alias("click_value"),
+    )
+    j2 = asof_join(
+        j1,
+        feat("purchase", "purchase_value"),
+        on="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        right_payload=["purchase_value"],
+    )
+    return j2.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("click_value", 4).alias("f_click"),
+        F.round("asof_purchase_value", 4).alias("f_purchase"),
+    )

@@ -1513,3 +1513,90 @@ def ts_theil_sen_slope(spark, sf_dir):
     return ranked.where(F.col("rn") == F.expr("(np + 1) div 2")).select(
         "user_id", F.col("np").alias("n_pairs"), F.round("slope", 4).alias("theil_sen_slope")
     )
+
+
+@query(
+    "ts_sax_symbols",
+    category="timeseries",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                    OVER (PARTITION BY user_id) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY user_id) AS mu,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6)))
+                    OVER (PARTITION BY user_id) AS DOUBLE) AS sq
+      FROM events
+    ),
+    z AS (
+      SELECT user_id, (rn - 1) // 8 AS seg,
+             (value - mu) / sqrt((sq - n * mu * mu) / (n - 1)) AS zv
+      FROM s WHERE n >= 2
+    ),
+    paa AS (
+      SELECT user_id, seg,
+             CAST(SUM(CAST(zv AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m
+      FROM z GROUP BY user_id, seg
+    )
+    SELECT user_id, seg, ROUND(m, 4) AS paa,
+           CASE WHEN m < -0.6745 THEN 'a'
+                WHEN m < 0.0     THEN 'b'
+                WHEN m < 0.6745  THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM paa
+    """,
+)
+def ts_sax_symbols(spark, sf_dir):
+    """SAX — Symbolic Aggregate approXimation (Lin et al. 2003), the
+    classic time-series-mining compression: z-normalize each user's
+    series, average over fixed 8-sample PAA segments, and quantize each
+    segment mean into a 4-letter alphabet at the Gaussian quartile
+    breakpoints ±0.6745 — after which motif discovery, anomaly lookup,
+    and similarity search run on short STRINGS instead of floats (and
+    at 100 TB, on a dictionary-encoded letter column instead of a
+    double column). Determinism discipline: the per-user mean and
+    sum-of-squares accumulate in DECIMAL(38,6) (order-free), the
+    z-score and sqrt run on identical doubles, PAA means re-enter
+    decimal accumulation, and the breakpoint CASE compares identical
+    doubles — EXACT, with ROUND only on the reported PAA value. One
+    user_id exchange feeds all three windows and the segment groupBy."""
+    ev = table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id")
+    s = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(wu.orderBy("ts", "event_id")).alias("rn"),
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).over(wu).cast("double")
+            / F.count(F.lit(1)).over(wu)
+        ).alias("mu"),
+        F.count(F.lit(1)).over(wu).alias("n"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .over(wu)
+        .cast("double")
+        .alias("sq"),
+    )
+    z = s.where(F.col("n") >= 2).select(
+        "user_id",
+        F.expr("(rn - 1) div 8").alias("seg"),
+        (
+            (F.col("value") - F.col("mu"))
+            / F.sqrt((F.col("sq") - F.col("n") * F.col("mu") * F.col("mu")) / (F.col("n") - 1))
+        ).alias("zv"),
+    )
+    paa = z.groupBy("user_id", "seg").agg(
+        (F.sum(F.col("zv").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    return paa.select(
+        "user_id",
+        "seg",
+        F.round("m", 4).alias("paa"),
+        F.when(F.col("m") < -0.6745, "a")
+        .when(F.col("m") < 0.0, "b")
+        .when(F.col("m") < 0.6745, "c")
+        .otherwise("d")
+        .alias("symbol"),
+    )
