@@ -12,6 +12,7 @@ whole-stage codegen.
 from __future__ import annotations
 
 from pyspark.sql import Window as W
+import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1599,4 +1600,97 @@ def ts_sax_symbols(spark, sf_dir):
         .when(F.col("m") < 0.6745, "c")
         .otherwise("d")
         .alias("symbol"),
+    )
+
+
+@query(
+    "ts_matrix_profile",
+    category="timeseries",
+    oracle="""
+    WITH arr AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS a,
+             COUNT(*) AS n
+      FROM events GROUP BY user_id HAVING COUNT(*) BETWEEN 12 AND 100
+    ),
+    pos AS (
+      SELECT user_id, a, n, UNNEST(generate_series(1, n - 7)) AS p
+      FROM arr
+    ),
+    pairs AS (
+      SELECT l.user_id, l.p, r.p AS q,
+             list_reduce(
+               list_transform(generate_series(1, 8),
+                 i -> (l.a[l.p + i - 1] - l.a[r.p + i - 1])
+                      * (l.a[l.p + i - 1] - l.a[r.p + i - 1])),
+               (x, y) -> x + y) AS dist
+      FROM pos l JOIN pos r
+        ON l.user_id = r.user_id AND abs(r.p - l.p) >= 4
+    ),
+    ranked AS (
+      SELECT user_id, p, q, dist,
+             ROW_NUMBER() OVER (PARTITION BY user_id, p
+                                ORDER BY dist, q) AS rn
+      FROM pairs
+    )
+    SELECT user_id, p, ROUND(dist, 4) AS profile_dist,
+           CAST(q AS BIGINT) AS nearest_pos
+    FROM ranked WHERE rn = 1
+    """,
+)
+def ts_matrix_profile(spark, sf_dir):
+    """Matrix profile (Yeh et al. 2016, ICDM) — the modern workhorse of
+    time-series mining: for every length-8 subsequence of a user's
+    series, the squared-L2 distance to its NEAREST other subsequence
+    (trivial matches within 4 positions excluded). Low profile values
+    are motifs (repeated behavior), high values are discords (the
+    series' most anomalous window) — one structure answering both
+    queries. Plan shape: ONE shuffle groups each user's bounded series
+    (49-88 readings on the fixtures, the ts_theil_sen_slope windowing
+    argument), then the O(n²·m) kernel runs as an Arrow-batched
+    applyInPandas numpy block per user — the declared Python-boundary
+    pattern for dense kernels (the PQ-family precedent: the same
+    computation as interpreted Catalyst folds measured 18-22 s at sf0.1
+    vs ~1-2 s batched). Bit-equality with the relational DuckDB oracle
+    holds because numpy's axis-sum over the 8-wide window is the same
+    left-to-right IEEE addition order as the oracle's list_reduce, and
+    np.argmin's first-minimum rule IS the lowest-q tie-break. At
+    100 TB: the quadratic stays inside each bounded per-entity window —
+    exactly how production matrix-profile systems shard."""
+    import numpy as np
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def profile(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        a = pdf["value"].to_numpy(dtype="float64")
+        n = len(a)
+        out_p = out_d = out_q = []
+        if 12 <= n <= 100:
+            w = np.lib.stride_tricks.sliding_window_view(a, 8)  # (n-7, 8)
+            npos = w.shape[0]
+            # (p, q, 8) differences; the sum over the 8-wide last axis is
+            # sequential left-to-right in numpy below the pairwise-summation
+            # threshold — identical to the oracle's fold order.
+            d = ((w[:, None, :] - w[None, :, :]) ** 2).sum(-1)
+            idx = np.arange(npos)
+            d[np.abs(idx[:, None] - idx[None, :]) < 4] = np.inf
+            best_q = d.argmin(1)
+            best_d = d[idx, best_q]
+            keep = np.isfinite(best_d)
+            out_p = (idx + 1)[keep]
+            out_d = best_d[keep]
+            out_q = (best_q + 1)[keep]
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[0],
+                "p": np.asarray(out_p, dtype="int64"),
+                "profile_dist": np.round(np.asarray(out_d, dtype="float64"), 4),
+                "nearest_pos": np.asarray(out_q, dtype="int64"),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        profile,
+        "user_id bigint, p bigint, profile_dist double, nearest_pos bigint",
     )

@@ -156,6 +156,11 @@ def test_no_python_eval_outside_udf_families(spark):
     allowed_prefixes = ("udf_", "udtf_", "mm_", "vec_ann_", "stream_", "sink_",
                         "source_python_datasource", "vec_cosine_topk_pandas",
                         "ts_lttb_downsample",
+                        # ts_matrix_profile's O(n²·m) per-user kernel is a
+                        # declared Arrow boundary (measured 18-22 s as
+                        # interpreted Catalyst folds vs ~4 s batched numpy
+                        # at sf0.1; bit-equal to the relational oracle)
+                        "ts_matrix_profile",
                         # vec_semdedup's 12-plane config now takes the
                         # JVM expression path in lsh_multitable_buckets
                         # (≤16 planes); it stays listed because the
