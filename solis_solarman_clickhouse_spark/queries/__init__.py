@@ -96,7 +96,7 @@ _PRIORITY = [
     "agg_bloom_filter_membership", "agg_regr_multi", "ts_theil_sen_slope",
     "ingest_crc16_modbus", "udf_arrow_python", "vec_random_projection_recall",
     "join_feature_store_pit", "ts_sax_symbols", "agg_log2_histogram",
-    "ts_matrix_profile",
+    "ts_matrix_profile", "doc_kneser_ney_perplexity", "stream_union_sources",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

@@ -2769,3 +2769,108 @@ def doc_minhash_band_sweep(spark, sf_dir):
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@query(
+    "doc_kneser_ney_perplexity",
+    category="documents",
+    oracle="""
+    WITH arr AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, t[i] AS tok, i AS pos
+      FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t))) AS i FROM arr)
+    ),
+    big AS (
+      SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY w1, w2),
+    ctx AS (SELECT w1, SUM(n2) AS cv, COUNT(*) AS nfollow FROM c2 GROUP BY w1),
+    prec AS (SELECT w2, COUNT(*) AS nprec FROM c2 GROUP BY w2),
+    nb AS (SELECT COUNT(*) AS nbig FROM c2),
+    scored AS (
+      SELECT g.doc_id,
+             CAST(ROUND(ln(
+               GREATEST(c2.n2 - 0.75, 0.0) / ctx.cv
+               + (0.75 * ctx.nfollow / ctx.cv)
+                 * (prec.nprec * 1.0 / nb.nbig)) * 100000000) AS BIGINT) AS lp8
+      FROM big g
+      JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
+      JOIN ctx ON g.w1 = ctx.w1
+      JOIN prec ON g.w2 = prec.w2
+      CROSS JOIN nb
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST((2 * SUM(-lp8) * 10000 + COUNT(*) * 100000000)
+                // (2 * (COUNT(*) * 100000000)) AS DOUBLE) / 10000.0
+             AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_kneser_ney_perplexity(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram perplexity (Kneser & Ney 1995;
+    the smoothing KenLM actually ships, one tier above
+    doc_bigram_lm_perplexity's add-one): P(w|v) = max(c(vw)−0.75, 0)/c(v)
+    + 0.75·N₁₊(v·)/c(v) · N₁₊(·w)/N₁₊(··). The signature KN idea is the
+    CONTINUATION probability — a word's back-off mass depends on how
+    many distinct contexts it follows, not its raw frequency, which is
+    what stops high-count-but-context-bound words (the "Francisco"
+    problem) from dominating back-off. All four statistics (bigram
+    counts, context totals, distinct-successor and distinct-predecessor
+    counts, total distinct bigrams) are map-side-combinable aggregates
+    over the SAME bigram table; the per-bigram log-prob quantizes to a
+    1e8 BIGINT so per-doc sums stay order-free integers, and the 4-dp
+    mean emits via integer half-away division — the
+    doc_bigram_lm_perplexity discipline verbatim. Discount 0.75 keeps
+    every probability strictly positive (the continuation term never
+    vanishes), so ln() is total."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    big = toks.select(
+        "doc_id",
+        F.col("tok").alias("w1"),
+        F.lead("tok").over(wdoc).alias("w2"),
+    ).where(F.col("w2").isNotNull())
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    ctx = c2.groupBy("w1").agg(
+        F.sum("n2").alias("cv"), F.count(F.lit(1)).alias("nfollow")
+    )
+    prec = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("nprec"))
+    nb = c2.agg(F.count(F.lit(1)).alias("nbig"))
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(prec, "w2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.greatest(F.col("n2") - 0.75, F.lit(0.0)) / F.col("cv")
+                    + (F.lit(0.75) * F.col("nfollow") / F.col("cv"))
+                    * (F.col("nprec") * F.lit(1.0) / F.col("nbig"))
+                )
+                * 100000000
+            )
+            .cast("long")
+            .alias("lp8"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.expr(
+                "(2 * sum(-lp8) * 10000 + count(1) * 100000000)"
+                " div (2 * (count(1) * 100000000))"
+            ).cast("double")
+            / 10000.0
+        ).alias("avg_nll"),
+    )

@@ -674,3 +674,50 @@ def stream_dedup_within_watermark(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique"))
     )
+
+
+@query(
+    "stream_union_sources",
+    category="streaming",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def stream_union_sources(spark, sf_dir):
+    """Union of TWO independent streaming sources into one query — the
+    multi-topic/multi-landing-zone shape every production pipeline hits
+    (the reference's analogue: multiple inverters feeding one ClickHouse
+    table, solarman.py:391-394): interaction events and transaction
+    events arrive in separate directories, each its own file stream,
+    unioned BEFORE a complete-mode global aggregation. Also covers the
+    third output mode: stream_* queries elsewhere run append (with
+    watermarks); complete mode re-emits full per-type totals each
+    trigger from the aggregation state, needs no watermark, and its
+    final state is file-arrival-order INVARIANT — global counts commute
+    — which is what makes this EXACT against the plain batch GROUP BY
+    oracle rather than SMOKE. Each source streams 2 files
+    (maxFilesPerTrigger=1 ⇒ interleaved multi-batch progress across
+    sources)."""
+    ev = table(spark, sf_dir, "events")
+    workdir = tempfile.mkdtemp(prefix="strm_union_")
+    a_dir = os.path.join(workdir, "interactions")
+    b_dir = os.path.join(workdir, "transactions")
+    inter = ev.where(F.col("event_type").isin("click", "view"))
+    trans = ev.where(~F.col("event_type").isin("click", "view"))
+    inter.repartition(2).write.mode("overwrite").parquet(a_dir)
+    trans.repartition(2).write.mode("overwrite").parquet(b_dir)
+
+    sa = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(a_dir)
+    sb = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(b_dir)
+    agg = sa.unionByName(sb).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    name = "strm_union_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
