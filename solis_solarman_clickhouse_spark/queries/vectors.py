@@ -1902,3 +1902,108 @@ def vec_random_projection_recall(spark, sf_dir):
         .groupBy("query_id")
         .agg(F.count("hit").alias("overlap_at_5"))
     )
+
+
+def _kmeans_round_sql(src: str, out: str) -> str:
+    """One Lloyd round in DuckDB: assign by sequential-fold L2 argmin,
+    update by exact DECIMAL(38,6) per-dim means re-listed in dim order."""
+    return f"""
+    asn_{out} AS (
+      SELECT vec_id, e, cl FROM (
+        SELECT m.vec_id, m.e, c.cl,
+               ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY
+                 list_reduce(list_transform(generate_series(1, 64),
+                   i -> (m.e[i] - c.ce[i]) * (m.e[i] - c.ce[i])),
+                   (x, y) -> x + y) ASC, c.cl ASC) AS rn
+        FROM emb m CROSS JOIN {src} c)
+      WHERE rn = 1
+    ),
+    upd_{out} AS (
+      SELECT cl, i AS dim,
+             CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mv
+      FROM (SELECT cl, UNNEST(generate_series(1, 64)) AS i,
+                   UNNEST(e) AS v FROM asn_{out})
+      GROUP BY cl, i
+    ),
+    {out} AS (
+      SELECT cl, list(mv ORDER BY dim) AS ce FROM upd_{out} GROUP BY cl
+    )"""
+
+
+_KMEANS_ORACLE = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cl, e AS ce FROM emb WHERE vec_id < 8
+),
+{_kmeans_round_sql("c0", "c1")},
+{_kmeans_round_sql("c1", "c2")},
+sizes AS (SELECT cl, COUNT(*) AS n_members FROM asn_c2 GROUP BY cl)
+SELECT u.cl AS cluster_id, s.n_members, u.dim,
+       ROUND(u.mv, 4) + 0.0 AS centroid_val
+FROM upd_c2 u JOIN sizes s ON s.cl = u.cl
+"""
+
+
+@query("vec_kmeans_lloyd", category="vectors", oracle=_KMEANS_ORACLE)
+def vec_kmeans_lloyd(spark, sf_dir):
+    """K-means (Lloyd's algorithm, k=8, TWO unrolled rounds) run
+    ENTIRELY in the engine — unlike the IVF/PQ family, whose training
+    happens driver-side in numpy and enters as literals, this is the
+    iterative-ML-as-dataflow shape: each round is (a) assignment — a
+    broadcast of the 8-row centroid table onto the corpus, per-vector
+    sequential-fold L2 distances, window argmin with lowest-cluster
+    tie-break; (b) update — per-(cluster, dim) means accumulated in
+    DECIMAL(38,6) (order-free) and re-assembled into centroid arrays by
+    an explicit dim-ordered sort. Initial centroids are the first 8
+    corpus vectors (deterministic, replayable). The graph_pagerank
+    lesson applies: the per-round state (8×64 doubles) broadcasts, the
+    corpus never re-shuffles, and lineage grows by one join+agg pair
+    per unrolled round — at 100 TB you checkpoint every few rounds and
+    the plan is otherwise unchanged. EXACT down to the 4-dp rounding:
+    the oracle replays both rounds bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cl"), F.col("e").alias("ce")
+    )
+    asn = None
+    upd = None
+    for _ in range(2):
+        dist = F.expr(
+            "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)),"
+            " 0D, (a, v) -> a + v)"
+        )
+        w = W.partitionBy("vec_id").orderBy(dist.asc(), F.col("cl").asc())
+        asn = (
+            emb.crossJoin(F.broadcast(cent))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "e", "cl")
+        )
+        upd = (
+            asn.select("cl", F.posexplode("e").alias("dim0", "v"))
+            .groupBy("cl", (F.col("dim0") + 1).alias("dim"))
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mv")
+            )
+        )
+        cent = upd.groupBy("cl").agg(
+            F.expr("transform(array_sort(collect_list(struct(dim, mv))), x -> x.mv)")
+            .alias("ce")
+        )
+    sizes = asn.groupBy("cl").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        upd.join(sizes, "cl")
+        .select(
+            F.col("cl").alias("cluster_id"),
+            "n_members",
+            "dim",
+            (F.round("mv", 4) + F.lit(0.0)).alias("centroid_val"),
+        )
+    )
