@@ -97,7 +97,8 @@ _PRIORITY = [
     "ingest_crc16_modbus", "udf_arrow_python", "vec_random_projection_recall",
     "join_feature_store_pit", "ts_sax_symbols", "agg_log2_histogram",
     "ts_matrix_profile", "doc_kneser_ney_perplexity", "stream_union_sources",
-    "doc_naive_bayes_langid", "vec_kmeans_lloyd",
+    "doc_naive_bayes_langid", "vec_kmeans_lloyd", "ch_proportions_ztest",
+    "doc_char_entropy",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

@@ -2236,3 +2236,72 @@ def agg_log2_histogram(spark, sf_dir):
         )
         .orderBy("event_type", "k")
     )
+
+
+@query(
+    "ch_proportions_ztest",
+    category="aggregate",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS k
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY event_type
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN event_type = 'click' THEN k END) AS k1,
+             MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+             MAX(CASE WHEN event_type = 'view' THEN k END) AS k2,
+             MAX(CASE WHEN event_type = 'view' THEN n END) AS n2
+      FROM g
+    )
+    SELECT k1, n1, k2, n2,
+           ROUND((k1 * 1.0 / n1) - (k2 * 1.0 / n2), 4) AS diff,
+           ROUND(((k1 * 1.0 / n1) - (k2 * 1.0 / n2))
+                 / sqrt(((k1 + k2) * 1.0 / (n1 + n2))
+                        * (1.0 - (k1 + k2) * 1.0 / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)), 4) AS z
+    FROM w
+    """,
+)
+def ch_proportions_ztest(spark, sf_dir):
+    """ClickHouse ``proportionsZTest`` parity — the A/B-test primitive
+    for conversion-rate comparison: pooled two-proportion z statistic
+    between click and view events' high-value rates (value > 50 as the
+    "conversion"). The four sufficient statistics are exact BIGINTs
+    from one grouped count (map-side combinable, the welch/student/MWU
+    family discipline); the z arithmetic then runs on identical doubles
+    derived from identical integers on both engines — bit-equal before
+    the 4-dp round. Completes the repo's hypothesis-testing shelf:
+    means (welch/student), ranks (MWU), distributions (KS), categories
+    (χ²/Cramér/Theil), and now proportions."""
+    ev = table(spark, sf_dir, "events")
+    g = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).alias("k"),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("k"))).alias("k1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "view", F.col("k"))).alias("k2"),
+        F.max(F.when(F.col("event_type") == "view", F.col("n"))).alias("n2"),
+    )
+    p1 = F.col("k1") * 1.0 / F.col("n1")
+    p2 = F.col("k2") * 1.0 / F.col("n2")
+    pp = (F.col("k1") + F.col("k2")) * 1.0 / (F.col("n1") + F.col("n2"))
+    return w.select(
+        "k1",
+        "n1",
+        "k2",
+        "n2",
+        F.round(p1 - p2, 4).alias("diff"),
+        F.round(
+            (p1 - p2)
+            / F.sqrt(pp * (1.0 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))),
+            4,
+        ).alias("z"),
+    )

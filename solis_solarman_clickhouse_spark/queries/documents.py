@@ -3008,3 +3008,61 @@ def doc_naive_bayes_langid(spark, sf_dir):
             F.when(F.col("lang") == F.col("actual"), 1).otherwise(0).alias("correct"),
         )
     )
+
+
+@query(
+    "doc_char_entropy",
+    category="documents",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, UNNEST(string_split(text, '')) AS c FROM documents
+    ),
+    cc AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+    n AS (SELECT doc_id, SUM(k) AS nt FROM cc GROUP BY doc_id),
+    terms AS (
+      SELECT cc.doc_id,
+             CAST(ROUND(cc.k * ln(n.nt * 1.0 / cc.k) * 100000000) AS BIGINT)
+               AS t8,
+             n.nt
+      FROM cc JOIN n ON n.doc_id = cc.doc_id
+    )
+    SELECT doc_id,
+           CAST((2 * SUM(t8) * 10000 + nt * 100000000)
+                // (2 * (nt * 100000000)) AS DOUBLE) / 10000.0 AS entropy,
+           CASE WHEN (2 * SUM(t8) * 10000 + nt * 100000000)
+                     // (2 * (nt * 100000000)) < 20000 THEN 0 ELSE 1 END
+             AS keep
+    FROM terms GROUP BY doc_id, nt
+    """,
+)
+def doc_char_entropy(spark, sf_dir):
+    """Per-document CHARACTER-level Shannon entropy — the gibberish /
+    binary-junk filter every crawl-curation pipeline runs before the
+    expensive tiers (encoding glitches and base64 blobs sit far from
+    natural text's ~2.5-4 bits): H = Σ (k_i/n)·ln(n/k_i) over the doc's
+    character distribution. Per-character-class terms k·ln(n/k) quantize
+    to 1e8 BIGINTs (exact-integer ln arguments, the ch_entropy log
+    discipline), the per-doc sum is order-free integer arithmetic, the
+    4-dp mean emits via integer half-away division, and the keep flag
+    cuts at 2.0 nats as pure integer comparison. One char explode + two
+    doc-key aggregates; the explode multiplies rows ~150× but carries
+    8-byte (doc_id, char) pairs and combines map-side — the
+    doc_text_stats scan shape, linear at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("c")
+    ).where(F.col("c") != "")
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    n = cc.groupBy("doc_id").agg(F.sum("k").alias("nt"))
+    terms = cc.join(n, "doc_id").select(
+        "doc_id",
+        "nt",
+        F.round(F.col("k") * F.log(F.col("nt") * 1.0 / F.col("k")) * 100000000)
+        .cast("long")
+        .alias("t8"),
+    )
+    h = F.expr("(2 * sum(t8) * 10000 + nt * 100000000) div (2 * (nt * 100000000))")
+    return terms.groupBy("doc_id", "nt").agg(
+        (h.cast("double") / 10000.0).alias("entropy"),
+        F.when(h < 20000, 0).otherwise(1).alias("keep"),
+    ).drop("nt")
