@@ -94,6 +94,12 @@ HEADLINE = [
     "ts_kalman_1d",
     "doc_minhash_band_sweep",
     "vec_binary_quantize_topk",
+    "graph_bfs_distance",
+    "ts_matrix_profile",
+    "join_feature_store_pit",
+    "doc_kneser_ney_perplexity",
+    "agg_count_min_sketch",
+    "vec_kmeans_lloyd",
 ]
 
 
