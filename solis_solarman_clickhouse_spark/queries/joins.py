@@ -835,3 +835,51 @@ def join_feature_store_pit(spark, sf_dir):
         F.round("click_value", 4).alias("f_click"),
         F.round("asof_purchase_value", 4).alias("f_purchase"),
     )
+
+
+@query(
+    "join_lateral_api",
+    category="join",
+    oracle="""
+    SELECT r.r_name, t.n_name, t.top_bal
+    FROM region r,
+    LATERAL (
+      SELECT n.n_name,
+             (SELECT MAX(c.c_acctbal) FROM customer c
+              WHERE c.c_nationkey = n.n_nationkey) AS top_bal
+      FROM nation n WHERE n.n_regionkey = r.r_regionkey
+      ORDER BY n.n_name LIMIT 2
+    ) t
+    ORDER BY r.r_name, t.n_name
+    """,
+)
+def join_lateral_api(spark, sf_dir):
+    """Spark 4 ``DataFrame.lateralJoin`` — the DataFrame-API face of
+    correlated table subqueries (sub_lateral_topn covers the SQL
+    LATERAL keyword; this covers the new API surface): for each region,
+    its first two nations alphabetically, each with that nation's top
+    customer balance. The right side references the left row via
+    ``F.col(...).outer()`` — a per-row dependent subquery by
+    CONSTRUCTION, which Catalyst decorrelates into the same
+    window-rank + join plan the SQL form gets (no nested-loop
+    re-execution per outer row; that decorrelation is what makes
+    LATERAL usable at 100 TB). Deterministic: alphabetical LIMIT 2 with
+    a unique sort key, MAX over balances."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    top_bal = (
+        c.groupBy("c_nationkey").agg(F.max("c_acctbal").alias("top_bal"))
+    )
+    sub = (
+        n.join(top_bal, n["n_nationkey"] == top_bal["c_nationkey"], "left")
+        .where(F.col("n_regionkey") == F.col("r_regionkey").outer())
+        .orderBy("n_name")
+        .limit(2)
+        .select("n_name", "top_bal")
+    )
+    return (
+        r.lateralJoin(sub)
+        .select("r_name", "n_name", "top_bal")
+        .orderBy("r_name", "n_name")
+    )

@@ -156,3 +156,34 @@ def test_bloom_filter_layout_prunes_point_lookup(spark, tmp_path):
     assert mn["scan_rows"] == n_total, mn
     # bloom layout skips most row groups
     assert mb["scan_rows"] < n_total // 4, (mb, n_total)
+
+
+def test_observe_metrics_match_aggregates(spark):
+    """Spark's observe()/Observation API — per-query named metrics
+    collected DURING execution (one pass, no second scan): the
+    data-quality counters an ingest pipeline attaches to every batch
+    (row counts, null counts, value bounds) must equal the values a
+    separate aggregation computes. This is the engine-native analogue
+    of the reference's ad-hoc logging counters around the poll loop
+    (solarman.py:318-333)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("sum_qty"),
+        F.count(F.when(F.col("l_discount") > 0.1, 1)).alias("over_discount"),
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    got = obs.get
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("sum_qty"),
+        F.count(F.when(F.col("l_discount") > 0.1, 1)).alias("over_discount"),
+    ).collect()[0]
+    assert got["n_rows"] == direct["n_rows"] > 0
+    assert got["sum_qty"] == direct["sum_qty"]
+    assert got["over_discount"] == direct["over_discount"]
