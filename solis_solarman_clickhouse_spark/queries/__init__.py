@@ -98,7 +98,7 @@ _PRIORITY = [
     "join_feature_store_pit", "ts_sax_symbols", "agg_log2_histogram",
     "ts_matrix_profile", "doc_kneser_ney_perplexity", "stream_union_sources",
     "doc_naive_bayes_langid", "vec_kmeans_lloyd", "ch_proportions_ztest",
-    "doc_char_entropy", "join_lateral_api",
+    "doc_char_entropy", "join_lateral_api", "sql_parameterized",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

@@ -194,3 +194,37 @@ def sub_not_in_null_trap(spark, sf_dir):
                            WHERE p.k = c.c_custkey)) AS not_exists_count,
         (SELECT COUNT(*) FROM probe WHERE k IS NULL) AS n_nulls
     """)
+
+
+@query(
+    "sql_parameterized",
+    category="subquery",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 50000.0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark, sf_dir):
+    """Spark 4 PARAMETERIZED SQL + the IDENTIFIER() clause — the
+    injection-safe templating surface every query service needs
+    (ClickHouse's analogue: {param:Type} binding in its HTTP
+    interface): values bind as named parameters (typed literals, not
+    string splices) and the table name routes through
+    IDENTIFIER(:tbl), which validates it as an identifier rather than
+    interpolating raw text. Binding happens at PARSE time, so the
+    bound plan is byte-identical to the literal query — same pushdown,
+    same pruning — which the shared oracle (plain literals) proves."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderstatus = :status AND o_totalprice > :floor
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"tbl": "orders", "status": "F", "floor": 50000.0},
+    )
