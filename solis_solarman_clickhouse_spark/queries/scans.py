@@ -11,6 +11,7 @@ ReadSchema).
 from __future__ import annotations
 
 import functools
+import os
 
 from pyspark.sql import functions as F
 
@@ -383,4 +384,41 @@ def scan_merge_schema(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
         .cast("double")
         .alias("sum_price"),
+    )
+
+
+@query(
+    "scan_ignore_corrupt_files",
+    category="scan",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events WHERE event_id % 2 = 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def scan_ignore_corrupt_files(spark, sf_dir):
+    """Corrupt-file resilience — the operational reality of a 100 TB
+    landing zone (truncated uploads, torn writes, a dead node's partial
+    part-file): the even-id half of events lands as healthy parquet
+    next to a deliberately garbage `.parquet` file, and the scan reads
+    with ``ignoreCorruptFiles`` so the poison file costs a warning, not
+    the job — the batch analogue of the reference's skip-don't-fail
+    config policy (solarman.py:82-125) applied to storage. The oracle
+    aggregates the same deterministic subset directly, proving the scan
+    recovered every healthy row and nothing else. (Without the option
+    this read throws — which is the right DEFAULT; opting in is a
+    per-pipeline decision, not a global config.)"""
+    import tempfile
+
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") % 2 == 0)
+    d = tempfile.mkdtemp(prefix="corrupt_scan_")
+    ev.coalesce(2).write.mode("overwrite").parquet(d)
+    with open(os.path.join(d, "part-corrupt-00099.snappy.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer at all" * 20)
+    return (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(d)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
     )
