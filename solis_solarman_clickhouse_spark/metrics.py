@@ -50,7 +50,7 @@ def run_with_metrics(df: DataFrame) -> dict[str, int]:
     _walk(plan, nodes)
 
     agg = {"scan_rows": 0, "scan_bytes": 0, "shuffle_write_bytes": 0,
-           "spill_bytes": 0, "peak_rows_out": 0}
+           "shuffle_write_rows": 0, "spill_bytes": 0, "peak_rows_out": 0}
     for n in nodes:
         cls = n.getClass().getSimpleName()
         metrics = n.metrics()
@@ -66,6 +66,8 @@ def run_with_metrics(df: DataFrame) -> dict[str, int]:
                     agg["scan_bytes"] += val
             if name == "shuffleBytesWritten" or name == "bytesWritten" and "Shuffle" in cls:
                 agg["shuffle_write_bytes"] += val
+            if name == "shuffleRecordsWritten":
+                agg["shuffle_write_rows"] += val
             if "spill" in name.lower():
                 agg["spill_bytes"] += val
             if name == "numOutputRows":

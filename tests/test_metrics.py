@@ -187,3 +187,34 @@ def test_observe_metrics_match_aggregates(spark):
     assert got["n_rows"] == direct["n_rows"] > 0
     assert got["sum_qty"] == direct["sum_qty"]
     assert got["over_discount"] == direct["over_discount"]
+
+
+def test_partial_agg_shuffle_stays_bounded_across_scale(spark):
+    """The 100× scale-up argument, measured instead of asserted: growing
+    the input 10× (sf0.001 → sf0.01) must grow Q1's SCANNED rows ~10×
+    while its SHUFFLE rows stay FLAT — partial aggregation bounds the
+    exchange at |groups| × partitions regardless of input size, which
+    is precisely why the plan survives 100 TB. A refactor that drops
+    map-side combine turns shuffle rows linear in input and fails
+    here."""
+    def q1(sf_dir):
+        # the Q1 aggregation shape WITHOUT tables.spread() — the local
+        # fixtures are single-file, so spread()'s (documented, no-op at
+        # scale) repartition would dominate shuffle rows here and mask
+        # the partial-aggregation property under test
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+        )
+
+    m_small = run_with_metrics(q1("/root/testdata/sf0.001"))
+    m_big = run_with_metrics(q1("/root/testdata/sf0.01"))
+    scan_ratio = m_big["scan_rows"] / max(m_small["scan_rows"], 1)
+    assert 8 <= scan_ratio <= 12, (m_small["scan_rows"], m_big["scan_rows"])
+    # shuffle rows = |groups| x map partitions on both sides: bounded,
+    # not linear — allow slack for partition-count differences only
+    assert m_big["shuffle_write_rows"] <= 4 * max(m_small["shuffle_write_rows"], 1), (
+        m_small["shuffle_write_rows"],
+        m_big["shuffle_write_rows"],
+    )
