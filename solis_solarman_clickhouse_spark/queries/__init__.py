@@ -99,7 +99,7 @@ _PRIORITY = [
     "ts_matrix_profile", "doc_kneser_ney_perplexity", "stream_union_sources",
     "doc_naive_bayes_langid", "vec_kmeans_lloyd", "ch_proportions_ztest",
     "doc_char_entropy", "join_lateral_api", "sql_parameterized",
-    "scan_ignore_corrupt_files",
+    "scan_ignore_corrupt_files", "doc_weighted_jaccard_pairs",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

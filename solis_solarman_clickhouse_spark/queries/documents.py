@@ -3066,3 +3066,75 @@ def doc_char_entropy(spark, sf_dir):
         (h.cast("double") / 10000.0).alias("entropy"),
         F.when(h < 20000, 0).otherwise(1).alias("keep"),
     ).drop("nt")
+
+
+@query(
+    "doc_weighted_jaccard_pairs",
+    category="documents",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS f
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    tot AS (SELECT doc_id, SUM(f) AS nf FROM tf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(LEAST(a.f, b.f)) AS smin
+      FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           (i.smin * 1000000)
+             // (ta.nf + tb.nf - i.smin) AS wjaccard_e6
+    FROM inter i
+    JOIN tot ta ON ta.doc_id = i.doc_a
+    JOIN tot tb ON tb.doc_id = i.doc_b
+    WHERE i.smin * 5 >= (ta.nf + tb.nf - i.smin) * 4
+    """,
+)
+def doc_weighted_jaccard_pairs(spark, sf_dir):
+    """WEIGHTED (multiset) Jaccard near-dup pairs — the
+    repetition-robust tier the set-based doc_neardup_jaccard lacks: with
+    term FREQUENCIES, J_w = Σ min(tf_a,tf_b) / Σ max(tf_a,tf_b), a doc
+    that repeats one paragraph five times no longer looks 80% similar to
+    every doc sharing that paragraph once (set semantics collapse
+    repeats; multiset semantics count them). Identity Σmax = |A|+|B|−Σmin
+    keeps the denominator join-free beyond the two doc-total lookups.
+    Same inverted-index discipline as the whole dedup family: candidate
+    pairs exist only where a token collides (never all-pairs), the tf
+    table is one map-side-combinable count, and the ≥0.8 cut is integer
+    cross-multiplication with a 1e6-scale integer score — no float
+    ratios anywhere, EXACT on both engines."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    tot = tf.groupBy("doc_id").agg(F.sum("f").alias("nf"))
+    a = tf.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("f").alias("fa")
+    )
+    b = tf.select(
+        F.col("doc_id").alias("doc_b"), "tok", F.col("f").alias("fb")
+    )
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("fa", "fb")).alias("smin"))
+    )
+    ta = tot.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("na"))
+    tb = tot.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nb"))
+    union = F.col("na") + F.col("nb") - F.col("smin")
+    return (
+        inter.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(F.col("smin") * 5 >= union * 4)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("(smin * 1000000) div (na + nb - smin)").alias("wjaccard_e6"),
+        )
+    )
