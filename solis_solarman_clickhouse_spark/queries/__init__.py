@@ -100,6 +100,7 @@ _PRIORITY = [
     "doc_naive_bayes_langid", "vec_kmeans_lloyd", "ch_proportions_ztest",
     "doc_char_entropy", "join_lateral_api", "sql_parameterized",
     "scan_ignore_corrupt_files", "doc_weighted_jaccard_pairs",
+    "ts_spectral_dominant_period",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

@@ -1694,3 +1694,98 @@ def ts_matrix_profile(spark, sf_dir):
         profile,
         "user_id bigint, p bigint, profile_dist double, nearest_pos bigint",
     )
+
+
+@query(
+    "ts_spectral_dominant_period",
+    category="timeseries",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, value,
+             (epoch_us(ts) % 86400000000) / 86400000000.0 AS frac
+      FROM events
+    ),
+    terms AS (
+      SELECT e.user_id, f.f,
+             CAST(e.value * ROUND(cos(2 * pi() * f.f * e.frac), 8)
+                  AS DECIMAL(38,6)) AS tc,
+             CAST(e.value * ROUND(sin(2 * pi() * f.f * e.frac), 8)
+                  AS DECIMAL(38,6)) AS tsn
+      FROM e CROSS JOIN (SELECT UNNEST(generate_series(1, 6)) AS f) f
+    ),
+    power AS (
+      SELECT user_id, f,
+             CAST(SUM(tc) AS DOUBLE) * CAST(SUM(tc) AS DOUBLE)
+             + CAST(SUM(tsn) AS DOUBLE) * CAST(SUM(tsn) AS DOUBLE) AS p
+      FROM terms GROUP BY user_id, f
+    ),
+    ranked AS (
+      SELECT user_id, f, p,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY p DESC, f ASC) AS rn
+      FROM power
+    )
+    SELECT user_id, f AS dominant_cycles_per_day, ROUND(p, 2) AS power
+    FROM ranked WHERE rn = 1
+    """,
+)
+def ts_spectral_dominant_period(spark, sf_dir):
+    """Frequency-domain periodicity detection — a fixed-grid discrete
+    Fourier probe at 1-6 cycles/day per user: which daily harmonic
+    dominates each user's activity (the spectral complement of
+    ts_stl_decompose's time-domain seasonal and ts_autocorr_lag1's
+    correlation view; for solar telemetry the 1-cycle diurnal harmonic
+    is the physical ground truth). Power(f) = (Σ v·cos 2πf·τ)² +
+    (Σ v·sin 2πf·τ)² over day-fraction phase τ. The cross-engine
+    discipline for TRIG (new for this family): each cos/sin factor is
+    quantized ROUND(·, 8) BEFORE multiplying — libm's last ulp can't
+    enter — and each per-row product (a deterministic double) is cast
+    to DECIMAL(38,6) so the per-(user, f) sums are order-free; only
+    then does the (deterministic) square-and-add run in doubles.
+    Six-frequency grid ⇒ the cross join is ×6, all map-side
+    combinable, one exchange on (user, f); argmax ties break to the
+    lower frequency. At 100 TB this is the standard one-pass Goertzel-
+    style probe — full FFT needs gather, fixed-grid DFT needs only
+    aggregation."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "value",
+        ((F.unix_micros("ts") % 86400000000) / F.lit(86400000000.0)).alias("frac"),
+    )
+    fs = spark.range(1, 7).select(F.col("id").cast("int").alias("f"))
+    terms = e.crossJoin(F.broadcast(fs)).select(
+        "user_id",
+        "f",
+        (
+            F.col("value")
+            * F.round(F.cos(2 * 3.141592653589793 * F.col("f") * F.col("frac")), 8)
+        )
+        .cast("decimal(38,6)")
+        .alias("tc"),
+        (
+            F.col("value")
+            * F.round(F.sin(2 * 3.141592653589793 * F.col("f") * F.col("frac")), 8)
+        )
+        .cast("decimal(38,6)")
+        .alias("tsn"),
+    )
+    power = terms.groupBy("user_id", "f").agg(
+        (
+            F.sum("tc").cast("double") * F.sum("tc").cast("double")
+            + F.sum("tsn").cast("double") * F.sum("tsn").cast("double")
+        ).alias("p")
+    )
+    from pyspark.sql import Window as W
+
+    ranked = power.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy(F.col("p").desc(), F.col("f").asc())
+        ),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "user_id",
+        F.col("f").alias("dominant_cycles_per_day"),
+        F.round("p", 2).alias("power"),
+    )
