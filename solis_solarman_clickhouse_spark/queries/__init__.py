@@ -100,7 +100,8 @@ _PRIORITY = [
     "doc_naive_bayes_langid", "vec_kmeans_lloyd", "ch_proportions_ztest",
     "doc_char_entropy", "join_lateral_api", "sql_parameterized",
     "scan_ignore_corrupt_files", "doc_weighted_jaccard_pairs",
-    "ts_spectral_dominant_period",
+    "ts_spectral_dominant_period", "agg_median_absolute_deviation",
+    "agg_winsorized_mean",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

@@ -2305,3 +2305,155 @@ def ch_proportions_ztest(spark, sf_dir):
             4,
         ).alias("z"),
     )
+
+
+@query(
+    "agg_median_absolute_deviation",
+    category="aggregate",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS y FROM events
+    ),
+    med AS (
+      SELECT event_type, y AS m FROM (
+        SELECT event_type, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY y) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM v)
+      WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT v.event_type, ABS(v.y - med.m) AS d
+      FROM v JOIN med ON med.event_type = v.event_type
+    ),
+    mad AS (
+      SELECT event_type, d AS mad FROM (
+        SELECT event_type, d,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev)
+      WHERE rn = (n + 1) // 2
+    )
+    SELECT med.event_type,
+           CAST(med.m AS DOUBLE) / 100.0 AS median,
+           CAST(mad.mad AS DOUBLE) / 100.0 AS mad
+    FROM med JOIN mad ON mad.event_type = med.event_type
+    ORDER BY med.event_type
+    """,
+)
+def agg_median_absolute_deviation(spark, sf_dir):
+    """Grouped median absolute deviation — the robust dispersion
+    estimator (50% breakdown point vs stddev's zero: one glitched
+    telemetry spike moves σ arbitrarily, MAD not at all), the GROUPED
+    corpus-level sibling of ts_hampel_outliers' rolling MAD. Two exact
+    lower-medians by row_number over integer cent values (the
+    agg_weighted_median rank discipline — no float percentile
+    interpolation to diverge on), the second over absolute deviations
+    from the first. Two window passes over the same event_type
+    partitioning = one exchange reused; at scale the median-of-medians
+    refinement or a KLL sketch (agg_kll_quantiles) replaces the exact
+    rank when a full sort per group is too dear — this query IS the
+    exactness baseline those approximations are priced against."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("y")
+    )
+    wt = W.partitionBy("event_type")
+    med = (
+        v.select(
+            "event_type",
+            "y",
+            F.row_number().over(wt.orderBy("y")).alias("rn"),
+            F.count(F.lit(1)).over(wt).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("y").alias("m"))
+    )
+    dev = v.join(med, "event_type").select(
+        "event_type", F.abs(F.col("y") - F.col("m")).alias("d")
+    )
+    mad = (
+        dev.select(
+            "event_type",
+            "d",
+            F.row_number().over(wt.orderBy("d")).alias("rn"),
+            F.count(F.lit(1)).over(wt).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("d").alias("mad"))
+    )
+    return (
+        med.join(mad, "event_type")
+        .select(
+            "event_type",
+            (F.col("m").cast("double") / 100.0).alias("median"),
+            (F.col("mad").cast("double") / 100.0).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_winsorized_mean",
+    category="aggregate",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS y FROM events
+    ),
+    ranked AS (
+      SELECT event_type, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY y) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    trimmed AS (
+      SELECT event_type, y, n FROM ranked
+      WHERE rn > n // 20 AND rn <= n - n // 20
+    )
+    SELECT event_type, COUNT(*) AS n_kept,
+           CAST((2 * SUM(y) * 100 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+             / 10000.0 AS trimmed_mean
+    FROM trimmed GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_winsorized_mean(spark, sf_dir):
+    """Grouped 5%-trimmed mean (the winsorize/trim robust-location
+    family): drop each tail's exact bottom/top n//20 ranks, average the
+    integer-cent remainder — the estimator dashboards reach for when a
+    handful of glitched samples poison the plain mean but the median
+    throws away too much. Rank cuts are pure integer arithmetic on
+    row_number (no percentile interpolation), the kept-sum is an exact
+    BIGINT, and the 4-dp mean emits via integer half-away division
+    (positive domain ⇒ div ≡ //). One window pass + one aggregate on
+    the same event_type exchange."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("y")
+    )
+    wt = W.partitionBy("event_type")
+    ranked = v.select(
+        "event_type",
+        "y",
+        F.row_number().over(wt.orderBy("y")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    trimmed = ranked.where(
+        (F.col("rn") > F.expr("n div 20")) & (F.col("rn") <= F.col("n") - F.expr("n div 20"))
+    )
+    return (
+        trimmed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            (
+                F.expr("(2 * sum(y) * 100 + count(1)) div (2 * count(1))").cast(
+                    "double"
+                )
+                / 10000.0
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )
