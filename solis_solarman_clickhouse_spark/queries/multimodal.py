@@ -211,3 +211,60 @@ def mm_image_phash_dedup(spark, sf_dir):
             F.bit_count(x["phash"].bitwiseXOR(y["phash"])).alias("hamming"),
         ),
     ).filter(F.col("hamming") <= 6)
+
+
+@query(
+    "mm_video_scene_cuts",
+    category="multimodal",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, 1 + {_NB} % 8 AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+      SELECT doc_id, i AS frame_idx,
+             ('0x' || substr(sha256(doc_id || ':' || i), 1, 2))::BIGINT AS feat
+      FROM v, LATERAL UNNEST(generate_series(0, n_frames - 1)) AS t(i)
+    )
+    SELECT doc_id, frame_idx, feat,
+           CASE WHEN frame_idx > 0 AND ABS(feat - LAG(feat) OVER
+                  (PARTITION BY doc_id ORDER BY frame_idx)) >= 128
+                THEN 1 ELSE 0 END AS is_cut
+    FROM frames
+    """,
+)
+def mm_video_scene_cuts(spark, sf_dir):
+    """Scene-cut detection over sampled video frames — the shot-boundary
+    pass a video-curation pipeline runs between frame sampling
+    (mm_video_frame_sample) and per-shot dedup/captioning: a cut fires
+    where consecutive frames' feature distance jumps past a threshold.
+    The frame FEATURE here is derived from the deterministic frame
+    fingerprint (the documented codec stand-in discipline of the mm_
+    family — a real deployment swaps in a decoded histogram/embedding
+    behind the same column), so the Spark plumbing under test is real:
+    frame explosion, per-video ordered lag window, threshold compare —
+    one doc_id exchange, whole-stage codegen, no Python. EXACT: the
+    oracle replays fingerprints, features, and the lag threshold."""
+    p = attach_payloads(table(spark, sf_dir, "documents"))
+    frames = sample_frames(p, fps=4.0, max_frames=8).select(
+        "doc_id",
+        "frame_idx",
+        F.conv(F.substring("frame_fingerprint", 1, 2), 16, 10)
+        .cast("long")
+        .alias("feat"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "feat",
+        F.when(
+            (F.col("frame_idx") > 0)
+            & (F.abs(F.col("feat") - F.lag("feat").over(w)) >= 128),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_cut"),
+    )

@@ -335,3 +335,40 @@ def sink_summing_mv(spark, sf_dir):
         "user_id", "event_type", "n_events",
         (F.col("sum_scaled").cast("double") / 100.0).alias("sum_value"),
     )
+
+
+@query(
+    "sink_text_roundtrip",
+    category="sink",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           SUM(LENGTH(text)) AS total_chars,
+           MIN(LENGTH(text)) AS min_len,
+           MAX(LENGTH(text)) AS max_len
+    FROM documents
+    """,
+)
+def sink_text_roundtrip(spark, sf_dir):
+    """Plain-text sink/source round trip (``spark.write.text`` /
+    ``read.text``) — the interchange format of the LLM-corpus world
+    (one document per line: the Pile/C4 lineage predates parquet-native
+    pipelines, and plenty of tooling still speaks .txt): documents'
+    text lands as line-oriented files and is re-read as the untyped
+    `value` column. The check aggregates line count and length stats —
+    file/row order is writer-dependent, aggregates are order-free, so
+    the lossless-round-trip contract is EXACT (documents contain no
+    newlines; a production writer escapes or length-prefixes them —
+    the CSV/JSON round trip in sink_formats_roundtrip covers quoted
+    embedded structure)."""
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="text_rt_")
+    docs.select("text").write.mode("overwrite").text(d)
+    back = spark.read.text(d)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.length("value")).alias("min_len"),
+        F.max(F.length("value")).alias("max_len"),
+    )
