@@ -100,6 +100,7 @@ HEADLINE = [
     "doc_kneser_ney_perplexity",
     "agg_count_min_sketch",
     "vec_kmeans_lloyd",
+    "vec_ivf_nprobe_sweep",
 ]
 
 

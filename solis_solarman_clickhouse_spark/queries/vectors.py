@@ -2007,3 +2007,209 @@ def vec_kmeans_lloyd(spark, sf_dir):
             (F.round("mv", 4) + F.lit(0.0)).alias("centroid_val"),
         )
     )
+
+
+def _ivf_cents_sql() -> str:
+    """Literal 16×64 coarse-centroid rows for DuckDB."""
+    cents = _ivfpq_coarse()
+    return ",\n".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[])"
+        for i, row in enumerate(cents)
+    )
+
+
+def _ivf_sweep_oracle(probes=(1, 2, 4, 8, 16)) -> str:
+    cfg = []
+    for np_ in probes:
+        cfg.append(f"""
+    SELECT {np_} AS n_probe,
+           (SELECT COUNT(*) FROM cand WHERE prank <= {np_}) AS n_candidates,
+           (SELECT COUNT(*)
+            FROM ex5 e JOIN ivf5_{np_} a USING (query_id, neighbor_id))
+             * 1000000 // ((SELECT COUNT(*) FROM q) * 5) AS recall_e6""")
+    ivf5 = ",\n".join(
+        f"""ivf5_{np_} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                  ORDER BY c.d ASC, c.neighbor_id ASC) AS rank
+        FROM cand c WHERE c.prank <= {np_})
+      WHERE rank <= 5
+    )"""
+        for np_ in probes
+    )
+    return f"""
+WITH cents(cl, ce) AS (VALUES
+{_ivf_cents_sql()}
+),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+asn AS (
+  SELECT vec_id, e, cl FROM (
+    SELECT m.vec_id, m.e, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> (m.e[i] - c.ce[i]) * (m.e[i] - c.ce[i])),
+               (x, y) -> x + y) ASC, c.cl ASC) AS rn
+    FROM emb m CROSS JOIN cents c)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, e AS qv FROM emb WHERE vec_id < 10),
+qlists AS (
+  SELECT query_id, qv, cl, prank FROM (
+    SELECT q.query_id, q.qv, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> (q.qv[i] - c.ce[i]) * (q.qv[i] - c.ce[i])),
+               (x, y) -> x + y) ASC, c.cl ASC) AS prank
+    FROM q CROSS JOIN cents c)
+),
+cand AS (
+  SELECT ql.query_id, a.vec_id AS neighbor_id, ql.prank,
+         list_reduce(list_transform(generate_series(1, 64),
+           i -> (ql.qv[i] - a.e[i]) * (ql.qv[i] - a.e[i])),
+           (x, y) -> x + y) AS d
+  FROM qlists ql JOIN asn a ON a.cl = ql.cl
+  WHERE a.vec_id <> ql.query_id
+),
+ex5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, m.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> (q.qv[i] - m.e[i]) * (q.qv[i] - m.e[i])),
+               (x, y) -> x + y) ASC, m.vec_id ASC) AS rank
+    FROM q JOIN emb m ON m.vec_id <> q.query_id)
+  WHERE rank <= 5
+),
+{ivf5}
+{" UNION ALL ".join(cfg)}
+"""
+
+
+@query("vec_ivf_nprobe_sweep", category="vectors", oracle=_ivf_sweep_oracle())
+def vec_ivf_nprobe_sweep(spark, sf_dir):
+    """IVF n_probe tuning sweep — the vector-side twin of
+    doc_minhash_band_sweep: from ONE coarse assignment (the trained
+    16-centroid literal quantizer shared with vec_ivfpq_topk), price
+    every n_probe ∈ {1,2,4,8,16} by candidate volume and recall@5 vs
+    exact L2, all in one result table the way a deployment actually
+    chooses its latency/recall point. Plan shape: corpus assignment and
+    query list-ranking are each ONE pass over the literal centroid
+    array (the semdedup JVM-literal idiom — sequential per-dim folds,
+    bit-equal to the oracle's list_reduce); the candidate set
+    materializes ONCE at the widest config (prank ≤ 16) carrying its
+    probe rank, so each narrower config is a FILTER, not a re-join —
+    the n_probe sweep costs one search, not five. Integer 1e6 recall;
+    ties → lower id everywhere. At 100 TB: the candidate join is the
+    usual broadcast-probes × list-partitioned-corpus equi-join, and
+    the sweep's marginal cost stays one filter per config."""
+    from pyspark.sql import Window as W
+
+    cents = _ivfpq_coarse()
+    cents_sql = ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in row) + ")" for row in cents
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dists = F.expr(
+        f"transform(array({cents_sql}), c -> "
+        "aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (a, v) -> a + v))"
+    )
+    asn = emb.withColumn("dists", dists).select(
+        "vec_id",
+        "e",
+        (F.expr("array_position(dists, array_min(dists))").cast("int") - 1).alias("cl"),
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qv")
+    )
+    qd = q.withColumn(
+        "dists",
+        F.expr(
+            f"transform(array({cents_sql}), c -> "
+            "aggregate(zip_with(qv, c, (x, y) -> (x - y) * (x - y)),"
+            " 0D, (a, v) -> a + v))"
+        ),
+    )
+    qlists = qd.select(
+        "query_id",
+        "qv",
+        F.posexplode(
+            F.expr(
+                "transform(array_sort(transform(dists,"
+                " (d, i) -> struct(d AS d, i AS cl))), x -> x.cl)"
+            )
+        ).alias("prank0", "cl"),
+    ).select(
+        "query_id", "qv", (F.col("prank0") + 1).alias("prank"), "cl"
+    ).where(F.col("prank") <= 16)
+    cand = (
+        qlists.join(asn.select("vec_id", "e", "cl"), "cl")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "prank",
+            F.expr(
+                "aggregate(zip_with(qv, e, (x, y) -> (x - y) * (x - y)),"
+                " 0D, (a, v) -> a + v)"
+            ).alias("d"),
+        )
+        .persist()
+    )
+    ex5 = (
+        F.broadcast(q)
+        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), "e"))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(qv, e, (x, y) -> (x - y) * (x - y)),"
+                " 0D, (a, v) -> a + v)"
+            ).alias("d"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("neighbor_id").asc())
+            ),
+        )
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    nq = q.agg(F.count(F.lit(1)).alias("nqq"))
+    out = None
+    for np_ in (1, 2, 4, 8, 16):
+        sub = cand.where(F.col("prank") <= np_)
+        ivf5 = (
+            sub.withColumn(
+                "rank",
+                F.row_number().over(
+                    W.partitionBy("query_id").orderBy(
+                        F.col("d").asc(), F.col("neighbor_id").asc()
+                    )
+                ),
+            )
+            .where(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+        row = (
+            sub.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(
+                ex5.join(ivf5, ["query_id", "neighbor_id"]).agg(
+                    F.count(F.lit(1)).alias("hits")
+                )
+            )
+            .crossJoin(F.broadcast(nq))
+            .select(
+                F.lit(np_).alias("n_probe"),
+                "n_candidates",
+                F.expr("(hits * 1000000) div (nqq * 5)").alias("recall_e6"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
