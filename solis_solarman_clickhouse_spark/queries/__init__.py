@@ -102,7 +102,7 @@ _PRIORITY = [
     "scan_ignore_corrupt_files", "doc_weighted_jaccard_pairs",
     "ts_spectral_dominant_period", "agg_median_absolute_deviation",
     "agg_winsorized_mean", "mm_video_scene_cuts", "sink_text_roundtrip",
-    "vec_ivf_nprobe_sweep",
+    "vec_ivf_nprobe_sweep", "vec_hard_negative_mining",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

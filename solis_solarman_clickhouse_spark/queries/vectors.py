@@ -2213,3 +2213,69 @@ def vec_ivf_nprobe_sweep(spark, sf_dir):
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+_HARD_NEG_ORACLE = """
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label_a,
+         b.label AS label_b,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e))
+              * sqrt(list_dot_product(b.e, b.e))) AS cosine
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id AND a.label <> b.label
+),
+ranked AS (
+  SELECT vec_a, vec_b, label_a, label_b, cosine,
+         ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_a, vec_b) AS rn
+  FROM pairs
+)
+SELECT vec_a, vec_b, label_a, label_b, ROUND(cosine, 4) AS cosine
+FROM ranked WHERE rn <= 50
+"""
+
+
+@query("vec_hard_negative_mining", category="vectors", oracle=_HARD_NEG_ORACLE)
+def vec_hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive/metric training — the
+    embedding-pipeline step that decides training-batch quality: the
+    top-50 CROSS-label pairs by cosine similarity (vectors that look
+    alike but carry different labels are exactly the negatives a
+    contrastive loss learns most from; random negatives are trivially
+    separable and teach nothing). Same all-pairs-with-structure shape
+    as vec_neardup_cosine but filtered to label disagreement BEFORE
+    scoring, and globally top-k'd with a fully deterministic
+    (cosine DESC, vec_a, vec_b) order. At 100 TB the all-pairs stage is
+    replaced by exactly the approximate tiers this repo already prices
+    (semdedup buckets / IVF lists as candidate generators), with this
+    exact form as the ground-truth audit on a sample — mirroring the
+    dedup family's exact-vs-LSH structure."""
+    from pyspark.sql import Window as W
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("e").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("e").alias("eb"),
+    )
+    pairs = (
+        a.join(b, (F.col("vec_a") < F.col("vec_b")) & (F.col("label_a") != F.col("label_b")))
+    )
+    pairs = with_cosine(pairs, "ea", "eb")
+    return (
+        pairs.withColumn(
+            "rn",
+            F.row_number().over(
+                W.orderBy(F.col("cosine").desc(), F.col("vec_a"), F.col("vec_b"))
+            ),
+        )
+        .where(F.col("rn") <= 50)
+        .select("vec_a", "vec_b", "label_a", "label_b", F.round("cosine", 4).alias("cosine"))
+    )
