@@ -2457,3 +2457,74 @@ def agg_winsorized_mean(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_benford_deviation",
+    category="aggregate",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT digit, COUNT(*) AS c FROM d GROUP BY digit),
+    n AS (SELECT SUM(c) AS nt FROM obs),
+    exp AS (
+      SELECT g.digit,
+             CAST(ROUND(ln((g.digit + 1.0) / g.digit) / ln(10.0) * 100000000)
+                  AS BIGINT) AS p8
+      FROM (SELECT UNNEST(generate_series(1, 9)) AS digit) g
+    )
+    SELECT e.digit,
+           COALESCE(o.c, 0) AS observed,
+           (e.p8 * n.nt) // 100000000 AS expected_floor,
+           COALESCE(o.c, 0) * 1000000 // n.nt AS obs_freq_e6,
+           e.p8 // 100 AS benford_freq_e6
+    FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN n
+    ORDER BY e.digit
+    """,
+)
+def agg_benford_deviation(spark, sf_dir):
+    """Benford's-law first-digit audit — the classic fraud /
+    synthetic-data / unit-mixup detector for financial columns: real
+    multiplicative amounts put ~30.1% of first digits at 1 and ~4.6%
+    at 9; fabricated or truncated data doesn't. First digits come from
+    integer-cent string slicing (no float log10 on the data path), the
+    Benford expectation log10(1+1/d) is quantized per digit to a 1e8
+    BIGINT, and both observed and expected frequencies emit as 1e6
+    integers — every output column is integer-exact. One 9-row
+    expectation grid, one map-side digit count: scan-speed at any
+    size. (On the uniform-ish synthetic prices the deviation is large
+    and visible — which is itself the point of the audit: this fixture
+    would FAIL a Benford screen, as synthetic data should.)"""
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("c"))
+    n = obs.agg(F.sum("c").alias("nt"))
+    exp = spark.range(1, 10).select(
+        F.col("id").cast("long").alias("digit"),
+        F.round(
+            F.log((F.col("id") + 1.0) / F.col("id")) / F.log(F.lit(10.0)) * 100000000
+        )
+        .cast("long")
+        .alias("p8"),
+    )
+    return (
+        exp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce(F.col("c"), F.lit(0)).alias("observed"),
+            F.expr("(p8 * nt) div 100000000").alias("expected_floor"),
+            F.expr("coalesce(c, 0) * 1000000 div nt").alias("obs_freq_e6"),
+            F.expr("p8 div 100").alias("benford_freq_e6"),
+        )
+        .orderBy("digit")
+    )

@@ -1789,3 +1789,87 @@ def ts_spectral_dominant_period(spark, sf_dir):
         F.col("f").alias("dominant_cycles_per_day"),
         F.round("p", 2).alias("power"),
     )
+
+
+@query(
+    "ts_mann_kendall_trend",
+    category="timeseries",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tu,
+             CAST(ROUND(value * 100) AS BIGINT) AS y,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    b AS (SELECT * FROM e WHERE n BETWEEN 5 AND 100),
+    s AS (
+      SELECT a.user_id,
+             SUM(CASE WHEN b2.y > a.y THEN 1
+                      WHEN b2.y < a.y THEN -1 ELSE 0 END) AS s_stat,
+             COUNT(*) AS n_pairs
+      FROM b a JOIN b b2 ON a.user_id = b2.user_id
+        AND (a.tu < b2.tu OR (a.tu = b2.tu AND a.event_id < b2.event_id))
+      GROUP BY a.user_id
+    ),
+    nn AS (SELECT user_id, MAX(n) AS n FROM b GROUP BY user_id)
+    SELECT s.user_id, nn.n, s.s_stat,
+           ROUND((CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                       WHEN s.s_stat < 0 THEN s.s_stat + 1
+                       ELSE 0 END)
+                 / sqrt(nn.n * (nn.n - 1) * (2 * nn.n + 5) / 18.0), 4) AS z
+    FROM s JOIN nn ON nn.user_id = s.user_id
+    """,
+)
+def ts_mann_kendall_trend(spark, sf_dir):
+    """Mann–Kendall trend test — the NONPARAMETRIC significance test
+    that goes with ts_theil_sen_slope's robust slope (the standard
+    pairing in environmental/telemetry monitoring: Sen estimates the
+    trend, MK decides if it's real): S = Σ sign(y_j − y_i) over all
+    time-ordered pairs, z from the no-ties normal approximation with
+    continuity correction. S is an EXACT INTEGER (sign comparisons on
+    integer cents — no float anywhere until the final z), the pair
+    expansion is bounded by the same 5-100-reading windowing as
+    Theil-Sen, and the z denominator is a deterministic double from
+    exact n. Ordering ties on (tu, event_id) pins the pair set
+    identically on both engines."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tu"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("n"),
+    ).where(F.col("n").between(5, 100))
+    a = e.select("user_id", F.col("tu").alias("tua"),
+                 F.col("event_id").alias("ea"), F.col("y").alias("ya"))
+    b = e.select("user_id", F.col("tu").alias("tub"),
+                 F.col("event_id").alias("eb"), F.col("y").alias("yb"))
+    pairs = a.join(b, "user_id").where(
+        (F.col("tua") < F.col("tub"))
+        | ((F.col("tua") == F.col("tub")) & (F.col("ea") < F.col("eb")))
+    )
+    s = pairs.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("yb") > F.col("ya"), 1)
+            .when(F.col("yb") < F.col("ya"), -1)
+            .otherwise(0)
+        ).alias("s_stat"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    nn = e.groupBy("user_id").agg(F.max("n").alias("n"))
+    cc = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+    )
+    return s.join(nn, "user_id").select(
+        "user_id",
+        "n",
+        "s_stat",
+        F.round(
+            cc / F.sqrt(F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) / 18.0),
+            4,
+        ).alias("z"),
+    )
