@@ -103,7 +103,7 @@ _PRIORITY = [
     "ts_spectral_dominant_period", "agg_median_absolute_deviation",
     "agg_winsorized_mean", "mm_video_scene_cuts", "sink_text_roundtrip",
     "vec_ivf_nprobe_sweep", "vec_hard_negative_mining",
-    "ts_mann_kendall_trend", "agg_benford_deviation",
+    "ts_mann_kendall_trend", "agg_benford_deviation", "vec_semdedup_recall",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

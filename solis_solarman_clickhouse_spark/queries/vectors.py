@@ -2279,3 +2279,109 @@ def vec_hard_negative_mining(spark, sf_dir):
         .where(F.col("rn") <= 50)
         .select("vec_a", "vec_b", "label_a", "label_b", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def _semdedup_recall_oracle(n_tables: int = 4, n_planes: int = 3, dim: int = 64,
+                            seed: int = 7, tau: float = 0.45) -> str:
+    from ..operators.similarity import lsh_multitable_planes
+
+    rows = []
+    for t, planes in enumerate(lsh_multitable_planes(n_tables, n_planes, dim, seed)):
+        for p in range(n_planes):
+            vals = ", ".join(repr(float(x)) for x in planes[p])
+            rows.append(f"({t}, {p}, [{vals}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+WITH planes(tbl, pid, plane) AS (VALUES
+{values}
+),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+buckets AS (
+  SELECT vec_id,
+         (tbl * {1 << n_planes})
+           + SUM(CASE WHEN list_dot_product(e, plane) > 0 THEN 1 << pid ELSE 0 END)
+           AS bucket
+  FROM emb CROSS JOIN planes
+  GROUP BY vec_id, tbl
+),
+cand AS (
+  SELECT DISTINCT lo.vec_id AS vec_a, hi.vec_id AS vec_b
+  FROM buckets lo JOIN buckets hi USING (bucket)
+  WHERE lo.vec_id < hi.vec_id
+),
+approx_drop AS (
+  SELECT DISTINCT c.vec_b AS vec_id
+  FROM cand c JOIN emb a ON a.vec_id = c.vec_a JOIN emb b ON b.vec_id = c.vec_b
+  WHERE list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e))
+           * sqrt(list_dot_product(b.e, b.e))) >= {tau!r}
+),
+exact_drop AS (
+  SELECT DISTINCT b.vec_id
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e))
+           * sqrt(list_dot_product(b.e, b.e))) >= {tau!r}
+)
+SELECT (SELECT COUNT(*) FROM exact_drop) AS n_exact_drops,
+       (SELECT COUNT(*) FROM approx_drop) AS n_approx_drops,
+       CASE WHEN (SELECT COUNT(*) FROM exact_drop) = 0 THEN 1000000
+            ELSE (SELECT COUNT(*) FROM approx_drop a
+                  WHERE EXISTS (SELECT 1 FROM exact_drop e
+                                WHERE e.vec_id = a.vec_id)) * 1000000
+                 // (SELECT COUNT(*) FROM exact_drop) END AS drop_recall_e6
+"""
+
+
+@query(
+    "vec_semdedup_recall",
+    category="vectors",
+    oracle=_semdedup_recall_oracle(),
+)
+def vec_semdedup_recall(spark, sf_dir):
+    """The price tag on SemDeDup's space partitioning — the one
+    approximation in the embedding-dedup family that had no recall row:
+    of the vectors an EXACT all-pairs cosine>=0.45 dedup would drop,
+    what fraction does the bucketed pipeline (compare only within
+    LSH partitions) actually drop? Bucketing can only LOSE pairs
+    (candidates ⊆ all pairs ⇒ precision 1.0 by construction), so this
+    single 1e6-integer number is the whole quality story, exactly as
+    doc_neardup_minhash_recall prices banding and vec_ann_recall_lsh
+    prices probe pruning. Both pipelines replay end-to-end in the
+    oracle from the same plane literals. The exact side is the
+    fixture-scale audit; at 100 TB only the bucketed side runs, priced
+    by THIS number measured on samples."""
+    from ..operators.similarity import semdedup_bucketed, with_cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    approx = (
+        semdedup_bucketed(emb, tau=0.45, n_tables=4, n_planes=3, dim=64, seed=7)
+        .where(~F.col("is_kept"))
+        .select("vec_id")
+    )
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    a = e.select(F.col("vec_id").alias("va"), F.col("e").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("e").alias("eb"))
+    exact = (
+        with_cosine(a.join(b, F.col("va") < F.col("vb")), "ea", "eb")
+        .where(F.col("cosine") >= 0.45)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact_drops"))
+    na = approx.agg(F.count(F.lit(1)).alias("n_approx_drops"))
+    hits = approx.join(exact, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return (
+        ne.crossJoin(na)
+        .crossJoin(hits)
+        .select(
+            "n_exact_drops",
+            "n_approx_drops",
+            F.expr(
+                "CASE WHEN n_exact_drops = 0 THEN 1000000"
+                " ELSE (hits * 1000000) div n_exact_drops END"
+            ).alias("drop_recall_e6"),
+        )
+    )
