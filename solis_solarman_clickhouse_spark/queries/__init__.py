@@ -104,6 +104,7 @@ _PRIORITY = [
     "agg_winsorized_mean", "mm_video_scene_cuts", "sink_text_roundtrip",
     "vec_ivf_nprobe_sweep", "vec_hard_negative_mining",
     "ts_mann_kendall_trend", "agg_benford_deviation", "vec_semdedup_recall",
+    "ts_peak_detection", "agg_gini_coefficient", "doc_minhash_estimate_error",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

@@ -2528,3 +2528,62 @@ def agg_benford_deviation(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "agg_gini_coefficient",
+    category="aggregate",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i,
+             COUNT(*) OVER () AS n, SUM(x) OVER () AS sx
+      FROM spend
+    ),
+    s AS (
+      SELECT MAX(n) AS n, MAX(sx) AS sx, SUM(i * x) AS six FROM ranked
+    )
+    SELECT n AS n_customers,
+           ROUND((2.0 * six) / (n * 1.0 * sx) - (n + 1.0) / n, 4)
+             AS gini
+    FROM s
+    """,
+)
+def agg_gini_coefficient(spark, sf_dir):
+    """Gini coefficient of customer spend concentration — the
+    inequality/concentration metric every revenue dashboard wants
+    ("do 20% of customers drive 80% of revenue"): G = 2·Σ(i·xᵢ)/(n·Σx)
+    − (n+1)/n over ascending-rank spend. The numerator Σ(i·xᵢ) and
+    total Σx are EXACT BIGINTs (integer cents × integer ranks; the
+    unique (x, custkey) sort key pins ranks identically on both
+    engines), so the only float arithmetic is the final three-term
+    expression on identical integers — bit-equal before the 4-dp
+    round. One global rank window (at 100 TB: the classic two-pass
+    rank — per-partition ranks + broadcast partition offsets — swaps
+    in without changing the formula)."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    ranked = spend.select(
+        "x",
+        F.row_number().over(W.orderBy("x", "o_custkey")).alias("i"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round(
+            (2.0 * F.col("six")) / (F.col("n") * 1.0 * F.col("sx"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            4,
+        ).alias("gini"),
+    )

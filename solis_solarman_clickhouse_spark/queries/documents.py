@@ -3138,3 +3138,148 @@ def doc_weighted_jaccard_pairs(spark, sf_dir):
             F.expr("(smin * 1000000) div (na + nb - smin)").alias("wjaccard_e6"),
         )
     )
+
+
+def _minhash_est_err_oracle(n_hashes: int = 16, bands: int = 8) -> str:
+    from ..operators.dedup import MINHASH_AB, MINHASH_P
+
+    rows = n_hashes // bands
+    base = f"(('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P})"
+    mins = ", ".join(
+        f"MIN(({a} * {base} + {b}) % {MINHASH_P}) AS g{i}"
+        for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
+    )
+    band_conds = " OR ".join(
+        "(" + " AND ".join(f"a.g{b * rows + r} = b.g{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.g{i} = b.g{i} THEN 1 ELSE 0 END" for i in range(n_hashes)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(generate_series(1, len(ws) - 2),
+                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      FROM w
+    ),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ({matches}) * 1000000 // {n_hashes} AS est_e6
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE {band_conds}
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, c.est_e6, COUNT(*) AS cnt
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+      GROUP BY 1, 2, 3
+    )
+    SELECT i.doc_a, i.doc_b, i.est_e6,
+           i.cnt * 1000000 // (sa.n + sb.n - i.cnt) AS exact_e6,
+           i.est_e6 - i.cnt * 1000000 // (sa.n + sb.n - i.cnt) AS err_e6
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.doc_a
+    JOIN sz sb ON sb.doc_id = i.doc_b
+    """
+
+
+@query(
+    "doc_minhash_estimate_error",
+    category="documents",
+    oracle=_minhash_est_err_oracle(),
+)
+def doc_minhash_estimate_error(spark, sf_dir):
+    """The MinHash ESTIMATOR priced, not just its candidate recall: for
+    every banded candidate pair, the signature-agreement estimate
+    (matching components / 16, the unbiased Jaccard estimator) side by
+    side with the true Jaccard and the signed error — the table that
+    tells a deployment whether 16 hashes suffice for its threshold or
+    the verify stage must stay (at n=16 the estimator's stderr is
+    ~sqrt(J(1-J)/16) ≈ 0.1: visible in this table, and the reason
+    every production pipeline re-verifies exactly — the repo's
+    minhash_pairs_exact does). All-integer output (1e6 scale, integer
+    floor div); candidates from the same 8×2 banding as
+    doc_neardup_minhash_exact; both engines replay signatures,
+    banding, agreement counts, and exact intersections bit-for-bit."""
+    from ..operators.dedup import (
+        in_bucket_pairs,
+        minhash_signatures_md5,
+        shingle_index,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_md5(docs, n_hashes=16, k=3).persist()
+    rows = 2
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":", *[F.col(f"g{b * rows + r}").cast("string") for r in range(rows)]
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = in_bucket_pairs(
+        banded,
+        F.col("doc_id"),
+        lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"g{i}").alias(f"a{i}") for i in range(16)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"g{i}").alias(f"b{i}") for i in range(16)]
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "("
+                + " + ".join(
+                    f"CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END" for i in range(16)
+                )
+                + ") * 1000000 div 16"
+            ).alias("est_e6"),
+        )
+    )
+    idx = shingle_index(docs, k=3, hashed=True)
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ia, ib = idx.alias("ia"), idx.alias("ib")
+    inter = (
+        est.join(ia, F.col("doc_a") == F.col("ia.doc_id"))
+        .join(
+            ib,
+            (F.col("doc_b") == F.col("ib.doc_id"))
+            & (F.col("ia.shingle") == F.col("ib.shingle")),
+        )
+        .groupBy("doc_a", "doc_b", "est_e6")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_e6",
+            F.expr("cnt * 1000000 div (na + nb - cnt)").alias("exact_e6"),
+            F.expr("est_e6 - cnt * 1000000 div (na + nb - cnt)").alias("err_e6"),
+        )
+    )

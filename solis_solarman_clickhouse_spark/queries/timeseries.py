@@ -1873,3 +1873,68 @@ def ts_mann_kendall_trend(spark, sf_dir):
             4,
         ).alias("z"),
     )
+
+
+@query(
+    "ts_peak_detection",
+    category="timeseries",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS y,
+             LAG(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS yp,
+             LEAD(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS yn,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER wb
+               // COUNT(*) OVER wb AS base
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING)
+    )
+    SELECT user_id, event_id, ts, CAST(y AS DOUBLE) / 100.0 AS value,
+           CAST(y - base AS DOUBLE) / 100.0 AS prominence
+    FROM s
+    WHERE yp IS NOT NULL AND yn IS NOT NULL
+      AND y > yp AND y > yn AND y >= 2 * base
+    """,
+)
+def ts_peak_detection(spark, sf_dir):
+    """Local-peak detection with a prominence floor — the telemetry
+    primitive behind "when did this inverter actually peak" and alert
+    deduplication (raw threshold alerts fire on every sample of a
+    plateau; peak detection fires once): a sample is a peak iff it
+    strictly exceeds both neighbors AND reaches 2× its ±10-sample
+    rolling baseline. All comparisons run on integer cents — the
+    baseline is an integer FLOOR division of the rolling sum by the
+    rolling count (never a double AVG: Spark casts double→long by
+    truncation where DuckDB ROUNDS, the classic 0.01 divergence), so
+    the peak set and prominences are bit-stable integers.
+    Two window specs over the one user_id exchange."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wb = wo.rowsBetween(-10, 10)
+    y = F.round(F.col("value") * 100).cast("long")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        y.alias("y"),
+        F.lag(y).over(wo).alias("yp"),
+        F.lead(y).over(wo).alias("yn"),
+        (F.sum(y).over(wb) / F.count(F.lit(1)).over(wb)).cast("long").alias("base"),
+    )
+    return s.where(
+        F.col("yp").isNotNull()
+        & F.col("yn").isNotNull()
+        & (F.col("y") > F.col("yp"))
+        & (F.col("y") > F.col("yn"))
+        & (F.col("y") >= 2 * F.col("base"))
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("y").cast("double") / 100.0).alias("value"),
+        ((F.col("y") - F.col("base")).cast("double") / 100.0).alias("prominence"),
+    )
