@@ -2587,3 +2587,65 @@ def agg_gini_coefficient(spark, sf_dir):
             4,
         ).alias("gini"),
     )
+
+
+@query(
+    "agg_lorenz_deciles",
+    category="aggregate",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x, NTILE(10) OVER (ORDER BY x, o_custkey) AS decile
+      FROM spend
+    ),
+    d AS (
+      SELECT decile, SUM(x) AS dx, COUNT(*) AS nc FROM ranked GROUP BY decile
+    ),
+    c AS (
+      SELECT decile, nc, dx,
+             SUM(dx) OVER (ORDER BY decile) AS cum,
+             SUM(dx) OVER () AS tot
+      FROM d
+    )
+    SELECT decile, nc AS n_customers,
+           dx * 1000000 // tot AS share_e6,
+           cum * 1000000 // tot AS cum_share_e6
+    FROM c ORDER BY decile
+    """,
+)
+def agg_lorenz_deciles(spark, sf_dir):
+    """Lorenz curve by spend decile — the visual companion to
+    agg_gini_coefficient ("the bottom half of customers hold X% of
+    revenue"): customers ntile'd into 10 ascending-spend buckets (the
+    unique (x, custkey) order pins bucket membership on both engines),
+    per-decile and cumulative revenue shares as 1e6 integers from
+    exact BIGINT cent sums. One rank window + one tiny 10-row
+    cumulative window."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    ranked = spend.select(
+        "x", F.ntile(10).over(W.orderBy("x", "o_custkey")).alias("decile")
+    )
+    d = ranked.groupBy("decile").agg(
+        F.sum("x").alias("dx"), F.count(F.lit(1)).alias("nc")
+    )
+    c = d.select(
+        "decile",
+        "nc",
+        "dx",
+        F.sum("dx").over(W.orderBy("decile")).alias("cum"),
+        F.sum("dx").over(W.partitionBy()).alias("tot"),
+    )
+    return c.select(
+        "decile",
+        F.col("nc").alias("n_customers"),
+        F.expr("dx * 1000000 div tot").alias("share_e6"),
+        F.expr("cum * 1000000 div tot").alias("cum_share_e6"),
+    ).orderBy("decile")
