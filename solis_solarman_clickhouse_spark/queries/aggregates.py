@@ -2649,3 +2649,62 @@ def agg_lorenz_deciles(spark, sf_dir):
         F.expr("dx * 1000000 div tot").alias("share_e6"),
         F.expr("cum * 1000000 div tot").alias("cum_share_e6"),
     ).orderBy("decile")
+
+
+@query(
+    "agg_hhi_concentration",
+    category="aggregate",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey
+    ),
+    seg AS (
+      SELECT c_mktsegment,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             COUNT(*) AS n_customers
+      FROM spend GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n_customers,
+           CAST((sxx * 1000000 - (sxx * 1000000) % (sx * sx)) / (sx * sx)
+                AS BIGINT) AS hhi_e6
+    FROM seg ORDER BY c_mktsegment
+    """,
+)
+def agg_hhi_concentration(spark, sf_dir):
+    """Herfindahl–Hirschman concentration index per market segment —
+    Σ shareᵢ² — the antitrust/portfolio-concentration cousin of
+    agg_gini_coefficient (Gini measures inequality of the whole
+    distribution; HHI is dominated by the largest players, which is
+    what "is this segment monopolized by two customers" asks). The
+    identity Σ(xᵢ/Σx)² = Σxᵢ²/(Σx)² keeps everything in exact
+    DECIMAL(38,0) integer arithmetic (Σxᵢ² at sf0.1 cents overflows
+    BIGINT — the agg_regr_ols decimal-moments discipline) with the final
+    floor division done via the exact identity (a − a%b)/b on decimals
+    (plain decimal division ROUNDS at engine-specific scales — measured
+    an off-by-one between engines); no per-row share floats ever exist.
+    Two map-side-combinable aggregates, broadcast dim join."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    spend = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    )
+    seg = spend.groupBy("c_mktsegment").agg(
+        F.sum((F.col("x") * F.col("x")).cast(T.DecimalType(38, 0))).alias("sxx"),
+        F.sum(F.col("x").cast(T.DecimalType(38, 0))).alias("sx"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    return seg.select(
+        "c_mktsegment",
+        "n_customers",
+        F.expr(
+            "CAST((sxx * 1000000 - (sxx * 1000000) % (sx * sx))"
+            " / (sx * sx) AS BIGINT)"
+        ).alias("hhi_e6"),
+    ).orderBy("c_mktsegment")
