@@ -105,7 +105,7 @@ _PRIORITY = [
     "vec_ivf_nprobe_sweep", "vec_hard_negative_mining",
     "ts_mann_kendall_trend", "agg_benford_deviation", "vec_semdedup_recall",
     "ts_peak_detection", "agg_gini_coefficient", "doc_minhash_estimate_error",
-    "agg_lorenz_deciles", "agg_hhi_concentration",
+    "agg_lorenz_deciles", "agg_hhi_concentration", "doc_ngram_novelty",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

@@ -3283,3 +3283,61 @@ def doc_minhash_estimate_error(spark, sf_dir):
             F.expr("est_e6 - cnt * 1000000 div (na + nb - cnt)").alias("err_e6"),
         )
     )
+
+
+@query(
+    "doc_ngram_novelty",
+    category="documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(generate_series(1, len(ws) - 2),
+                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      FROM w
+    ),
+    df AS (SELECT s, COUNT(*) AS d FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS n_novel,
+           SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+             AS novelty_e6
+    FROM sh JOIN df ON df.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+)
+def doc_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram NOVELTY — the fraction of a doc's distinct
+    3-gram shingles that appear NOWHERE else in the corpus: the
+    memorization/duplication diagnostic from the other direction than
+    the dedup family (dedup asks "who shares my content"; novelty asks
+    "how much of me is mine alone" — low-novelty docs are stitched
+    from corpus boilerplate even when no single pair crosses a
+    near-dup threshold, and a training-data audit tracks the corpus
+    novelty distribution across curation rounds). Shingle document
+    frequencies are one map-side-combinable count over the same
+    inverted index every dedup tier uses; the per-doc score is an
+    integer 1e6 ratio of exact counts. Two shuffles (shingle df,
+    doc_id regroup) — linear at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    from ..operators.dedup import shingle_index
+
+    sh = shingle_index(docs, k=3, hashed=False)
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("n_novel * 1000000 div n_shingles").alias("novelty_e6"),
+        )
+    )
