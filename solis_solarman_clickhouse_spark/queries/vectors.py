@@ -2385,3 +2385,139 @@ def vec_semdedup_recall(spark, sf_dir):
             ).alias("drop_recall_e6"),
         )
     )
+
+
+def _mmr_oracle(k: int = 5, lam: float = 0.7) -> str:
+    """Replay the greedy MMR unroll: pick_j selected by rank-1 of
+    lam*sim(q,d) - (1-lam)*max(sim(d, pick_1..j-1))."""
+    cos = (
+        "list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    parts = [f"""
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qv FROM emb WHERE vec_id < 10),
+cand AS (
+  SELECT q.query_id, q.qv, m.vec_id, m.e,
+         {cos.format(a="q.qv", b="m.e")} AS qsim
+  FROM q JOIN emb m ON m.vec_id <> q.query_id
+),
+pick1 AS (
+  SELECT query_id, vec_id, e, qsim, 1 AS step FROM (
+    SELECT query_id, vec_id, e, qsim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY qsim DESC, vec_id ASC) AS rn
+    FROM cand) WHERE rn = 1
+)"""]
+    for j in range(2, k + 1):
+        prev = ", ".join(f"pick{i}" for i in range(1, j))
+        penalty = ", ".join(
+            f"(SELECT {cos.format(a='c.e', b='p.e')} FROM pick{i} p"
+            f" WHERE p.query_id = c.query_id)"
+            for i in range(1, j)
+        )
+        parts.append(f"""
+pick{j} AS (
+  SELECT query_id, vec_id, e, qsim, {j} AS step FROM (
+    SELECT c.query_id, c.vec_id, c.e, c.qsim,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+                              ORDER BY {lam!r} * c.qsim
+                                - {1 - lam!r} * GREATEST({penalty}) DESC,
+                              c.vec_id ASC) AS rn
+    FROM cand c
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM pick{j - 1}
+                           WHERE query_id = c.query_id)
+      AND NOT EXISTS (SELECT 1 FROM ({" UNION ALL ".join(
+          f"SELECT query_id, vec_id FROM pick{i}" for i in range(1, j))}) pp
+          WHERE pp.query_id = c.query_id AND pp.vec_id = c.vec_id))
+  WHERE rn = 1
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT query_id, step, vec_id, ROUND(qsim, 4) AS qsim FROM pick{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",".join(parts) + f"\n{union}"
+
+
+@query("vec_mmr_diversified_topk", category="vectors", oracle=_mmr_oracle())
+def vec_mmr_diversified_topk(spark, sf_dir):
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+    diversified-retrieval selector RAG pipelines use to stop five
+    near-identical passages filling the context window: greedily pick
+    5 results per query maximizing λ·sim(query, d) − (1−λ)·max
+    sim(d, already-picked), λ=0.7. The greedy recursion is a FIXED
+    UNROLL of 5 rounds in one lazy DAG (the graph_pagerank/k-means
+    pattern applied to retrieval): each round joins the candidate set
+    against the ≤4-row-per-query picked set (broadcast), computes the
+    diversity penalty as a GREATEST over explicit per-pick cosines,
+    and takes rank-1 with (score DESC, vec_id) determinism. All
+    cosines are sequential zip_with folds — bit-equal to the oracle,
+    which replays all five rounds via chained CTEs. At 100 TB the
+    candidate set is the output of an ANN tier (top-100 from IVF/LSH),
+    making each round a broadcast join over a bounded shortlist —
+    which is exactly how production MMR re-rankers run."""
+    from pyspark.sql import Window as W
+    from ..operators.similarity import _dot, _norm
+
+    lam = 0.7
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qv")
+    )
+    cand = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "e",
+            (_dot(F.col("qv"), F.col("e")) / (_norm(F.col("qv")) * _norm(F.col("e")))).alias(
+                "qsim"
+            ),
+        )
+        .persist()
+    )
+    w1 = W.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("vec_id").asc())
+    picked = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select("query_id", "vec_id", "e", "qsim", F.lit(1).alias("step"))
+    )
+    all_picked = picked
+    for j in range(2, 6):
+        pk = all_picked.select(
+            "query_id",
+            F.col("vec_id").alias("pid"),
+            F.col("e").alias("pe"),
+        )
+        pen = (
+            cand.join(all_picked.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti")
+            .join(F.broadcast(pk), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                "e",
+                "qsim",
+                (_dot(F.col("e"), F.col("pe")) / (_norm(F.col("e")) * _norm(F.col("pe")))).alias(
+                    "psim"
+                ),
+            )
+            .groupBy("query_id", "vec_id", "e", "qsim")
+            .agg(F.max("psim").alias("penalty"))
+        )
+        wj = W.partitionBy("query_id").orderBy(
+            (F.lit(lam) * F.col("qsim") - F.lit(1 - lam) * F.col("penalty")).desc(),
+            F.col("vec_id").asc(),
+        )
+        nxt = (
+            pen.withColumn("rn", F.row_number().over(wj))
+            .where(F.col("rn") == 1)
+            .select("query_id", "vec_id", "e", "qsim", F.lit(j).alias("step"))
+        )
+        all_picked = all_picked.unionAll(nxt)
+    return all_picked.select(
+        "query_id", "step", "vec_id", F.round("qsim", 4).alias("qsim")
+    )
