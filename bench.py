@@ -102,7 +102,6 @@ HEADLINE = [
     "vec_kmeans_lloyd",
     "vec_ivf_nprobe_sweep",
     "ts_peak_detection",
-    "doc_weighted_jaccard_pairs",
     "ts_spectral_dominant_period",
 ]
 

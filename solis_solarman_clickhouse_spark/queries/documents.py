@@ -3102,10 +3102,19 @@ def doc_weighted_jaccard_pairs(spark, sf_dir):
     repeats; multiset semantics count them). Identity Σmax = |A|+|B|−Σmin
     keeps the denominator join-free beyond the two doc-total lookups.
     Same inverted-index discipline as the whole dedup family: candidate
-    pairs exist only where a token collides (never all-pairs), the tf
-    table is one map-side-combinable count, and the ≥0.8 cut is integer
+    pairs exist only where a token collides, the tf table is one
+    map-side-combinable count, and the ≥0.8 cut is integer
     cross-multiplication with a 1e6-scale integer score — no float
-    ratios anywhere, EXACT on both engines."""
+    ratios anywhere, EXACT on both engines. SCALE BOUNDARY (measured):
+    the inverted-index join presumes a natural vocabulary where
+    document frequency caps bound fan-out; on this fixture's DEGENERATE
+    31-word vocab every token is maximally hot (Σdf² ≈ 4.5e8 at the
+    5000-doc sf0.1), measured ~2 min — so the sf0.1 bench omits this
+    row. The production shape for bounded vocabularies is different by
+    design: pivot docs to fixed-width tf VECTORS and reuse the vec_
+    family's LSH/banded search (Σmin/Σmax is an L1-geometry kernel:
+    Σmin = (Σa+Σb−‖a−b‖₁)/2); this query remains the exact audit at
+    correctness scale."""
     docs = table(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
