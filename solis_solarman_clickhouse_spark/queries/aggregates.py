@@ -2708,3 +2708,58 @@ def agg_hhi_concentration(spark, sf_dir):
             " / (sx * sx) AS BIGINT)"
         ).alias("hhi_e6"),
     ).orderBy("c_mktsegment")
+
+
+@query(
+    "agg_pareto_point",
+    category="aggregate",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x,
+             ROW_NUMBER() OVER (ORDER BY x DESC, o_custkey) AS i,
+             SUM(x) OVER (ORDER BY x DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(x) OVER () AS tot,
+             COUNT(*) OVER () AS n
+      FROM spend
+    )
+    SELECT MIN(i) AS top_customers,
+           MAX(n) AS n_customers,
+           MIN(i) * 1000000 // MAX(n) AS top_frac_e6
+    FROM ranked WHERE cum * 5 >= tot * 4
+    """,
+)
+def agg_pareto_point(spark, sf_dir):
+    """The Pareto point, answered directly: the SMALLEST count of
+    top-spending customers whose cumulative revenue reaches 80% of the
+    total ("do 20% of customers drive 80% of revenue" as a number, not
+    a curve — the executive summary of agg_lorenz_deciles). One
+    descending-rank window with a running cumulative sum (exact BIGINT
+    cents, unique (x, custkey) order), the 80% cut as integer
+    cross-multiplication 5·cum ≥ 4·tot, and MIN(i) over qualifying
+    ranks — all integer-exact. On the uniform-ish synthetic spend the
+    answer lands near 70% (no Pareto concentration), which is the
+    diagnostic working: real purchase data shows 20-30%."""
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    wd = W.orderBy(F.col("x").desc(), F.col("o_custkey"))
+    ranked = spend.select(
+        "x",
+        F.row_number().over(wd).alias("i"),
+        F.sum("x").over(wd.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+        F.sum("x").over(W.partitionBy()).alias("tot"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    return ranked.where(F.col("cum") * 5 >= F.col("tot") * 4).agg(
+        F.min("i").alias("top_customers"),
+        F.max("n").alias("n_customers"),
+        F.expr("min(i) * 1000000 div max(n)").alias("top_frac_e6"),
+    )
