@@ -106,7 +106,7 @@ _PRIORITY = [
     "ts_mann_kendall_trend", "agg_benford_deviation", "vec_semdedup_recall",
     "ts_peak_detection", "agg_gini_coefficient", "doc_minhash_estimate_error",
     "agg_lorenz_deciles", "agg_hhi_concentration", "doc_ngram_novelty",
-    "vec_mmr_diversified_topk", "agg_pareto_point",
+    "vec_mmr_diversified_topk", "agg_pareto_point", "ts_acf_correlogram",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

@@ -1938,3 +1938,87 @@ def ts_peak_detection(spark, sf_dir):
         (F.col("y").cast("double") / 100.0).alias("value"),
         ((F.col("y") - F.col("base")).cast("double") / 100.0).alias("prominence"),
     )
+
+
+@query(
+    "ts_acf_correlogram",
+    category="timeseries",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    pairs AS (
+      SELECT a.user_id, l.lag, a.y AS ya, b.y AS yb
+      FROM s a
+      CROSS JOIN (SELECT UNNEST(generate_series(1, 5)) AS lag) l
+      JOIN s b ON b.user_id = a.user_id AND b.rn = a.rn + l.lag
+    ),
+    m AS (
+      SELECT user_id, lag, COUNT(*) AS n,
+             CAST(SUM(CAST(ya AS DECIMAL(38,0))) AS DOUBLE) AS sa,
+             CAST(SUM(CAST(yb AS DECIMAL(38,0))) AS DOUBLE) AS sb,
+             CAST(SUM(CAST(ya * yb AS DECIMAL(38,0))) AS DOUBLE) AS sab,
+             CAST(SUM(CAST(ya * ya AS DECIMAL(38,0))) AS DOUBLE) AS saa,
+             CAST(SUM(CAST(yb * yb AS DECIMAL(38,0))) AS DOUBLE) AS sbb
+      FROM pairs GROUP BY user_id, lag
+    )
+    SELECT user_id, lag, n,
+           ROUND((n * sab - sa * sb)
+                 / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 4) AS acf
+    FROM m WHERE n >= 3
+    """,
+)
+def ts_acf_correlogram(spark, sf_dir):
+    """The autocorrelation CORRELOGRAM — Pearson r at lags 1-5 per user
+    in one result table (ts_autocorr_lag1 gives the single headline
+    number; model selection reads the whole decay shape: AR signatures
+    decay geometrically, MA cut off sharply, seasonality re-peaks at
+    its period — the Box-Jenkins identification step). Lagged pairs
+    come from ONE row-number self-join fanned across a broadcast 5-row
+    lag grid; all five moment sets accumulate exactly in DECIMAL(38,0)
+    from integer cents (the agg_regr_ols discipline), so the r
+    arithmetic runs on identical doubles on both engines. One window
+    + one join + one grouped aggregate — the lag grid multiplies rows
+    5×, all map-side combinable."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    lags = spark.range(1, 6).select(F.col("id").cast("int").alias("lag"))
+    a = s.crossJoin(F.broadcast(lags)).select(
+        "user_id", "lag", (F.col("rn") + F.col("lag")).alias("rnb"), F.col("y").alias("ya")
+    )
+    b = s.select("user_id", F.col("rn").alias("rnb"), F.col("y").alias("yb"))
+    pairs = a.join(b, ["user_id", "rnb"])
+    dec = lambda c: F.sum(c.cast(T.DecimalType(38, 0))).cast("double")
+    m = pairs.groupBy("user_id", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.col("ya")).alias("sa"),
+        dec(F.col("yb")).alias("sb"),
+        dec(F.col("ya") * F.col("yb")).alias("sab"),
+        dec(F.col("ya") * F.col("ya")).alias("saa"),
+        dec(F.col("yb") * F.col("yb")).alias("sbb"),
+    )
+    return m.where(F.col("n") >= 3).select(
+        "user_id",
+        "lag",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+            / F.sqrt(
+                (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+                * (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+            ),
+            4,
+        ).alias("acf"),
+    )

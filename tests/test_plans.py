@@ -628,3 +628,32 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "dynamicpruning" in pf[0], plan
     assert joined.count() > 0
+
+
+def test_nested_struct_schema_pruning(spark, tmp_path):
+    """Nested-field schema pruning: selecting one leaf of a struct column
+    must reach the parquet reader as a PRUNED nested ReadSchema (only
+    that leaf), not the whole struct — on a 100 TB table whose metadata
+    struct carries wide payloads, reading `meta.lang` must not drag
+    `meta.blob` off disk. Spark's nestedSchemaPruning is on by default;
+    this pins it."""
+    d = str(tmp_path / "nested")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    (
+        ev.select(
+            "event_id",
+            F.struct(
+                F.col("event_type").alias("etype"),
+                F.col("value").alias("payload"),
+                F.col("user_id").alias("uid"),
+            ).alias("meta"),
+        )
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    q = spark.read.parquet(d).select("event_id", F.col("meta.etype"))
+    plan = _formatted(q)
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "etype" in rs, rs
+    assert "payload" not in rs and "uid" not in rs, rs
+    assert q.count() > 0
