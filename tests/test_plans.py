@@ -657,3 +657,37 @@ def test_nested_struct_schema_pruning(spark, tmp_path):
     assert "etype" in rs, rs
     assert "payload" not in rs and "uid" not in rs, rs
     assert q.count() > 0
+
+
+def test_bucket_pruning_on_bucketed_table(spark, tmp_path):
+    """Bucket pruning: an equality filter on the bucketing key must scan
+    ONE bucket, not all of them — the plan's SelectedBucketsCount shows
+    the reader skipping whole buckets by hashing the literal. The third
+    data-skipping tier next to partition pruning (directories) and
+    min/max-or-bloom (row groups): at 100 TB a point lookup on a
+    bucketed fact touches 1/N of the files with zero index structures."""
+    spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    (
+        ev.write.mode("overwrite")
+        .bucketBy(8, "user_id")
+        .option("path", str(tmp_path / "ev_bucketed"))
+        .format("parquet")
+        .saveAsTable("ev_bucketed")
+    )
+    some_uid = ev.select("user_id").first()[0]
+    # autoBucketedScan turns bucketed reading off when no join/agg wants
+    # the distribution — but bucket FILTER pruning needs the bucketed
+    # scan, so pin it on for the probe (restore after)
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        q = spark.table("ev_bucketed").where(F.col("user_id") == some_uid)
+        plan = _formatted(q)
+        sel = [l for l in plan.splitlines() if "SelectedBucketsCount" in l]
+        assert sel and "1 out of 8" in sel[0], plan
+        assert q.count() > 0
+    finally:
+        spark.conf.set(key, prev)
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed")
