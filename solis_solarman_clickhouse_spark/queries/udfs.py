@@ -173,3 +173,53 @@ def udf_arrow_python(spark, sf_dir):
         "event_id",
         clamp(F.col("value"), (F.col("user_id") % 7).cast("double")).alias("clamped_pct"),
     )
+
+
+@query(
+    "udtf_analyze_polymorphic",
+    category="udf",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS col_0,
+           string_split(text, ' ')[2] AS col_1,
+           string_split(text, ' ')[3] AS col_2
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def udtf_analyze_polymorphic(spark, sf_dir):
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the output
+    schema is computed at PLAN time from the call's literal arguments —
+    here first_k(text, 3) decides at analysis that it returns columns
+    col_0..col_2 — the mechanism behind schema-flexible table functions
+    (read_files-style sources, unpivot-by-name helpers) that a static
+    returnType cannot express. The eval body pads/truncates to the
+    analyzed width so the runtime schema always matches the planned
+    one. Bounded 50-doc slice like udtf_split_tokens: this covers the
+    API surface; the JVM-side equivalent of THIS call shape is a plain
+    split+getItem projection, which the oracle uses."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import StringType, StructType
+
+    @udtf
+    class FirstK:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            n = int(k.value)
+            st = StructType()
+            for i in range(n):
+                st = st.add(f"col_{i}", StringType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text: str, k: int):
+            toks = text.split(" ")[:k]
+            toks += [None] * (k - len(toks))
+            yield tuple(toks)
+
+    spark.udtf.register("first_k", FirstK)
+    table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("_udtf_poly_docs")
+    return spark.sql(
+        "SELECT doc_id, s.* FROM _udtf_poly_docs, LATERAL first_k(text, 3) s"
+    )
