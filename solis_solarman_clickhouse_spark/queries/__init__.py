@@ -107,7 +107,8 @@ _PRIORITY = [
     "ts_peak_detection", "agg_gini_coefficient", "doc_minhash_estimate_error",
     "agg_lorenz_deciles", "agg_hhi_concentration", "doc_ngram_novelty",
     "vec_mmr_diversified_topk", "agg_pareto_point", "ts_acf_correlogram",
-    "udtf_analyze_polymorphic",
+    "udtf_analyze_polymorphic", "ch_weighted_quantiles",
+    "vec_embedding_drift",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

@@ -2763,3 +2763,74 @@ def agg_pareto_point(spark, sf_dir):
         F.max("n").alias("n_customers"),
         F.expr("min(i) * 1000000 div max(n)").alias("top_frac_e6"),
     )
+
+
+@query(
+    "ch_weighted_quantiles",
+    category="aggregate",
+    oracle="""
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(n_chars) OVER (PARTITION BY source) AS tot
+      FROM documents
+    ),
+    qs AS (
+      SELECT c.source, q.q_pct, c.doc_id, c.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.source, q.q_pct
+                                ORDER BY c.n_chars, c.doc_id) AS rk
+      FROM c CROSS JOIN (SELECT UNNEST([25, 50, 75, 90]) AS q_pct) q
+      WHERE 100 * c.cum >= q.q_pct * c.tot
+    )
+    SELECT source, q_pct, n_chars AS q_len, doc_id AS q_doc
+    FROM qs WHERE rk = 1
+    ORDER BY source, q_pct
+    """,
+)
+def ch_weighted_quantiles(spark, sf_dir):
+    """ClickHouse plural ``quantilesExactWeighted(0.25, 0.5, 0.75, 0.9)``
+    — the full weighted-quantile set from ONE cumulative-sum pass
+    (agg_weighted_median generalized): the doc holding each source's
+    25th/50th/75th/90th cumulative-BYTE percentile, with the quantile
+    cut as pure integer cross-multiplication 100·cum ≥ q·tot. The
+    4-quantile grid fans out over the already-computed cumsum rows
+    (broadcast 4-row cross join + one rank window per (source, q)) —
+    the plural-combinator point: N quantiles never re-sort the data."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    wcum = (
+        W.partitionBy("source")
+        .orderBy("n_chars", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("source")
+    c = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(wcum).alias("cum"),
+        F.sum("n_chars").over(wall).alias("tot"),
+    )
+    qgrid = spark.range(0).sparkSession.createDataFrame(
+        [(25,), (50,), (75,), (90,)], ["q_pct"]
+    )
+    qs = (
+        c.crossJoin(F.broadcast(qgrid))
+        .where(100 * F.col("cum") >= F.col("q_pct") * F.col("tot"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("source", "q_pct").orderBy("n_chars", "doc_id")
+            ),
+        )
+        .where(F.col("rk") == 1)
+    )
+    return qs.select(
+        "source",
+        "q_pct",
+        F.col("n_chars").alias("q_len"),
+        F.col("doc_id").alias("q_doc"),
+    ).orderBy("source", "q_pct")

@@ -2521,3 +2521,80 @@ def vec_mmr_diversified_topk(spark, sf_dir):
     return all_picked.select(
         "query_id", "step", "vec_id", F.round("qsim", 4).alias("qsim")
     )
+
+
+_DRIFT_ORACLE = """
+WITH emb AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS win
+  FROM embeddings
+),
+cent AS (
+  SELECT win, label, i AS dim,
+         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mv
+  FROM (SELECT win, label, UNNEST(generate_series(1, 64)) AS i,
+               UNNEST(e) AS v FROM emb)
+  GROUP BY win, label, i
+),
+paired AS (
+  SELECT r.label, r.dim, r.mv AS rv, c.mv AS cv
+  FROM cent r JOIN cent c
+    ON c.label = r.label AND c.dim = r.dim AND r.win = 'ref' AND c.win = 'cur'
+)
+SELECT label,
+       ROUND(sqrt(list_reduce(
+         list(( rv - cv ) * ( rv - cv ) ORDER BY dim), (x, y) -> x + y)), 4)
+         AS centroid_shift
+FROM paired GROUP BY label ORDER BY label
+"""
+
+
+@query("vec_embedding_drift", category="vectors", oracle=_DRIFT_ORACLE)
+def vec_embedding_drift(spark, sf_dir):
+    """Embedding DRIFT monitor — the production-ML health check for a
+    vector pipeline: split the corpus into a reference and a current
+    window (vec_id parity as the deterministic stand-in for
+    yesterday/today), compute per-label centroids in each, and report
+    the per-label centroid L2 shift — the number a retraining trigger
+    watches (encoder updates, upstream text drift, and feature rot all
+    surface here before recall metrics move). Centroids use exact
+    DECIMAL per-dim means (the vec_kmeans_lloyd update discipline);
+    the shift is an ORDER-PINNED sum of squared differences (collected
+    in dim order on both engines) under one sqrt, rounded at 4 dp.
+    Two groupBy passes + a 64-row-per-label self-join — trivially
+    incremental at 100 TB (centroid state is mergeable sums)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+        F.when(F.col("vec_id") % 2 == 0, "ref").otherwise("cur").alias("win"),
+    )
+    cent = (
+        emb.select("win", "label", F.posexplode("e").alias("d0", "v"))
+        .groupBy("win", "label", (F.col("d0") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mv")
+        )
+    )
+    r = cent.where(F.col("win") == "ref").select(
+        "label", "dim", F.col("mv").alias("rv")
+    )
+    c = cent.where(F.col("win") == "cur").select(
+        "label", "dim", F.col("mv").alias("cv")
+    )
+    paired = r.join(c, ["label", "dim"]).select(
+        "label", "dim", ((F.col("rv") - F.col("cv")) * (F.col("rv") - F.col("cv"))).alias("sq")
+    )
+    return (
+        paired.groupBy("label")
+        .agg(
+            F.expr(
+                "round(sqrt(aggregate(transform(array_sort(collect_list("
+                "struct(dim, sq))), x -> x.sq), 0D, (a, v) -> a + v)), 4)"
+            ).alias("centroid_shift")
+        )
+        .orderBy("label")
+    )
