@@ -108,7 +108,7 @@ _PRIORITY = [
     "agg_lorenz_deciles", "agg_hhi_concentration", "doc_ngram_novelty",
     "vec_mmr_diversified_topk", "agg_pareto_point", "ts_acf_correlogram",
     "udtf_analyze_polymorphic", "ch_weighted_quantiles",
-    "vec_embedding_drift",
+    "vec_embedding_drift", "doc_max_coverage_selection",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

@@ -3350,3 +3350,94 @@ def doc_ngram_novelty(spark, sf_dir):
             F.expr("n_novel * 1000000 div n_shingles").alias("novelty_e6"),
         )
     )
+
+
+def _max_cov_oracle(k: int = 5) -> str:
+    """Greedy max-coverage replay: pick_j = doc covering the most
+    corpus shingles not covered by pick_1..j-1 (ties -> lower doc_id)."""
+    parts = ["""
+w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(generate_series(1, len(ws) - 2),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM w
+),
+pick1 AS (
+  SELECT doc_id, 1 AS step, gain FROM (
+    SELECT doc_id, COUNT(*) AS gain,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, doc_id) AS rn
+    FROM sh GROUP BY doc_id) WHERE rn = 1
+)"""]
+    for j in range(2, k + 1):
+        picked_union = " UNION ALL ".join(
+            f"SELECT doc_id FROM pick{i}" for i in range(1, j)
+        )
+        parts.append(f"""
+cov{j} AS (
+  SELECT DISTINCT s FROM sh
+  WHERE doc_id IN ({picked_union})
+),
+pick{j} AS (
+  SELECT doc_id, {j} AS step, gain FROM (
+    SELECT t.doc_id, COUNT(*) AS gain,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t.doc_id) AS rn
+    FROM sh t
+    WHERE t.doc_id NOT IN ({picked_union})
+      AND NOT EXISTS (SELECT 1 FROM cov{j} c WHERE c.s = t.s)
+    GROUP BY t.doc_id) WHERE rn = 1
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT step, doc_id, gain FROM pick{i}" for i in range(1, k + 1)
+    )
+    return "WITH " + ",".join(parts) + f"\n{union}"
+
+
+@query("doc_max_coverage_selection", category="documents", oracle=_max_cov_oracle())
+def doc_max_coverage_selection(spark, sf_dir):
+    """Submodular MAX-COVERAGE corpus selection (the facility-location
+    greedy of DsDm/Dolma-style data curation, and the (1−1/e)-optimal
+    classic): pick 5 documents that together cover the most distinct
+    corpus 3-gram shingles — the "smallest set that represents the
+    corpus" primitive behind budgeted fine-tuning-set selection and
+    eval-set construction, where MMR-style pairwise diversity
+    (vec_mmr_diversified_topk) under-covers because it never reasons
+    about what's already covered. Greedy is a FIXED 5-round unroll:
+    each round anti-joins the covered-shingle set (left_anti on the
+    growing picked union), counts each remaining doc's MARGINAL gain,
+    and takes rank-1 with lowest-id ties. The covered set is carried as
+    a DataFrame, not a collected literal — at 100 TB it is a bloom-or-
+    exact semi-join side exactly like doc_benchmark_decontamination's
+    broadcast shingle set. Oracle replays all five rounds via chained
+    CTEs; counts are integers throughout."""
+    from pyspark.sql import Window as W
+    from ..operators.dedup import shingle_index
+
+    sh = shingle_index(table(spark, sf_dir, "documents"), k=3, hashed=False).persist()
+    picked = None
+    covered = None
+    out = None
+    for j in range(1, 6):
+        remaining = sh if picked is None else sh.join(picked, "doc_id", "left_anti")
+        uncovered = (
+            remaining
+            if covered is None
+            else remaining.join(covered, "shingle", "left_anti")
+        )
+        gains = uncovered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("gain"))
+        top = (
+            gains.withColumn(
+                "rn",
+                F.row_number().over(W.orderBy(F.col("gain").desc(), F.col("doc_id"))),
+            )
+            .where(F.col("rn") == 1)
+            .select("doc_id", F.lit(j).alias("step"), "gain")
+        )
+        out = top if out is None else out.unionAll(top)
+        newly = sh.join(top.select("doc_id"), "doc_id").select("shingle").distinct()
+        covered = newly if covered is None else covered.unionAll(newly).distinct()
+        picked = out.select("doc_id")
+    return out.select("step", "doc_id", "gain")
