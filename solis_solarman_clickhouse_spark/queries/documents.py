@@ -3441,3 +3441,86 @@ def doc_max_coverage_selection(spark, sf_dir):
         covered = newly if covered is None else covered.unionAll(newly).distinct()
         picked = out.select("doc_id")
     return out.select("step", "doc_id", "gain")
+
+
+@query(
+    "doc_class_log_odds_terms",
+    category="documents",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    cw AS (SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY lang, w),
+    lt AS (SELECT lang, SUM(c) AS nl FROM cw GROUP BY lang),
+    wt AS (SELECT w, SUM(c) AS cw_all FROM cw GROUP BY w),
+    tot AS (SELECT SUM(c) AS n FROM cw),
+    scored AS (
+      SELECT cw.lang, cw.w,
+             CAST(ROUND((
+               ln((cw.c + 0.01 * wt.cw_all)
+                  / (lt.nl + 0.01 * tot.n - cw.c - 0.01 * wt.cw_all))
+               - ln((wt.cw_all - cw.c + 0.01 * wt.cw_all)
+                    / (tot.n - lt.nl + 0.01 * tot.n
+                       - (wt.cw_all - cw.c) - 0.01 * wt.cw_all))
+             ) / sqrt(1.0 / (cw.c + 0.01 * wt.cw_all)
+                      + 1.0 / (wt.cw_all - cw.c + 0.01 * wt.cw_all))
+             * 100000000) AS BIGINT) AS z8
+      FROM cw
+      JOIN lt ON lt.lang = cw.lang
+      JOIN wt ON wt.w = cw.w
+      CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT lang, w, z8,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY z8 DESC, w) AS rn
+      FROM scored
+    )
+    SELECT lang, rn AS rank, w AS term, z8
+    FROM ranked WHERE rn <= 5 ORDER BY lang, rn
+    """,
+)
+def doc_class_log_odds_terms(spark, sf_dir):
+    """Class-distinguishing terms by log-odds with an informative
+    Dirichlet prior (Monroe, Colaresi & Quinn 2008 "Fightin' Words") —
+    the text-analytics standard for "which words characterize each
+    class", robust where raw tf-idf over-ranks rare noise: each
+    (lang, word)'s log-odds-ratio against the rest of the corpus is
+    shrunk by a prior proportional to the word's corpus frequency
+    (alpha = 0.01·corpus count) and standardized by its estimated
+    variance; top-5 z-scored terms per language. All counts are exact
+    BIGINTs; the z statistic is computed on identical doubles from
+    identical integers and quantized to a 1e8 BIGINT before ranking,
+    so the per-class top-5 is integer-deterministic (ties → lexical).
+    Three mergeable count aggregates + broadcast joins — the
+    doc_naive_bayes_langid dataflow with a different statistic."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+    cw = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    lt = cw.groupBy("lang").agg(F.sum("c").alias("nl"))
+    wt = cw.groupBy("w").agg(F.sum("c").alias("cw_all"))
+    tot = cw.agg(F.sum("c").alias("n"))
+    a = F.col("c") + 0.01 * F.col("cw_all")
+    b = F.col("nl") + 0.01 * F.col("n") - F.col("c") - 0.01 * F.col("cw_all")
+    a2 = F.col("cw_all") - F.col("c") + 0.01 * F.col("cw_all")
+    b2 = (
+        F.col("n")
+        - F.col("nl")
+        + 0.01 * F.col("n")
+        - (F.col("cw_all") - F.col("c"))
+        - 0.01 * F.col("cw_all")
+    )
+    z = (F.log(a / b) - F.log(a2 / b2)) / F.sqrt(1.0 / a + 1.0 / a2)
+    scored = (
+        cw.join(F.broadcast(lt), "lang")
+        .join(wt, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("lang", "w", F.round(z * 100000000).cast("long").alias("z8"))
+    )
+    ranked = scored.withColumn(
+        "rn", F.row_number().over(W.partitionBy("lang").orderBy(F.col("z8").desc(), "w"))
+    )
+    return ranked.where(F.col("rn") <= 5).select(
+        "lang", F.col("rn").alias("rank"), F.col("w").alias("term"), "z8"
+    ).orderBy("lang", "rank")
