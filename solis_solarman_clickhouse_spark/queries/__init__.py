@@ -109,7 +109,7 @@ _PRIORITY = [
     "vec_mmr_diversified_topk", "agg_pareto_point", "ts_acf_correlogram",
     "udtf_analyze_polymorphic", "ch_weighted_quantiles",
     "vec_embedding_drift", "doc_max_coverage_selection",
-    "doc_class_log_odds_terms",
+    "doc_class_log_odds_terms", "ts_survival_kaplan_meier",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

@@ -2022,3 +2022,126 @@ def ts_acf_correlogram(spark, sf_dir):
             4,
         ).alias("acf"),
     )
+
+
+@query(
+    "ts_survival_kaplan_meier",
+    category="timeseries",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 3600000000
+                  AS BIGINT) AS dur_h,
+             MAX(ts) AS last_ts
+      FROM events GROUP BY user_id
+    ),
+    mx AS (SELECT MAX(ts) AS corpus_max FROM events),
+    lab AS (
+      SELECT u.user_id, u.dur_h,
+             CASE WHEN epoch_us(mx.corpus_max) - epoch_us(u.last_ts)
+                       < 86400000000 THEN 1 ELSE 0 END AS censored
+      FROM u CROSS JOIN mx
+    ),
+    times AS (
+      SELECT dur_h AS t, COUNT(*) AS d
+      FROM lab WHERE censored = 0 GROUP BY dur_h
+    ),
+    risk AS (
+      SELECT t.t, t.d,
+             (SELECT COUNT(*) FROM lab WHERE dur_h >= t.t) AS n
+      FROM times t
+    ),
+    terms AS (
+      SELECT t, d, n,
+             CASE WHEN d < n
+                  THEN CAST(ROUND(ln(1.0 - d * 1.0 / n) * 100000000) AS BIGINT)
+                  ELSE NULL END AS lg8
+      FROM risk
+    ),
+    cum AS (
+      SELECT t, d, n,
+             SUM(lg8) OVER (ORDER BY t) AS c8,
+             MIN(CASE WHEN lg8 IS NULL THEN 0 ELSE 1 END)
+               OVER (ORDER BY t) AS alive
+      FROM terms
+    )
+    SELECT t AS duration_hours, d AS n_events, n AS n_at_risk,
+           CASE WHEN alive = 0 THEN 0.0
+                ELSE ROUND(exp(c8 / 100000000.0), 4) END AS survival
+    FROM cum ORDER BY t
+    """,
+)
+def ts_survival_kaplan_meier(spark, sf_dir):
+    """Kaplan–Meier survival curve with right-censoring — the retention
+    analysis that churn dashboards actually need (naive "average
+    lifetime" is biased by users who simply haven't churned YET): each
+    user's observed lifetime is last−first event in whole hours, users
+    still active within 24 h of the corpus edge are CENSORED (they
+    contribute to the at-risk denominators but never count as deaths),
+    and S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over observed-death times. The
+    product runs in LOG space: each factor's ln is an exact-rational
+    input quantized to a 1e8 BIGINT, the cumulative sum is an ordered
+    integer window (one tiny |times|-row partition), and exp surfaces
+    only once at output under a 4-dp round; a d=n time sends survival
+    exactly to 0 via the integer `alive` flag, never through ln(0).
+    Three aggregates + one broadcast risk join — all mergeable."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(3600000000)
+        )
+        .cast("long")
+        .alias("dur_h"),
+        F.max("ts").alias("last_ts"),
+    )
+    mx = ev.agg(F.max("ts").alias("corpus_max"))
+    lab = u.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "dur_h",
+        F.when(
+            F.unix_micros("corpus_max") - F.unix_micros("last_ts") < 86400000000,
+            1,
+        )
+        .otherwise(0)
+        .alias("censored"),
+    )
+    times = (
+        lab.where(F.col("censored") == 0)
+        .groupBy(F.col("dur_h").alias("t"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    risk = times.crossJoin(
+        lab.select(F.col("dur_h").alias("dh"))
+    ).where(F.col("dh") >= F.col("t")).groupBy("t", "d").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    terms = risk.select(
+        "t",
+        "d",
+        "n",
+        F.when(
+            F.col("d") < F.col("n"),
+            F.round(F.log(1.0 - F.col("d") * 1.0 / F.col("n")) * 100000000).cast(
+                "long"
+            ),
+        ).alias("lg8"),
+    )
+    wot = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = terms.select(
+        "t",
+        "d",
+        "n",
+        F.sum("lg8").over(wot).alias("c8"),
+        F.min(F.when(F.col("lg8").isNull(), 0).otherwise(1)).over(wot).alias("alive"),
+    )
+    return cum.select(
+        F.col("t").alias("duration_hours"),
+        F.col("d").alias("n_events"),
+        F.col("n").alias("n_at_risk"),
+        F.when(F.col("alive") == 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("c8") / 100000000.0), 4))
+        .alias("survival"),
+    ).orderBy("duration_hours")
