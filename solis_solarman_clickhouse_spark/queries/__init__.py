@@ -110,6 +110,7 @@ _PRIORITY = [
     "udtf_analyze_polymorphic", "ch_weighted_quantiles",
     "vec_embedding_drift", "doc_max_coverage_selection",
     "doc_class_log_odds_terms", "ts_survival_kaplan_meier",
+    "ch_top_event_paths", "ch_cohort_ltv",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

@@ -1286,3 +1286,147 @@ def ch_array_enumerate_compact(spark, sf_dir):
         F.transform(ordered_occ, lambda s: s["occ"]).alias("enumerate_uniq"),
         F.transform(ordered_types, lambda s: s["event_type"]).alias("compacted"),
     )
+
+
+@query(
+    "ch_top_event_paths",
+    category="funnels",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path
+      FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    ),
+    counted AS (
+      SELECT path, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS rk
+      FROM paths GROUP BY path
+    )
+    SELECT rk AS rank, path, n FROM counted WHERE rk <= 10 ORDER BY rk
+    """,
+)
+def ch_top_event_paths(spark, sf_dir):
+    """Top user PATHS — the "what do users actually do" view product
+    analytics tools build from event streams (Amplitude/GA path
+    exploration; ClickHouse deployments roll it from sequence
+    functions): every consecutive 3-event sequence per user becomes a
+    path string via two LEADs over the one (user, time) window, counted
+    corpus-wide, top-10 with full-path tie-break. Complements the
+    funnel family's "did this FIXED sequence happen" with the open
+    question "which sequences dominate". One user_id exchange + one
+    path count — at 100 TB the path strings dictionary-encode and the
+    count is map-side combinable."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    counted = (
+        s.select(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.col("n").desc(), F.col("path"))),
+        )
+        .where(F.col("rank") <= 10)
+    )
+    return counted.select("rank", "path", "n").orderBy("rank")
+
+
+@query(
+    "ch_cohort_ltv",
+    category="funnels",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT f.cohort_week, e.user_id,
+             CAST((epoch_us(date_trunc('week', e.ts))
+                   - epoch_us(f.cohort_week)) // 604800000000 AS BIGINT) AS age_w,
+             CAST(ROUND(e.value * 100) AS BIGINT) AS v
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+    ),
+    weekly AS (
+      SELECT cohort_week, age_w, SUM(v) AS wv
+      FROM rev GROUP BY cohort_week, age_w
+    ),
+    sizes AS (SELECT cohort_week, COUNT(*) AS n_users FROM firsts GROUP BY cohort_week),
+    cum AS (
+      SELECT w.cohort_week, w.age_w, s.n_users,
+             SUM(w.wv) OVER (PARTITION BY w.cohort_week ORDER BY w.age_w) AS cv
+      FROM weekly w JOIN sizes s ON s.cohort_week = w.cohort_week
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week, age_w, n_users,
+           CAST((2 * cv * 100 + n_users) // (2 * n_users) AS DOUBLE) / 10000.0
+             AS cum_ltv_per_user
+    FROM cum ORDER BY cohort_week, age_w
+    """,
+)
+def ch_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves — cumulative value per user by cohort age, the
+    revenue-side sibling of ch_cohort_retention (retention asks "did
+    they come back", LTV asks "what are they worth by week N", and the
+    pair is how growth teams read payback periods): users cohorted by
+    first-event week, event value accumulated per (cohort, age-week),
+    cumulative window over age, divided per capita. Integer-cent exact
+    BIGINT sums all the way; the per-user 4-dp mean emits via integer
+    half-away division (positive domain). Two count/sum aggregates +
+    one small cumulative window per cohort — mergeable incremental
+    state at any scale."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    rev = ev.join(firsts, "user_id").select(
+        "cohort_week",
+        (
+            (
+                F.unix_micros(F.date_trunc("week", F.col("ts")))
+                - F.unix_micros("cohort_week")
+            )
+            / F.lit(604800000000)
+        )
+        .cast("long")
+        .alias("age_w"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    weekly = rev.groupBy("cohort_week", "age_w").agg(F.sum("v").alias("wv"))
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
+    cum = weekly.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "age_w",
+        "n_users",
+        F.sum("wv")
+        .over(
+            W.partitionBy("cohort_week")
+            .orderBy("age_w")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("cv"),
+    )
+    return cum.select(
+        F.to_date("cohort_week").alias("cohort_week"),
+        "age_w",
+        "n_users",
+        (
+            F.expr("(2 * cv * 100 + n_users) div (2 * n_users)").cast("double")
+            / 10000.0
+        ).alias("cum_ltv_per_user"),
+    ).orderBy("cohort_week", "age_w")
