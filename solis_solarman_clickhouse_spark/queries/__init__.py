@@ -110,7 +110,8 @@ _PRIORITY = [
     "udtf_analyze_polymorphic", "ch_weighted_quantiles",
     "vec_embedding_drift", "doc_max_coverage_selection",
     "doc_class_log_odds_terms", "ts_survival_kaplan_meier",
-    "ch_top_event_paths", "ch_cohort_ltv",
+    "ch_top_event_paths", "ch_cohort_ltv", "ch_event_transition_matrix",
+    "ch_last_touch_attribution",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

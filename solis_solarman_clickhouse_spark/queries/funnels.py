@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..operators.asof_join import asof_join
 from ..tables import table
 from .registry import dsum, query, r4, sql_dsum
 
@@ -1430,3 +1431,133 @@ def ch_cohort_ltv(spark, sf_dir):
             / 10000.0
         ).alias("cum_ltv_per_user"),
     ).orderBy("cohort_week", "age_w")
+
+
+@query(
+    "ch_event_transition_matrix",
+    category="funnels",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type AS efrom,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS eto
+      FROM events
+    ),
+    t AS (
+      SELECT efrom, eto, COUNT(*) AS n FROM s
+      WHERE eto IS NOT NULL GROUP BY efrom, eto
+    ),
+    tot AS (SELECT efrom, SUM(n) AS nf FROM t GROUP BY efrom)
+    SELECT t.efrom, t.eto, t.n,
+           t.n * 1000000 // tot.nf AS p_e6
+    FROM t JOIN tot ON tot.efrom = t.efrom
+    ORDER BY t.efrom, t.eto
+    """,
+)
+def ch_event_transition_matrix(spark, sf_dir):
+    """The full first-order Markov TRANSITION MATRIX over event types —
+    the data behind every user-flow Sankey diagram and the
+    generalization of ch_sequence_next_node's single next-step mode:
+    P(to | from) for all 6×6 type pairs as exact integer-1e6 ratios of
+    transition counts over from-totals. One LEAD window per user, one
+    count, one from-total join — the matrix is |types|² rows of
+    mergeable state regardless of corpus size (the same
+    parametric-model-as-small-table shape as doc_naive_bayes_langid's
+    grid)."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("efrom"),
+        F.lead("event_type").over(w).alias("eto"),
+    ).where(F.col("eto").isNotNull())
+    t = s.groupBy("efrom", "eto").agg(F.count(F.lit(1)).alias("n"))
+    tot = t.groupBy("efrom").agg(F.sum("n").alias("nf"))
+    return (
+        t.join(tot, "efrom")
+        .select("efrom", "eto", "n", F.expr("n * 1000000 div nf").alias("p_e6"))
+        .orderBy("efrom", "eto")
+    )
+
+
+@query(
+    "ch_last_touch_attribution",
+    category="funnels",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purch AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS rev_c
+      FROM events WHERE event_type = 'purchase'
+    ),
+    attributed AS (
+      SELECT p.user_id, p.event_id, p.rev_c, c.ts AS click_ts,
+             CASE WHEN c.ts IS NOT NULL
+                       AND epoch_us(p.ts) - epoch_us(c.ts) <= 604800000000
+                  THEN 1 ELSE 0 END AS attributed
+      FROM purch p
+      ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT attributed,
+           COUNT(*) AS n_purchases,
+           SUM(rev_c) AS revenue_cents
+    FROM attributed GROUP BY attributed ORDER BY attributed
+    """,
+)
+def ch_last_touch_attribution(spark, sf_dir):
+    """LAST-TOUCH marketing attribution with a 7-day lookback — the
+    canonical ad-analytics join: each purchase credits the latest prior
+    click by the same user IF it happened within the attribution
+    window; purchases with no qualifying touch fall into the organic
+    bucket. Composition of two existing operator disciplines: the
+    backward as-of join (union+window, one shuffle — join_asof family)
+    picks the latest prior click, and the window cut is integer-µs
+    arithmetic (join_asof_tolerance's staleness discipline), then
+    revenue rolls up per attribution verdict in exact cents. At 100 TB
+    this is the shape ad planners run hourly: one key-shuffle, no
+    range explosion, mergeable rollup."""
+    ev = table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("rev_c"),
+    )
+    j = asof_join(
+        purch,
+        clicks.withColumnRenamed("ts", "cts").select(
+            "user_id", F.col("cts").alias("ts"), "click_id"
+        ),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["click_id"],
+    )
+    att = j.select(
+        "event_id",
+        "rev_c",
+        F.when(
+            F.col("asof_ts").isNotNull()
+            & (F.unix_micros("ts") - F.unix_micros("asof_ts") <= 604800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("attributed"),
+    )
+    return (
+        att.groupBy("attributed")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("rev_c").alias("revenue_cents"),
+        )
+        .orderBy("attributed")
+    )
