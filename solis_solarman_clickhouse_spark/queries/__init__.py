@@ -111,7 +111,7 @@ _PRIORITY = [
     "vec_embedding_drift", "doc_max_coverage_selection",
     "doc_class_log_odds_terms", "ts_survival_kaplan_meier",
     "ch_top_event_paths", "ch_cohort_ltv", "ch_event_transition_matrix",
-    "ch_last_touch_attribution",
+    "ch_last_touch_attribution", "vec_ivf_balance", "agg_cuped_adjustment",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

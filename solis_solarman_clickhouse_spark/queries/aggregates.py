@@ -2834,3 +2834,96 @@ def ch_weighted_quantiles(spark, sf_dir):
         F.col("n_chars").alias("q_len"),
         F.col("doc_id").alias("q_doc"),
     ).orderBy("source", "q_pct")
+
+
+@query(
+    "agg_cuped_adjustment",
+    category="aggregate",
+    oracle="""
+    WITH mid AS (
+      SELECT epoch_us(MIN(ts))
+             + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2 AS m
+      FROM events
+    ),
+    per_user AS (
+      SELECT e.user_id,
+             SUM(CASE WHEN epoch_us(e.ts) < mid.m
+                      THEN CAST(ROUND(e.value * 100) AS BIGINT) ELSE 0 END) AS pre_c,
+             SUM(CASE WHEN epoch_us(e.ts) >= mid.m
+                      THEN CAST(ROUND(e.value * 100) AS BIGINT) ELSE 0 END) AS post_c
+      FROM events e CROSS JOIN mid GROUP BY e.user_id
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(pre_c AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(post_c AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(pre_c * post_c AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(pre_c * pre_c AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(post_c * post_c AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM per_user
+    )
+    SELECT n AS n_users,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
+           ROUND(1.0 - (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS var_ratio_after_cuped
+    FROM m
+    """,
+)
+def agg_cuped_adjustment(spark, sf_dir):
+    """CUPED (Deng et al. 2013, "Improving the Sensitivity of Online
+    Controlled Experiments") — the variance-reduction standard of every
+    experimentation platform: regress each user's experiment-period
+    metric on their PRE-period covariate (first vs second half of the
+    event stream, split at the exact corpus time midpoint), and the
+    adjusted-metric variance shrinks by the squared correlation —
+    var_ratio = 1 − ρ², reported alongside θ = cov/var, directly
+    telling an A/B platform how much smaller its confidence intervals
+    get for free. All five moments accumulate exactly in
+    DECIMAL(38,0) from integer cents (the agg_regr_ols discipline), so
+    θ and the ratio are bit-equal doubles before the 6-dp round. Two
+    aggregates total; the per-user pre/post split is one conditional
+    sum against a broadcast midpoint row."""
+    ev = table(spark, sf_dir, "events")
+    mid = ev.agg(
+        (
+            F.unix_micros(F.min("ts"))
+            + F.expr("CAST((unix_micros(max(ts)) - unix_micros(min(ts))) div 2 AS BIGINT)")
+        ).alias("m")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.unix_micros("ts") < F.col("m"),
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("pre_c"),
+            F.sum(
+                F.when(
+                    F.unix_micros("ts") >= F.col("m"),
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("post_c"),
+        )
+    )
+    dec = lambda c: F.sum(c.cast(T.DecimalType(38, 0))).cast("double")
+    x, y = F.col("pre_c"), F.col("post_c")
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(x).alias("sx"),
+        dec(y).alias("sy"),
+        dec(x * y).alias("sxy"),
+        dec(x * x).alias("sxx"),
+        dec(y * y).alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.round(cov / vx, 6).alias("theta"),
+        F.round(1.0 - cov * cov / (vx * vy), 6).alias("var_ratio_after_cuped"),
+    )

@@ -2598,3 +2598,98 @@ def vec_embedding_drift(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+_IVF_BALANCE_ORACLE_TMPL = """
+WITH cents(cl, ce) AS (VALUES
+{cents}
+),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+asn AS (
+  SELECT vec_id, cl FROM (
+    SELECT m.vec_id, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> (m.e[i] - c.ce[i]) * (m.e[i] - c.ce[i])),
+               (x, y) -> x + y) ASC, c.cl ASC) AS rn
+    FROM emb m CROSS JOIN cents c)
+  WHERE rn = 1
+),
+occ AS (
+  SELECT c.cl, COUNT(a.vec_id) AS n
+  FROM cents c LEFT JOIN asn a ON a.cl = c.cl
+  GROUP BY c.cl
+),
+stats AS (
+  SELECT SUM(n) AS total, MAX(n) AS mx,
+         SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS empties,
+         COUNT(*) AS n_lists
+  FROM occ
+)
+SELECT o.cl AS list_id, o.n AS n_vectors,
+       o.n * 1000000 // s.total AS frac_e6,
+       s.mx * s.n_lists * 1000000 // s.total AS max_skew_e6,
+       s.empties
+FROM occ o CROSS JOIN stats s
+ORDER BY o.cl
+"""
+
+
+@query(
+    "vec_ivf_balance",
+    category="vectors",
+    oracle=_IVF_BALANCE_ORACLE_TMPL.format(cents=_ivf_cents_sql()),
+)
+def vec_ivf_balance(spark, sf_dir):
+    """IVF index-health report — per-inverted-list occupancy plus the
+    balance diagnostics an ANN operator watches before trusting the
+    n_probe sweep's numbers: a skewed coarse quantizer concentrates the
+    corpus into few lists (max_skew = max/mean at 1e6 — 1.0e6 means
+    perfectly balanced; big values mean probing top lists scans most of
+    the corpus and the "sublinear" claim is fiction) and empty lists
+    waste probe budget. Same literal centroids and sequential-fold
+    assignment as vec_ivf_nprobe_sweep; one groupBy + a broadcast
+    stats row, all-integer output. The operational pairing: this query
+    says whether the index is healthy, the sweep says what n_probe
+    buys — both from one assignment pass at any scale."""
+    from pyspark.sql import Window as W
+
+    cents = _ivfpq_coarse()
+    cents_sql = ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in row) + ")" for row in cents
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dists = F.expr(
+        f"transform(array({cents_sql}), c -> "
+        "aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (a, v) -> a + v))"
+    )
+    asn = emb.withColumn("dists", dists).select(
+        "vec_id",
+        (F.expr("array_position(dists, array_min(dists))").cast("int") - 1).alias("cl"),
+    )
+    lists = spark.range(len(cents)).select(F.col("id").cast("int").alias("cl"))
+    occ = (
+        lists.join(asn, "cl", "left")
+        .groupBy("cl")
+        .agg(F.count("vec_id").alias("n"))
+    )
+    stats = occ.agg(
+        F.sum("n").alias("total"),
+        F.max("n").alias("mx"),
+        F.sum(F.when(F.col("n") == 0, 1).otherwise(0)).alias("empties"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    return (
+        occ.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("cl").alias("list_id"),
+            F.col("n").alias("n_vectors"),
+            F.expr("n * 1000000 div total").alias("frac_e6"),
+            F.expr("mx * n_lists * 1000000 div total").alias("max_skew_e6"),
+            "empties",
+        )
+        .orderBy("list_id")
+    )
