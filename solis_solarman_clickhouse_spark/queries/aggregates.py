@@ -2927,3 +2927,98 @@ def agg_cuped_adjustment(spark, sf_dir):
         F.round(cov / vx, 6).alias("theta"),
         F.round(1.0 - cov * cov / (vx * vy), 6).alias("var_ratio_after_cuped"),
     )
+
+
+@query(
+    "agg_diff_in_diff",
+    category="aggregate",
+    oracle="""
+    WITH mid AS (
+      SELECT epoch_us(MIN(ts))
+             + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2 AS m
+      FROM events
+    ),
+    cells AS (
+      SELECT CASE WHEN e.user_id % 3 = 0 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN epoch_us(e.ts) < mid.m THEN 0 ELSE 1 END AS post,
+             CAST(ROUND(e.value * 100) AS BIGINT) AS v
+      FROM events e CROSS JOIN mid
+    ),
+    m AS (
+      SELECT treated, post, COUNT(*) AS n, SUM(v) AS s
+      FROM cells GROUP BY treated, post
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN treated=1 AND post=1 THEN s END) * 1.0
+          / MAX(CASE WHEN treated=1 AND post=1 THEN n END) AS t_post,
+        MAX(CASE WHEN treated=1 AND post=0 THEN s END) * 1.0
+          / MAX(CASE WHEN treated=1 AND post=0 THEN n END) AS t_pre,
+        MAX(CASE WHEN treated=0 AND post=1 THEN s END) * 1.0
+          / MAX(CASE WHEN treated=0 AND post=1 THEN n END) AS c_post,
+        MAX(CASE WHEN treated=0 AND post=0 THEN s END) * 1.0
+          / MAX(CASE WHEN treated=0 AND post=0 THEN n END) AS c_pre
+      FROM m
+    )
+    SELECT ROUND(t_pre / 100.0, 4) AS treated_pre,
+           ROUND(t_post / 100.0, 4) AS treated_post,
+           ROUND(c_pre / 100.0, 4) AS control_pre,
+           ROUND(c_post / 100.0, 4) AS control_post,
+           ROUND(((t_post - t_pre) - (c_post - c_pre)) / 100.0, 4)
+             AS did_estimate
+    FROM wide
+    """,
+)
+def agg_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences — the workhorse quasi-experimental
+    estimator when randomization isn't available (feature rollouts,
+    policy changes): (treated post − treated pre) − (control post −
+    control pre) cancels both group-level baselines and common time
+    trends. Treatment is assigned by id hash (user_id % 3 == 0 — the
+    deterministic bucketing a staged rollout actually ships), pre/post
+    split at the exact corpus time midpoint; the four cell means come from ONE
+    grouped pass over exact integer cents (the estimator is four
+    BIGINT sums and counts — the entire causal machinery is a 4-row
+    table), ratios on identical integers, 4-dp rounds at output.
+    Completes the experimentation shelf: proportions z-test (decision),
+    CUPED (sensitivity), DiD (no-randomization fallback)."""
+    ev = table(spark, sf_dir, "events")
+    mid = ev.agg(
+        (
+            F.unix_micros(F.min("ts"))
+            + F.expr("CAST((unix_micros(max(ts)) - unix_micros(min(ts))) div 2 AS BIGINT)")
+        ).alias("m")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(mid))
+        .select(
+            F.when(F.col("user_id") % 3 == 0, 1).otherwise(0).alias("treated"),
+            F.when(F.unix_micros("ts") < F.col("m"), 0).otherwise(1).alias("post"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+    )
+    m = cells.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    cell = lambda t, p: F.max(
+        F.when((F.col("treated") == t) & (F.col("post") == p), F.col("s"))
+    ) * 1.0 / F.max(
+        F.when((F.col("treated") == t) & (F.col("post") == p), F.col("n"))
+    )
+    wide = m.agg(
+        cell(1, 1).alias("t_post"),
+        cell(1, 0).alias("t_pre"),
+        cell(0, 1).alias("c_post"),
+        cell(0, 0).alias("c_pre"),
+    )
+    return wide.select(
+        F.round(F.col("t_pre") / 100.0, 4).alias("treated_pre"),
+        F.round(F.col("t_post") / 100.0, 4).alias("treated_post"),
+        F.round(F.col("c_pre") / 100.0, 4).alias("control_pre"),
+        F.round(F.col("c_post") / 100.0, 4).alias("control_post"),
+        F.round(
+            ((F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")))
+            / 100.0,
+            4,
+        ).alias("did_estimate"),
+    )
