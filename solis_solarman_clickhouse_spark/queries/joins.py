@@ -883,3 +883,57 @@ def join_lateral_api(spark, sf_dir):
         .select("r_name", "n_name", "top_bal")
         .orderBy("r_name", "n_name")
     )
+
+
+@query(
+    "join_context_window_count",
+    category="join",
+    oracle="""
+    WITH od AS (
+      SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    ed AS (
+      SELECT user_id, CAST(ts AS DATE) AS ed, COUNT(*) AS n
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           COALESCE(SUM(e.n), 0) AS events_within_1d
+    FROM od o
+    LEFT JOIN ed e ON e.user_id = o.o_custkey
+      AND e.ed BETWEEN o.od - INTERVAL 1 DAY AND o.od + INTERVAL 1 DAY
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+)
+def join_context_window_count(spark, sf_dir):
+    """Context-window activity count — for each order, how many events
+    its customer produced within ±1 day: the contextual feature a
+    fraud/propensity model joins next to the point-in-time features
+    (join_feature_store_pit gives the latest VALUE before the label;
+    this gives the surrounding DENSITY). The scale-correct plan
+    pre-aggregates events to per-(user, day) counts FIRST — the range
+    join then touches day-granular rows (365×|users| at most), never
+    raw events, and the ±1-day band makes it a 3-candidate banded
+    equi-join in disguise (the operators/interval_join discipline).
+    A 10%-of-orders probe keeps the result bounded; exact integer
+    counts, LEFT join preserves zero-activity orders."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("od"))
+    )
+    ed = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id"), F.to_date("ts").alias("ed"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    j = o.join(
+        ed,
+        (ed["user_id"] == o["o_custkey"])
+        & (ed["ed"] >= F.date_sub(o["od"], 1))
+        & (ed["ed"] <= F.date_add(o["od"], 1)),
+        "left",
+    )
+    return j.groupBy("o_orderkey", "o_custkey").agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("events_within_1d")
+    )

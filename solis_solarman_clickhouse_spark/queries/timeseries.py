@@ -2145,3 +2145,81 @@ def ts_survival_kaplan_meier(spark, sf_dir):
         .otherwise(F.round(F.exp(F.col("c8") / 100000000.0), 4))
         .alias("survival"),
     ).orderBy("duration_hours")
+
+
+@query(
+    "ts_cross_signal_corr",
+    category="timeseries",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT a.h, a.v AS xc, b.v AS xv
+      FROM hourly a JOIN hourly b
+        ON a.h = b.h AND a.event_type = 'click' AND b.event_type = 'view'
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(xv AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xc * xv AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(xv * xv AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM paired
+    )
+    SELECT n AS n_hours,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+             AS click_view_corr
+    FROM m
+    """,
+)
+def ts_cross_signal_corr(spark, sf_dir):
+    """CROSS-SIGNAL correlation — Pearson r between two event streams'
+    hourly totals (click vs view): the monitoring primitive for "these
+    two metrics should move together" alerting (a correlation break
+    between coupled signals flags instrumentation loss or behavior
+    shifts before either signal's own threshold fires — the
+    cross-stream complement of ts_autocorr's within-stream view).
+    Hourly totals are exact integer cents; co-registered hours come
+    from one equi-join on the truncated hour; the five moments
+    accumulate in DECIMAL(38,0) so r is bit-equal before the round.
+    Two aggregates + one tiny join — mergeable state at any scale."""
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"), "event_type")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+    )
+    a = hourly.where(F.col("event_type") == "click").select(
+        "h", F.col("v").alias("xc")
+    )
+    b = hourly.where(F.col("event_type") == "view").select(
+        "h", F.col("v").alias("xv")
+    )
+    paired = a.join(b, "h")
+    dec = lambda c: F.sum(c.cast(T.DecimalType(38, 0))).cast("double")
+    x, y = F.col("xc"), F.col("xv")
+    m = paired.agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(x).alias("sx"),
+        dec(y).alias("sy"),
+        dec(x * y).alias("sxy"),
+        dec(x * x).alias("sxx"),
+        dec(y * y).alias("syy"),
+    )
+    return m.select(
+        F.col("n").alias("n_hours"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            4,
+        ).alias("click_view_corr"),
+    )
