@@ -3022,3 +3022,65 @@ def agg_diff_in_diff(spark, sf_dir):
             4,
         ).alias("did_estimate"),
     )
+
+
+@query(
+    "agg_power_sample_size",
+    category="aggregate",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS ss
+      FROM v GROUP BY event_type
+    ),
+    calc AS (
+      SELECT event_type, n,
+             (ss - s * s / n) / (n - 1) AS var_c,
+             s / n AS mean_c
+      FROM m
+    )
+    SELECT event_type, n AS n_observed,
+           ROUND(mean_c / 100.0, 4) AS mean_value,
+           CAST(CEIL(2.0 * var_c * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                / ((0.02 * mean_c) * (0.02 * mean_c))) AS BIGINT)
+             AS n_per_arm_mde2pct
+    FROM calc ORDER BY event_type
+    """,
+)
+def agg_power_sample_size(spark, sf_dir):
+    """A/B-test POWER ANALYSIS — the sample-size planner every
+    experimentation platform runs BEFORE the test (the shelf's missing
+    first step: plan → decide → sharpen → fallback): n per arm =
+    2σ²(z_{α/2}+z_β)²/Δ² for 80% power at α=0.05 against a 2%-of-mean
+    minimum detectable effect, from each metric's observed variance.
+    The z constants are literals (1.959964, 0.841621 — quantized at 6
+    dp so both engines multiply identical doubles), σ² and the mean
+    come from exact DECIMAL moments, and CEIL lands on the same
+    integer. One grouped aggregate — the variance estimate is the only
+    thing that touches data."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("y")
+    )
+    dec = lambda c: F.sum(c.cast(T.DecimalType(38, 0))).cast("double")
+    m = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.col("y")).alias("s"),
+        dec(F.col("y") * F.col("y")).alias("ss"),
+    )
+    var_c = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    mean_c = F.col("s") / F.col("n")
+    z = (1.959964 + 0.841621) ** 2
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_observed"),
+        F.round(mean_c / 100.0, 4).alias("mean_value"),
+        F.ceil(
+            2.0 * var_c * F.lit(z) / ((0.02 * mean_c) * (0.02 * mean_c))
+        ).alias("n_per_arm_mde2pct"),
+    ).orderBy("event_type")

@@ -2223,3 +2223,70 @@ def ts_cross_signal_corr(spark, sf_dir):
             4,
         ).alias("click_view_corr"),
     )
+
+
+@query(
+    "ts_uptime_sla",
+    category="timeseries",
+    oracle="""
+    WITH span AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+      FROM events
+    ),
+    active AS (
+      SELECT user_id, COUNT(DISTINCT date_trunc('hour', ts)) AS up_hours
+      FROM events GROUP BY user_id
+    ),
+    total AS (
+      SELECT CAST((epoch_us(h1) - epoch_us(h0)) // 3600000000 AS BIGINT) + 1
+               AS total_hours
+      FROM span
+    )
+    SELECT a.user_id, a.up_hours, t.total_hours,
+           a.up_hours * 1000000 // t.total_hours AS uptime_e6,
+           CASE WHEN a.up_hours * 1000 >= t.total_hours * 999 THEN 1 ELSE 0 END
+             AS meets_three_nines
+    FROM active a CROSS JOIN total t
+    ORDER BY a.user_id
+    """,
+)
+def ts_uptime_sla(spark, sf_dir):
+    """Uptime / SLA attainment — fraction of the corpus's hour-buckets
+    in which each source reported at least once, against a 99.9% target
+    (the reference's operational question verbatim: an inverter that
+    misses poll hours is a dead stick or a dead link,
+    solarman.py:314-331's reconnect loop exists precisely because this
+    number matters). DISTINCT active hours per source over the global
+    hour span, uptime as an integer 1e6 ratio, and the three-nines
+    verdict as integer cross-multiplication (up·1000 ≥ total·999 — no
+    float SLA arithmetic, where 0.999 is famously unrepresentable).
+    One count-distinct per source + a broadcast 1-row span."""
+    ev = table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    active = ev.groupBy("user_id").agg(
+        F.countDistinct(F.date_trunc("hour", F.col("ts"))).alias("up_hours")
+    )
+    total = span.select(
+        (
+            F.expr("CAST((unix_micros(h1) - unix_micros(h0)) div 3600000000 AS BIGINT)")
+            + 1
+        ).alias("total_hours")
+    )
+    return (
+        active.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "up_hours",
+            "total_hours",
+            F.expr("up_hours * 1000000 div total_hours").alias("uptime_e6"),
+            F.when(
+                F.col("up_hours") * 1000 >= F.col("total_hours") * 999, 1
+            )
+            .otherwise(0)
+            .alias("meets_three_nines"),
+        )
+        .orderBy("user_id")
+    )
