@@ -113,7 +113,7 @@ _PRIORITY = [
     "ch_top_event_paths", "ch_cohort_ltv", "ch_event_transition_matrix",
     "ch_last_touch_attribution", "vec_ivf_balance", "agg_cuped_adjustment",
     "agg_diff_in_diff", "join_context_window_count", "ts_cross_signal_corr",
-    "agg_power_sample_size", "ts_uptime_sla",
+    "agg_power_sample_size", "ts_uptime_sla", "doc_temperature_mixing",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

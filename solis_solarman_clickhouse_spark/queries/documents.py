@@ -3524,3 +3524,111 @@ def doc_class_log_odds_terms(spark, sf_dir):
     return ranked.where(F.col("rn") <= 5).select(
         "lang", F.col("rn").alias("rank"), F.col("w").alias("term"), "z8"
     ).orderBy("lang", "rank")
+
+
+@query(
+    "doc_temperature_mixing",
+    category="documents",
+    oracle="""
+    WITH sc AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n) AS nt FROM sc),
+    pw AS (
+      SELECT sc.source, sc.n,
+             CAST(ROUND(exp(0.7 * ln(sc.n * 1.0 / tot.nt)) * 100000000)
+                  AS BIGINT) AS w8
+      FROM sc CROSS JOIN tot
+    ),
+    wt AS (SELECT SUM(w8) AS sw8 FROM pw),
+    plan_t AS (
+      SELECT pw.source, pw.n,
+             pw.w8 * 1000000 // wt.sw8 AS target_share_e6,
+             pw.n * 1000000 // t2.nt AS actual_share_e6,
+             LEAST(1000000,
+                   (pw.w8 * 1000000 // wt.sw8) * 1000000
+                     // GREATEST(pw.n * 1000000 // t2.nt, 1)) AS keep_e6
+      FROM pw CROSS JOIN wt CROSS JOIN tot t2
+    ),
+    verdicts AS (
+      SELECT d.doc_id, d.source, p.target_share_e6, p.actual_share_e6,
+             CASE WHEN ('0x' || substr(md5('temp:' || d.doc_id), 1, 15))::BIGINT
+                       % 1000000 < p.keep_e6
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents d JOIN plan_t p ON p.source = d.source
+    )
+    SELECT source, target_share_e6, actual_share_e6,
+           COUNT(*) AS n_docs, SUM(kept) AS n_kept
+    FROM verdicts
+    GROUP BY source, target_share_e6, actual_share_e6
+    ORDER BY source
+    """,
+)
+def doc_temperature_mixing(spark, sf_dir):
+    """TEMPERATURE-based source mixing (T=0.7 — the multilingual /
+    multi-source rebalancing standard from mT5/XLM-R: sampling shares
+    ∝ p^T upweight small sources so the head never drowns the tail,
+    without the uniform-mixing overcorrection): per-source target
+    shares come from the T-powered distribution with exp/ln quantized
+    to a 1e8 BIGINT per SOURCE (the 5-row stats table — libm touches 5
+    numbers, never documents), per-doc keep decisions are the portable
+    md5 hash against an integer 1e6 threshold = min(1, target/actual)
+    (downsampling-only: a keep probability can't exceed 1; the
+    upsampled complement is a repeat-factor the reader applies),
+    and the report shows target vs actual vs achieved per source.
+    One stats aggregate + one broadcast join — the doc_source_mixing /
+    doc_importance_resample deterministic-Bernoulli discipline with
+    the temperature exponent on top."""
+    docs = table(spark, sf_dir, "documents")
+    sc = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = sc.agg(F.sum("n").alias("nt"))
+    pw = sc.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        "nt",
+        F.round(F.exp(0.7 * F.log(F.col("n") * 1.0 / F.col("nt"))) * 100000000)
+        .cast("long")
+        .alias("w8"),
+    )
+    wt = pw.agg(F.sum("w8").alias("sw8"))
+    plan = (
+        pw.crossJoin(F.broadcast(wt))
+        .select(
+            "source",
+            "n",
+            F.expr("w8 * 1000000 div sw8").alias("target_share_e6"),
+            F.expr("n * 1000000 div nt").alias("actual_share_e6"),
+        )
+        .select(
+            "source",
+            "target_share_e6",
+            "actual_share_e6",
+            F.least(
+                F.lit(1000000),
+                F.expr(
+                    "target_share_e6 * 1000000"
+                    " div greatest(actual_share_e6, 1)"
+                ),
+            ).alias("keep_e6"),
+        )
+    )
+    verdicts = docs.join(F.broadcast(plan), "source").select(
+        "source",
+        "target_share_e6",
+        "actual_share_e6",
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("temp:"), F.col("doc_id"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+            < F.col("keep_e6"),
+            1,
+        )
+        .otherwise(0)
+        .alias("kept"),
+    )
+    return (
+        verdicts.groupBy("source", "target_share_e6", "actual_share_e6")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("kept").alias("n_kept"))
+        .orderBy("source")
+    )
