@@ -348,3 +348,76 @@ def test_kalman_variance_converges(spark):
     assert rows
     for r in rows:
         assert 0.0 < r.variance <= 1.0
+
+
+def test_kaplan_meier_monotone(spark):
+    """Survival curves never increase over time, live in [0, 1], and
+    at-risk counts never grow as duration increases."""
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+
+    rows = sorted(
+        REGISTRY["ts_survival_kaplan_meier"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.duration_hours,
+    )
+    assert rows
+    last_s, last_n = 1.0 + 1e-9, None
+    for r in rows:
+        assert 0.0 <= r.survival <= 1.0
+        assert r.survival <= last_s + 1e-9
+        if last_n is not None:
+            assert r.n_at_risk <= last_n
+        last_s, last_n = r.survival, r.n_at_risk
+
+
+def test_transition_matrix_rows_normalize(spark):
+    """Each from-state's outgoing probabilities sum to 1e6 within the
+    floor-division slack (< n_targets)."""
+    from collections import defaultdict
+
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["ch_event_transition_matrix"].fn(spark, SF_DIR).collect()
+    sums = defaultdict(lambda: [0, 0])
+    for r in rows:
+        sums[r.efrom][0] += r.p_e6
+        sums[r.efrom][1] += 1
+    for efrom, (s, k) in sums.items():
+        assert 1_000_000 - k <= s <= 1_000_000, (efrom, s, k)
+
+
+def test_max_coverage_gains_non_increasing(spark):
+    """Submodularity: greedy marginal gains never increase across steps,
+    and the five picks are distinct."""
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+
+    rows = sorted(
+        REGISTRY["doc_max_coverage_selection"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.step,
+    )
+    assert len(rows) == 5
+    assert len({r.doc_id for r in rows}) == 5
+    for a, b in zip(rows, rows[1:]):
+        assert b.gain <= a.gain
+
+
+def test_mmr_picks_distinct_and_relevance_first(spark):
+    """MMR returns 5 distinct picks per query and step 1 is the plain
+    cosine top-1 (no diversity penalty exists yet at step 1)."""
+    from collections import defaultdict
+
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+
+    mmr = REGISTRY["vec_mmr_diversified_topk"].fn(spark, SF_DIR).collect()
+    top = {
+        r.query_id: r.neighbor_id
+        for r in REGISTRY["vec_cosine_topk"].fn(spark, SF_DIR).collect()
+        if r.rank == 1
+    }
+    per_q = defaultdict(list)
+    for r in mmr:
+        per_q[r.query_id].append(r)
+    assert len(per_q) == 10
+    for qid, rows in per_q.items():
+        assert len(rows) == 5 and len({r.vec_id for r in rows}) == 5
+        step1 = next(r for r in rows if r.step == 1)
+        assert step1.vec_id == top[qid], (qid, step1.vec_id, top[qid])
