@@ -3084,3 +3084,89 @@ def agg_power_sample_size(spark, sf_dir):
             2.0 * var_c * F.lit(z) / ((0.02 * mean_c) * (0.02 * mean_c))
         ).alias("n_per_arm_mde2pct"),
     ).orderBy("event_type")
+
+
+@query(
+    "agg_sprt_sequential_test",
+    category="aggregate",
+    oracle="""
+    WITH obs AS (
+      SELECT ts, event_id,
+             CASE WHEN value > 50 THEN 1 ELSE 0 END AS conv
+      FROM events WHERE event_type = 'click'
+    ),
+    walk AS (
+      SELECT ts, event_id, conv,
+             ROW_NUMBER() OVER (ORDER BY ts, event_id) AS i,
+             SUM(CASE WHEN conv = 1
+                      THEN CAST(ROUND(ln(0.55 / 0.45) * 100000000) AS BIGINT)
+                      ELSE CAST(ROUND(ln(0.45 / 0.55) * 100000000) AS BIGINT)
+                 END) OVER (ORDER BY ts, event_id) AS llr8
+      FROM obs
+    ),
+    bounds AS (
+      SELECT CAST(ROUND(ln(0.95 / 0.05) * 100000000) AS BIGINT) AS up8,
+             CAST(ROUND(ln(0.05 / 0.95) * 100000000) AS BIGINT) AS lo8
+    ),
+    crossings AS (
+      SELECT w.i, w.llr8,
+             CASE WHEN w.llr8 >= b.up8 THEN 'accept_h1'
+                  WHEN w.llr8 <= b.lo8 THEN 'accept_h0'
+                  ELSE NULL END AS verdict
+      FROM walk w CROSS JOIN bounds b
+    )
+    SELECT MIN(i) AS decision_at_n,
+           (SELECT verdict FROM crossings c2
+            WHERE c2.verdict IS NOT NULL ORDER BY c2.i LIMIT 1) AS verdict,
+           (SELECT COUNT(*) FROM walk) AS n_total
+    FROM crossings WHERE verdict IS NOT NULL
+    """,
+)
+def agg_sprt_sequential_test(spark, sf_dir):
+    """Wald's Sequential Probability Ratio Test — the always-monitoring
+    answer to "how big should the test be": instead of fixing n up
+    front (agg_power_sample_size) you watch the cumulative
+    log-likelihood ratio after EVERY observation and stop the moment it
+    crosses ln((1−β)/α) or ln(β/(1−α)) — provably the minimum expected
+    sample size for given error rates. Testing click conversion
+    (value > 50) p₀=0.45 vs p₁=0.55 at α=β=0.05: each observation adds
+    one of exactly TWO 1e8-quantized constants (libm touches four
+    numbers total — two increments, two boundaries), so the walk is an
+    integer cumulative window in (ts, event_id) order and the first
+    crossing is integer-exact. Reports the decision index, verdict,
+    and total stream length (how much the sequential design saved)."""
+    from pyspark.sql import Window as W
+    import math as _m
+
+    up8 = round(_m.log(0.95 / 0.05) * 100000000)
+    lo8 = round(_m.log(0.05 / 0.95) * 100000000)
+    inc1 = round(_m.log(0.55 / 0.45) * 100000000)
+    inc0 = round(_m.log(0.45 / 0.55) * 100000000)
+    ev = table(spark, sf_dir, "events")
+    obs = ev.where(F.col("event_type") == "click").select(
+        "ts",
+        "event_id",
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("conv"),
+    )
+    wo = W.orderBy("ts", "event_id")
+    walk = obs.select(
+        F.row_number().over(wo).alias("i"),
+        F.sum(
+            F.when(F.col("conv") == 1, F.lit(inc1)).otherwise(F.lit(inc0))
+        )
+        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("llr8"),
+    )
+    crossings = walk.select(
+        "i",
+        F.when(F.col("llr8") >= up8, "accept_h1")
+        .when(F.col("llr8") <= lo8, "accept_h0")
+        .alias("verdict"),
+    ).where(F.col("verdict").isNotNull())
+    first = (
+        crossings.orderBy("i")
+        .limit(1)
+        .select(F.col("i").alias("decision_at_n"), "verdict")
+    )
+    n_total = walk.agg(F.count(F.lit(1)).alias("n_total"))
+    return first.crossJoin(F.broadcast(n_total))
