@@ -114,7 +114,7 @@ _PRIORITY = [
     "ch_last_touch_attribution", "vec_ivf_balance", "agg_cuped_adjustment",
     "agg_diff_in_diff", "join_context_window_count", "ts_cross_signal_corr",
     "agg_power_sample_size", "ts_uptime_sla", "doc_temperature_mixing",
-    "agg_sprt_sequential_test",
+    "agg_sprt_sequential_test", "ts_token_bucket_admission",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

@@ -2290,3 +2290,88 @@ def ts_uptime_sla(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "ts_token_bucket_admission",
+    category="timeseries",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             list(epoch_us(ts) ORDER BY ts, event_id) AS t,
+             list(event_id ORDER BY ts, event_id) AS ids
+      FROM events GROUP BY user_id
+    ),
+    sim AS (
+      SELECT user_id, ids, t,
+             list_reduce(
+               list_prepend([CAST(10 * 60000000 AS BIGINT), t[1], 0],
+                 list_transform(generate_series(1, len(t)),
+                                i -> [t[i], 0, 0])),
+               (st, x) -> CASE
+                 WHEN LEAST(CAST(600000000 AS BIGINT),
+                            st[1] + (x[1] - st[2])) >= 60000000
+                 THEN [LEAST(CAST(600000000 AS BIGINT),
+                             st[1] + (x[1] - st[2])) - 60000000,
+                       x[1], st[3] + 1]
+                 ELSE [LEAST(CAST(600000000 AS BIGINT),
+                             st[1] + (x[1] - st[2])),
+                       x[1], st[3]]
+               END) AS fin
+      FROM s
+    )
+    SELECT user_id, len(t) AS n_requests,
+           CAST(fin[3] AS BIGINT) AS n_admitted,
+           len(t) - CAST(fin[3] AS BIGINT) AS n_rejected
+    FROM sim ORDER BY user_id
+    """,
+)
+def ts_token_bucket_admission(spark, sf_dir):
+    """Token-bucket rate limiting SIMULATED over the event history — the
+    capacity-planning question every API gateway answers before
+    changing limits ("how many of last month's requests would a
+    10-burst / 1-per-minute policy have rejected?"): capacity 10
+    tokens, refill 1/minute (carried in token-MICROunits — 1 token =
+    60 000 000 µs of refill — so ALL state stays integer), one token
+    per admitted request. The bucket recursion has no prefix identity,
+    so it runs as a sequential [tokens_µ, last_ts, admitted] list fold
+    over each user's time-ordered request list (the ts_holt/ts_kalman
+    discipline — but pure INTEGER state, so not even fold-order bit
+    equality is needed: the arithmetic is exact). DuckDB's
+    list_prepend seeding carries the full-bucket initial state. One
+    per-user collect — bounded series, one exchange."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id))),"
+            " x -> unix_micros(x.ts))"
+        ).alias("t")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          transform(t, x -> x),
+          array(CAST(600000000 AS BIGINT), element_at(t, 1), CAST(0 AS BIGINT)),
+          (st, x) -> CASE
+            WHEN LEAST(CAST(600000000 AS BIGINT),
+                       element_at(st, 1) + (x - element_at(st, 2)))
+                 >= CAST(60000000 AS BIGINT)
+            THEN array(LEAST(CAST(600000000 AS BIGINT),
+                             element_at(st, 1) + (x - element_at(st, 2)))
+                       - CAST(60000000 AS BIGINT),
+                       x, element_at(st, 3) + CAST(1 AS BIGINT))
+            ELSE array(LEAST(CAST(600000000 AS BIGINT),
+                             element_at(st, 1) + (x - element_at(st, 2))),
+                       x, element_at(st, 3))
+          END)
+        """
+    )
+    sim = s.select("user_id", F.size("t").alias("n_requests"), fold.alias("fin"))
+    return sim.select(
+        "user_id",
+        "n_requests",
+        F.element_at("fin", 3).alias("n_admitted"),
+        (F.col("n_requests") - F.element_at("fin", 3)).alias("n_rejected"),
+    ).orderBy("user_id")
