@@ -2693,3 +2693,98 @@ def vec_ivf_balance(spark, sf_dir):
         )
         .orderBy("list_id")
     )
+
+
+_RRF_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_dot_product(q.qv, c.cv) AS ip,
+         list_dot_product(q.qv, c.cv)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS cosine
+  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
+),
+ranks AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS r_cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ip DESC, neighbor_id) AS r_mips
+  FROM scored
+),
+fused AS (
+  SELECT query_id, neighbor_id,
+         1000000 // (60 + r_cos) + 1000000 // (60 + r_mips) AS rrf_e6,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY 1000000 // (60 + r_cos)
+                                     + 1000000 // (60 + r_mips) DESC,
+                            neighbor_id) AS rank
+  FROM ranks
+)
+SELECT query_id, rank, neighbor_id, rrf_e6 FROM fused WHERE rank <= 5
+"""
+
+
+@query("vec_reciprocal_rank_fusion", category="vectors", oracle=_RRF_ORACLE)
+def vec_reciprocal_rank_fusion(spark, sf_dir):
+    """Reciprocal Rank Fusion (Cormack et al. 2009) — how hybrid search
+    actually combines heterogeneous retrievers (the BM25+vector fusion
+    every search stack ships): score = Σ 1/(k+rankᵢ) with k=60 over
+    each retriever's ranking, immune to incomparable score scales
+    because only RANKS enter. Fused here: the cosine ranking (angle)
+    and the MIPS ranking (norm-weighted) — two genuinely different
+    orderings of the same corpus per vec_mips_topk's docstring. Both
+    rankings come from ONE scored pass (two window ranks over the same
+    pair stream — no second scan), the fusion score is integer
+    1e6//(60+r) arithmetic, and the fused top-5 re-ranks with
+    neighbor-id ties. At 100 TB each retriever is its ANN tier and RRF
+    is a cheap rank join — the reason it beats learned fusion at the
+    candidate-merge stage."""
+    from pyspark.sql import Window as W
+    from ..operators.similarity import _dot, _norm
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("qv"), F.col("cv")).alias("ip"),
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    wq = W.partitionBy("query_id")
+    ranks = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number()
+        .over(wq.orderBy(F.col("cosine").desc(), "neighbor_id"))
+        .alias("r_cos"),
+        F.row_number()
+        .over(wq.orderBy(F.col("ip").desc(), "neighbor_id"))
+        .alias("r_mips"),
+    )
+    fused = ranks.select(
+        "query_id",
+        "neighbor_id",
+        F.expr("1000000 div (60 + r_cos) + 1000000 div (60 + r_mips)").alias("rrf_e6"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(wq.orderBy(F.col("rrf_e6").desc(), "neighbor_id")),
+    )
+    return fused.where(F.col("rank") <= 5).select(
+        "query_id", "rank", "neighbor_id", "rrf_e6"
+    )
