@@ -5,6 +5,7 @@
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.dedup import (
     exact_dedup,
@@ -3631,4 +3632,104 @@ def doc_temperature_mixing(spark, sf_dir):
         verdicts.groupBy("source", "target_share_e6", "actual_share_e6")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("kept").alias("n_kept"))
         .orderBy("source")
+    )
+
+
+@query(
+    "doc_heaps_law_fit",
+    category="documents",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    mx AS (SELECT MAX(doc_id) + 1 AS nd FROM documents),
+    firsts AS (SELECT w, MIN(doc_id) AS fd FROM tok GROUP BY w),
+    grid AS (
+      SELECT (g.k * mx.nd) // 10 AS cut FROM
+        (SELECT UNNEST(generate_series(1, 10)) AS k) g CROSS JOIN mx
+    ),
+    pts AS (
+      SELECT grid.cut,
+             (SELECT COUNT(*) FROM tok WHERE tok.doc_id < grid.cut) AS t_tokens,
+             (SELECT COUNT(*) FROM firsts WHERE firsts.fd < grid.cut) AS v_vocab
+      FROM grid
+    ),
+    q AS (
+      SELECT CAST(ROUND(ln(t_tokens) * 100000000) AS BIGINT) AS x8,
+             CAST(ROUND(ln(v_vocab) * 100000000) AS BIGINT) AS y8
+      FROM pts WHERE t_tokens > 0 AND v_vocab > 0
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x8 AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y8 AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x8 * y8 AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x8 * x8 AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+      FROM q
+    )
+    SELECT n AS n_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS heaps_beta,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n / 100000000.0, 4) AS heaps_ln_k
+    FROM m
+    """,
+)
+def doc_heaps_law_fit(spark, sf_dir):
+    """Heaps'-law fit — vocabulary GROWTH against corpus size (V = K·Tᵝ,
+    the companion power law to doc_zipf_fit's rank-frequency view, and
+    the capacity planner's question: how big does the vocab/embedding
+    table get at 100× the corpus?): cumulative token and distinct-vocab
+    counts at ten doc-id cutoffs (vocab via the first-occurrence
+    decomposition — a token exists at cutoff c iff its MIN doc_id < c,
+    so no per-cutoff distinct pass), then OLS on the ln-ln points. The
+    10 (ln T, ln V) points quantize to 1e8 BIGINTs BEFORE the moment
+    sums (which accumulate in DECIMAL(38,0) — x8·y8 ≈ 1.3e18 would
+    overflow a BIGINT sum), so the fitted β and ln K are bit-equal
+    doubles. Natural text sits near β≈0.5; the synthetic 31-word salad
+    saturates (β→0 at the tail), which the fit duly reports."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    mx = docs.agg((F.max("doc_id") + 1).alias("nd"))
+    firsts = tok.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    grid = (
+        spark.range(1, 11)
+        .crossJoin(F.broadcast(mx))
+        .select(F.expr("(id * nd) div 10").alias("cut"))
+    )
+    t_pts = (
+        tok.crossJoin(F.broadcast(grid))
+        .where(F.col("doc_id") < F.col("cut"))
+        .groupBy("cut")
+        .agg(F.count(F.lit(1)).alias("t_tokens"))
+    )
+    v_pts = (
+        firsts.crossJoin(F.broadcast(grid))
+        .where(F.col("fd") < F.col("cut"))
+        .groupBy("cut")
+        .agg(F.count(F.lit(1)).alias("v_vocab"))
+    )
+    pts = t_pts.join(v_pts, "cut").where(
+        (F.col("t_tokens") > 0) & (F.col("v_vocab") > 0)
+    )
+    q = pts.select(
+        F.round(F.log("t_tokens") * 100000000).cast("long").alias("x8"),
+        F.round(F.log("v_vocab") * 100000000).cast("long").alias("y8"),
+    )
+    dec = lambda c: F.sum(c.cast(T.DecimalType(38, 0))).cast("double")
+    m = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.col("x8")).alias("sx"),
+        dec(F.col("y8")).alias("sy"),
+        dec(F.col("x8") * F.col("y8")).alias("sxy"),
+        dec(F.col("x8") * F.col("x8")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 4).alias("heaps_beta"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n") / 100000000.0, 4
+        ).alias("heaps_ln_k"),
     )
