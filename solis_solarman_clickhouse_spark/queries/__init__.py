@@ -115,7 +115,7 @@ _PRIORITY = [
     "agg_diff_in_diff", "join_context_window_count", "ts_cross_signal_corr",
     "agg_power_sample_size", "ts_uptime_sla", "doc_temperature_mixing",
     "agg_sprt_sequential_test", "ts_token_bucket_admission",
-    "vec_reciprocal_rank_fusion", "doc_heaps_law_fit",
+    "vec_reciprocal_rank_fusion", "doc_heaps_law_fit", "vec_ndcg_eval",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

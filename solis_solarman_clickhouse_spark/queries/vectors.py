@@ -2788,3 +2788,110 @@ def vec_reciprocal_rank_fusion(spark, sf_dir):
     return fused.where(F.col("rank") <= 5).select(
         "query_id", "rank", "neighbor_id", "rrf_e6"
     )
+
+
+_NDCG_W8 = [100000000, 63092975, 50000000, 43067656, 38685281]
+# 1e8-quantized 1/log2(i+1) for i = 1..5 — five literal constants, so the
+# discount schedule is identical integer arithmetic on both engines.
+
+
+def _ndcg_oracle() -> str:
+    w_vals = ", ".join(
+        f"({i + 1}, {w})" for i, w in enumerate(_NDCG_W8)
+    )
+    return f"""
+WITH w(pos, w8) AS (VALUES {w_vals}),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_dot_product(q.qv, c.cv) AS ip,
+         list_dot_product(q.qv, c.cv)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS cosine
+  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
+),
+ranks AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS r_true,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ip DESC, neighbor_id) AS r_sys
+  FROM scored
+),
+gains AS (
+  SELECT query_id,
+         SUM(CASE WHEN r_sys <= 5 AND r_true <= 5
+                  THEN (6 - r_true) * (SELECT w8 FROM w WHERE pos = r_sys)
+                  ELSE 0 END) AS dcg8,
+         (SELECT SUM((6 - pos) * w8) FROM w) AS idcg8
+  FROM ranks GROUP BY query_id
+)
+SELECT query_id, dcg8 * 1000000 // idcg8 AS ndcg5_e6
+FROM gains ORDER BY query_id
+"""
+
+
+@query("vec_ndcg_eval", category="vectors", oracle=_ndcg_oracle())
+def vec_ndcg_eval(spark, sf_dir):
+    """NDCG@5 — the graded ranking-quality metric the recall@5 rows
+    deliberately aren't (recall treats every hit equally; NDCG rewards
+    putting the BEST results highest): the MIPS ranking evaluated with
+    exact-cosine ranks as graded relevance (rel = 6 − true_rank for the
+    true top-5, else 0), position discounts 1/log₂(i+1) as five
+    1e8-quantized literal constants — so DCG, ideal DCG, and the 1e6
+    NDCG ratio are pure integer arithmetic per query. Both rankings
+    come from one scored pass (the RRF plan shape); the metric's whole
+    evaluation-harness role is to price norm-sensitivity: queries where
+    MIPS and cosine disagree score below 1e6, exactly the diagnostic a
+    retriever A/B reads."""
+    from pyspark.sql import Window as W
+    from ..operators.similarity import _dot, _norm
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("qv"), F.col("cv")).alias("ip"),
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    wq = W.partitionBy("query_id")
+    ranks = scored.select(
+        "query_id",
+        F.row_number()
+        .over(wq.orderBy(F.col("cosine").desc(), "neighbor_id"))
+        .alias("r_true"),
+        F.row_number()
+        .over(wq.orderBy(F.col("ip").desc(), "neighbor_id"))
+        .alias("r_sys"),
+    )
+    w_expr = "CASE r_sys " + " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W8)
+    ) + " ELSE 0 END"
+    idcg8 = sum((5 - i) * w for i, w in enumerate(_NDCG_W8))
+    gains = ranks.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                (F.col("r_sys") <= 5) & (F.col("r_true") <= 5),
+                (6 - F.col("r_true")) * F.expr(w_expr),
+            ).otherwise(0)
+        ).alias("dcg8")
+    )
+    return gains.select(
+        "query_id",
+        F.expr(f"dcg8 * 1000000 div {idcg8}").alias("ndcg5_e6"),
+    ).orderBy("query_id")
