@@ -1561,3 +1561,69 @@ def ch_last_touch_attribution(spark, sf_dir):
         )
         .orderBy("attributed")
     )
+
+
+@query(
+    "ch_repurchase_latency",
+    category="funnels",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT user_id,
+             CAST((epoch_us(LEAD(ts) OVER w) - epoch_us(ts)) // 3600000000
+                  AS BIGINT) AS gap_h
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (SELECT user_id, gap_h FROM gaps WHERE gap_h IS NOT NULL),
+    med AS (
+      SELECT user_id, gap_h FROM (
+        SELECT user_id, gap_h,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap_h) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM g) WHERE rn = (n + 1) // 2
+    )
+    SELECT user_id, gap_h AS median_repurchase_hours,
+           (SELECT COUNT(*) FROM g g2 WHERE g2.user_id = med.user_id) + 1
+             AS n_purchases
+    FROM med ORDER BY user_id
+    """,
+)
+def ch_repurchase_latency(spark, sf_dir):
+    """Repurchase latency — the repeat-behavior metric between the
+    funnel family's FIRST-conversion latency (ch_funnel_time_to_convert)
+    and cohort LTV: the median whole-hour gap between each user's
+    consecutive purchases (median, not mean — one vacation gap
+    shouldn't move the reorder-reminder timing this number feeds).
+    Consecutive gaps via one LEAD over the per-user purchase stream,
+    exact integer hours, the integer lower-median rank pick
+    (agg_median_absolute_deviation discipline). One user_id exchange
+    end to end."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = p.select(
+        "user_id",
+        (
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+            / F.lit(3600000000)
+        )
+        .cast("long")
+        .alias("gap_h"),
+    ).where(F.col("gap_h").isNotNull())
+    wu = W.partitionBy("user_id")
+    med = (
+        gaps.select(
+            "user_id",
+            "gap_h",
+            F.row_number().over(wu.orderBy("gap_h")).alias("rn"),
+            F.count(F.lit(1)).over(wu).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("user_id", F.col("gap_h").alias("median_repurchase_hours"),
+                (F.col("n") + 1).alias("n_purchases"))
+    )
+    return med.orderBy("user_id")

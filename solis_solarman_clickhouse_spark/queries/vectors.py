@@ -2895,3 +2895,84 @@ def vec_ndcg_eval(spark, sf_dir):
         "query_id",
         F.expr(f"dcg8 * 1000000 div {idcg8}").alias("ndcg5_e6"),
     ).orderBy("query_id")
+
+
+_MRR_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_dot_product(q.qv, c.cv) AS ip,
+         list_dot_product(q.qv, c.cv)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS cosine
+  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
+),
+ranks AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS r_true,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ip DESC, neighbor_id) AS r_sys
+  FROM scored
+),
+rr AS (
+  SELECT query_id, MIN(r_sys) AS first_hit
+  FROM ranks WHERE r_true = 1 GROUP BY query_id
+)
+SELECT (SELECT COUNT(*) FROM q) AS n_queries,
+       SUM(1000000 // first_hit) // COUNT(*) AS mrr_e6
+FROM rr
+"""
+
+
+@query("vec_mrr_eval", category="vectors", oracle=_MRR_ORACLE)
+def vec_mrr_eval(spark, sf_dir):
+    """Mean Reciprocal Rank — the third leg of the evaluation shelf
+    (recall@k: did we find them; NDCG@5: in the right order; MRR: how
+    deep must the user scroll for THE answer): reciprocal of the
+    system rank at which each query's single true top-1 (by exact
+    cosine) appears in the MIPS ranking, averaged. Integer 1e6
+    reciprocals and an integer mean — the per-query machinery is the
+    NDCG/RRF scored pass with a one-row pick per query."""
+    from pyspark.sql import Window as W
+    from ..operators.similarity import _dot, _norm
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("qv"), F.col("cv")).alias("ip"),
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    wq = W.partitionBy("query_id")
+    ranks = scored.select(
+        "query_id",
+        F.row_number()
+        .over(wq.orderBy(F.col("cosine").desc(), "neighbor_id"))
+        .alias("r_true"),
+        F.row_number()
+        .over(wq.orderBy(F.col("ip").desc(), "neighbor_id"))
+        .alias("r_sys"),
+    )
+    rr = ranks.where(F.col("r_true") == 1).groupBy("query_id").agg(
+        F.min("r_sys").alias("first_hit")
+    )
+    nq = q.agg(F.count(F.lit(1)).alias("n_queries"))
+    return rr.agg(
+        F.expr("sum(1000000 div first_hit) div count(1)").alias("mrr_e6")
+    ).crossJoin(F.broadcast(nq)).select("n_queries", "mrr_e6")
