@@ -116,7 +116,7 @@ _PRIORITY = [
     "agg_power_sample_size", "ts_uptime_sla", "doc_temperature_mixing",
     "agg_sprt_sequential_test", "ts_token_bucket_admission",
     "vec_reciprocal_rank_fusion", "doc_heaps_law_fit", "vec_ndcg_eval",
-    "vec_mrr_eval", "ch_repurchase_latency",
+    "vec_mrr_eval", "ch_repurchase_latency", "agg_srm_check",
 ]
 
 #: Round-1 green rows — keep them right after the priority tiers so a larger

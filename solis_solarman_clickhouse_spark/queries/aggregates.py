@@ -3170,3 +3170,62 @@ def agg_sprt_sequential_test(spark, sf_dir):
     )
     n_total = walk.agg(F.count(F.lit(1)).alias("n_total"))
     return first.crossJoin(F.broadcast(n_total))
+
+
+@query(
+    "agg_srm_check",
+    category="aggregate",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS treated
+      FROM events
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(treated) AS nt FROM u
+    )
+    SELECT n AS n_users, nt AS n_treated, n - nt AS n_control,
+           ROUND(
+             (nt - n / 3.0) * (nt - n / 3.0) / (n / 3.0)
+             + ((n - nt) - 2.0 * n / 3.0) * ((n - nt) - 2.0 * n / 3.0)
+               / (2.0 * n / 3.0), 4) AS chi2,
+           CASE WHEN
+             (nt - n / 3.0) * (nt - n / 3.0) / (n / 3.0)
+             + ((n - nt) - 2.0 * n / 3.0) * ((n - nt) - 2.0 * n / 3.0)
+               / (2.0 * n / 3.0) > 3.841 THEN 1 ELSE 0 END AS srm_alarm
+    FROM m
+    """,
+)
+def agg_srm_check(spark, sf_dir):
+    """Sample Ratio Mismatch check — the experiment-HEALTH gate every
+    platform runs before reading any metric (a treatment share that
+    drifts from its intended allocation means broken assignment or
+    differential dropout, and every downstream readout is garbage):
+    χ² goodness-of-fit of the observed user split against the intended
+    1/3 : 2/3 allocation of agg_diff_in_diff's id-hash rollout, alarm
+    at the 95% critical value 3.841. The counts are exact integers
+    from one distinct-user aggregate; the χ² runs on identical doubles
+    from identical integers — bit-equal before the 4-dp round, and the
+    alarm threshold compares BEFORE rounding so the verdict is the
+    statistic's, not the display's. Completes the experimentation
+    shelf's guardrail tier."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.select(
+        "user_id",
+        F.when(F.col("user_id") % 3 == 0, 1).otherwise(0).alias("treated"),
+    ).distinct()
+    m = u.agg(F.count(F.lit(1)).alias("n"), F.sum("treated").alias("nt"))
+    chi2 = (
+        (F.col("nt") - F.col("n") / 3.0) * (F.col("nt") - F.col("n") / 3.0)
+        / (F.col("n") / 3.0)
+        + ((F.col("n") - F.col("nt")) - 2.0 * F.col("n") / 3.0)
+        * ((F.col("n") - F.col("nt")) - 2.0 * F.col("n") / 3.0)
+        / (2.0 * F.col("n") / 3.0)
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.col("nt").alias("n_treated"),
+        (F.col("n") - F.col("nt")).alias("n_control"),
+        F.round(chi2, 4).alias("chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).alias("srm_alarm"),
+    )
