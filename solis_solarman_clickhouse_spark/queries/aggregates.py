@@ -933,8 +933,8 @@ def agg_pythagorean_means(spark, sf_dir):
       FROM pooled
     )
     SELECT
-      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n1,
-      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n2,
+      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
       ROUND(SUM(CASE WHEN event_type = 'view' THEN r2 ELSE 0 END) / 2.0
             - SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
               * (SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) + 1) / 2.0,
@@ -1213,7 +1213,7 @@ def ch_rank_corr(spark, sf_dir):
         SUM(c2) OVER () AS n2
       FROM arms
     )
-    SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+    SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
            ROUND(CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS DOUBLE)
                  / (MAX(n1) * MAX(n2)), 4) AS d_stat
     FROM ecdf
