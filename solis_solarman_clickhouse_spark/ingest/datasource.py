@@ -95,32 +95,34 @@ def simulate_registers(inv_i: int, slot: int, samples_per_day: int) -> dict[int,
     def lo(v: float) -> int:
         return int(v) & 0xFFFF
 
+    # Same register address space as the reference fetch cycle
+    # (solarman.py:255-307) — parity with fixture.py's reg_exprs.
     return {
+        3021: _u16(volts),
+        3022: _u16(amps),
+        3023: _u16(volts * 0.98),
+        3024: _u16(amps * 0.97),
+        3025: _u16(volts * 0.96),
+        3026: _u16(amps * 0.95),
+        3006: hi(dc_watts),
+        3007: lo(dc_watts),
+        3004: hi(ac_watts),
+        3005: lo(ac_watts),
         3041: _u16(temp),
-        33049: _u16(volts),
-        33050: _u16(amps),
-        33051: _u16(volts * 0.98),
-        33052: _u16(amps * 0.97),
-        33053: _u16(volts * 0.96),
-        33054: _u16(amps * 0.95),
-        33057: hi(dc_watts),
-        33058: lo(dc_watts),
-        33071: _u16(volts * 1.01),
-        33072: _u16(12 + sun * 10),
-        33079: hi(ac_watts),
-        33080: lo(ac_watts),
-        33081: hi(ac_apparent),
-        33082: lo(ac_apparent),
-        33073: _u16(2350 + sun * 50),
-        33076: _u16(amps * 2.8),
-        33094: _u16(6000 + sun * 5),
-        33035: _u16(kwh_day_raw),
-        33031: hi(kwh_month),
-        33032: lo(kwh_month),
-        33033: hi(kwh_annual),
-        33034: lo(kwh_annual),
-        33029: hi(kwh_total),
-        33030: lo(kwh_total),
+        3031: _u16(volts * 1.01),
+        3030: _u16(12 + sun * 10),
+        3057: hi(ac_apparent),
+        3058: lo(ac_apparent),
+        3035: _u16(2350 + sun * 50),
+        3038: _u16(amps * 2.8),
+        3042: _u16(6000 + sun * 5),
+        3014: _u16(kwh_day_raw),
+        3010: hi(kwh_month),
+        3011: lo(kwh_month),
+        3016: hi(kwh_annual),
+        3017: lo(kwh_annual),
+        3008: hi(kwh_total),
+        3009: lo(kwh_total),
     }
 
 

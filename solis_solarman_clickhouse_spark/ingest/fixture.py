@@ -65,32 +65,33 @@ def generate_raw_registers(
     kwh_annual = day * 6 + inv_f * 3 + 500
     kwh_total = 33000 + day * 20 + inv_f * 1000  # registers.txt:16 magnitude
 
+    # Addresses are the reference fetch cycle's (solarman.py:255-307).
     reg_exprs: dict[int, F.Column] = {
+        3021: _u16(volts),  # dc_1_voltage
+        3022: _u16(amps),  # dc_1_amps
+        3023: _u16(volts * 0.98),  # dc_2_voltage
+        3024: _u16(amps * 0.97),  # dc_2_amps
+        3025: _u16(volts * 0.96),  # dc_3_voltage
+        3026: _u16(amps * 0.95),  # dc_3_amps
+        3006: _hi(dc_watts),  # dc_actual_watts (u32 hi)
+        3007: _lo(dc_watts),  # dc_actual_watts (u32 lo)
+        3004: _hi(ac_watts),  # ac_actual_watts (u32 hi)
+        3005: _lo(ac_watts),  # ac_actual_watts (u32 lo)
         3041: _u16(temp),  # temperature, scale 0.1
-        33049: _u16(volts),  # dc_1_voltage
-        33050: _u16(amps),  # dc_1_amps
-        33051: _u16(volts * 0.98),  # dc_2_voltage
-        33052: _u16(amps * 0.97),  # dc_2_amps
-        33053: _u16(volts * 0.96),  # dc_3_voltage
-        33054: _u16(amps * 0.95),  # dc_3_amps
-        33057: _hi(dc_watts),  # dc_actual_watts (u32 hi)
-        33058: _lo(dc_watts),  # dc_actual_watts (u32 lo)
-        33071: _u16(volts * 1.01),  # dc_busbar_voltage
-        33072: _u16(F.lit(12) + sun * 10),  # ground_voltage
-        33079: _hi(ac_watts),  # ac_actual_watts (u32 hi)
-        33080: _lo(ac_watts),  # ac_actual_watts (u32 lo)
-        33081: _hi(ac_apparent),  # ac_apparent_watts (u32 hi)
-        33082: _lo(ac_apparent),  # ac_apparent_watts (u32 lo)
-        33073: _u16(F.lit(2350) + sun * 50),  # ac_voltage
-        33076: _u16(amps * 2.8),  # ac_amps
-        33094: _u16(F.lit(6000) + sun * 5),  # ac_frequency, scale 0.01
-        33035: _u16(kwh_day_raw),  # kwh_day, scale 0.1
-        33031: _hi(kwh_month),  # kwh_month (u32 hi)
-        33032: _lo(kwh_month),  # kwh_month (u32 lo)
-        33033: _hi(kwh_annual),  # kwh_annual (u32 hi)
-        33034: _lo(kwh_annual),  # kwh_annual (u32 lo)
-        33029: _hi(kwh_total),  # kwh_total (u32 hi)
-        33030: _lo(kwh_total),  # kwh_total (u32 lo)
+        3031: _u16(volts * 1.01),  # dc_busbar_voltage
+        3030: _u16(F.lit(12) + sun * 10),  # ground_voltage
+        3057: _hi(ac_apparent),  # ac_apparent_watts (u32 hi)
+        3058: _lo(ac_apparent),  # ac_apparent_watts (u32 lo)
+        3035: _u16(F.lit(2350) + sun * 50),  # ac_voltage
+        3038: _u16(amps * 2.8),  # ac_amps
+        3042: _u16(F.lit(6000) + sun * 5),  # ac_frequency, scale 0.01
+        3014: _u16(kwh_day_raw),  # kwh_day, scale 0.1
+        3010: _hi(kwh_month),  # kwh_month (u32 hi)
+        3011: _lo(kwh_month),  # kwh_month (u32 lo)
+        3016: _hi(kwh_annual),  # kwh_annual (u32 hi)
+        3017: _lo(kwh_annual),  # kwh_annual (u32 lo)
+        3008: _hi(kwh_total),  # kwh_total (u32 hi)
+        3009: _lo(kwh_total),  # kwh_total (u32 lo)
     }
 
     out = df.select(

@@ -3,8 +3,11 @@
 Mirrors the read sequence in /root/reference/solarman.py:255-307: 19 reads
 over 25 input registers; 13 single-register (u16) metrics and 6 two-register
 (u32, big-endian hi<<16 | lo) metrics; unit scales 0.1 / 0.01 applied at
-read time (solarman.py:255, :303). Addresses are from the captured register
-dump /root/reference/registers.txt:6-92.
+read time (solarman.py:255, :303). Addresses, quantities, and scales are the
+ones the reference fetch cycle actually reads (solarman.py:255-307 — e.g.
+dc_1_voltage=3021 q1 s0.1, ac_actual_watts=3004 q2, kwh_total=3008 q2); the
+captured dump /root/reference/registers.txt covers the same 02999-03072
+space. tests/test_ingest.py pins this map against the reference sequence.
 
 The raw fixture table stores one column per register, named ``reg_<addr>``
 (u16 as INT). Decode (decode.py) turns these into the 25 metric columns;
@@ -26,27 +29,29 @@ class RegisterSpec:
     kind: str  # 'gauge' | 'counter'
 
 
-# Read order follows the reference fetch cycle (solarman.py:255-307).
+# Read order follows the reference fetch cycle (solarman.py:255-307):
+# DC strings first (3021-3026), then the u32 power/energy registers and the
+# remaining gauges in the order the `data` row is assembled.
 REGISTER_MAP: tuple[RegisterSpec, ...] = (
+    RegisterSpec("dc_1_voltage", 3021, 1, 0.1, "gauge"),
+    RegisterSpec("dc_1_amps", 3022, 1, 0.1, "gauge"),
+    RegisterSpec("dc_2_voltage", 3023, 1, 0.1, "gauge"),
+    RegisterSpec("dc_2_amps", 3024, 1, 0.1, "gauge"),
+    RegisterSpec("dc_3_voltage", 3025, 1, 0.1, "gauge"),
+    RegisterSpec("dc_3_amps", 3026, 1, 0.1, "gauge"),
+    RegisterSpec("dc_actual_watts", 3006, 2, 1.0, "gauge"),
+    RegisterSpec("ac_actual_watts", 3004, 2, 1.0, "gauge"),
     RegisterSpec("inverter_temperature_celsius", 3041, 1, 0.1, "gauge"),
-    RegisterSpec("dc_1_voltage", 33049, 1, 0.1, "gauge"),
-    RegisterSpec("dc_1_amps", 33050, 1, 0.1, "gauge"),
-    RegisterSpec("dc_2_voltage", 33051, 1, 0.1, "gauge"),
-    RegisterSpec("dc_2_amps", 33052, 1, 0.1, "gauge"),
-    RegisterSpec("dc_3_voltage", 33053, 1, 0.1, "gauge"),
-    RegisterSpec("dc_3_amps", 33054, 1, 0.1, "gauge"),
-    RegisterSpec("dc_actual_watts", 33057, 2, 1.0, "gauge"),
-    RegisterSpec("dc_busbar_voltage", 33071, 1, 0.1, "gauge"),
-    RegisterSpec("ground_voltage", 33072, 1, 0.1, "gauge"),
-    RegisterSpec("ac_apparent_watts", 33081, 2, 1.0, "gauge"),
-    RegisterSpec("ac_actual_watts", 33079, 2, 1.0, "gauge"),
-    RegisterSpec("ac_voltage", 33073, 1, 0.1, "gauge"),
-    RegisterSpec("ac_amps", 33076, 1, 0.1, "gauge"),
-    RegisterSpec("ac_frequency", 33094, 1, 0.01, "gauge"),
-    RegisterSpec("kwh_day", 33035, 1, 0.1, "counter"),
-    RegisterSpec("kwh_month", 33031, 2, 1.0, "counter"),
-    RegisterSpec("kwh_annual", 33033, 2, 1.0, "counter"),
-    RegisterSpec("kwh_total", 33029, 2, 1.0, "counter"),
+    RegisterSpec("dc_busbar_voltage", 3031, 1, 0.1, "gauge"),
+    RegisterSpec("ground_voltage", 3030, 1, 0.1, "gauge"),
+    RegisterSpec("ac_apparent_watts", 3057, 2, 1.0, "gauge"),
+    RegisterSpec("ac_voltage", 3035, 1, 0.1, "gauge"),
+    RegisterSpec("ac_amps", 3038, 1, 0.1, "gauge"),
+    RegisterSpec("ac_frequency", 3042, 1, 0.01, "gauge"),
+    RegisterSpec("kwh_day", 3014, 1, 0.1, "counter"),
+    RegisterSpec("kwh_month", 3010, 2, 1.0, "counter"),
+    RegisterSpec("kwh_annual", 3016, 2, 1.0, "counter"),
+    RegisterSpec("kwh_total", 3008, 2, 1.0, "counter"),
 )
 
 #: Columns of the landed fact table, in the INSERT order the reference uses

@@ -37,9 +37,9 @@ def test_u32_combine_and_scale(spark):
 
     for c in raw_register_columns():
         row[c] = 0
-    row["reg_33049"] = 3015  # dc_1_voltage raw → 301.5 V
-    row["reg_33057"] = 2  # dc_actual_watts hi
-    row["reg_33058"] = 5  # dc_actual_watts lo → 2*65536+5
+    row["reg_3021"] = 3015  # dc_1_voltage raw → 301.5 V (solarman.py:255)
+    row["reg_3006"] = 2  # dc_actual_watts hi (solarman.py:278, quantity=2)
+    row["reg_3007"] = 5  # dc_actual_watts lo → 2*65536+5
     df = spark.createDataFrame([row]).withColumn("time", F.col("time").cast("timestamp"))
     out = decode_registers(df).collect()[0]
     assert out["dc_actual_watts"] == 2 * 65536 + 5
@@ -200,3 +200,37 @@ def test_graceful_stop_drains_and_preserves_sink(spark, raw):
     q2.awaitTermination()
     expected = transform(spark.read.parquet(raw_path)).count()
     assert sink.read_table(spark).count() == expected
+
+
+def test_register_map_matches_reference_fetch_cycle():
+    """Pin REGISTER_MAP's (addr, quantity, scale) tuples to the reference's
+    actual fetch cycle (solarman.py:255-307) so address drift is caught.
+    The expected sequence below is transcribed read-by-read from the
+    reference: DC strings 3021-3026 (q1, 0.1), the u32 power registers
+    3006/3004, then the gauges/counters in data-row assembly order."""
+    from solis_solarman_clickhouse_spark.ingest.registers import REGISTER_MAP
+
+    expected = [
+        # name, addr, quantity, scale   (solarman.py line)
+        ("dc_1_voltage", 3021, 1, 0.1),  # :255
+        ("dc_1_amps", 3022, 1, 0.1),  # :257
+        ("dc_2_voltage", 3023, 1, 0.1),  # :262
+        ("dc_2_amps", 3024, 1, 0.1),  # :264
+        ("dc_3_voltage", 3025, 1, 0.1),  # :269
+        ("dc_3_amps", 3026, 1, 0.1),  # :271
+        ("dc_actual_watts", 3006, 2, 1.0),  # :278
+        ("ac_actual_watts", 3004, 2, 1.0),  # :280
+        ("inverter_temperature_celsius", 3041, 1, 0.1),  # :284
+        ("dc_busbar_voltage", 3031, 1, 0.1),  # :299
+        ("ground_voltage", 3030, 1, 0.1),  # :300
+        ("ac_apparent_watts", 3057, 2, 1.0),  # :301
+        ("ac_voltage", 3035, 1, 0.1),  # :303
+        ("ac_amps", 3038, 1, 0.1),  # :304
+        ("ac_frequency", 3042, 1, 0.01),  # :305
+        ("kwh_day", 3014, 1, 0.1),  # :306
+        ("kwh_month", 3010, 2, 1.0),  # :307
+        ("kwh_annual", 3016, 2, 1.0),  # :308
+        ("kwh_total", 3008, 2, 1.0),  # :309
+    ]
+    actual = [(s.name, s.addr, s.quantity, s.scale) for s in REGISTER_MAP]
+    assert actual == expected
