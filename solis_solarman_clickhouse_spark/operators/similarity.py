@@ -393,6 +393,48 @@ def ann_lsh_topk(
     )
 
 
+def cosine_tau_pairs_within(
+    grouped: DataFrame, *, tau: float, bucket_col: str = "bucket"
+) -> DataFrame:
+    """(vec_a, vec_b) id pairs with quantized cosine >= tau, compared only
+    WITHIN each ``bucket_col`` group of ``grouped`` (vec_id, bucket, e) —
+    the shared within-partition kernel for SemDeDup and for brute-force
+    audit tiers (pass a constant bucket to get exact all-pairs). One
+    chunked BLAS matmul per group; memory is bounded at chunk x group,
+    and only the pairs that survive the tau cut leave Python. Cosines are
+    rounded half-even to 8 dp before the comparison so the result is
+    reproducible against a sequential-fold SQL oracle that applies the
+    same ROUND."""
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["e"].to_numpy())
+        norms = np.sqrt((m * m).sum(axis=1))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        chunk = 2048
+        for i0 in range(0, len(ids), chunk):
+            blk = m[i0 : i0 + chunk] @ m.T
+            cos = np.round(
+                blk / (norms[i0 : i0 + chunk, None] * norms[None, :]), 8
+            )
+            ii, jj = np.nonzero(cos >= tau)
+            a, bb = ids[ii + i0], ids[jj]
+            keep = a < bb  # each unordered pair exactly once, lower id first
+            out_a.append(a[keep])
+            out_b.append(bb[keep])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "vec_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+            }
+        )
+
+    return grouped.groupBy(bucket_col).applyInPandas(
+        _bucket_pairs, "vec_a long, vec_b long"
+    )
+
+
 def semdedup_bucketed(
     corpus: DataFrame,
     *,
@@ -411,15 +453,25 @@ def semdedup_bucketed(
     assignment, candidate pairs, cosine cut, keeper policy — is
     reproducible from literal constants by an ANSI-SQL oracle.
 
-    Scale shape: the only non-broadcast joins are (a) the bucket
-    self-equi-join that carries (id, bucket) rows only — L x 16 bytes per
-    vector, never the embedding payload — and (b) two id-equi-joins that
-    fetch vectors back for exactly the deduplicated candidate set. No
-    all-pairs stage exists anywhere; cost scales with collision density
-    (sum of per-bucket pair counts), which the table/plane counts tune.
+    Scale shape — the SemDeDup-canonical within-partition matmul: vectors
+    are shuffled ONCE per table-bucket (L copies each), then every
+    bucket's pairwise cosine matrix is computed by a chunked BLAS matmul
+    inside one Arrow batch — the pair stream that leaves Python already
+    has the tau cut applied, so candidate pairs never materialize as
+    rows. (The previous shape joined vectors back per candidate pair and
+    scored each with an interpreted fold: at a collision-dense
+    configuration — 2000 fixture vectors produced 831k candidates — that
+    shuffled the payload per PAIR and was ~5x slower.) A mega-bucket is
+    processed in 2048-row chunks so worker memory stays bounded at
+    chunk x bucket, not bucket^2; at true corpus scale the plane count
+    (or an IVF/k-means partitioner) bounds the bucket population itself.
     Keeper policy is deterministic min-id: a vector is dropped iff some
     LOWER-id vector shares a bucket (any table) at cosine >= tau, so the
     survivor set is unique regardless of partitioning or join order.
+    Cosines are quantized to 8 dp before the tau comparison (numpy and
+    DuckDB both round half-even) so a last-ulp summation-order divergence
+    between the matmul and the oracle's sequential fold cannot flip a
+    borderline pair.
 
     Returns one row per corpus vector: (vec_id, is_kept, witness_id,
     n_dups) where witness_id = the smallest lower-id duplicate for
@@ -428,26 +480,13 @@ def semdedup_bucketed(
     kw = dict(n_tables=n_tables, n_planes=n_planes, dim=dim, seed=seed,
               id_col=id_col, vec_col=vec_col)
     b = lsh_multitable_buckets(corpus, **kw)
-    lo = b.withColumnRenamed("vec_id", "vec_a")
-    hi = b.withColumnRenamed("vec_id", "vec_b")
-    cand = (
-        lo.join(hi, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
     )
-    va = corpus.select(F.col(id_col).alias("vec_a"),
-                       F.col(vec_col).cast("array<double>").alias("ea"))
-    vb = corpus.select(F.col(id_col).alias("vec_b"),
-                       F.col(vec_col).cast("array<double>").alias("eb"))
+    pairs = cosine_tau_pairs_within(b.join(vecs, "vec_id"), tau=tau)
     dup = (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .withColumn(
-            "cosine",
-            _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))),
-        )
-        .filter(F.col("cosine") >= tau)
+        pairs.distinct()  # a pair can collide in several tables — count once
         .groupBy(F.col("vec_b").alias("vec_id"))
         .agg(F.min("vec_a").alias("witness_id"), F.count(F.lit(1)).alias("n_dups"))
     )

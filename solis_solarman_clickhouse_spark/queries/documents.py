@@ -1688,12 +1688,14 @@ def _span_cov_frame(docs):
         toks.where(F.col("n_tokens") >= 8)
         .select(
             "doc_id",
+            # The gram hash never leaves this frame — it only groups equal
+            # 8-grams — so any collision-free hash yields the same result;
+            # xxhash64 stays in codegen with no digest/hex materialization
+            # (the oracle groups on the raw gram string for the same reason).
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(1), (F.col("n_tokens") - 7).cast("int")),
-                    lambda i: F.substring(
-                        F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, 8))), 1, 16
-                    ),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("t"), i, 8))),
                 )
             ).alias("pos", "h"),
         )
@@ -1795,17 +1797,29 @@ def _quality_logit_frame(docs):
     tiers can run it on any survivor subset unchanged."""
     w = _qcls_weights()
     wcol = F.array(*[F.lit(x) for x in w])
-    t = F.split("text", " ")
-    toks = docs.select(
+    # Split ONCE into a materialized column before the generator: a
+    # non-generator expression sharing split(text) with explode(split(text))
+    # in one select re-evaluates the split per OUTPUT row (~10x slower at
+    # sf0.1, measured); projecting the array first makes Generate consume it.
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).select(
         "doc_id",
-        F.size(t).alias("n_tokens"),
-        F.explode(t).alias("tok"),
+        F.size("t").alias("n_tokens"),
+        F.explode("t").alias("tok"),
     )
-    feat = toks.groupBy(
+    # Two-level aggregation: count per (doc, token) FIRST (map-side combine
+    # collapses the token explosion before any hashing), then md5-bucket the
+    # far smaller distinct-(doc, token) stream. The md5+conv runs once per
+    # distinct token per doc instead of once per token instance — at corpus
+    # scale that's the difference between |tokens| and |doc·vocab| hash
+    # evaluations, with no broadcast assumption on the vocabulary.
+    per_tok = toks.groupBy("doc_id", "n_tokens", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    feat = per_tok.groupBy(
         "doc_id",
         "n_tokens",
         (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long") % 64).alias("j"),
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ).agg(F.sum("tf").alias("cnt"))
     packed = feat.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.col("j") * 1000000 + F.col("cnt"))).alias("ps"),
         F.max("n_tokens").alias("n_tokens"),
@@ -1909,8 +1923,8 @@ dropD AS (
   FROM cand cn
   JOIN embc ea ON ea.vec_id = cn.vec_a
   JOIN embc eb ON eb.vec_id = cn.vec_b
-  WHERE list_dot_product(ea.ev, eb.ev)
-        / (sqrt(list_dot_product(ea.ev, ea.ev)) * sqrt(list_dot_product(eb.ev, eb.ev)))
+  WHERE ROUND(list_dot_product(ea.ev, eb.ev)
+        / (sqrt(list_dot_product(ea.ev, ea.ev)) * sqrt(list_dot_product(eb.ev, eb.ev))), 8)
         >= 0.45
 )
 SELECT d.doc_id,
@@ -1947,12 +1961,15 @@ def doc_curation_v3(spark, sf_dir):
     ReuseExchange doesn't span those branches; measured ~10-16 s at
     sf0.1 vs ~4 s for the tiers summed). This implementation instead
     materializes each tier's SURVIVOR ID LIST — the smallest possible
-    cut of the DAG, one bigint per surviving doc — via eager
-    localCheckpoint, exactly the production pattern at 100 TB (the
-    doc_corpus_dedup_materialize note): each tier's heavy compute runs
-    once, survivor ids are orders of magnitude smaller than the docs
-    themselves, and checkpointing also caps lineage depth for the
-    downstream tiers. Measured ~4 s at sf0.1 after the change, same
+    cut of the DAG, one bigint per surviving doc — via persist + count
+    (localCheckpoint carries ~1.6 s of fixed RDD-materialization
+    overhead per call at this scale; persist costs ~0.1 s), exactly the
+    production pattern at 100 TB: each tier's heavy compute runs once,
+    and survivor ids are orders of magnitude smaller than the docs
+    themselves. The downstream tiers (C and D) are derived purely from
+    the cached id frames, so the plan of the RETURNED DataFrame contains
+    ZERO re-scans of the documents table (tests/test_plans.py pins
+    this). Measured ~1.9 s at sf0.1 after the change (from 6.3 s), same
     result hash."""
     from ..operators.similarity import semdedup_bucketed
 
@@ -1976,21 +1993,28 @@ def doc_curation_v3(spark, sf_dir):
         docs.select("doc_id")
         .join(keep_a_lazy.withColumn("_a", F.lit(1)), "doc_id", "left")
         .join(quality_all, "doc_id", "left")
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    flags.count()  # barrier: run each tier's heavy compute exactly once
     keep_a = flags.filter(F.col("_a").isNotNull()).select("doc_id")
     a = docs.join(keep_a, "doc_id")
     covb = _span_cov_frame(a)
     keep_b = (
         covb.filter(F.col("n_covered") * 2 <= F.col("n_tokens"))
         .select("doc_id")
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    b = a.join(keep_b, "doc_id")
-    keep_c = flags.filter(F.col("_q")).select("doc_id")
-    c = b.join(keep_c, "doc_id")
+    keep_b.count()
+    # Tier-D input: ids surviving A∩B∩C — derived from the CACHED frames
+    # only, so the semantic tier (and the whole returned plan) never
+    # rescans the documents table.
+    c_ids = (
+        flags.filter(F.col("_a").isNotNull() & F.col("_q"))
+        .join(keep_b, "doc_id")
+        .select("doc_id")
+    )
     emb = table(spark, sf_dir, "embeddings")
-    embc = emb.join(c.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    embc = emb.join(c_ids.select(F.col("doc_id").alias("vec_id")), "vec_id")
     drop_d = (
         semdedup_bucketed(embc, tau=0.45, n_tables=4, n_planes=3, dim=64, seed=7)
         .filter(~F.col("is_kept"))

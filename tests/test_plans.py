@@ -691,3 +691,27 @@ def test_bucket_pruning_on_bucketed_table(spark, tmp_path):
     finally:
         spark.conf.set(key, prev)
         spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+
+
+def test_curation_v3_returned_plan_rescans_no_documents(spark):
+    """doc_curation_v3 materializes each tier's survivor id-set; the
+    RETURNED plan must read only the cached id frames (InMemoryTableScan)
+    and the embeddings table — zero re-scans of documents.parquet. A
+    regression here re-expands a corpus-scale scan once per verdict
+    branch (the 100 TB blow-up the materialization exists to prevent)."""
+    df = REGISTRY["doc_curation_v3"].fn(spark, SF_DIR)
+
+    def live_documents_scans(node) -> int:
+        # an InMemoryTableScan prints its cached child plan, but that
+        # subtree does NOT execute — stop descending there
+        if "InMemoryTableScan" in node.nodeName():
+            return 0
+        hit = 1 if ("Scan" in node.nodeName() and "documents" in node.simpleString(200)) else 0
+        kids = node.children()
+        return hit + sum(
+            live_documents_scans(kids.apply(i)) for i in range(kids.size())
+        )
+
+    root = df._jdf.queryExecution().executedPlan()
+    assert live_documents_scans(root) == 0, _plan(df)
+    assert "InMemoryTableScan" in _plan(df)
