@@ -172,6 +172,110 @@ def stream_watermark_late_data(spark, sf_dir):
     )
 
 
+@query(
+    "stream_watermark_cut_exact",
+    category="streaming",
+    oracle="""
+    WITH b AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+    e AS (
+      SELECT event_id, event_type, epoch_us(ts) AS us,
+             LEAST(3, ((epoch_us(ts) - b.lo) * 4) // (b.hi - b.lo + 1)) AS sl
+      FROM events, b
+    ),
+    e2 AS (
+      SELECT event_type, us,
+             CASE WHEN event_id % 50 = 0 THEN LEAST(sl + 1, 3) ELSE sl END AS arr
+      FROM e
+    ),
+    sm AS (SELECT arr, MAX(us) AS mx FROM e2 GROUP BY arr),
+    wm AS (SELECT arr, MAX(mx) OVER (ORDER BY arr) - 600000000 AS wm_us FROM sm),
+    kept AS (
+      SELECT e2.event_type, e2.us FROM e2
+      LEFT JOIN wm ON wm.arr = e2.arr - 2
+      WHERE e2.arr <= 1
+         OR wm.wm_us IS NULL
+         OR (us // 300000000) * 300000000 + 300000000 > wm.wm_us
+    )
+    SELECT make_timestamp((us // 300000000) * 300000000) AS window_start,
+           event_type, COUNT(*) AS n
+    FROM kept GROUP BY 1, 2
+    """,
+)
+def stream_watermark_cut_exact(spark, sf_dir):
+    """Q-STRM-5 with an EXACT row: the append-mode watermark late-row cut
+    computed declaratively, so DuckDB can replay it bit-for-bit. The replay
+    schedule is deterministic: events split into 4 contiguous event-time
+    slices (integer quartiles of the epoch-us range); rows with
+    event_id % 50 == 0 arrive one slice LATE. Structured Streaming drops a
+    row in batch i iff its 5-minute window's END is at or below the
+    late-events watermark for that batch — which is the PREVIOUS batch's
+    watermark (Spark splits eventTimeWatermarkForLateEvents from
+    ...ForEviction so the filter lags eviction by one batch), i.e. max
+    event time over batches <= i-2 minus the 10-minute delay. That rule is
+    pure integer arithmetic over the slices (verified empirically against
+    the real engine by the paired test). Output = the tumbling aggregate over
+    surviving rows. tests/test_streaming.py runs the SAME schedule through
+    an actual withWatermark/append readStream (one file per slice, replayed
+    in order) and asserts row-for-row equality with this batch plan, so the
+    engine's watermark semantics — not just a smoke run — are pinned.
+    Scale shape: one broadcast 1-row bounds join, one 4-row watermark dim
+    join, one tumbling aggregation; everything else is codegen arithmetic."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    e = (
+        ev.select("event_id", "event_type", F.unix_micros("ts").alias("us"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            "us",
+            F.least(
+                F.lit(3),
+                F.expr("(us - lo) * 4 DIV (hi - lo + 1)"),
+            ).alias("sl"),
+            (F.col("event_id") % 50 == 0).alias("late"),
+        )
+        .select(
+            "event_type",
+            "us",
+            F.when(F.col("late"), F.least(F.col("sl") + 1, F.lit(3)))
+            .otherwise(F.col("sl"))
+            .alias("arr"),
+        )
+    )
+    sm = e.groupBy("arr").agg(F.max("us").alias("mx"))
+    from pyspark.sql import Window as W
+
+    wm = sm.select(
+        "arr",
+        (F.max("mx").over(W.orderBy("arr").rowsBetween(W.unboundedPreceding, W.currentRow))
+         - 600_000_000).alias("wm_us"),
+    )
+    kept = (
+        e.join(
+            F.broadcast(wm.select((F.col("arr") + 2).alias("arr"), "wm_us")),
+            "arr",
+            "left",
+        )
+        .where(
+            (F.col("arr") <= 1)
+            | F.col("wm_us").isNull()
+            | (F.expr("us DIV 300000000") * 300_000_000 + 300_000_000 > F.col("wm_us"))
+        )
+    )
+    return (
+        kept.groupBy(
+            F.timestamp_micros(F.expr("us DIV 300000000") * 300_000_000).alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @query("stream_counter_rate_stateful", category="streaming", check="SMOKE")
 def stream_counter_rate_stateful(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): per-user counter

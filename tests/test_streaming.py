@@ -344,3 +344,67 @@ def test_incremental_mv_restart_and_replay_idempotence(spark, tmp_path):
         .count()
         == expected.count()
     )
+
+
+def test_watermark_cut_exact_equals_real_stream(spark):
+    """The deterministic watermark-cut model (stream_watermark_cut_exact,
+    Q-STRM-5's EXACT row) must equal a REAL withWatermark/append streaming
+    run of the same replay schedule: 4 event-time slices, event_id%50 rows
+    arriving one slice late, one file per slice replayed in order (mtimes
+    pinned with os.utime — the file source orders batches by mtime).
+    Append mode only emits windows finalized by the FINAL watermark, so the
+    model is restricted to window_end <= max(ts) - 10min for the compare."""
+    import shutil
+
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+
+    ev = table(spark, SF_DIR, "events")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    sliced = ev.withColumn(
+        "sl", F.least(F.lit(3), F.expr(f"(unix_micros(ts) - {lo}L) * 4 DIV {hi - lo + 1}L"))
+    ).withColumn(
+        "arr",
+        F.when(F.col("event_id") % 50 == 0, F.least(F.col("sl") + 1, F.lit(3)))
+        .otherwise(F.col("sl")),
+    )
+    workdir = tempfile.mkdtemp(prefix="strmWM_")
+    src = os.path.join(workdir, "src")
+    os.makedirs(src)
+    for i in range(4):
+        part_dir = os.path.join(workdir, f"slice_{i}")
+        (sliced.where(F.col("arr") == i).drop("sl", "arr")
+         .coalesce(1).write.mode("overwrite").parquet(part_dir))
+        part = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"slice_{i}.parquet")
+        shutil.copy(os.path.join(part_dir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("strm_wm_exact_out")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table("strm_wm_exact_out")
+
+    final_wm_us = hi - 600_000_000
+    model = REGISTRY["stream_watermark_cut_exact"].fn(spark, SF_DIR)
+    expected = model.where(
+        F.unix_micros("window_start") + 300_000_000 <= final_wm_us
+    )
+    assert streamed.exceptAll(expected).count() == 0, "stream emitted extra rows"
+    assert expected.exceptAll(streamed).count() == 0, "stream missed model rows"
