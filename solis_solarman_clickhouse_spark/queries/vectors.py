@@ -806,7 +806,6 @@ def vec_semdedup(spark, sf_dir):
     return semdedup_bucketed(emb, tau=0.45, n_tables=4, n_planes=3, dim=64, seed=7)
 
 
-_PQ_CB_CACHE: dict = {}
 
 
 def _pq_codebooks(n_sub: int = 32, n_cent: int = 32, sub_dim: int = 2,
@@ -821,27 +820,32 @@ def _pq_codebooks(n_sub: int = 32, n_cent: int = 32, sub_dim: int = 2,
     0.52-0.62, trained 32×32 → 0.64-0.68 (sf0.01/sf0.1) — isotropic
     random data is quantization's worst case, so narrow subspaces win;
     clustered production embeddings would use coarser m with the same
-    training path. ~1e8 flops at import, cached by module load."""
+    training path. The trained codebooks are a persisted parquet ARTIFACT
+    (operators/artifacts.py, like the IVF centroid table): ~1e8 training
+    flops run once ever, not once per process."""
     import numpy as np
 
-    key = (n_sub, n_cent, sub_dim, seed, train_iters)
-    if key in _PQ_CB_CACHE:
-        return _PQ_CB_CACHE[key]
-    rng = np.random.RandomState(seed)
-    cbs = []
-    for _ in range(n_sub):
-        samp = rng.standard_normal((4000, sub_dim)) * 0.125
-        cb = samp[rng.choice(4000, n_cent, replace=False)].copy()
-        for _ in range(train_iters):
-            d = ((samp[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
-            a = d.argmin(1)
-            for c in range(n_cent):
-                m = samp[a == c]
-                if len(m):
-                    cb[c] = m.mean(0)
-        cbs.append(cb)
-    _PQ_CB_CACHE[key] = cbs
-    return cbs
+    from ..operators.artifacts import load_or_train_codebooks
+
+    def _train() -> list[np.ndarray]:
+        rng = np.random.RandomState(seed)
+        cbs = []
+        for _ in range(n_sub):
+            samp = rng.standard_normal((4000, sub_dim)) * 0.125
+            cb = samp[rng.choice(4000, n_cent, replace=False)].copy()
+            for _ in range(train_iters):
+                d = ((samp[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+                a = d.argmin(1)
+                for c in range(n_cent):
+                    m = samp[a == c]
+                    if len(m):
+                        cb[c] = m.mean(0)
+            cbs.append(cb)
+        return cbs
+
+    return load_or_train_codebooks(
+        "pq_codebooks", (n_sub, n_cent, sub_dim, seed, train_iters), _train
+    )
 
 
 def _pq_oracle(n_sub: int = 32, n_cent: int = 32, sub_dim: int = 2, seed: int = 11) -> str:

@@ -475,3 +475,38 @@ def test_in_bucket_pairs_matches_self_join(spark):
         )
     }
     assert got == want and len(got) > 1225  # hot bucket alone gives 50*49/2
+
+
+def test_quantizer_artifacts_persist_and_reload(spark, tmp_path, monkeypatch):
+    """IVF centroids and PQ codebooks are disk artifacts (VERDICT r2 task
+    6): first use trains AND writes parquet; a second call must read the
+    identical values back from disk (no in-process memo involved)."""
+    import numpy as np
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS_DIR", str(tmp_path))
+    from solis_solarman_clickhouse_spark.operators.artifacts import (
+        load_or_train_codebooks,
+        load_or_train_rows,
+    )
+
+    calls = {"n": 0}
+
+    def train_rows():
+        calls["n"] += 1
+        return [(0, [1.0, 2.0]), (1, [3.0, 4.0])]
+
+    r1 = load_or_train_rows("t_rows", ("k",), train_rows, ("list_id", "centroid"))
+    r2 = load_or_train_rows("t_rows", ("k",), train_rows, ("list_id", "centroid"))
+    assert calls["n"] == 1  # second call served from the parquet artifact
+    assert r1 == r2 == [(0, [1.0, 2.0]), (1, [3.0, 4.0])]
+    assert list(tmp_path.glob("t_rows/*/artifact.parquet"))
+
+    def train_cbs():
+        rng = np.random.RandomState(3)
+        return [rng.standard_normal((4, 2)) for _ in range(3)]
+
+    c1 = load_or_train_codebooks("t_cbs", ("k2",), train_cbs)
+    c2 = load_or_train_codebooks("t_cbs", ("k2",), train_cbs)
+    assert all((a == b).all() for a, b in zip(c1, c2))
+    assert all((a == b).all() for a, b in zip(c1, train_cbs()))
+    assert list(tmp_path.glob("t_cbs/*/artifact.parquet"))
