@@ -408,5 +408,13 @@ def graph_bfs_distance(spark, sf_dir):
                 F.broadcast(dist.withColumnRenamed("node", "s")), "s"
             ).select(F.col("t").alias("node"), (F.col("d") + 1).alias("d"))
         )
-        dist = dist.unionAll(nxt).groupBy("node").agg(F.min("d").alias("d"))
+        # materialize the |V|-bounded distance table each round: without
+        # the barrier the unrolled plan nests round k's join under round
+        # k+1's broadcast subquery and the whole chain re-executes per
+        # level (iterative-algorithm lineage growth — the same reason
+        # graph_pagerank persists its rank vector)
+        dist = (
+            dist.unionAll(nxt).groupBy("node").agg(F.min("d").alias("d")).persist()
+        )
+        dist.count()
     return dist.select("node", F.col("d").alias("dist")).orderBy("node")

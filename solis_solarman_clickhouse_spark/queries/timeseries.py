@@ -1645,53 +1645,64 @@ def ts_matrix_profile(spark, sf_dir):
     (trivial matches within 4 positions excluded). Low profile values
     are motifs (repeated behavior), high values are discords (the
     series' most anomalous window) — one structure answering both
-    queries. Plan shape: ONE shuffle groups each user's bounded series
+    queries. Plan shape: ONE shuffle folds each user's bounded series
     (49-88 readings on the fixtures, the ts_theil_sen_slope windowing
-    argument), then the O(n²·m) kernel runs as an Arrow-batched
-    applyInPandas numpy block per user — the declared Python-boundary
-    pattern for dense kernels (the PQ-family precedent: the same
-    computation as interpreted Catalyst folds measured 18-22 s at sf0.1
-    vs ~1-2 s batched). Bit-equality with the relational DuckDB oracle
-    holds because numpy's axis-sum over the 8-wide window is the same
-    left-to-right IEEE addition order as the oracle's list_reduce, and
-    np.argmin's first-minimum rule IS the lowest-q tie-break. At
-    100 TB: the quadratic stays inside each bounded per-entity window —
-    exactly how production matrix-profile systems shard."""
+    argument) into a sorted array JVM-side (sort_array ∘ collect_list
+    over (ts, event_id, value) structs), then the O(n²·m) kernel runs in
+    mapInPandas with MANY users per Arrow batch — one Python roundtrip
+    per batch, not per group (the per-group applyInPandas shape paid
+    ~2 ms of fixed overhead × 1500 tiny groups ≈ 3 s at sf0.1; this
+    shape is ~1 s; interpreted Catalyst folds measured 18-22 s).
+    Bit-equality with the relational DuckDB oracle holds because numpy's
+    axis-sum over the 8-wide window is the same left-to-right IEEE
+    addition order as the oracle's list_reduce, and np.argmin's
+    first-minimum rule IS the lowest-q tie-break. At 100 TB: the
+    quadratic stays inside each bounded per-entity window — exactly how
+    production matrix-profile systems shard."""
     import numpy as np
 
-    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    ev = table(spark, sf_dir, "events")
+    series = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("s")
+    )
 
-    def profile(pdf):
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        a = pdf["value"].to_numpy(dtype="float64")
-        n = len(a)
-        out_p = out_d = out_q = []
-        if 12 <= n <= 100:
-            w = np.lib.stride_tricks.sliding_window_view(a, 8)  # (n-7, 8)
-            npos = w.shape[0]
-            # (p, q, 8) differences; the sum over the 8-wide last axis is
-            # sequential left-to-right in numpy below the pairwise-summation
-            # threshold — identical to the oracle's fold order.
-            d = ((w[:, None, :] - w[None, :, :]) ** 2).sum(-1)
-            idx = np.arange(npos)
-            d[np.abs(idx[:, None] - idx[None, :]) < 4] = np.inf
-            best_q = d.argmin(1)
-            best_d = d[idx, best_q]
-            keep = np.isfinite(best_d)
-            out_p = (idx + 1)[keep]
-            out_d = best_d[keep]
-            out_q = (best_q + 1)[keep]
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"].iloc[0],
-                "p": np.asarray(out_p, dtype="int64"),
-                "profile_dist": np.round(np.asarray(out_d, dtype="float64"), 4),
-                "nearest_pos": np.asarray(out_q, dtype="int64"),
-            }
-        )
+    def profile_batches(batches):
+        for pdf in batches:
+            uids, ps, ds, qs = [], [], [], []
+            for uid, s in zip(pdf["user_id"], pdf["s"]):
+                a = np.array([r["value"] for r in s], dtype="float64")
+                n = len(a)
+                if not (12 <= n <= 100):
+                    continue
+                w = np.lib.stride_tricks.sliding_window_view(a, 8)  # (n-7, 8)
+                npos = w.shape[0]
+                # the sum over the 8-wide last axis is sequential
+                # left-to-right in numpy below the pairwise-summation
+                # threshold — identical to the oracle's fold order.
+                d = ((w[:, None, :] - w[None, :, :]) ** 2).sum(-1)
+                idx = np.arange(npos)
+                d[np.abs(idx[:, None] - idx[None, :]) < 4] = np.inf
+                best_q = d.argmin(1)
+                best_d = d[idx, best_q]
+                keep = np.isfinite(best_d)
+                uids.append(np.full(int(keep.sum()), uid, dtype="int64"))
+                ps.append((idx + 1)[keep])
+                ds.append(best_d[keep])
+                qs.append((best_q + 1)[keep])
+            empty = np.array([], dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "user_id": np.concatenate(uids) if uids else empty,
+                    "p": np.concatenate(ps) if ps else empty,
+                    "profile_dist": np.round(
+                        np.concatenate(ds) if ds else np.array([], dtype="float64"), 4
+                    ),
+                    "nearest_pos": np.concatenate(qs) if qs else empty,
+                }
+            )
 
-    return ev.groupBy("user_id").applyInPandas(
-        profile,
+    return series.mapInPandas(
+        profile_batches,
         "user_id bigint, p bigint, profile_dist double, nearest_pos bigint",
     )
 

@@ -153,21 +153,36 @@ def test_stream_ingest_replay_equals_batch_pipeline(spark):
     assert expected.exceptAll(landed).count() == 0
 
 
-def test_stream_peak_tracker_equals_batch_cummax(spark):
-    """transformWithState-or-fallback running peak == batch cummax window,
-    across micro-batch boundaries (maxFilesPerTrigger=1)."""
+import pytest
+
+
+@pytest.mark.parametrize("path", ["tws", "fallback"])
+def test_stream_peak_tracker_equals_batch_cummax(spark, monkeypatch, path):
+    """transformWithState AND its applyInPandasWithState fallback each
+    equal the batch cummax window across micro-batch boundaries
+    (maxFilesPerTrigger=1) — the capability gate (tws_available) is
+    FORCED per param so the fallback path is tested even where TWS
+    works, and vice versa the TWS leg skips (not silently passes) where
+    the worker can't start."""
     from pyspark.sql import Window
 
+    from solis_solarman_clickhouse_spark.streaming import transform_state
     from solis_solarman_clickhouse_spark.streaming.transform_state import (
         streaming_peak_tracker,
     )
+
+    if path == "tws":
+        if not transform_state.tws_available():
+            pytest.skip("transformWithState worker needs google.protobuf")
+    else:
+        monkeypatch.setattr(transform_state, "tws_available", lambda: False)
 
     ev = (
         table(spark, SF_DIR, "events")
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("value"))
     )
-    workdir = tempfile.mkdtemp(prefix="tws_")
+    workdir = tempfile.mkdtemp(prefix=f"tws_{path}_")
     src = os.path.join(workdir, "src")
     # time-ordered file names so triggers replay in event-time order —
     # per-row running-peak equality only holds for in-order arrival
@@ -187,13 +202,13 @@ def test_stream_peak_tracker_equals_batch_cummax(spark):
         streaming_peak_tracker(stream, key="user_id", ts="ts", value="value")
         .writeStream.outputMode("append")
         .format("memory")
-        .queryName("tws_peaks")
+        .queryName(f"tws_peaks_{path}")
         .option("checkpointLocation", os.path.join(workdir, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    got = spark.table("tws_peaks").select("key", "ts", "running_peak", "n_seen")
+    got = spark.table(f"tws_peaks_{path}").select("key", "ts", "running_peak", "n_seen")
 
     w = (
         Window.partitionBy("user_id")
