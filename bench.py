@@ -103,6 +103,13 @@ HEADLINE = [
     "vec_ivf_nprobe_sweep",
     "ts_peak_detection",
     "ts_spectral_dominant_period",
+    # round-3 additions
+    "doc_gopher_rules",
+    "doc_repetition_filters",
+    "doc_decontaminate_overlap",
+    "stream_watermark_cut_exact",
+    "vec_semdedup_recall",
+    "vec_matryoshka_recall",
 ]
 
 

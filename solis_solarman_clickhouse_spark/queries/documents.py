@@ -3757,3 +3757,262 @@ def doc_heaps_law_fit(spark, sf_dir):
             (F.col("sy") - slope * F.col("sx")) / F.col("n") / 100000000.0, 4
         ).alias("heaps_ln_k"),
     )
+
+
+@query(
+    "doc_gopher_rules",
+    category="documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS nc
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             ROUND((nc - (len(toks) - 1)) * 1.0 / len(toks), 4) AS mean_wlen,
+             CAST(len(list_intersect(list_distinct(toks),
+                                     ['the', 'a', 'of', 'to', 'and'])) AS BIGINT)
+               AS n_stop_distinct
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_wlen, n_stop_distinct,
+           (n_words BETWEEN 50 AND 100000)
+             AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+             AND n_stop_distinct >= 2 AS keep
+    FROM m
+    """,
+)
+def doc_gopher_rules(spark, sf_dir):
+    """Gopher-style rule-based quality gate (Rae et al. 2021, table A1 —
+    the heuristic tier EVERY production LLM corpus runs before any model
+    scoring): word-count bounds (50..100k), mean-word-length band
+    (3..10), and the stop-word sanity check (>= 2 distinct of a 5-word
+    stop list — a document with none is usually a listing, not prose).
+    All three signals are pure column arithmetic — mean word length
+    comes from (n_chars - (n_words-1)) / n_words because tokens are
+    single-space joined, and the stop-word count is array_intersect of
+    the distinct token set with a 5-element literal — so the whole gate
+    is one scan with zero shuffles and zero explodes: the cheapest
+    possible first funnel tier at 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    stops = F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and")])
+    m = docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_words"),
+        F.round(
+            (F.length("text") - (F.size(t) - 1)) * F.lit(1.0) / F.size(t), 4
+        ).alias("mean_wlen"),
+        F.size(F.array_intersect(F.array_distinct(t), stops))
+        .cast("long")
+        .alias("n_stop_distinct"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_wlen",
+        "n_stop_distinct",
+        (
+            F.col("n_words").between(50, 100000)
+            & (F.col("mean_wlen") >= 3.0)
+            & (F.col("mean_wlen") <= 10.0)
+            & (F.col("n_stop_distinct") >= 2)
+        ).alias("keep"),
+    )
+
+
+@query(
+    "doc_repetition_filters",
+    category="documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, pos, pos + 1), ' ') AS g
+      FROM t, LATERAL (SELECT UNNEST(generate_series(1, len(toks) - 1)) AS pos) s
+      WHERE len(toks) >= 2
+    ),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+    top2 AS (SELECT doc_id, MAX(c) AS max_c2 FROM c2 GROUP BY doc_id),
+    g3 AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, pos, pos + 2), ' ') AS g
+      FROM t, LATERAL (SELECT UNNEST(generate_series(1, len(toks) - 2)) AS pos) s
+      WHERE len(toks) >= 3
+    ),
+    c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+    dup3 AS (
+      SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c * 3 ELSE 0 END) AS dup_toks
+      FROM c3 GROUP BY doc_id
+    ),
+    m AS (
+      SELECT t.doc_id,
+             t.n AS n_tokens,
+             COALESCE(top2.max_c2, 0) * 2 * 1000000 // t.n AS top2_frac_e6,
+             COALESCE(dup3.dup_toks, 0) * 1000000 // t.n AS dup3_frac_e6
+      FROM t LEFT JOIN top2 ON t.doc_id = top2.doc_id
+             LEFT JOIN dup3 ON t.doc_id = dup3.doc_id
+    )
+    SELECT doc_id, n_tokens, top2_frac_e6, dup3_frac_e6,
+           top2_frac_e6 <= 200000 AND dup3_frac_e6 <= 300000 AS keep
+    FROM m
+    """,
+)
+def doc_repetition_filters(spark, sf_dir):
+    """Gopher repetition filters (Rae et al. 2021 §A1.1): a document is
+    degenerate boilerplate when one 2-gram dominates it (top-2-gram token
+    fraction > 20%) or when repeated 3-grams cover too much of it
+    (tokens inside 3-grams occurring >= 2x in the doc > 30%). Fractions
+    are exact scaled integers (x1e6, floor-div) so both engines agree
+    bit-for-bit. Plan: the pre-split token array explodes ONCE per gram
+    order with the gram built by slice (no re-tokenization), counts
+    map-side-combine on (doc_id, gram), and every aggregate is per-doc
+    bounded — the same inverted-index shape as the span-coverage tier,
+    linear in corpus size at 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).select(
+        "doc_id", "t", F.size("t").cast("long").alias("n")
+    )
+
+    def grams(order: int):
+        return (
+            toks.where(F.col("n") >= order)
+            .select(
+                "doc_id",
+                "n",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), (F.col("n") - order + 1).cast("int")),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, order)),
+                    )
+                ).alias("g"),
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    top2 = grams(2).groupBy("doc_id").agg(F.max("c").alias("max_c2"))
+    dup3 = (
+        grams(3)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") >= 2, F.col("c") * 3).otherwise(0)).alias(
+                "dup_toks"
+            )
+        )
+    )
+    m = (
+        toks.select("doc_id", "n")
+        .join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.expr("coalesce(max_c2, 0) * 2 * 1000000 DIV n").alias("top2_frac_e6"),
+            F.expr("coalesce(dup_toks, 0) * 1000000 DIV n").alias("dup3_frac_e6"),
+        )
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "top2_frac_e6",
+        "dup3_frac_e6",
+        ((F.col("top2_frac_e6") <= 200000) & (F.col("dup3_frac_e6") <= 300000)).alias(
+            "keep"
+        ),
+    )
+
+
+@query(
+    "doc_decontaminate_overlap",
+    category="documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             doc_id % 97 = 0 AS is_eval
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, is_eval,
+             array_to_string(list_slice(toks, pos, pos + 7), ' ') AS g
+      FROM t, LATERAL (SELECT UNNEST(generate_series(1, len(toks) - 7)) AS pos) s
+      WHERE len(toks) >= 8
+    ),
+    eval_grams AS (SELECT DISTINCT g FROM g WHERE is_eval),
+    train_grams AS (SELECT DISTINCT doc_id, g FROM g WHERE NOT is_eval),
+    ov AS (
+      SELECT tg.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams_distinct,
+             CAST(SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overlap
+      FROM train_grams tg LEFT JOIN eval_grams e ON tg.g = e.g
+      GROUP BY tg.doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(ov.n_grams_distinct, 0) AS n_grams_distinct,
+           COALESCE(ov.n_overlap, 0) AS n_overlap,
+           COALESCE(ov.n_overlap, 0) >= 1 AS contaminated
+    FROM t LEFT JOIN ov ON t.doc_id = ov.doc_id
+    WHERE NOT t.is_eval
+    """,
+)
+def doc_decontaminate_overlap(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C / Lee et al. 2022):
+    flag every training document sharing an 8-gram with the evaluation
+    set (here: doc_id % 97 == 0 stands in for the benchmark corpus).
+    The eval side collapses to a DISTINCT gram-hash set — tiny relative
+    to the corpus, broadcast to the probe join, so the corpus-side scan
+    is one pass with a map-side semi-probe and NO corpus shuffle on the
+    gram stream beyond the per-doc distinct. Gram identity travels as
+    xxhash64 (the hash never leaves the query; the oracle joins raw gram
+    strings — identical modulo collisions, same argument as the
+    span-coverage tier). Output: per train doc, distinct-gram count,
+    overlapping-gram count, contaminated flag."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 97 == 0).alias("is_eval"),
+        F.split("text", " ").alias("t"),
+    ).select("doc_id", "is_eval", "t", F.size("t").cast("long").alias("n"))
+    g = (
+        t.where(F.col("n") >= 8)
+        .select(
+            "doc_id",
+            "is_eval",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), (F.col("n") - 7).cast("int")),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("t"), i, 8))),
+                )
+            ).alias("g"),
+        )
+    )
+    eval_grams = g.where("is_eval").select("g").distinct()
+    train_grams = g.where(~F.col("is_eval")).select("doc_id", "g").distinct()
+    ov = (
+        train_grams.join(
+            F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), "g", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams_distinct"),
+            F.count("_hit").alias("n_overlap"),
+        )
+    )
+    return (
+        t.where(~F.col("is_eval"))
+        .select("doc_id")
+        .join(ov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams_distinct", F.lit(0)).alias("n_grams_distinct"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= 1).alias("contaminated"),
+        )
+    )

@@ -50,23 +50,43 @@ def sink_parquet_roundtrip(spark, sf_dir):
     )
 
 
-@query("sink_idempotent_upsert", category="sink", check="SMOKE")
+@query(
+    "sink_idempotent_upsert",
+    category="sink",
+    oracle="""
+    SELECT strftime(ts, '%Y%m') AS ym, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
 def sink_idempotent_upsert(spark, sf_dir):
     """Q-SINK-2: batchId-idempotent sink — the same micro-batch written
     twice (simulating Spark's at-least-once batch replay) produces the
     identical landed table, upgrading the reference's at-least-once
-    single-row INSERT retry (solarman.py:202-225) to effectively-once."""
-    from ..ingest.fixture import generate_raw_registers
-    from ..ingest.pipeline import transform
+    single-row INSERT retry (solarman.py:202-225) to effectively-once.
+    EXACT (upgraded from SMOKE): the batch is the events table, so the
+    landed-table aggregate must hash-match the oracle's DIRECT source
+    aggregation — a duplicated replay would double every count and sum,
+    a lost partition would shrink them; the fixture-register variant of
+    this check lives in tests/test_ingest.py."""
     from ..ingest.sink import IdempotentParquetSink
 
     base = os.path.join(tempfile.mkdtemp(prefix="sink2_"), "fact")
     sink = IdempotentParquetSink(base)
-    fact = transform(generate_raw_registers(spark, inverters=2, days=1))
-    sink.write_batch(fact, batch_id=0)
-    sink.write_batch(fact, batch_id=0)  # replay — must be a no-op net effect
+    batch = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("inverter"),
+        F.col("ts").alias("time"),
+        "value",
+    )
+    sink.write_batch(batch, batch_id=0)
+    sink.write_batch(batch, batch_id=0)  # replay — must be a no-op net effect
     landed = sink.read_table(spark)
-    return landed.groupBy("inverter").agg(F.count(F.lit(1)).alias("n_rows"))
+    return landed.groupBy(
+        F.date_format("time", "yyyyMM").alias("ym")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+    )
 
 
 @query(
