@@ -269,11 +269,16 @@ def audio_features(payloads: DataFrame, *, real: bool = False) -> DataFrame:
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n_bytes = pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int64")
+            # duration rounded to 6 dp via exact integer half-up: samples k
+            # over 16 kHz is k*62.5 µs-millionths = (k*125 + 1) // 2 — a
+            # float ROUND here lands exactly ON .5 boundaries (k=125 →
+            # 0.0078125 s) where numpy half-even and the oracle disagree
+            k = (n_bytes - 4).clip(lower=0) // 2
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": n_bytes,
-                    "duration_s": ((n_bytes - 4).clip(lower=0) / 2 / _AUDIO_SR).round(6),
+                    "duration_s": ((k * 125 + 1) // 2) / 1_000_000.0,
                     "sample_rate": pd.Series([_AUDIO_SR] * len(pdf), dtype="int32"),
                 }
             )

@@ -105,7 +105,11 @@ def mm_image_resize(spark, sf_dir):
     category="multimodal",
     oracle=f"""
     SELECT doc_id, {_NB} AS n_bytes,
-           ROUND(({_NB} - 4) / 2.0 / 16000.0, 6) AS duration_s,
+           -- exact integer half-up to 6 dp: k samples at 16 kHz is k*62.5
+           -- millionths of a second = (k*125 + 1) // 2 (float ROUND lands
+           -- exactly on .5 boundaries here, e.g. k=125 -> 0.0078125 s)
+           ((GREATEST({_NB} - 4, 0) // 2) * 125 + 1) // 2 / 1000000.0
+             AS duration_s,
            16000 AS sample_rate
     FROM documents WHERE doc_id % 3 = 1
     """,
