@@ -74,13 +74,31 @@ def label_centroids(
     embeddings: DataFrame, *, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:
     """Per-label elementwise mean as (label, dim, centroid_val) long form —
-    posexplode + groupBy, one shuffle keyed (label, dim)."""
+    posexplode + groupBy, one shuffle keyed (label, dim).
+
+    The 4-dp mean is computed over per-value integer quantizations
+    (floor(v*1e9), exact BIGINT sums, half-away integer division) instead
+    of ROUND(AVG(double), 4): float partial-sum order differs between
+    engines and partitionings, and at sf0.1 one (label, dim) cell's true
+    mean lands exactly on a .00005 boundary where Spark's half-up and the
+    oracle's half-even disagree. Quantizing per VALUE makes the sum — and
+    therefore the boundary decision — bit-deterministic everywhere, and
+    the `+ 0.0` clears IEEE -0.0 on the negative-rounds-to-zero cells."""
     exploded = embeddings.select(
         F.col(label_col).alias("label"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "v"),
     )
-    return exploded.groupBy("label", "dim").agg(
-        F.round(F.avg("v"), 4).alias("centroid_val")
+    g = exploded.groupBy("label", "dim").agg(
+        F.sum(F.floor(F.col("v") * 1000000000).cast("long")).alias("num"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    e4 = F.expr(
+        "CASE WHEN num < 0"
+        " THEN -((2 * (-num) * 10000 + n * 1000000000) DIV (2 * n * 1000000000))"
+        " ELSE (2 * num * 10000 + n * 1000000000) DIV (2 * n * 1000000000) END"
+    )
+    return g.select(
+        "label", "dim", (e4 / 10000.0 + 0.0).alias("centroid_val")
     )
 
 

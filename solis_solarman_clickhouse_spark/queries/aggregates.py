@@ -2761,7 +2761,10 @@ def agg_pareto_point(spark, sf_dir):
     return ranked.where(F.col("cum") * 5 >= F.col("tot") * 4).agg(
         F.min("i").alias("top_customers"),
         F.max("n").alias("n_customers"),
-        F.expr("min(i) * 1000000 div max(n)").alias("top_frac_e6"),
+        # row_number() is INT in Spark: widen BEFORE the *1e6 or the
+        # product overflows int32 once the rank passes ~2147 (bites at
+        # sf0.1; ANSI mode makes it a hard error instead of a wrap)
+        F.expr("CAST(min(i) AS BIGINT) * 1000000 div max(n)").alias("top_frac_e6"),
     )
 
 

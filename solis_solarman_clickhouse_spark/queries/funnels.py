@@ -781,17 +781,30 @@ def ch_funnel_time_to_convert(spark, sf_dir):
     category="funnels",
     oracle="""
     WITH span AS (
-      SELECT user_id, ts, event_id, value, epoch_us(ts) AS tu,
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+             epoch_us(ts) AS tu,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
       FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             (MAX(CASE WHEN rn_d = 1 THEN vc END)
+              - MIN(CASE WHEN rn_a = 1 THEN vc END)) * 3600000000 AS num,
+             (MAX(tu) - MIN(tu)) * 100 AS den
+      FROM span GROUP BY user_id
     )
+    -- slope to 4 dp via exact integer half-away division over cent-
+    -- quantized values and integer-µs spans: a float ROUND lands exactly
+    -- on .00005 at sf0.1 where engine rounding modes disagree
     SELECT user_id,
-           ROUND((MAX(CASE WHEN rn_d = 1 THEN value END)
-                  - MIN(CASE WHEN rn_a = 1 THEN value END))
-                 / NULLIF((MAX(tu) - MIN(tu)) / 3600000000.0, 0.0), 4)
+           CASE WHEN den = 0 THEN NULL
+                WHEN num < 0
+                THEN -((2 * (-num) * 10000 + den) // (2 * den)) / 10000.0 + 0.0
+                ELSE (2 * num * 10000 + den) // (2 * den) / 10000.0 + 0.0 END
              AS slope_per_hour
-    FROM span GROUP BY user_id
+    FROM g
     """,
 )
 def ch_bounding_ratio(spark, sf_dir):
@@ -806,17 +819,24 @@ def ch_bounding_ratio(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     key = F.struct("ts", "event_id")
     tu = F.unix_micros("ts")
-    s = ev.groupBy("user_id").agg(
-        F.min_by("value", key).alias("first_v"),
-        F.max_by("value", key).alias("last_v"),
+    vc = F.floor(F.col("value") * 100 + 0.5).alias("vc")
+    s = ev.select("user_id", "ts", "event_id", vc).groupBy("user_id").agg(
+        F.min_by("vc", key).alias("first_c"),
+        F.max_by("vc", key).alias("last_c"),
         F.min(tu).alias("t0"),
         F.max(tu).alias("t1"),
     )
-    hours = (F.col("t1") - F.col("t0")) / 3600000000.0
+    # slope to 4 dp via exact integer half-away division over cent-
+    # quantized values and integer-µs spans (see oracle comment)
     return s.select(
         "user_id",
-        F.round(
-            (F.col("last_v") - F.col("first_v")) / F.nullif(hours, F.lit(0.0)), 4
+        F.expr(
+            "CASE WHEN t1 = t0 THEN NULL"
+            " WHEN last_c < first_c"
+            " THEN -((2L * (first_c - last_c) * 3600000000L * 10000L"
+            "         + (t1 - t0) * 100L) DIV (2L * (t1 - t0) * 100L)) / 10000.0D + 0.0D"
+            " ELSE ((2L * (last_c - first_c) * 3600000000L * 10000L"
+            "        + (t1 - t0) * 100L) DIV (2L * (t1 - t0) * 100L)) / 10000.0D + 0.0D END"
         ).alias("slope_per_hour"),
     )
 

@@ -1115,9 +1115,11 @@ def ts_hampel_outliers(spark, sf_dir):
       FROM ar
     )
     SELECT user_id, event_id, ts,
-           ROUND(lb[1], 4) AS level,
-           ROUND(lb[2], 4) AS trend,
-           ROUND(lb[1] + 5 * lb[2], 4) AS forecast_5
+           ROUND(lb[1], 4) + 0.0 AS level,
+           -- + 0.0 clears IEEE -0.0: a bit-equal tiny-negative trend
+           -- rounds to -0.0 on one engine and 0.0 on the other
+           ROUND(lb[2], 4) + 0.0 AS trend,
+           ROUND(lb[1] + 5 * lb[2], 4) + 0.0 AS forecast_5
     FROM st
     """,
 )
@@ -1163,9 +1165,12 @@ def ts_holt_forecast(spark, sf_dir):
         "user_id",
         "event_id",
         "ts",
-        r4(F.element_at("lb", 1)).alias("level"),
-        r4(F.element_at("lb", 2)).alias("trend"),
-        r4(F.element_at("lb", 1) + F.lit(5.0) * F.element_at("lb", 2)).alias("forecast_5"),
+        (r4(F.element_at("lb", 1)) + 0.0).alias("level"),
+        # + 0.0 clears IEEE -0.0 (tiny-negative trend rounding to zero)
+        (r4(F.element_at("lb", 2)) + 0.0).alias("trend"),
+        (r4(F.element_at("lb", 1) + F.lit(5.0) * F.element_at("lb", 2)) + 0.0).alias(
+            "forecast_5"
+        ),
     )
 
 
@@ -1539,10 +1544,20 @@ def ts_theil_sen_slope(spark, sf_dir):
     ),
     paa AS (
       SELECT user_id, seg,
+             CAST(SUM(CAST(zv AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS num,
+             COUNT(*) * 1000000 AS den,
              CAST(SUM(CAST(zv AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m
       FROM z GROUP BY user_id, seg
     )
-    SELECT user_id, seg, ROUND(m, 4) AS paa,
+    -- 4-dp PAA via exact integer half-away division: at sf0.1 a segment
+    -- mean lands exactly on a .00005 boundary where the engines' double
+    -- ROUND modes disagree; num/den are exact integers from the decimal
+    -- accumulator so the rounding decision is arithmetic, not float
+    SELECT user_id, seg,
+           CASE WHEN num < 0
+                THEN -((2 * (-num) * 10000 + den) // (2 * den))
+                ELSE (2 * num * 10000 + den) // (2 * den) END / 10000.0 + 0.0
+             AS paa,
            CASE WHEN m < -0.6745 THEN 'a'
                 WHEN m < 0.0     THEN 'b'
                 WHEN m < 0.6745  THEN 'c'
@@ -1589,12 +1604,25 @@ def ts_sax_symbols(spark, sf_dir):
         ).alias("zv"),
     )
     paa = z.groupBy("user_id", "seg").agg(
-        (F.sum(F.col("zv").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias("m")
+        F.sum(F.col("zv").cast("decimal(38,6)")).alias("sd"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).select(
+        "user_id",
+        "seg",
+        (F.col("sd") * 1000000).cast("long").alias("num"),
+        (F.col("cnt") * 1000000).alias("den"),
+        (F.col("sd").cast("double") / F.col("cnt")).alias("m"),
+    )
+    # 4-dp PAA via exact integer half-away division (see oracle comment)
+    paa4 = F.expr(
+        "CASE WHEN num < 0"
+        " THEN -((2 * (-num) * 10000 + den) DIV (2 * den))"
+        " ELSE (2 * num * 10000 + den) DIV (2 * den) END"
     )
     return paa.select(
         "user_id",
         "seg",
-        F.round("m", 4).alias("paa"),
+        (paa4 / 10000.0 + 0.0).alias("paa"),
         F.when(F.col("m") < -0.6745, "a")
         .when(F.col("m") < 0.0, "b")
         .when(F.col("m") < 0.6745, "c")
@@ -1717,26 +1745,34 @@ def ts_matrix_profile(spark, sf_dir):
       FROM events
     ),
     terms AS (
+      -- quantize each product to integer micro-units with FLOOR (a
+      -- deterministic function of the identical double on both engines;
+      -- a DECIMAL cast instead ROUNDS, and the 10-dp products land on
+      -- exact .0000005 boundaries where cast-rounding modes disagree)
       SELECT e.user_id, f.f,
-             CAST(e.value * ROUND(cos(2 * pi() * f.f * e.frac), 8)
-                  AS DECIMAL(38,6)) AS tc,
-             CAST(e.value * ROUND(sin(2 * pi() * f.f * e.frac), 8)
-                  AS DECIMAL(38,6)) AS tsn
+             CAST(floor(e.value * ROUND(cos(2 * pi() * f.f * e.frac), 8)
+                        * 1000000) AS BIGINT) AS tc6,
+             CAST(floor(e.value * ROUND(sin(2 * pi() * f.f * e.frac), 8)
+                        * 1000000) AS BIGINT) AS ts6
       FROM e CROSS JOIN (SELECT UNNEST(generate_series(1, 6)) AS f) f
     ),
     power AS (
       SELECT user_id, f,
-             CAST(SUM(tc) AS DOUBLE) * CAST(SUM(tc) AS DOUBLE)
-             + CAST(SUM(tsn) AS DOUBLE) * CAST(SUM(tsn) AS DOUBLE) AS p
+             CAST(SUM(tc6) AS HUGEINT) AS a6,
+             CAST(SUM(ts6) AS HUGEINT) AS b6
       FROM terms GROUP BY user_id, f
     ),
+    -- square in EXACT integer micro-units (a6²+b6² ≤ ~2e26, needs >64
+    -- bits) and round half-up arithmetically: ROUND(double, 2) lands
+    -- exactly on a .005 boundary at sf0.1 where engine modes disagree
     ranked AS (
-      SELECT user_id, f, p,
+      SELECT user_id, f, a6 * a6 + b6 * b6 AS p2,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY p DESC, f ASC) AS rn
+                                ORDER BY a6 * a6 + b6 * b6 DESC, f ASC) AS rn
       FROM power
     )
-    SELECT user_id, f AS dominant_cycles_per_day, ROUND(p, 2) AS power
+    SELECT user_id, f AS dominant_cycles_per_day,
+           CAST((p2 + 5000000000) // 10000000000 AS BIGINT) / 100.0 AS power
     FROM ranked WHERE rn = 1
     """,
 )
@@ -1765,40 +1801,45 @@ def ts_spectral_dominant_period(spark, sf_dir):
         ((F.unix_micros("ts") % 86400000000) / F.lit(86400000000.0)).alias("frac"),
     )
     fs = spark.range(1, 7).select(F.col("id").cast("int").alias("f"))
+    # quantize each product to integer micro-units with FLOOR — a
+    # deterministic function of the identical double on both engines
+    # (a DECIMAL cast instead ROUNDS, and the 10-dp products land on
+    # exact .0000005 boundaries where cast-rounding modes disagree)
     terms = e.crossJoin(F.broadcast(fs)).select(
         "user_id",
         "f",
-        (
+        F.floor(
             F.col("value")
             * F.round(F.cos(2 * 3.141592653589793 * F.col("f") * F.col("frac")), 8)
-        )
-        .cast("decimal(38,6)")
-        .alias("tc"),
-        (
+            * 1000000
+        ).alias("tc6"),
+        F.floor(
             F.col("value")
             * F.round(F.sin(2 * 3.141592653589793 * F.col("f") * F.col("frac")), 8)
-        )
-        .cast("decimal(38,6)")
-        .alias("tsn"),
+            * 1000000
+        ).alias("ts6"),
     )
+    # square in EXACT integer micro-units (decimal(38,0) holds a6²+b6² ≈
+    # 2e26) and round half-up arithmetically — a float ROUND(p, 2) lands
+    # exactly on a .005 boundary at sf0.1 where engine modes disagree
     power = terms.groupBy("user_id", "f").agg(
-        (
-            F.sum("tc").cast("double") * F.sum("tc").cast("double")
-            + F.sum("tsn").cast("double") * F.sum("tsn").cast("double")
-        ).alias("p")
+        F.sum("tc6").cast("decimal(38,0)").alias("a6"),
+        F.sum("ts6").cast("decimal(38,0)").alias("b6"),
+    ).select(
+        "user_id", "f", F.expr("a6 * a6 + b6 * b6").alias("p2")
     )
     from pyspark.sql import Window as W
 
     ranked = power.withColumn(
         "rn",
         F.row_number().over(
-            W.partitionBy("user_id").orderBy(F.col("p").desc(), F.col("f").asc())
+            W.partitionBy("user_id").orderBy(F.col("p2").desc(), F.col("f").asc())
         ),
     )
     return ranked.where(F.col("rn") == 1).select(
         "user_id",
         F.col("f").alias("dominant_cycles_per_day"),
-        F.round("p", 2).alias("power"),
+        (F.expr("(p2 + 5000000000) div 10000000000") / 100.0).alias("power"),
     )
 
 

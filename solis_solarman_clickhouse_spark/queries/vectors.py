@@ -54,9 +54,20 @@ WITH exploded AS (
          UNNEST(generate_series(1, len(embedding))) - 1 AS dim,
          UNNEST(embedding::DOUBLE[]) AS v
   FROM embeddings
+),
+g AS (
+  SELECT label, dim,
+         SUM(CAST(floor(v * 1000000000) AS BIGINT)) AS num,
+         COUNT(*) AS n
+  FROM exploded GROUP BY label, dim
 )
-SELECT label, dim, ROUND(AVG(v), 4) AS centroid_val
-FROM exploded GROUP BY label, dim
+SELECT label, dim,
+       CASE WHEN num < 0
+            THEN -((2 * (-num) * 10000 + n * 1000000000)
+                   // (2 * n * 1000000000))
+            ELSE (2 * num * 10000 + n * 1000000000)
+                 // (2 * n * 1000000000) END / 10000.0 + 0.0 AS centroid_val
+FROM g
 """
 
 
