@@ -110,6 +110,7 @@ HEADLINE = [
     "stream_watermark_cut_exact",
     "vec_semdedup_recall",
     "vec_matryoshka_recall",
+    "doc_weighted_jaccard_pairs",
 ]
 
 

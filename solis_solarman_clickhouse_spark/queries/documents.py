@@ -3130,22 +3130,36 @@ def doc_weighted_jaccard_pairs(spark, sf_dir):
     pairs exist only where a token collides, the tf table is one
     map-side-combinable count, and the ≥0.8 cut is integer
     cross-multiplication with a 1e6-scale integer score — no float
-    ratios anywhere, EXACT on both engines. SCALE BOUNDARY (measured):
-    the inverted-index join presumes a natural vocabulary where
-    document frequency caps bound fan-out; on this fixture's DEGENERATE
-    31-word vocab every token is maximally hot (Σdf² ≈ 4.5e8 at the
-    5000-doc sf0.1), measured ~2 min — so the sf0.1 bench omits this
-    row. The production shape for bounded vocabularies is different by
-    design: pivot docs to fixed-width tf VECTORS and reuse the vec_
-    family's LSH/banded search (Σmin/Σmax is an L1-geometry kernel:
-    Σmin = (Σa+Σb−‖a−b‖₁)/2); this query remains the exact audit at
-    correctness scale."""
+    ratios anywhere, EXACT on both engines.
+
+    TWO physical paths, chosen by measured vocabulary size (one tiny
+    count job; the cut is a plan-shape decision, like AQE's join pick):
+
+    - |vocab| > 4096 (natural text): the inverted-index join above —
+      candidate fan-out is bounded by document-frequency caps.
+    - |vocab| ≤ 4096 (bounded/degenerate vocabularies — THIS fixture's
+      31 words, where every token is maximally hot and the index join
+      measured Σdf² ≈ 4.5e8 rows, ~2 min at sf0.1): pivot each doc to a
+      dense integer tf VECTOR and compute Σmin via the L1 identity
+      Σmin = (Σa + Σb − ‖a−b‖₁)/2 with a chunked numpy kernel. Pairs
+      are partitioned block-nested-loop style: docs hash into B blocks,
+      each doc's vector is shipped once per block-pair it participates
+      in (B copies), and each of the B(B+1)/2 (bi ≤ bj) groups scores
+      its cross-block pairs independently — all-pairs work distributed
+      across workers with per-worker memory bounded at 2·|block|·V
+      ints, no driver-side matrix. All arithmetic stays int64, so the
+      dense path is bit-identical to the index path and the oracle.
+      Measured: ~2 min → ~3 s at sf0.1."""
     docs = table(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("f"))
     )
+    vocab = tf.select("tok").distinct()
+    n_vocab = vocab.count()  # one scalar job to pick the physical path
+    if n_vocab <= 4096:
+        return _wjaccard_dense_pairs(tf, vocab, n_vocab)
     tot = tf.groupBy("doc_id").agg(F.sum("f").alias("nf"))
     a = tf.select(
         F.col("doc_id").alias("doc_a"), "tok", F.col("f").alias("fa")
@@ -3171,6 +3185,92 @@ def doc_weighted_jaccard_pairs(spark, sf_dir):
             "doc_b",
             F.expr("(smin * 1000000) div (na + nb - smin)").alias("wjaccard_e6"),
         )
+    )
+
+
+def _wjaccard_dense_pairs(tf, vocab, n_vocab: int, n_blocks: int = 8):
+    """Dense bounded-vocab path of doc_weighted_jaccard_pairs (see its
+    docstring): block-nested-loop all-pairs over per-doc integer tf
+    vectors, Σmin via the exact L1 identity, ≥0.8 cut and the 1e6 score
+    in int64 — bit-identical to the inverted-index path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    tok_ids = vocab.select(
+        "tok", (F.row_number().over(W.orderBy("tok")) - 1).alias("tok_id")
+    )
+    per_doc = (
+        tf.join(F.broadcast(tok_ids), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("tok_id", "f")).alias("tfs"),
+            F.sum("f").alias("na"),
+        )
+        .withColumn("blk", (F.col("doc_id") % n_blocks).cast("int"))
+    )
+    pairs_of_blocks = [
+        (bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)
+    ]
+    # ship each doc once per block-pair it participates in
+    routes = F.array(
+        *[
+            F.when(
+                (F.col("blk") == bi) | (F.col("blk") == bj),
+                F.lit(bi * n_blocks + bj),
+            )
+            for bi, bj in pairs_of_blocks
+        ]
+    )
+    routed = per_doc.select(
+        "doc_id",
+        "blk",
+        "na",
+        "tfs",
+        F.explode(F.array_compact(routes)).alias("grp"),
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = int(pdf["grp"].iloc[0])
+        bi, bj = grp // n_blocks, grp % n_blocks
+        m = np.zeros((len(pdf), n_vocab), dtype=np.int64)
+        for r, tfs in enumerate(pdf["tfs"]):
+            for e in tfs:
+                m[r, e["tok_id"]] = e["f"]
+        ids = pdf["doc_id"].to_numpy()
+        na = pdf["na"].to_numpy()
+        blk = pdf["blk"].to_numpy()
+        ai = np.nonzero(blk == bi)[0]
+        bjx = np.nonzero(blk == bj)[0]
+        out_a, out_b, out_j = [], [], []
+        chunk = max(1, 64_000_000 // (max(len(bjx), 1) * n_vocab * 8))
+        for c0 in range(0, len(ai), chunk):
+            ac = ai[c0 : c0 + chunk]
+            l1 = np.abs(m[ac][:, None, :] - m[bjx][None, :, :]).sum(-1)
+            smin = (na[ac][:, None] + na[bjx][None, :] - l1) // 2
+            union = na[ac][:, None] + na[bjx][None, :] - smin
+            hit = smin * 5 >= union * 4
+            if bi == bj:
+                # same block: the cross product sees each unordered pair
+                # twice — keep the a<b orientation only
+                hit &= ids[ac][:, None] < ids[bjx][None, :]
+            ii, jj = np.nonzero(hit)
+            ida, idb = ids[ac][ii], ids[bjx][jj]
+            # cross-block pairs arrive in block order, not id order
+            out_a.append(np.minimum(ida, idb))
+            out_b.append(np.maximum(ida, idb))
+            out_j.append(smin[ii, jj] * 1_000_000 // union[ii, jj])
+        empty = np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a) if out_a else empty,
+                "doc_b": np.concatenate(out_b) if out_b else empty,
+                "wjaccard_e6": np.concatenate(out_j) if out_j else empty,
+            }
+        )
+
+    return routed.groupBy("grp").applyInPandas(
+        score, "doc_a long, doc_b long, wjaccard_e6 long"
     )
 
 
