@@ -3232,3 +3232,85 @@ def agg_srm_check(spark, sf_dir):
         F.round(chi2, 4).alias("chi2"),
         F.when(chi2 > 3.841, 1).otherwise(0).alias("srm_alarm"),
     )
+
+
+@query(
+    "agg_anova_oneway",
+    category="aggregate",
+    oracle="""
+    WITH scaled AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS y FROM events
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n_g, SUM(y) AS s_g, SUM(y * y) AS ss_g
+      FROM scaled GROUP BY event_type
+    ),
+    tot AS (
+      SELECT COUNT(*) AS k, SUM(n_g) AS n, SUM(s_g) AS s, SUM(ss_g) AS ss,
+             -- sequential fold in event_type order: the k per-group
+             -- double terms add in one fixed order on both engines
+             list_reduce(
+               list_prepend(0.0,
+                 list(CAST(s_g AS DOUBLE) * s_g / n_g ORDER BY event_type)),
+               (a, b) -> a + b) AS p
+      FROM m
+    )
+    SELECT k, n,
+           ROUND((p - CAST(s AS DOUBLE) * s / n) / 10000.0, 4) AS ss_between,
+           ROUND((CAST(ss AS DOUBLE) - p) / 10000.0, 4) AS ss_within,
+           ROUND(((p - CAST(s AS DOUBLE) * s / n) / (k - 1))
+                 / ((CAST(ss AS DOUBLE) - p) / (n - k)), 4) AS f_stat,
+           ROUND((p - CAST(s AS DOUBLE) * s / n)
+                 / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 4) AS eta_sq
+    FROM tot
+    """,
+)
+def agg_anova_oneway(spark, sf_dir):
+    """One-way ANOVA across ALL event types on `value` — the k-group
+    generalization of agg_welch_ttest ("does the metric differ across
+    variants?" for k variants at once; ClickHouse ships it as
+    analysisOfVariance/anova). Same exactness discipline as the t-test:
+    the 2-dp fixture metric scales to exact BIGINT cents, so every
+    moment (n_g, Σy, Σy²) is exact integer arithmetic; the only
+    accumulation across groups of non-integer terms — P = Σ s_g²/n_g —
+    is folded SEQUENTIALLY in event_type order (sort_array ∘
+    collect_list, DuckDB list_reduce over an ORDER BY list) so the k
+    doubles add in one fixed order on both engines. Then
+    SSB = P − s²/n, SSW = Σss − P, F = (SSB/(k−1))/(SSW/(n−k)) — a
+    fixed dataflow over identical numbers. SS outputs are reported in
+    value² units (/1e4 de-scales cents²). One partial+final aggregation
+    plus a k-row fold: map-side-combinable at any scale."""
+    ev = table(spark, sf_dir, "events")
+    scaled = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("y")
+    )
+    m = scaled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("y").alias("s_g"),
+        F.sum(F.col("y") * F.col("y")).alias("ss_g"),
+    )
+    tb = (F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")).alias("tb")
+    tot = m.select("event_type", "n_g", "s_g", "ss_g", tb).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("event_type", "tb"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["tb"],
+        ).alias("p"),
+    )
+    s, n, ss, p, k = (F.col(c) for c in ("s", "n", "ss", "p", "k"))
+    ssb = p - s.cast("double") * s / n
+    ssw = ss.cast("double") - p
+    return tot.select(
+        "k",
+        "n",
+        F.round(ssb / 10000.0, 4).alias("ss_between"),
+        F.round(ssw / 10000.0, 4).alias("ss_within"),
+        F.round((ssb / (k - 1)) / (ssw / (n - k)), 4).alias("f_stat"),
+        F.round(ssb / (ss.cast("double") - s.cast("double") * s / n), 4).alias(
+            "eta_sq"
+        ),
+    )

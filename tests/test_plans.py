@@ -161,12 +161,14 @@ def test_no_python_eval_outside_udf_families(spark):
                         # interpreted Catalyst folds vs ~4 s batched numpy
                         # at sf0.1; bit-equal to the relational oracle)
                         "ts_matrix_profile",
-                        # vec_semdedup's 12-plane config now takes the
-                        # JVM expression path in lsh_multitable_buckets
-                        # (≤16 planes); it stays listed because the
-                        # >16-plane Arrow path remains its documented
-                        # fallback if the config widens.
+                        # vec_semdedup scores pairs with the per-bucket
+                        # chunked BLAS matmul (cosine_tau_pairs_within,
+                        # applyInPandas) — its declared Arrow boundary.
                         "vec_semdedup",
+                        # doc_weighted_jaccard_pairs' bounded-vocab path
+                        # is the block-nested-loop dense L1 kernel
+                        # (applyInPandas), picked by measured vocab size.
+                        "doc_weighted_jaccard_pairs",
                         # the PQ family assigns codes / builds query
                         # distance tables in the same Arrow boundary
                         # (vectors._pq_code_frame: ~1000 interpreted
