@@ -510,3 +510,80 @@ def test_quantizer_artifacts_persist_and_reload(spark, tmp_path, monkeypatch):
     assert all((a == b).all() for a, b in zip(c1, c2))
     assert all((a == b).all() for a, b in zip(c1, train_cbs()))
     assert list(tmp_path.glob("t_cbs/*/artifact.parquet"))
+
+
+def test_wjaccard_dense_path_equals_inverted_index(spark):
+    """The bounded-vocab dense L1 kernel of doc_weighted_jaccard_pairs
+    must return EXACTLY the inverted-index join's pairs and integer
+    scores — the physical-path choice may never change the answer."""
+    from pyspark.sql import functions as F
+
+    from solis_solarman_clickhouse_spark.queries.documents import (
+        _wjaccard_dense_pairs,
+    )
+    from solis_solarman_clickhouse_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    vocab = tf.select("tok").distinct()
+    dense = _wjaccard_dense_pairs(tf, vocab, vocab.count())
+
+    tot = tf.groupBy("doc_id").agg(F.sum("f").alias("nf"))
+    a = tf.select(F.col("doc_id").alias("doc_a"), "tok", F.col("f").alias("fa"))
+    b = tf.select(F.col("doc_id").alias("doc_b"), "tok", F.col("f").alias("fb"))
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("fa", "fb")).alias("smin"))
+    )
+    union = F.col("na") + F.col("nb") - F.col("smin")
+    index = (
+        inter.join(tot.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("na")), "doc_a")
+        .join(tot.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nb")), "doc_b")
+        .where(F.col("smin") * 5 >= union * 4)
+        .select("doc_a", "doc_b", F.expr("(smin * 1000000) div (na + nb - smin)").alias("wjaccard_e6"))
+    )
+    assert dense.exceptAll(index).count() == 0
+    assert index.exceptAll(dense).count() == 0
+    assert dense.count() > 0  # fixture has qualifying near-dup pairs
+
+
+def test_cosine_tau_kernel_equals_expression_fold(spark):
+    """cosine_tau_pairs_within (chunked BLAS, 8-dp quantized) must agree
+    with a direct JVM zip_with/aggregate cosine fold on which pairs pass
+    the tau cut, within a single all-rows bucket."""
+    from pyspark.sql import functions as F
+
+    from solis_solarman_clickhouse_spark.operators.similarity import (
+        _dot,
+        _norm,
+        cosine_tau_pairs_within,
+    )
+    from solis_solarman_clickhouse_spark.tables import table
+
+    emb = table(spark, SF_DIR, "embeddings")
+    g = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        F.lit(0).alias("bucket"),
+    )
+    kernel = cosine_tau_pairs_within(g, tau=0.45)
+
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").cast("array<double>").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").cast("array<double>").alias("eb"))
+    fold = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos8",
+            F.round(_dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), 8),
+        )
+        .where(F.col("cos8") >= 0.45)
+        .select("vec_a", "vec_b")
+    )
+    assert kernel.exceptAll(fold).count() == 0
+    assert fold.exceptAll(kernel).count() == 0
