@@ -475,15 +475,39 @@ def stream_static_enrich(spark, sf_dir):
     )
 
 
-@query("stream_stream_interval_join", category="streaming", check="SMOKE")
+@query(
+    "stream_stream_interval_join",
+    category="streaming",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, MAX(event_type) AS event_type
+      FROM events GROUP BY user_id, ts
+    ),
+    v AS (SELECT user_id, ts FROM ev WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts FROM ev WHERE event_type = 'purchase')
+    SELECT p.user_id, COUNT(*) AS n_view_purchase_pairs
+    FROM p JOIN v ON v.user_id = p.user_id
+      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    GROUP BY p.user_id
+    """,
+)
 def stream_stream_interval_join(spark, sf_dir):
     """Stream-STREAM join: purchases joined to the same user's views
     within the preceding hour, both sides true streams with watermarks —
     the hardest streaming shape (state on BOTH sides, eviction driven by
     the watermark and the interval bound). Spark buffers each side keyed
     by user, emits on match, and GCs state older than watermark+1h.
-    Returns the landed per-user match counts; subset-of-batch-join
-    equivalence is asserted in tests/test_streaming.py."""
+    EXACT (upgraded from SMOKE): the replay is IN EVENT-TIME ORDER — 4
+    contiguous ts-range slices, one file each, mtimes pinned so the file
+    source triggers them in order — and under in-order arrival a row is
+    never late (watermark ≤ prev-slice max − 10 min < its own ts) and no
+    view's state is evicted before its last possible purchase (eviction
+    needs wm > v_ts + 1h, but wm trails the purchase side), so the
+    landed match set equals the batch interval join, which DuckDB
+    replays directly. tests/test_streaming.py asserts the same equality
+    against the Spark batch join."""
+    import shutil
+
     ev = (
         table(spark, sf_dir, "events")
         .groupBy("user_id", "ts")
@@ -491,12 +515,35 @@ def stream_stream_interval_join(spark, sf_dir):
     )
     workdir = tempfile.mkdtemp(prefix="strmss_")
     src = os.path.join(workdir, "src")
-    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    os.makedirs(src)
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    sliced = ev.withColumn(
+        "_sl",
+        F.least(
+            F.lit(3), F.expr(f"(unix_micros(ts) - {lo}L) * 4 DIV {hi - lo + 1}L")
+        ),
+    )
+    for i in range(4):
+        part_dir = os.path.join(workdir, f"slice_{i}")
+        (
+            sliced.where(F.col("_sl") == i)
+            .drop("_sl")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        part = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"slice_{i}.parquet")
+        shutil.copy(os.path.join(part_dir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
     def side(types):
         return (
             spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 2)
+            .option("maxFilesPerTrigger", 1)
             .parquet(src)
             .filter(F.col("event_type").isin(types))
             .withWatermark("ts", "10 minutes")
