@@ -41,7 +41,8 @@ _PRIORITY = [
     "stream_tumbling_window", "stream_sliding_window",
     "stream_session_window", "stream_dedup_first",
     "stream_watermark_late_data", "stream_ingest_e2e", "stream_watermark_cut_exact",
-    "stream_stream_interval_join",
+    "stream_stream_interval_join", "stream_counter_rate_stateful",
+    "stream_peak_tracker_tws",
     "sink_parquet_roundtrip", "sink_idempotent_upsert",
     "doc_neardup_jaccard", "vec_cosine_topk", "vec_label_centroids",
     "agg_mann_whitney_u", "ch_kolmogorov_smirnov",

@@ -25,6 +25,47 @@ from .registry import query, r4, sql_dsum
 _DEC = T.DecimalType(38, 6)
 
 
+def _write_event_time_slices(df, ts_col: str = "ts", n_slices: int = 4,
+                             prefix: str = "slices_") -> tuple[str, str]:
+    """Write ``df`` as n contiguous event-time slices, ONE parquet file
+    per slice with strictly increasing pinned mtimes, so the streaming
+    file source replays them IN EVENT-TIME ORDER (part-files from a
+    single write share an mtime and replay in arbitrary order — the
+    nondeterminism that keeps a stateful stream run from being
+    oracle-comparable). Returns (workdir, source_dir)."""
+    import shutil
+
+    workdir = tempfile.mkdtemp(prefix=prefix)
+    src = os.path.join(workdir, "src")
+    os.makedirs(src)
+    b = df.agg(
+        F.min(F.unix_micros(ts_col)).alias("lo"),
+        F.max(F.unix_micros(ts_col)).alias("hi"),
+    ).first()
+    lo, hi = b["lo"], b["hi"]
+    sliced = df.withColumn(
+        "_sl",
+        F.least(
+            F.lit(n_slices - 1),
+            F.expr(f"(unix_micros({ts_col}) - {lo}L) * {n_slices} DIV {hi - lo + 1}L"),
+        ),
+    )
+    for i in range(n_slices):
+        part_dir = os.path.join(workdir, f"slice_{i}")
+        (
+            sliced.where(F.col("_sl") == i)
+            .drop("_sl")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        part = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"slice_{i}.parquet")
+        shutil.copy(os.path.join(part_dir, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    return workdir, src
+
+
 @query(
     "stream_tumbling_window",
     category="streaming",
@@ -276,13 +317,39 @@ def stream_watermark_cut_exact(spark, sf_dir):
     )
 
 
-@query("stream_counter_rate_stateful", category="streaming", check="SMOKE")
+@query(
+    "stream_counter_rate_stateful",
+    category="streaming",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, MAX(value) AS value FROM events GROUP BY user_id, ts
+    ),
+    d AS (
+      SELECT user_id, ts,
+             CAST(ROUND((value - LAG(value) OVER w) * 100) AS BIGINT) AS delta_c
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           COUNT(*) AS n_samples,
+           CAST(COUNT(delta_c) AS BIGINT) AS n_deltas,
+           CAST(SUM(delta_c) AS BIGINT) / 100.0 AS total_delta,
+           arg_max(delta_c, ts) / 100.0 AS last_delta
+    FROM d GROUP BY user_id
+    """,
+)
 def stream_counter_rate_stateful(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): per-user counter
-    delta/rate over the events stream, state carrying the last-seen sample
-    across micro-batches. Batch-lag() equivalence is asserted in
-    tests/test_streaming.py; here the stream runs multi-trigger
-    (maxFilesPerTrigger=1) and the landed per-key tail is returned."""
+    delta over the events stream, ValueState carrying the last-seen sample
+    across micro-batches — the TRUE-streaming form of lag(). EXACT
+    (upgraded from SMOKE): the replay is 4 in-event-time-order slices
+    (one file per trigger, pinned mtimes), under which the stateful
+    operator's emitted deltas provably equal the batch lag() — the
+    oracle replays that with a window. Deltas are quantized to exact
+    cents (the metric is 2-dp, so round(delta*100) is deterministic on
+    both engines) and the per-key aggregate — sample count, delta count,
+    exact total and latest delta — is pure integer arithmetic. The
+    rate-per-hour output of the operator itself stays covered by the
+    batch-lag equality test in tests/test_streaming.py."""
     from ..streaming.stateful import streaming_counter_rate
 
     ev = (
@@ -290,9 +357,7 @@ def stream_counter_rate_stateful(spark, sf_dir):
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("value"))
     )
-    workdir = tempfile.mkdtemp(prefix="strmrate_")
-    src = os.path.join(workdir, "src")
-    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    workdir, src = _write_event_time_slices(ev, prefix="strmrate_")
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -310,13 +375,16 @@ def stream_counter_rate_stateful(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
+    delta_c = F.round(F.col("delta") * 100).cast("long")
     return (
         spark.table(name)
+        .select("key", "ts", delta_c.alias("delta_c"))
         .groupBy("key")
         .agg(
             F.count(F.lit(1)).alias("n_samples"),
-            F.count("delta").alias("n_deltas"),
-            r4(F.max_by(F.col("rate_per_hour"), F.col("ts")).cast("double")).alias("last_rate"),
+            F.count("delta_c").alias("n_deltas"),
+            (F.sum("delta_c") / 100.0).alias("total_delta"),
+            (F.max_by("delta_c", F.col("ts")) / 100.0).alias("last_delta"),
         )
     )
 
@@ -352,7 +420,20 @@ def stream_ingest_e2e(spark, sf_dir):
     )
 
 
-@query("stream_peak_tracker_tws", category="streaming", check="SMOKE")
+@query(
+    "stream_peak_tracker_tws",
+    category="streaming",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, MAX(value) AS value FROM events GROUP BY user_id, ts
+    )
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           COUNT(*) AS n_samples,
+           MAX(value) AS final_peak,
+           COUNT(*) AS final_n
+    FROM ev GROUP BY user_id
+    """,
+)
 def stream_peak_tracker_tws(spark, sf_dir):
     """Custom stateful operator targeting the Spark 4 transformWithState
     API: per-user running peak via a StatefulProcessor with typed
@@ -362,8 +443,12 @@ def stream_peak_tracker_tws(spark, sf_dir):
     operator transparently falls back to the identical processor on
     applyInPandasWithState (see streaming/transform_state.py); on a
     protobuf-equipped cluster the TWS path runs with the RocksDB
-    provider. Batch equivalence (running peak == cummax window) is
-    asserted in tests/test_streaming.py."""
+    provider. EXACT (upgraded from SMOKE): with the in-event-time-order
+    slice replay, every sample is emitted exactly once and the final
+    per-key state (peak, n) provably equals MAX(value)/COUNT(*) — which
+    the oracle computes directly; the per-row running-peak == cummax
+    equivalence stays asserted in tests/test_streaming.py (both the TWS
+    and the fallback path, parametrized)."""
     from ..streaming.transform_state import streaming_peak_tracker, tws_available
 
     if tws_available():
@@ -376,9 +461,7 @@ def stream_peak_tracker_tws(spark, sf_dir):
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("value"))
     )
-    workdir = tempfile.mkdtemp(prefix="strmtws_")
-    src = os.path.join(workdir, "src")
-    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    workdir, src = _write_event_time_slices(ev, prefix="strmtws_")
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -401,7 +484,9 @@ def stream_peak_tracker_tws(spark, sf_dir):
         .groupBy("key")
         .agg(
             F.count(F.lit(1)).alias("n_samples"),
-            r4(F.max("running_peak")).alias("final_peak"),
+            # the running peak involves NO arithmetic (cummax of the raw
+            # metric), so the final peak is exactly MAX(value)
+            F.max("running_peak").alias("final_peak"),
             F.max("n_seen").alias("final_n"),
         )
     )
