@@ -3,8 +3,14 @@
 Tumbling / sliding / session / dedup run as batch plans here (identical
 operators work unchanged under readStream — Structured Streaming executes
 the same logical plan per micro-batch); their oracles are exact SQL.
-Watermark and the full ingest replay are genuinely streaming (multi-batch
-file source) and therefore SMOKE: no oracle entry, rows-only check.
+The genuinely-streaming runs (watermark cut, stream-stream join, both
+custom stateful operators) earn EXACT oracles through deterministic
+in-event-time-order slice replay (_write_event_time_slices): under
+in-order arrival their landed output provably equals a batch
+computation DuckDB can replay. Only stream_watermark_late_data's
+free-running variant and the register-fixture ingest replay stay SMOKE
+(the former's semantics get the EXACT row via stream_watermark_cut_exact;
+the latter's input has no SQL-side twin).
 
 Window alignment note: Spark's window() origin is the epoch; DuckDB
 time_bucket's origin for minute buckets is 2000-01-01, which is itself
