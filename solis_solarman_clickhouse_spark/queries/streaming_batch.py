@@ -7,10 +7,8 @@ The genuinely-streaming runs (watermark cut, stream-stream join, both
 custom stateful operators) earn EXACT oracles through deterministic
 in-event-time-order slice replay (_write_event_time_slices): under
 in-order arrival their landed output provably equals a batch
-computation DuckDB can replay. Only stream_watermark_late_data's
-free-running variant and the register-fixture ingest replay stay SMOKE
-(the former's semantics get the EXACT row via stream_watermark_cut_exact;
-the latter's input has no SQL-side twin).
+computation DuckDB can replay. Only the register-fixture ingest
+replay (stream_ingest_e2e) stays SMOKE — its input has no SQL-side twin.
 
 Window alignment note: Spark's window() origin is the epoch; DuckDB
 time_bucket's origin for minute buckets is 2000-01-01, which is itself
@@ -182,19 +180,33 @@ def stream_dedup_first(spark, sf_dir):
     )
 
 
-@query("stream_watermark_late_data", category="streaming", check="SMOKE")
+@query(
+    "stream_watermark_late_data",
+    category="streaming",
+    oracle="""
+    WITH b AS (SELECT MAX(epoch_us(ts)) AS hi FROM events),
+    agg AS (
+      SELECT (epoch_us(ts) // 300000000) * 300000000 AS ws, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT make_timestamp(ws) AS window_start, event_type, n
+    FROM agg, b WHERE ws + 300000000 <= b.hi - 600000000
+    """,
+)
 def stream_watermark_late_data(spark, sf_dir):
     """Q-STRM-5: genuine multi-batch streaming run with a 10-minute
-    watermark: events replayed in 4 time-ordered files (one per micro-batch);
-    append mode emits only windows finalized by the advancing watermark, so
-    out-of-order rows older than watermark are excluded. SMOKE: watermark
-    progress isn't oracle-expressible; invariant checks live in
-    tests/test_streaming.py."""
+    watermark: events replayed in 4 in-event-time-order files (one per
+    micro-batch, pinned mtimes); append mode emits only windows
+    finalized by the advancing watermark. EXACT (upgraded from SMOKE):
+    under in-order replay no row is ever late, so the landed output is
+    precisely the batch tumbling aggregate restricted to windows whose
+    END the terminal watermark (max ts − 10 min) has passed — which the
+    oracle computes directly. The LATE-row exclusion semantics (the
+    interesting half) get their own EXACT row via
+    stream_watermark_cut_exact's deliberately-late replay schedule."""
     ev = table(spark, sf_dir, "events")
-    workdir = tempfile.mkdtemp(prefix="strm5_")
-    src = os.path.join(workdir, "src")
-    # 4 time-ranged files so the file stream produces advancing batches
-    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    workdir, src = _write_event_time_slices(ev, prefix="strm5_")
 
     stream = (
         spark.readStream.schema(ev.schema)
