@@ -421,3 +421,61 @@ def test_mmr_picks_distinct_and_relevance_first(spark):
         assert len(rows) == 5 and len({r.vec_id for r in rows}) == 5
         step1 = next(r for r in rows if r.step == 1)
         assert step1.vec_id == top[qid], (qid, step1.vec_id, top[qid])
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=12),
+        min_size=2,
+        max_size=12,
+    )
+)
+@_SLOW
+def test_wjaccard_dense_equals_index_on_random_corpora(spark, docs):
+    """Random tiny corpora over a 7-token vocabulary: the dense L1
+    block-kernel and the inverted-index join must emit identical
+    (pair, score) sets — for ANY multiset structure, not just the
+    fixture's."""
+    from solis_solarman_clickhouse_spark.queries.documents import (
+        _wjaccard_dense_pairs,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    vocab = tf.select("tok").distinct()
+    dense = _wjaccard_dense_pairs(tf, vocab, vocab.count(), n_blocks=3)
+
+    tot = tf.groupBy("doc_id").agg(F.sum("f").alias("nf"))
+    a = tf.select(F.col("doc_id").alias("doc_a"), "tok", F.col("f").alias("fa"))
+    b = tf.select(F.col("doc_id").alias("doc_b"), "tok", F.col("f").alias("fb"))
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("fa", "fb")).alias("smin"))
+    )
+    union = F.col("na") + F.col("nb") - F.col("smin")
+    index = (
+        inter.join(
+            tot.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("na")),
+            "doc_a",
+        )
+        .join(
+            tot.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nb")),
+            "doc_b",
+        )
+        .where(F.col("smin") * 5 >= union * 4)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("(smin * 1000000) div (na + nb - smin)").alias("wjaccard_e6"),
+        )
+    )
+    got = sorted(map(tuple, dense.collect()))
+    exp = sorted(map(tuple, index.collect()))
+    assert got == exp
