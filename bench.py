@@ -111,6 +111,7 @@ HEADLINE = [
     "vec_semdedup_recall",
     "vec_matryoshka_recall",
     "doc_weighted_jaccard_pairs",
+    "vec_incremental_semdedup",
 ]
 
 

@@ -411,7 +411,8 @@ def ann_lsh_topk(
 
 
 def cosine_tau_pairs_within(
-    grouped: DataFrame, *, tau: float, bucket_col: str = "bucket"
+    grouped: DataFrame, *, tau: float, bucket_col: str = "bucket",
+    probe_col: str | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b) id pairs with quantized cosine >= tau, compared only
     WITHIN each ``bucket_col`` group of ``grouped`` (vec_id, bucket, e) —
@@ -421,25 +422,44 @@ def cosine_tau_pairs_within(
     and only the pairs that survive the tau cut leave Python. Cosines are
     rounded half-even to 8 dp before the comparison so the result is
     reproducible against a sequential-fold SQL oracle that applies the
-    same ROUND."""
+    same ROUND.
+
+    ``probe_col`` (optional boolean column) makes the comparison
+    ASYMMETRIC: only probe rows form the chunked side, scored against
+    every row in the bucket — probe×probe pairs emit once (lower id
+    first), probe×non-probe pairs emit regardless of id order (as
+    (min, max)), and non-probe×non-probe pairs are NEVER computed. This
+    is the incremental-dedup shape: matmul work scales with
+    |probe| x |bucket|, not |bucket|²."""
 
     def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
         m = np.stack(pdf["e"].to_numpy())
         norms = np.sqrt((m * m).sum(axis=1))
+        if probe_col is None:
+            probe_rows = np.arange(len(ids))
+            probe_mask = None
+        else:
+            pm = pdf[probe_col].to_numpy().astype(bool)
+            probe_rows = np.nonzero(pm)[0]
+            probe_mask = pm
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         chunk = 2048
-        for i0 in range(0, len(ids), chunk):
-            blk = m[i0 : i0 + chunk] @ m.T
-            cos = np.round(
-                blk / (norms[i0 : i0 + chunk, None] * norms[None, :]), 8
-            )
+        for i0 in range(0, len(probe_rows), chunk):
+            rows = probe_rows[i0 : i0 + chunk]
+            blk = m[rows] @ m.T
+            cos = np.round(blk / (norms[rows, None] * norms[None, :]), 8)
             ii, jj = np.nonzero(cos >= tau)
-            a, bb = ids[ii + i0], ids[jj]
-            keep = a < bb  # each unordered pair exactly once, lower id first
-            out_a.append(a[keep])
-            out_b.append(bb[keep])
+            a, bb = ids[rows[ii]], ids[jj]
+            if probe_mask is None:
+                keep = a < bb  # each unordered pair exactly once
+            else:
+                # probe×probe once (lower id first); probe×non-probe
+                # always (the reversed roles are never enumerated)
+                keep = (a != bb) & ((a < bb) | ~probe_mask[jj])
+            out_a.append(np.minimum(a[keep], bb[keep]))
+            out_b.append(np.maximum(a[keep], bb[keep]))
         return pd.DataFrame(
             {
                 "vec_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),

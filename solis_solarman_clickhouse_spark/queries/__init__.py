@@ -56,7 +56,7 @@ _PRIORITY = [
     "doc_quality_score", "doc_token_count_bpe", "doc_fingerprint",
     "vec_neardup_cosine", "doc_curation_v3", "doc_gopher_rules",
     "doc_repetition_filters", "doc_decontaminate_overlap", "agg_anova_oneway",
-    "vec_semdedup",
+    "vec_incremental_semdedup", "vec_semdedup",
     "doc_dup_span_coverage", "doc_quality_classifier", "vec_pq_quantize",
     "mm_image_phash_dedup", "ts_holt_forecast", "ch_exp_time_decayed_avg",
     "ch_contingency", "ch_array_cumsum_diff", "vec_pq_adc_topk",

@@ -795,6 +795,135 @@ FROM emb e LEFT JOIN dup d ON e.vec_id = d.vec_id
 """
 
 
+def _incr_semdedup_oracle(n_tables: int, n_planes: int, dim: int,
+                          seed: int, tau: float) -> str:
+    """ANSI twin of vec_incremental_semdedup: same plane literals, same
+    bucketed candidates, but the INCREMENTAL keeper policy — an increment
+    vector is dropped by ANY base neighbor (either id order) or by a
+    LOWER-id increment neighbor."""
+    from ..operators.similarity import lsh_multitable_planes
+
+    rows = []
+    for t, planes in enumerate(lsh_multitable_planes(n_tables, n_planes, dim, seed)):
+        for p in range(n_planes):
+            vals = ", ".join(repr(float(x)) for x in planes[p])
+            rows.append(f"({t}, {p}, [{vals}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+WITH planes(tbl, pid, plane) AS (VALUES
+{values}
+),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e, vec_id % 5 = 0 AS is_incr
+        FROM embeddings),
+buckets AS (
+  SELECT vec_id,
+         (tbl * {1 << n_planes})
+           + SUM(CASE WHEN list_dot_product(e, plane) > 0 THEN 1 << pid ELSE 0 END)
+           AS bucket
+  FROM emb CROSS JOIN planes
+  GROUP BY vec_id, tbl
+),
+cand AS (
+  SELECT DISTINCT lo.vec_id AS vec_a, hi.vec_id AS vec_b
+  FROM buckets lo JOIN buckets hi USING (bucket)
+  WHERE lo.vec_id < hi.vec_id
+),
+close AS (
+  SELECT c.vec_a, c.vec_b, a.is_incr AS a_incr, b.is_incr AS b_incr
+  FROM cand c
+  JOIN emb a ON a.vec_id = c.vec_a
+  JOIN emb b ON b.vec_id = c.vec_b
+  WHERE ROUND(list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e))
+           * sqrt(list_dot_product(b.e, b.e))), 8) >= {tau!r}
+),
+drops AS (
+  -- lower-id witness drops the higher-id side iff the higher side is
+  -- an increment vector; a base neighbor of EITHER order drops an
+  -- increment vector
+  SELECT vec_b AS vec_id, vec_a AS witness FROM close WHERE b_incr
+  UNION ALL
+  SELECT vec_a AS vec_id, vec_b AS witness FROM close WHERE a_incr AND NOT b_incr
+),
+d AS (
+  SELECT vec_id, MIN(witness) AS witness_id,
+         CAST(COUNT(*) AS BIGINT) AS n_witnesses
+  FROM drops GROUP BY vec_id
+)
+SELECT e.vec_id,
+       d.witness_id IS NULL AS is_kept,
+       d.witness_id,
+       COALESCE(d.n_witnesses, 0) AS n_witnesses
+FROM emb e LEFT JOIN d ON e.vec_id = d.vec_id
+WHERE e.is_incr
+"""
+
+
+@query(
+    "vec_incremental_semdedup",
+    category="vectors",
+    oracle=_incr_semdedup_oracle(n_tables=4, n_planes=3, dim=64, seed=7, tau=0.45),
+)
+def vec_incremental_semdedup(spark, sf_dir):
+    """INCREMENTAL SemDeDup — the production shape of a continuously
+    growing embedding corpus (the vector twin of doc_incremental_dedup):
+    only the NEW batch (vec_id % 5 == 0 stands in for today's crawl) is
+    deduplicated, against the established base corpus AND against
+    lower-id vectors within the batch itself. Cost scales with the
+    increment's bucket collisions, never |base|² — base-base pairs are
+    never scored against each other for this decision. Physical shape:
+    both sides bucket through the same literal-plane LSH, one per-bucket
+    chunked-BLAS pair kernel (cosine_tau_pairs_within) scores the
+    candidates, and the keeper policy is applied AFTER the kernel by
+    membership: a lower-id witness drops a higher-id increment vector;
+    a base neighbor of either id order drops an increment vector; base
+    vectors are never dropped. Output: one row per increment vector with
+    the keep/drop verdict, the smallest witness, and the witness count."""
+    from ..operators.similarity import cosine_tau_pairs_within, lsh_multitable_buckets
+
+    emb = table(spark, sf_dir, "embeddings")
+    is_incr = (F.col("vec_id") % 5 == 0)
+    b = lsh_multitable_buckets(emb, n_tables=4, n_planes=3, dim=64, seed=7)
+    vecs = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        is_incr.alias("probe"),
+    )
+    pairs = cosine_tau_pairs_within(
+        b.join(vecs, "vec_id"), tau=0.45, probe_col="probe"
+    ).distinct()
+    flags = emb.select("vec_id", is_incr.alias("is_incr"))
+    fa = flags.select(F.col("vec_id").alias("vec_a"), F.col("is_incr").alias("a_incr"))
+    fb = flags.select(F.col("vec_id").alias("vec_b"), F.col("is_incr").alias("b_incr"))
+    close = pairs.join(F.broadcast(fa), "vec_a").join(F.broadcast(fb), "vec_b")
+    drops = (
+        close.where("b_incr").select(
+            F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("witness")
+        )
+        .unionAll(
+            close.where("a_incr AND NOT b_incr").select(
+                F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("witness")
+            )
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min("witness").alias("witness_id"),
+            F.count(F.lit(1)).alias("n_witnesses"),
+        )
+    )
+    return (
+        emb.where(is_incr)
+        .select("vec_id")
+        .join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("witness_id").isNull().alias("is_kept"),
+            "witness_id",
+            F.coalesce("n_witnesses", F.lit(0)).alias("n_witnesses"),
+        )
+    )
+
+
 @query(
     "vec_semdedup",
     category="vectors",
