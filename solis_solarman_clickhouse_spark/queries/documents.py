@@ -2036,6 +2036,34 @@ def doc_curation_v3(spark, sf_dir):
 
 
 @query(
+    "doc_curation_funnel_report",
+    category="documents",
+    oracle=(
+        "SELECT stage, COUNT(*) AS n_docs,\n"
+        "       COUNT(*) * 1000000 // SUM(COUNT(*)) OVER () AS share_e6\n"
+        "FROM (\n" + _curation_v3_oracle() + "\n) v GROUP BY stage"
+    ),
+)
+def doc_curation_funnel_report(spark, sf_dir):
+    """The curation funnel as the REPORT a pipeline owner actually reads:
+    per-stage document counts and the survivor fraction in exact ppm —
+    derived from the same doc_curation_v3 plan (one extra 5-row
+    aggregation over its verdict output), so the report is guaranteed
+    consistent with the per-doc verdicts the funnel emits."""
+    v = doc_curation_v3(spark, sf_dir)
+    total = v.count()  # tiny cached frame; one scalar for exact ppm
+    return (
+        v.groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "stage",
+            "n_docs",
+            F.expr(f"n_docs * 1000000 DIV {total}L").alias("share_e6"),
+        )
+    )
+
+
+@query(
     "doc_chunk_split",
     category="documents",
     oracle="""
