@@ -180,8 +180,12 @@ def test_no_python_eval_outside_udf_families(spark):
                         "vec_ivfpq_",
                         # doc_curation_v3's semantic tier IS vec_semdedup
                         # (same Arrow-batched bucketing); all other tiers
-                        # stay JVM-side.
-                        "doc_curation_v3")
+                        # stay JVM-side. The funnel report aggregates the
+                        # same verdict plan.
+                        "doc_curation_v3", "doc_curation_funnel_report",
+                        # the incremental variant shares the probe-side
+                        # BLAS pair kernel
+                        "vec_incremental_semdedup")
     for name, spec in sorted(REGISTRY.items()):
         if name.startswith(allowed_prefixes):
             continue
