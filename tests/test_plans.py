@@ -721,3 +721,25 @@ def test_curation_v3_returned_plan_rescans_no_documents(spark):
     root = df._jdf.queryExecution().executedPlan()
     assert live_documents_scans(root) == 0, _plan(df)
     assert "InMemoryTableScan" in _plan(df)
+
+
+def test_decontaminate_broadcasts_eval_gram_set(spark):
+    """doc_decontaminate_overlap's scale story is that the eval-side gram
+    set broadcasts (tiny vs the corpus) — the probe join must be a
+    BroadcastHashJoin, never a shuffled join of the corpus gram stream."""
+    plan = _plan(REGISTRY["doc_decontaminate_overlap"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_gopher_rules_is_zero_shuffle(spark):
+    """doc_gopher_rules claims one scan, zero shuffles, zero explodes —
+    pure column arithmetic. Pin it: no Exchange, no Generate."""
+    plan = _plan(REGISTRY["doc_gopher_rules"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+
+
+def test_anova_has_partial_aggregation(spark):
+    """agg_anova_oneway must map-side-combine its per-group moments."""
+    plan = _plan(REGISTRY["agg_anova_oneway"].fn(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2, plan
