@@ -3314,3 +3314,85 @@ def agg_anova_oneway(spark, sf_dir):
             "eta_sq"
         ),
     )
+
+
+@query(
+    "ch_cramers_v_bias_corrected",
+    category="aggregate",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type AS a, CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS b,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT a, b, o,
+             SUM(o) OVER (PARTITION BY a) AS ra,
+             SUM(o) OVER (PARTITION BY b) AS cb,
+             SUM(o) OVER () AS n
+      FROM obs
+    ),
+    chi AS (
+      SELECT list_reduce(
+               list_prepend(0.0,
+                 list(pow(o - ra * cb * 1.0 / n, 2) / (ra * cb * 1.0 / n)
+                      ORDER BY a, b)),
+               (x, y) -> x + y) AS chi2,
+             MAX(n) AS n,
+             COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb
+      FROM margins
+    )
+    SELECT ROUND(sqrt(
+             GREATEST(chi2 / n - (ka - 1.0) * (kb - 1.0) / (n - 1), 0.0)
+             / LEAST(ka - pow(ka - 1.0, 2) / (n - 1) - 1,
+                     kb - pow(kb - 1.0, 2) / (n - 1) - 1)
+           ), 4) AS cramers_v_bc
+    FROM chi
+    """,
+)
+def ch_cramers_v_bias_corrected(spark, sf_dir):
+    """ClickHouse ``cramersVBiasCorrected``: the Bergsma (2013) small-
+    sample correction of Cramér's V — φ²_corr = max(0, φ² −
+    (ka−1)(kb−1)/(n−1)), with the category counts shrunk the same way —
+    the version to trust when cells are thin (raw V is biased upward;
+    on this fixture the correction moves the 4th decimal, which is
+    exactly what the row verifies against the uncorrected
+    agg_cramers_v). Same exact-integer contingency discipline; the
+    ≤35-cell χ² fold runs in (a, b) order on both engines."""
+    ev = table(spark, sf_dir, "events")
+    iso_dow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("long")
+    obs = ev.groupBy(
+        F.col("event_type").alias("a"), iso_dow.alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = obs.select(
+        "a",
+        "b",
+        "o",
+        F.sum("o").over(W.partitionBy("a")).alias("ra"),
+        F.sum("o").over(W.partitionBy("b")).alias("cb"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    e = F.col("ra") * F.col("cb") * 1.0 / F.col("n")
+    chi = m.select(
+        "a", "b", (F.pow(F.col("o") - e, 2) / e).alias("term"), "n"
+    ).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("a", "b", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("chi2"),
+        F.max("n").alias("n"),
+        F.count_distinct("a").alias("ka"),
+        F.count_distinct("b").alias("kb"),
+    )
+    n, ka, kb, chi2 = (F.col(c) for c in ("n", "ka", "kb", "chi2"))
+    phi2c = F.greatest(
+        chi2 / n - (ka - 1.0) * (kb - 1.0) / (n - 1), F.lit(0.0)
+    )
+    kac = ka - F.pow(ka - 1.0, 2) / (n - 1)
+    kbc = kb - F.pow(kb - 1.0, 2) / (n - 1)
+    return chi.select(
+        F.round(F.sqrt(phi2c / F.least(kac - 1, kbc - 1)), 4).alias(
+            "cramers_v_bc"
+        )
+    )

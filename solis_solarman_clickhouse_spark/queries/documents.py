@@ -4144,3 +4144,105 @@ def doc_decontaminate_overlap(spark, sf_dir):
             (F.coalesce("n_overlap", F.lit(0)) >= 1).alias("contaminated"),
         )
     )
+
+
+@query(
+    "doc_dataset_card",
+    category="documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source, sha256(text) AS dg,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(COUNT(DISTINCT dg) AS BIGINT) AS n_unique_texts,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM t
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_size
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+    ),
+    lang_h AS (
+      SELECT ROUND(list_reduce(
+               list_prepend(0.0,
+                 list(-(n * 1.0 / tot) * log2(n * 1.0 / tot) ORDER BY lang)),
+               (a, b) -> a + b), 4) AS lang_entropy
+      FROM (
+        SELECT lang, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS tot
+        FROM documents GROUP BY lang
+      )
+    )
+    SELECT b.n_docs, b.total_tokens, v.vocab_size,
+           (b.n_docs - b.n_unique_texts) * 1000000 // b.n_docs AS dup_frac_e6,
+           b.n_langs, b.n_sources, l.lang_entropy
+    FROM base b, vocab v, lang_h l
+    """,
+)
+def doc_dataset_card(spark, sf_dir):
+    """The one-row DATASET CARD every released corpus ships (Dolma /
+    FineWeb / RedPajama convention): document and token counts,
+    vocabulary size, exact-duplicate fraction (sha-distinct vs total, in
+    ppm), language/source cardinalities, and the language-distribution
+    entropy in bits. Everything is one pass over the corpus plus one
+    token explode for the vocabulary count: counts and the dup fraction
+    are exact integers; the entropy sums at most |langs| terms, so the
+    float fold is over a handful of deterministic doubles (grouped
+    counts), not data-order-dependent accumulation. The single cross of
+    three 1-row frames is free."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "source",
+        F.sha2("text", 256).alias("dg"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    base = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("dg").alias("n_unique_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab_size"))
+    )
+    from pyspark.sql import Window as W
+
+    lang_counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    p = F.col("n") / F.sum("n").over(W.partitionBy())
+    # fold the per-language terms in lang order so the handful of doubles
+    # adds identically on both engines (the agg_anova_oneway idiom)
+    lang_h = (
+        lang_counts.select("lang", (-p * F.log2(p)).alias("term"))
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("lang", "term"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["term"],
+                ),
+                4,
+            ).alias("lang_entropy")
+        )
+    )
+    return (
+        base.crossJoin(vocab)
+        .crossJoin(lang_h)
+        .select(
+            "n_docs",
+            "total_tokens",
+            "vocab_size",
+            F.expr(
+                "(n_docs - n_unique_texts) * 1000000 DIV n_docs"
+            ).alias("dup_frac_e6"),
+            "n_langs",
+            "n_sources",
+            "lang_entropy",
+        )
+    )

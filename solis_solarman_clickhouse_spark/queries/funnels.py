@@ -1647,3 +1647,64 @@ def ch_repurchase_latency(spark, sf_dir):
                 (F.col("n") + 1).alias("n_purchases"))
     )
     return med.orderBy("user_id")
+
+
+@query(
+    "ch_moving_avg_array",
+    category="clickhouse",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, event_id,
+             SUM(CAST(ROUND(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s_c,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN s_c < 0
+                  THEN -((2 * (-s_c) * 10000 + cnt * 100) // (2 * cnt * 100))
+                  ELSE (2 * s_c * 10000 + cnt * 100) // (2 * cnt * 100) END
+               / 10000.0 + 0.0 AS ma
+      FROM m
+    )
+    SELECT user_id, list(ma ORDER BY ts, event_id) AS moving_avgs
+    FROM r GROUP BY user_id
+    """,
+)
+def ch_moving_avg_array(spark, sf_dir):
+    """ClickHouse ``groupArrayMovingAvg(3)(v)`` parity — the averaging
+    sibling of ch_moving_sum_array: per user, the time-ordered array of
+    trailing-3-row means (head rows average over 1 and 2 samples, the CH
+    semantics). The metric is 2-dp so each window sum is exact cents;
+    the mean is rounded to 4 dp by integer half-away division (the
+    round-3 discipline — a float ROUND lands on .00005 boundaries at
+    scale). Window and collect share one user_id exchange; array order
+    is pinned by array_sort over (ts, event_id) structs."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    vc = F.round(F.col("value") * 100).cast("long")
+    m = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(vc).over(w).alias("s_c"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    ma = F.expr(
+        "CASE WHEN s_c < 0"
+        " THEN -((2 * (-s_c) * 10000 + cnt * 100) DIV (2 * cnt * 100))"
+        " ELSE (2 * s_c * 10000 + cnt * 100) DIV (2 * cnt * 100) END"
+        " / 10000.0D + 0.0D"
+    )
+    with_ma = m.select("user_id", "ts", "event_id", ma.alias("ma"))
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "ma")))
+    return with_ma.groupBy("user_id").agg(
+        F.transform(ordered, lambda s: s["ma"]).alias("moving_avgs")
+    )
