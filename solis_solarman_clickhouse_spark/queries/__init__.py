@@ -56,7 +56,7 @@ _PRIORITY = [
     "doc_quality_score", "doc_token_count_bpe", "doc_fingerprint",
     "vec_neardup_cosine", "doc_curation_v3", "doc_gopher_rules",
     "doc_repetition_filters", "doc_decontaminate_overlap", "agg_anova_oneway", "doc_curation_funnel_report", "doc_dataset_card",
-    "ch_moving_avg_array", "ch_cramers_v_bias_corrected",
+    "ch_moving_avg_array", "ch_cramers_v_bias_corrected", "agg_tukey_fences",
     "vec_incremental_semdedup", "vec_semdedup",
     "doc_dup_span_coverage", "doc_quality_classifier", "vec_pq_quantize",
     "mm_image_phash_dedup", "ts_holt_forecast", "ch_exp_time_decayed_avg",

@@ -3396,3 +3396,68 @@ def ch_cramers_v_bias_corrected(spark, sf_dir):
             "cramers_v_bc"
         )
     )
+
+
+@query(
+    "agg_tukey_fences",
+    category="aggregate",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    ),
+    f AS (
+      SELECT event_type, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo,
+             q3 + 1.5 * (q3 - q1) AS hi
+      FROM q
+    )
+    SELECT e.event_type,
+           ROUND(f.lo, 4) AS fence_lo, ROUND(f.hi, 4) AS fence_hi,
+           CAST(COUNT(*) FILTER (WHERE e.value < f.lo) AS BIGINT) AS n_below,
+           CAST(COUNT(*) FILTER (WHERE e.value > f.hi) AS BIGINT) AS n_above,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM events e JOIN f ON e.event_type = f.event_type
+    GROUP BY e.event_type, f.lo, f.hi
+    """,
+)
+def agg_tukey_fences(spark, sf_dir):
+    """Tukey's fences — the boxplot outlier rule (values beyond
+    Q1 − 1.5·IQR / Q3 + 1.5·IQR) per event type, the distribution-free
+    anomaly screen next to the parametric ts_anomaly_zscore. Two passes
+    by necessity (exact quantiles need the data before the fences can
+    cut it): pass 1 computes per-group Q1/Q3 (Spark percentile() ==
+    DuckDB quantile_cont, the agg_percentiles-proven pairing), pass 2
+    re-scans with the ≤5-row fence table BROADCAST — so the second scan
+    is filter+count, no shuffle of the fact stream. Fence comparisons
+    use the identical interpolated doubles on both engines; only the
+    reported fence values round."""
+    ev = table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    f = q.select(
+        "event_type",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(f), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.when(F.col("value") < F.col("lo"), 1)).alias("n_below"),
+            F.count(F.when(F.col("value") > F.col("hi"), 1)).alias("n_above"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            "event_type",
+            F.round("lo", 4).alias("fence_lo"),
+            F.round("hi", 4).alias("fence_hi"),
+            "n_below",
+            "n_above",
+            "n_total",
+        )
+    )
