@@ -112,6 +112,10 @@ HEADLINE = [
     "vec_matryoshka_recall",
     "doc_weighted_jaccard_pairs",
     "vec_incremental_semdedup",
+    "doc_dataset_card",
+    "doc_curation_funnel_report",
+    "agg_anova_oneway",
+    "agg_tukey_fences",
 ]
 
 
