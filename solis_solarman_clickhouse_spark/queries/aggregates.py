@@ -1714,8 +1714,10 @@ def ch_any_heavy(spark, sf_dir):
     oracle="""
     WITH c AS (
       SELECT o_orderpriority AS category,
-             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_good,
-             SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS n_bad
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_good,
+             CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bad
       FROM orders GROUP BY o_orderpriority
     ),
     t AS (
@@ -1989,12 +1991,12 @@ joined AS (
   FROM verdict v LEFT JOIN members m ON m.k = v.c_custkey
 )
 SELECT COUNT(*) AS n_customers,
-       SUM(is_member) AS n_members,
-       SUM(bloom_pos) AS n_bloom_positive,
-       SUM(CASE WHEN bloom_pos = 1 AND is_member = 0 THEN 1 ELSE 0 END)
-         AS n_false_positive,
-       (SUM(CASE WHEN bloom_pos = 1 AND is_member = 0 THEN 1 ELSE 0 END)
-          * 1000000) // (COUNT(*) - SUM(is_member)) AS fp_rate_e6
+       CAST(SUM(is_member) AS BIGINT) AS n_members,
+       CAST(SUM(bloom_pos) AS BIGINT) AS n_bloom_positive,
+       CAST(SUM(CASE WHEN bloom_pos = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positive,
+       CAST((SUM(CASE WHEN bloom_pos = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+          * 1000000) // (COUNT(*) - SUM(is_member)) AS BIGINT) AS fp_rate_e6
 FROM joined
 """
 
@@ -2244,7 +2246,7 @@ def agg_log2_histogram(spark, sf_dir):
     oracle="""
     WITH g AS (
       SELECT event_type, COUNT(*) AS n,
-             SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS k
+             CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS k
       FROM events WHERE event_type IN ('click', 'view')
       GROUP BY event_type
     ),
@@ -2478,8 +2480,8 @@ def agg_winsorized_mean(spark, sf_dir):
     )
     SELECT e.digit,
            COALESCE(o.c, 0) AS observed,
-           (e.p8 * n.nt) // 100000000 AS expected_floor,
-           COALESCE(o.c, 0) * 1000000 // n.nt AS obs_freq_e6,
+           CAST((e.p8 * n.nt) // 100000000 AS BIGINT) AS expected_floor,
+           CAST(COALESCE(o.c, 0) * 1000000 // n.nt AS BIGINT) AS obs_freq_e6,
            e.p8 // 100 AS benford_freq_e6
     FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN n
     ORDER BY e.digit
@@ -2611,8 +2613,8 @@ def agg_gini_coefficient(spark, sf_dir):
       FROM d
     )
     SELECT decile, nc AS n_customers,
-           dx * 1000000 // tot AS share_e6,
-           cum * 1000000 // tot AS cum_share_e6
+           CAST(dx * 1000000 // tot AS BIGINT) AS share_e6,
+           CAST(cum * 1000000 // tot AS BIGINT) AS cum_share_e6
     FROM c ORDER BY decile
     """,
 )
@@ -3185,7 +3187,7 @@ def agg_sprt_sequential_test(spark, sf_dir):
       FROM events
     ),
     m AS (
-      SELECT COUNT(*) AS n, SUM(treated) AS nt FROM u
+      SELECT COUNT(*) AS n, CAST(SUM(treated) AS BIGINT) AS nt FROM u
     )
     SELECT n AS n_users, nt AS n_treated, n - nt AS n_control,
            ROUND(
@@ -3246,7 +3248,8 @@ def agg_srm_check(spark, sf_dir):
       FROM scaled GROUP BY event_type
     ),
     tot AS (
-      SELECT COUNT(*) AS k, SUM(n_g) AS n, SUM(s_g) AS s, SUM(ss_g) AS ss,
+      SELECT COUNT(*) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+             SUM(s_g) AS s, SUM(ss_g) AS ss,
              -- sequential fold in event_type order: the k per-group
              -- double terms add in one fixed order on both engines
              list_reduce(

@@ -638,7 +638,7 @@ def doc_corpus_curation(spark, sf_dir):
       FROM t
     )
     SELECT source, CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_id,
-           COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
     FROM c GROUP BY 1, 2
     """,
 )
@@ -1442,8 +1442,8 @@ def doc_vocab_overlap_matrix(spark, sf_dir):
       FROM documents
     )
     SELECT source,
-           SUM(n_chars) AS total_chars,
-           SUM(n_tok) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
            ROUND(SUM(n_chars) * 1.0 / SUM(n_tok), 4) AS chars_per_token
     FROM t GROUP BY source
     """,
@@ -1500,7 +1500,7 @@ def doc_tokens_per_char(spark, sf_dir):
     )
     SELECT doc_id, COUNT(*) AS n_fp,
            MIN(sel) AS fp_min, MAX(sel) AS fp_max,
-           CAST(SUM(CAST(sel AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS fp_sum
+           bit_xor(sel) AS fp_xor
     FROM fps GROUP BY doc_id
     """,
 )
@@ -1550,7 +1550,10 @@ def doc_winnowing_fingerprint(spark, sf_dir):
         F.count(F.lit(1)).alias("n_fp"),
         F.min("sel").alias("fp_min"),
         F.max("sel").alias("fp_max"),
-        F.sum(F.col("sel").cast("decimal(38,0)")).cast("decimal(38,0)").alias("fp_sum"),
+        # xor-fold checksum of the fingerprint set: order-independent,
+        # never overflows int64 (a DECIMAL sum widens to HUGEINT on the
+        # oracle side, which the driver's pandas path reads as float64)
+        F.expr("bit_xor(sel)").alias("fp_xor"),
     )
 
 
@@ -2040,7 +2043,8 @@ def doc_curation_v3(spark, sf_dir):
     category="documents",
     oracle=(
         "SELECT stage, COUNT(*) AS n_docs,\n"
-        "       COUNT(*) * 1000000 // SUM(COUNT(*)) OVER () AS share_e6\n"
+        "       CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER ()"
+        " AS BIGINT) AS share_e6\n"
         "FROM (\n" + _curation_v3_oracle() + "\n) v GROUP BY stage"
     ),
 )
@@ -2149,7 +2153,8 @@ def _importance_resample_oracle() -> str:
     )
     SELECT d.source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN s.u6 < s.t6 THEN 1 ELSE 0 END) AS n_kept,
+           CAST(SUM(CASE WHEN s.u6 < s.t6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
            ROUND(CAST(SUM(s.t6) AS DOUBLE) / COUNT(*) / 1000000.0, 4)
              AS avg_keep_prob
     FROM documents d JOIN scored s ON d.doc_id = s.doc_id
@@ -2226,7 +2231,7 @@ def doc_importance_resample(spark, sf_dir):
     )
     SELECT doc_id,
            COUNT(*) AS n_segments,
-           SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n_removed,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
            COALESCE(
              array_to_string(list(seg ORDER BY seg_idx) FILTER (WHERE keep), ' '),
              '') AS cleaned_text
@@ -2601,7 +2606,7 @@ lr AS (
   FROM raw r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN tots
 )
 SELECT tok.doc_id, COUNT(*) AS n_tokens,
-       SUM(lr.lr8) AS dsir_e8,
+       CAST(SUM(lr.lr8) AS BIGINT) AS dsir_e8,
        CASE WHEN SUM(lr.lr8) > 0 THEN 1 ELSE 0 END AS selected
 FROM tok JOIN lr ON lr.b = tok.b
 GROUP BY tok.doc_id
@@ -3138,8 +3143,8 @@ def doc_char_entropy(spark, sf_dir):
       GROUP BY 1, 2
     )
     SELECT i.doc_a, i.doc_b,
-           (i.smin * 1000000)
-             // (ta.nf + tb.nf - i.smin) AS wjaccard_e6
+           CAST((i.smin * 1000000)
+             // (ta.nf + tb.nf - i.smin) AS BIGINT) AS wjaccard_e6
     FROM inter i
     JOIN tot ta ON ta.doc_id = i.doc_a
     JOIN tot tb ON tb.doc_id = i.doc_b
@@ -3464,9 +3469,9 @@ def doc_minhash_estimate_error(spark, sf_dir):
     df AS (SELECT s, COUNT(*) AS d FROM sh GROUP BY s)
     SELECT sh.doc_id,
            COUNT(*) AS n_shingles,
-           SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS n_novel,
-           SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
-             AS novelty_e6
+           CAST(SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+             AS BIGINT) AS novelty_e6
     FROM sh JOIN df ON df.s = sh.s
     GROUP BY sh.doc_id
     """,
@@ -3694,8 +3699,8 @@ def doc_class_log_odds_terms(spark, sf_dir):
     wt AS (SELECT SUM(w8) AS sw8 FROM pw),
     plan_t AS (
       SELECT pw.source, pw.n,
-             pw.w8 * 1000000 // wt.sw8 AS target_share_e6,
-             pw.n * 1000000 // t2.nt AS actual_share_e6,
+             CAST(pw.w8 * 1000000 // wt.sw8 AS BIGINT) AS target_share_e6,
+             CAST(pw.n * 1000000 // t2.nt AS BIGINT) AS actual_share_e6,
              LEAST(1000000,
                    (pw.w8 * 1000000 // wt.sw8) * 1000000
                      // GREATEST(pw.n * 1000000 // t2.nt, 1)) AS keep_e6
@@ -3709,7 +3714,7 @@ def doc_class_log_odds_terms(spark, sf_dir):
       FROM documents d JOIN plan_t p ON p.source = d.source
     )
     SELECT source, target_share_e6, actual_share_e6,
-           COUNT(*) AS n_docs, SUM(kept) AS n_kept
+           COUNT(*) AS n_docs, CAST(SUM(kept) AS BIGINT) AS n_kept
     FROM verdicts
     GROUP BY source, target_share_e6, actual_share_e6
     ORDER BY source
@@ -3982,7 +3987,8 @@ def doc_gopher_rules(spark, sf_dir):
       SELECT t.doc_id,
              t.n AS n_tokens,
              COALESCE(top2.max_c2, 0) * 2 * 1000000 // t.n AS top2_frac_e6,
-             COALESCE(dup3.dup_toks, 0) * 1000000 // t.n AS dup3_frac_e6
+             CAST(COALESCE(dup3.dup_toks, 0) * 1000000 // t.n AS BIGINT)
+               AS dup3_frac_e6
       FROM t LEFT JOIN top2 ON t.doc_id = top2.doc_id
              LEFT JOIN dup3 ON t.doc_id = dup3.doc_id
     )

@@ -243,12 +243,15 @@ def ch_cohort_retention(spark, sf_dir):
     category="clickhouse",
     oracle=f"""
     WITH per AS (
-      SELECT user_id, event_type, ROUND({sql_dsum('value')}, 4) AS v
+      SELECT user_id, event_type,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v_c
       FROM events GROUP BY user_id, event_type
     )
     SELECT user_id,
-           list(event_type ORDER BY event_type) AS sum_map_keys,
-           list(v ORDER BY event_type) AS sum_map_values
+           array_to_string(list(event_type ORDER BY event_type), ',')
+             AS sum_map_keys,
+           array_to_string(list(v_c ORDER BY event_type), ',')
+             AS sum_map_values_c
     FROM per GROUP BY user_id
     """,
 )
@@ -257,14 +260,21 @@ def ch_sum_map(spark, sf_dir):
     of (event_type, summed value) — CH returns exactly this tuple-of-arrays
     shape, keys sorted. Two-level aggregation: partial sums per (user, key)
     shuffle once on the composite key, then the per-user re-grouping rides
-    the same hash distribution. Element sums are DECIMAL-accumulated and
-    rounded before array assembly so both engines build identical arrays."""
+    the same hash distribution. Element sums accumulate as exact integer
+    cents, and both arrays are emitted as comma-joined strings (raw array
+    columns crash the driver's pandas canonicalizer)."""
     ev = table(spark, sf_dir, "events")
-    per = ev.groupBy("user_id", "event_type").agg(r4(dsum("value")).alias("v"))
-    pairs = F.array_sort(F.collect_list(F.struct("event_type", "v")))
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v_c")
+    )
+    pairs = F.array_sort(F.collect_list(F.struct("event_type", "v_c")))
     return per.groupBy("user_id").agg(
-        F.transform(pairs, lambda s: s["event_type"]).alias("sum_map_keys"),
-        F.transform(pairs, lambda s: s["v"]).alias("sum_map_values"),
+        F.array_join(
+            F.transform(pairs, lambda s: s["event_type"]), ","
+        ).alias("sum_map_keys"),
+        F.array_join(
+            F.transform(pairs, lambda s: s["v_c"].cast("string")), ","
+        ).alias("sum_map_values_c"),
     )
 
 
@@ -273,8 +283,10 @@ def ch_sum_map(spark, sf_dir):
     category="clickhouse",
     oracle="""
     SELECT event_type,
-           list_transform(quantile_cont(value, [0.25, 0.5, 0.75, 0.9]),
-                          x -> ROUND(x, 4)) AS quantiles
+           array_to_string(
+             list_transform(quantile_cont(value, [0.25, 0.5, 0.75, 0.9]),
+                            x -> CAST(ROUND(ROUND(x, 4) * 10000) AS BIGINT)),
+             ',') AS quantiles_e4
     FROM events GROUP BY event_type
     """,
 )
@@ -283,13 +295,24 @@ def ch_quantiles_exact(spark, sf_dir):
     combinator returns ALL requested quantiles as one array from a single
     per-group sort — Spark's percentile() accepts an array of percentages
     and does the same (one sort, n interpolated picks), matching DuckDB's
-    quantile_cont(list) element-for-element."""
+    quantile_cont(list) element-for-element. Emitted as a comma-joined
+    string of 1e-4-unit integers: the 4-dp round happens once per element
+    (same granularity both engines), and the second ROUND only snaps the
+    ulp-level *10000 product onto its integer — never a .5 boundary."""
     ev = table(spark, sf_dir, "events")
     qs = F.percentile(
         "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9))
     )
     return ev.groupBy("event_type").agg(
-        F.transform(qs, lambda x: F.round(x, 4)).alias("quantiles")
+        F.array_join(
+            F.transform(
+                qs,
+                lambda x: F.round(F.round(x, 4) * 10000)
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("quantiles_e4")
     )
 
 
@@ -335,13 +358,14 @@ def ch_arg_min_max(spark, sf_dir):
     oracle=f"""
     WITH m AS (
       SELECT user_id, ts, event_id,
-             ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6)))
-                        OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-                        AS DOUBLE), 4) AS ms
+             SUM(CAST(ROUND(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ms_c
       FROM events
     )
-    SELECT user_id, list(ms ORDER BY ts, event_id) AS moving_sums
+    SELECT user_id,
+           array_to_string(list(ms_c ORDER BY ts, event_id), ',')
+             AS moving_sums_c
     FROM m GROUP BY user_id
     """,
 )
@@ -357,13 +381,16 @@ def ch_moving_sum_array(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(-2, W.currentRow)
     )
-    ms = F.round(
-        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double"), 4
-    )
-    with_ms = ev.select("user_id", "ts", "event_id", ms.alias("ms"))
-    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "ms")))
+    ms = F.sum(F.round(F.col("value") * 100).cast("long")).over(w)
+    with_ms = ev.select("user_id", "ts", "event_id", ms.alias("ms_c"))
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "ms_c")))
+    # serialized as a comma-joined string of exact cent integers — a raw
+    # array column crashes the driver's pandas canonicalizer and double
+    # rendering differs across engines
     return with_ms.groupBy("user_id").agg(
-        F.transform(ordered, lambda s: s["ms"]).alias("moving_sums")
+        F.array_join(
+            F.transform(ordered, lambda s: s["ms_c"].cast("string")), ","
+        ).alias("moving_sums_c")
     )
 
 
@@ -636,7 +663,7 @@ def ch_entropy(spark, sf_dir):
                AS conc
       FROM b
     )
-    SELECT event_type, MAX(conc) AS max_concurrent
+    SELECT event_type, CAST(MAX(conc) AS BIGINT) AS max_concurrent
     FROM r GROUP BY event_type
     """,
 )
@@ -869,7 +896,7 @@ def ch_bounding_ratio(spark, sf_dir):
       FROM islands GROUP BY user_id, island_id
     )
     SELECT user_id, COUNT(*) AS n_islands,
-           SUM(len_us) AS covered_us
+           CAST(SUM(len_us) AS BIGINT) AS covered_us
     FROM merged GROUP BY user_id
     """,
 )
@@ -950,7 +977,8 @@ def ch_group_concat_distinct(spark, sf_dir):
     category="funnels",
     oracle="""
     SELECT user_id,
-           list(event_type ORDER BY ts, event_id) AS journey,
+           array_to_string(list(event_type ORDER BY ts, event_id), ',')
+             AS journey,
            len(list(event_type ORDER BY ts, event_id)) AS n_steps
     FROM events
     WHERE event_type IN ('signup', 'purchase')
@@ -973,8 +1001,14 @@ def ch_group_array_ordered(spark, sf_dir):
         F.collect_list(F.struct("ts", "event_id", "event_type"))
     )
     journey = F.transform(packed, lambda s: s["event_type"])
-    g = ev.groupBy("user_id").agg(journey.alias("journey"))
-    return g.select("user_id", "journey", F.size("journey").alias("n_steps"))
+    g = ev.groupBy("user_id").agg(journey.alias("j"))
+    # comma-joined string: a raw array column crashes the driver's
+    # pandas canonicalizer (unhashable list)
+    return g.select(
+        "user_id",
+        F.array_join("j", ",").alias("journey"),
+        F.size("j").alias("n_steps"),
+    )
 
 
 @query(
@@ -983,21 +1017,23 @@ def ch_group_array_ordered(spark, sf_dir):
     oracle=f"""
     WITH per AS (
       SELECT user_id, event_type,
-             ROUND(MIN(value), 4) AS vmin,
-             ROUND(MAX(value), 4) AS vmax,
-             -- exact half-up 4-dp mean: value is exactly 2-dp, so
-             -- s100 = SUM(value*100) is an exact BIGINT and
-             -- round(s/c, 4) = (2*s100*100 + c) // (2*c) / 1e4 exactly
+             -- value is exactly 2-dp, so cents are exact BIGINTs and the
+             -- half-up 4-dp mean is (2*s100*100 + c) // (2*c) in 1e-4 units
+             MIN(CAST(ROUND(value * 100) AS BIGINT)) AS vmin_c,
+             MAX(CAST(ROUND(value * 100) AS BIGINT)) AS vmax_c,
              CAST((2 * SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100
-                   + COUNT(value)) // (2 * COUNT(value)) AS DOUBLE)
-               / 10000.0 AS vavg
+                   + COUNT(value)) // (2 * COUNT(value)) AS BIGINT) AS vavg_e4
       FROM events GROUP BY user_id, event_type
     )
     SELECT user_id,
-           list(event_type ORDER BY event_type) AS map_keys,
-           list(vmin ORDER BY event_type) AS min_values,
-           list(vmax ORDER BY event_type) AS max_values,
-           list(vavg ORDER BY event_type) AS avg_values
+           array_to_string(list(event_type ORDER BY event_type), ',')
+             AS map_keys,
+           array_to_string(list(vmin_c ORDER BY event_type), ',')
+             AS min_values_c,
+           array_to_string(list(vmax_c ORDER BY event_type), ',')
+             AS max_values_c,
+           array_to_string(list(vavg_e4 ORDER BY event_type), ',')
+             AS avg_values_e4
     FROM per GROUP BY user_id
     """,
 )
@@ -1008,34 +1044,42 @@ def ch_min_max_avg_map(spark, sf_dir):
     tuple-of-arrays shape. Same two-level plan as sumMap: partial
     aggregates per (user, key) shuffle once on the composite key, and the
     per-user array assembly rides the same hash distribution (no second
-    shuffle). min/max are order-safe by definition; the mean uses the
-    decimal-sum idiom, and every float is rounded before array assembly so
-    both engines build identical arrays."""
+    shuffle). All values are exact integers (cents for min/max, 1e-4
+    units for the half-up mean) and every array is emitted as a
+    comma-joined string — raw array columns crash the driver's pandas
+    canonicalizer, and integer rendering is engine-identical."""
     ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
     per = (
         ev.groupBy("user_id", "event_type")
         .agg(
-            r4(F.min("value")).alias("vmin"),
-            r4(F.max("value")).alias("vmax"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("s100"),
+            F.min(cents).alias("vmin_c"),
+            F.max(cents).alias("vmax_c"),
+            F.sum(cents).alias("s100"),
             F.count("value").alias("c"),
         )
         .withColumn(
             # exact half-up 4-dp mean from integer moments — double ROUND
             # half-up/half-even divergence at .xxxx5 boundaries can't occur
-            "vavg",
-            F.expr("CAST((2 * s100 * 100 + c) DIV (2 * c) AS DOUBLE) / 10000.0"),
+            "vavg_e4",
+            F.expr("(2 * s100 * 100 + c) DIV (2 * c)"),
         )
         .drop("s100", "c")
     )
     pairs = F.array_sort(
-        F.collect_list(F.struct("event_type", "vmin", "vmax", "vavg"))
+        F.collect_list(F.struct("event_type", "vmin_c", "vmax_c", "vavg_e4"))
     )
+
+    def joined(field):
+        return F.array_join(
+            F.transform(pairs, lambda s: s[field].cast("string")), ","
+        )
+
     return per.groupBy("user_id").agg(
-        F.transform(pairs, lambda s: s["event_type"]).alias("map_keys"),
-        F.transform(pairs, lambda s: s["vmin"]).alias("min_values"),
-        F.transform(pairs, lambda s: s["vmax"]).alias("max_values"),
-        F.transform(pairs, lambda s: s["vavg"]).alias("avg_values"),
+        joined("event_type").alias("map_keys"),
+        joined("vmin_c").alias("min_values_c"),
+        joined("vmax_c").alias("max_values_c"),
+        joined("vavg_e4").alias("avg_values_e4"),
     )
 
 
@@ -1168,8 +1212,10 @@ def ch_sparkbar(spark, sf_dir):
       FROM events
     )
     SELECT user_id,
-           list(event_type ORDER BY ts, event_id) AS last5_types,
-           list(event_id ORDER BY ts, event_id) AS last5_ids
+           array_to_string(list(event_type ORDER BY ts, event_id), ',')
+             AS last5_types,
+           array_to_string(list(event_id ORDER BY ts, event_id), ',')
+             AS last5_ids
     FROM r WHERE rk <= 5
     GROUP BY user_id
     """,
@@ -1192,9 +1238,15 @@ def ch_group_array_last_k(spark, sf_dir):
     pairs = F.array_sort(
         F.collect_list(F.struct("ts", "event_id", "event_type"))
     )
+    # comma-joined strings: raw array columns crash the driver's
+    # pandas canonicalizer
     return kept.groupBy("user_id").agg(
-        F.transform(pairs, lambda s: s["event_type"]).alias("last5_types"),
-        F.transform(pairs, lambda s: s["event_id"]).alias("last5_ids"),
+        F.array_join(
+            F.transform(pairs, lambda s: s["event_type"]), ","
+        ).alias("last5_types"),
+        F.array_join(
+            F.transform(pairs, lambda s: s["event_id"].cast("string")), ","
+        ).alias("last5_ids"),
     )
 
 
@@ -1202,22 +1254,26 @@ def ch_group_array_last_k(spark, sf_dir):
     "ch_array_cumsum_diff",
     category="clickhouse",
     oracle="""
-    WITH m AS (
+    WITH e AS (
       SELECT user_id, ts, event_id,
-             ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6)))
-                        OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        AS DOUBLE), 4) AS cs,
-             ROUND(CAST(COALESCE(
-                     CAST(value AS DECIMAL(38,6))
-                       - LAG(CAST(value AS DECIMAL(38,6)))
-                           OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                     CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS df
+             CAST(ROUND(value * 100) AS BIGINT) AS v_c
       FROM events
+    ),
+    m AS (
+      SELECT user_id, ts, event_id,
+             SUM(v_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cs_c,
+             COALESCE(v_c - LAG(v_c) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                      v_c) AS df_c
+      FROM e
     )
     SELECT user_id,
-           list(cs ORDER BY ts, event_id) AS cum_sums,
-           list(df ORDER BY ts, event_id) AS diffs
+           array_to_string(list(cs_c ORDER BY ts, event_id), ',')
+             AS cum_sums_c,
+           array_to_string(list(df_c ORDER BY ts, event_id), ',')
+             AS diffs_c
     FROM m GROUP BY user_id
     """,
 )
@@ -1225,34 +1281,39 @@ def ch_array_cumsum_diff(spark, sf_dir):
     """ClickHouse ``arrayCumSum`` + ``arrayDifference`` parity over each
     user's time-ordered value array (the per-device cumulative-energy and
     step-change views of the reference's kwh counters, tables.sql:5-32).
-    Values accumulate as DECIMAL(38,6) so both the running sums and the
-    adjacent differences are exact regardless of length; array order is
-    pinned by array_sort over (ts, event_id, …) structs. Both engines run
-    the identical linear plan: one running-DECIMAL window + lag, then one
-    per-user collect — window and groupBy share the user_id exchange."""
+    Values accumulate as exact integer cents so both the running sums and
+    the adjacent differences are exact regardless of length; array order
+    is pinned by array_sort over (ts, event_id, …) structs and the arrays
+    are emitted as comma-joined strings (raw array columns crash the
+    driver's pandas canonicalizer). Both engines run the identical linear
+    plan: one running-sum window + lag, then one per-user collect —
+    window and groupBy share the user_id exchange."""
     ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    e = ev.select("user_id", "ts", "event_id", cents.alias("v_c"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    cum = F.sum(F.col("value").cast("decimal(38,6)")).over(w)
-    lagv = F.lag(F.col("value").cast("decimal(38,6)")).over(
+    lagv = F.lag("v_c").over(
         W.partitionBy("user_id").orderBy("ts", "event_id")
     )
-    diff = F.coalesce(
-        F.col("value").cast("decimal(38,6)") - lagv,
-        F.col("value").cast("decimal(38,6)"),
-    )
-    rows = ev.select(
+    rows = e.select(
         "user_id",
         "ts",
         "event_id",
-        F.round(cum.cast("double"), 4).alias("cs"),
-        F.round(diff.cast("double"), 4).alias("df"),
+        F.sum("v_c").over(w).alias("cs_c"),
+        F.coalesce(F.col("v_c") - lagv, F.col("v_c")).alias("df_c"),
     )
-    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "cs", "df")))
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "cs_c", "df_c"))
+    )
     return rows.groupBy("user_id").agg(
-        F.transform(ordered, lambda s: s["cs"]).alias("cum_sums"),
-        F.transform(ordered, lambda s: s["df"]).alias("diffs"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["cs_c"].cast("string")), ","
+        ).alias("cum_sums_c"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["df_c"].cast("string")), ","
+        ).alias("diffs_c"),
     )
 
 
@@ -1269,9 +1330,14 @@ def ch_array_cumsum_diff(spark, sf_dir):
       FROM events
     )
     SELECT user_id,
-           list(occ ORDER BY ts, event_id) AS enumerate_uniq,
-           list(event_type ORDER BY ts, event_id)
-             FILTER (WHERE prev IS NULL OR event_type <> prev) AS compacted
+           array_to_string(list(occ ORDER BY ts, event_id), ',')
+             AS enumerate_uniq,
+           -- COALESCE: DuckDB array_to_string(empty) is NULL, Spark
+           -- array_join(empty) is ''
+           COALESCE(array_to_string(
+             list(event_type ORDER BY ts, event_id)
+               FILTER (WHERE prev IS NULL OR event_type <> prev),
+             ','), '') AS compacted
     FROM seq GROUP BY user_id
     """,
 )
@@ -1303,9 +1369,15 @@ def ch_array_enumerate_compact(spark, sf_dir):
             F.when(keep, F.struct("ts", "event_id", "event_type")).otherwise(None)
         )
     )
+    # comma-joined strings: raw array columns crash the driver's
+    # pandas canonicalizer
     return seq.groupBy("user_id").agg(
-        F.transform(ordered_occ, lambda s: s["occ"]).alias("enumerate_uniq"),
-        F.transform(ordered_types, lambda s: s["event_type"]).alias("compacted"),
+        F.array_join(
+            F.transform(ordered_occ, lambda s: s["occ"].cast("string")), ","
+        ).alias("enumerate_uniq"),
+        F.array_join(
+            F.transform(ordered_types, lambda s: s["event_type"]), ","
+        ).alias("compacted"),
     )
 
 
@@ -1469,7 +1541,7 @@ def ch_cohort_ltv(spark, sf_dir):
     ),
     tot AS (SELECT efrom, SUM(n) AS nf FROM t GROUP BY efrom)
     SELECT t.efrom, t.eto, t.n,
-           t.n * 1000000 // tot.nf AS p_e6
+           CAST(t.n * 1000000 // tot.nf AS BIGINT) AS p_e6
     FROM t JOIN tot ON tot.efrom = t.efrom
     ORDER BY t.efrom, t.eto
     """,
@@ -1524,7 +1596,7 @@ def ch_event_transition_matrix(spark, sf_dir):
     )
     SELECT attributed,
            COUNT(*) AS n_purchases,
-           SUM(rev_c) AS revenue_cents
+           CAST(SUM(rev_c) AS BIGINT) AS revenue_cents
     FROM attributed GROUP BY attributed ORDER BY attributed
     """,
 )
@@ -1667,10 +1739,12 @@ def ch_repurchase_latency(spark, sf_dir):
              CASE WHEN s_c < 0
                   THEN -((2 * (-s_c) * 10000 + cnt * 100) // (2 * cnt * 100))
                   ELSE (2 * s_c * 10000 + cnt * 100) // (2 * cnt * 100) END
-               / 10000.0 + 0.0 AS ma
+               AS ma_e4
       FROM m
     )
-    SELECT user_id, list(ma ORDER BY ts, event_id) AS moving_avgs
+    SELECT user_id,
+           array_to_string(list(ma_e4 ORDER BY ts, event_id), ',')
+             AS moving_avgs_e4
     FROM r GROUP BY user_id
     """,
 )
@@ -1701,10 +1775,14 @@ def ch_moving_avg_array(spark, sf_dir):
         "CASE WHEN s_c < 0"
         " THEN -((2 * (-s_c) * 10000 + cnt * 100) DIV (2 * cnt * 100))"
         " ELSE (2 * s_c * 10000 + cnt * 100) DIV (2 * cnt * 100) END"
-        " / 10000.0D + 0.0D"
     )
-    with_ma = m.select("user_id", "ts", "event_id", ma.alias("ma"))
-    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "ma")))
+    with_ma = m.select("user_id", "ts", "event_id", ma.alias("ma_e4"))
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "ma_e4")))
+    # serialized as a comma-joined string of exact 1e-4-unit integers —
+    # a raw array column crashes the driver's pandas canonicalizer
+    # (unhashable list) and double rendering differs across engines
     return with_ma.groupBy("user_id").agg(
-        F.transform(ordered, lambda s: s["ma"]).alias("moving_avgs")
+        F.array_join(
+            F.transform(ordered, lambda s: s["ma_e4"].cast("string")), ","
+        ).alias("moving_avgs_e4")
     )

@@ -898,7 +898,7 @@ def join_lateral_api(spark, sf_dir):
       FROM events GROUP BY user_id, CAST(ts AS DATE)
     )
     SELECT o.o_orderkey, o.o_custkey,
-           COALESCE(SUM(e.n), 0) AS events_within_1d
+           CAST(COALESCE(SUM(e.n), 0) AS BIGINT) AS events_within_1d
     FROM od o
     LEFT JOIN ed e ON e.user_id = o.o_custkey
       AND e.ed BETWEEN o.od - INTERVAL 1 DAY AND o.od + INTERVAL 1 DAY

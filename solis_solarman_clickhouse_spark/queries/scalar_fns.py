@@ -240,11 +240,17 @@ def json_extract(spark, sf_dir):
     SELECT p_partkey,
            list_reduce(list_transform(string_split(p_name, ' '), x -> len(x)),
                        (a, b) -> a + b) AS total_len,
-           list_filter(string_split(p_name, ' '), x -> len(x) > 4) AS long_words,
-           list_transform(list_zip(string_split(p_name, ' '),
-                                   list_transform(string_split(p_name, ' '),
-                                                  x -> len(x))),
-                          t -> t[1] || ':' || CAST(t[2] AS VARCHAR)) AS tagged
+           -- COALESCE: DuckDB array_to_string(empty) is NULL, Spark
+           -- array_join(empty) is ''
+           COALESCE(array_to_string(
+             list_filter(string_split(p_name, ' '), x -> len(x) > 4),
+             ','), '') AS long_words,
+           array_to_string(
+             list_transform(list_zip(string_split(p_name, ' '),
+                                     list_transform(string_split(p_name, ' '),
+                                                    x -> len(x))),
+                            t -> t[1] || ':' || CAST(t[2] AS VARCHAR)),
+             ',') AS tagged
     FROM part
     """,
 )
@@ -268,11 +274,13 @@ def array_higher_order_fns(spark, sf_dir):
     tagged = F.zip_with(
         toks, lens, lambda t, n: F.concat_ws(":", t, n.cast("string"))
     )
+    # comma-joined strings: raw array columns crash the driver's
+    # pandas canonicalizer
     return p.select(
         "p_partkey",
         total_len.alias("total_len"),
-        long_words.alias("long_words"),
-        tagged.alias("tagged"),
+        F.array_join(long_words, ",").alias("long_words"),
+        F.array_join(tagged, ",").alias("tagged"),
     )
 
 
@@ -286,8 +294,12 @@ def array_higher_order_fns(spark, sf_dir):
                          x -> 2 * len(x) > 8) AS ks
       FROM part
     )
-    SELECT p_partkey, ks AS keys,
-           list_transform(ks, x -> 2 * len(x)) AS vals
+    SELECT p_partkey,
+           -- COALESCE: DuckDB array_to_string(empty) is NULL, Spark
+           -- array_join(empty) is ''
+           COALESCE(array_to_string(ks, ','), '') AS keys,
+           COALESCE(array_to_string(list_transform(ks, x -> 2 * len(x)), ','),
+                    '') AS vals
     FROM t
     """,
 )
@@ -304,10 +316,16 @@ def map_higher_order_fns(spark, sf_dir):
     doubled = F.transform_values(m, lambda k, v: v * 2)
     kept = F.map_filter(doubled, lambda k, v: v > 8)
     entries = F.array_sort(F.map_entries(kept))
+    # comma-joined strings: raw array columns crash the driver's
+    # pandas canonicalizer
     return p.select(
         "p_partkey",
-        F.transform(entries, lambda e: e["key"]).alias("keys"),
-        F.transform(entries, lambda e: e["value"]).alias("vals"),
+        F.array_join(
+            F.transform(entries, lambda e: e["key"]), ","
+        ).alias("keys"),
+        F.array_join(
+            F.transform(entries, lambda e: e["value"].cast("string")), ","
+        ).alias("vals"),
     )
 
 
@@ -346,7 +364,7 @@ def date_functions_extended(spark, sf_dir):
     category="scalar",
     oracle="""
     SELECT p_partkey,
-           regexp_extract_all(p_name, '[a-z]+') AS words,
+           array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS words,
            len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
            regexp_replace(p_name, '([a-z]+) ([a-z]+)', '\\2 \\1') AS swapped
     FROM part WHERE p_partkey < 500
@@ -360,7 +378,9 @@ def string_regex_extended(spark, sf_dir):
     p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
     return p.select(
         "p_partkey",
-        F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]+"), 0).alias("words"),
+        F.array_join(
+            F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]+"), 0), ","
+        ).alias("words"),
         F.size(F.regexp_extract_all(F.col("p_name"), F.lit("[aeiou]"), 0)).alias("n_vowels"),
         F.regexp_replace(
             F.col("p_name"), "([a-z]+) ([a-z]+)", "$2 $1"
@@ -587,7 +607,8 @@ def ch_ipv4_functions(spark, sf_dir):
     oracle="""
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
            COUNT(*) AS n,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
            MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
     FROM events

@@ -362,7 +362,7 @@ def sink_summing_mv(spark, sf_dir):
     category="sink",
     oracle="""
     SELECT COUNT(*) AS n_lines,
-           SUM(LENGTH(text)) AS total_chars,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
            MIN(LENGTH(text)) AS min_len,
            MAX(LENGTH(text)) AS max_len
     FROM documents

@@ -975,7 +975,8 @@ def ts_snapshot_diff(spark, sf_dir):
     )
     SELECT user_id,
            ROUND(MAX(cusum) / 100.0, 4) AS max_cusum,
-           SUM(CASE WHEN cusum > 20000 THEN 1 ELSE 0 END) AS n_alarm_samples
+           CAST(SUM(CASE WHEN cusum > 20000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarm_samples
     FROM s GROUP BY user_id
     """,
 )
@@ -1856,8 +1857,8 @@ def ts_spectral_dominant_period(spark, sf_dir):
     b AS (SELECT * FROM e WHERE n BETWEEN 5 AND 100),
     s AS (
       SELECT a.user_id,
-             SUM(CASE WHEN b2.y > a.y THEN 1
-                      WHEN b2.y < a.y THEN -1 ELSE 0 END) AS s_stat,
+             CAST(SUM(CASE WHEN b2.y > a.y THEN 1
+                      WHEN b2.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
              COUNT(*) AS n_pairs
       FROM b a JOIN b b2 ON a.user_id = b2.user_id
         AND (a.tu < b2.tu OR (a.tu = b2.tu AND a.event_id < b2.event_id))

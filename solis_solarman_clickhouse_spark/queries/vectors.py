@@ -277,7 +277,7 @@ q AS (
          END AS qv
   FROM exploded ex JOIN dims d USING (dim)
 )
-SELECT vec_id, list(qv ORDER BY dim) AS q_embedding
+SELECT vec_id, array_to_string(list(qv ORDER BY dim), ',') AS q_embedding
 FROM q GROUP BY vec_id
 """
 
@@ -320,7 +320,14 @@ def vec_quantize_int8(spark, sf_dir):
             )
         ),
     )
-    return e.crossJoin(F.broadcast(packed)).select("vec_id", qv.alias("q_embedding"))
+    # comma-joined string: a raw array column crashes the driver's
+    # pandas canonicalizer
+    return e.crossJoin(F.broadcast(packed)).select(
+        "vec_id",
+        F.array_join(
+            F.transform(qv, lambda q: q.cast("string")), ","
+        ).alias("q_embedding"),
+    )
 
 
 _KNN_CLASSIFY_ORACLE = """
@@ -1016,7 +1023,7 @@ best AS (
   FROM dists
 )
 SELECT vec_id,
-       list(cid ORDER BY sub) AS code,
+       array_to_string(list(cid ORDER BY sub), ',') AS code,
        ROUND(list_reduce(list_prepend(0.0, list(d ORDER BY sub)),
                          (a, b) -> a + b), 4) AS sq_err
 FROM best WHERE r = 1
@@ -1037,8 +1044,14 @@ def vec_pq_quantize(spark, sf_dir):
     arithmetic); no shuffle at all (scan → project). Measured recall@5
     of searching these codes: 0.64-0.68 (vec_pq_adc_recall)."""
     emb = table(spark, sf_dir, "embeddings")
+    # code emitted as a comma-joined string: a raw array column crashes
+    # the driver's pandas canonicalizer
     return _pq_code_frame(emb).select(
-        "vec_id", "code", F.round("sq_err", 4).alias("sq_err")
+        "vec_id",
+        F.array_join(
+            F.transform("code", lambda c: c.cast("string")), ","
+        ).alias("code"),
+        F.round("sq_err", 4).alias("sq_err"),
     )
 
 
@@ -2776,9 +2789,9 @@ stats AS (
   FROM occ
 )
 SELECT o.cl AS list_id, o.n AS n_vectors,
-       o.n * 1000000 // s.total AS frac_e6,
-       s.mx * s.n_lists * 1000000 // s.total AS max_skew_e6,
-       s.empties
+       CAST(o.n * 1000000 // s.total AS BIGINT) AS frac_e6,
+       CAST(s.mx * s.n_lists * 1000000 // s.total AS BIGINT) AS max_skew_e6,
+       CAST(s.empties AS BIGINT) AS empties
 FROM occ o CROSS JOIN stats s
 ORDER BY o.cl
 """
@@ -2977,7 +2990,7 @@ gains AS (
          (SELECT SUM((6 - pos) * w8) FROM w) AS idcg8
   FROM ranks GROUP BY query_id
 )
-SELECT query_id, dcg8 * 1000000 // idcg8 AS ndcg5_e6
+SELECT query_id, CAST(dcg8 * 1000000 // idcg8 AS BIGINT) AS ndcg5_e6
 FROM gains ORDER BY query_id
 """
 
@@ -3071,7 +3084,7 @@ rr AS (
   FROM ranks WHERE r_true = 1 GROUP BY query_id
 )
 SELECT (SELECT COUNT(*) FROM q) AS n_queries,
-       SUM(1000000 // first_hit) // COUNT(*) AS mrr_e6
+       CAST(SUM(1000000 // first_hit) // COUNT(*) AS BIGINT) AS mrr_e6
 FROM rr
 """
 

@@ -381,9 +381,10 @@ def window_distribution(spark, sf_dir):
       FROM events
     )
     SELECT event_type, ts, event_id,
-           SUM(first_seen) OVER (PARTITION BY event_type ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS distinct_users_so_far
+           CAST(SUM(first_seen) OVER (
+                  PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS distinct_users_so_far
     FROM f
     """,
 )

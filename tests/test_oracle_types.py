@@ -1,0 +1,65 @@
+"""Registry-wide oracle OUTPUT-TYPE guard (round-3 verdict, fix #3).
+
+The external driver reads oracle results through pandas, where DuckDB
+HUGEINT (any uncast SUM / ``//`` over window sums / SUM(CASE...)) and
+DECIMAL widen to float64 while Spark emits int64 — a hash mismatch on
+value-identical rows. Top-level LIST/STRUCT/MAP columns are worse: the
+driver's canonicalizer CRASHES on them (``TypeError: unhashable type:
+'list'``). This test walks every registered oracle's DECLARED output
+types via ``DESCRIBE`` so the bug class is caught at commit time, not by
+the driver a round later.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from solis_solarman_clickhouse_spark.queries import REGISTRY
+from solis_solarman_clickhouse_spark.tables import TABLE_NAMES
+
+from .conftest import SF_DIR
+
+BANNED_FRAGMENTS = ("HUGEINT", "UHUGEINT", "DECIMAL", "[]", "STRUCT", "MAP(")
+
+WITH_ORACLE = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+
+
+@pytest.fixture(scope="module")
+def type_audit():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    audit = {}
+    for name in WITH_ORACLE:
+        rows = con.execute(f"DESCRIBE {REGISTRY[name].oracle}").fetchall()
+        audit[name] = [(r[0], r[1]) for r in rows]
+    con.close()
+    return audit
+
+
+def test_no_oracle_emits_banned_output_types(type_audit):
+    offenders = {}
+    for name, cols in type_audit.items():
+        bad = [
+            (c, ty)
+            for c, ty in cols
+            if any(b in ty.upper() for b in BANNED_FRAGMENTS)
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracles with HUGEINT/DECIMAL (pandas widens to float64 — driver "
+        "hash-fail) or LIST/STRUCT/MAP (driver canonicalizer crash) output "
+        f"columns:\n{offenders}\n"
+        "CAST integers to BIGINT; serialize arrays with array_to_string."
+    )
+
+
+def test_every_oracle_describes(type_audit):
+    # DESCRIBE succeeded for every oracle (syntax + view resolution) and
+    # produced at least one output column.
+    empty = [n for n, cols in type_audit.items() if not cols]
+    assert not empty, f"oracles with no output columns: {empty}"
