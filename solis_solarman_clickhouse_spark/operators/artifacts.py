@@ -11,8 +11,12 @@ under the system temp dir so read-only data dirs are never touched).
 
 Writes are atomic (build into a ``.tmp.<pid>`` sibling, ``os.rename``
 into place); a concurrent loser just reads the winner's artifact. Keys
-hash the full provenance (input file set + hyperparameters), so a
-different corpus or config trains its own artifact.
+hash the full provenance (input file set + hyperparameters) and every
+local file path in the key is expanded to a CONTENT fingerprint
+(path, size, mtime_ns) before hashing — regenerating a fixture in
+place therefore re-trains instead of silently reusing stale centroids.
+The default root is per-user (uid-suffixed) so shared temp dirs never
+collide on permissions.
 """
 
 from __future__ import annotations
@@ -29,14 +33,30 @@ import pyarrow.parquet as pq
 
 
 def artifact_root() -> str:
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
     return os.environ.get(
         "SPARK_GRAFT_ARTIFACTS_DIR",
-        os.path.join(tempfile.gettempdir(), "spark_graft_artifacts"),
+        os.path.join(tempfile.gettempdir(), f"spark_graft_artifacts_{uid}"),
     )
 
 
+def _fingerprint(obj: object) -> object:
+    """Recursively expand any local-file path string inside a key to
+    (path, size, mtime_ns) so the cache key tracks file CONTENT identity,
+    not just the name — a fixture regenerated in place gets a new key.
+    Non-path values pass through untouched."""
+    if isinstance(obj, (tuple, list)):
+        return tuple(_fingerprint(x) for x in obj)
+    if isinstance(obj, str):
+        path = obj[7:] if obj.startswith("file://") else obj
+        if os.path.sep in path and os.path.isfile(path):
+            st = os.stat(path)
+            return (path, st.st_size, st.st_mtime_ns)
+    return obj
+
+
 def _key_path(kind: str, key: object) -> str:
-    digest = hashlib.md5(repr(key).encode()).hexdigest()[:20]
+    digest = hashlib.md5(repr(_fingerprint(key)).encode()).hexdigest()[:20]
     return os.path.join(artifact_root(), kind, digest)
 
 

@@ -1464,7 +1464,7 @@ def ch_top_event_paths(spark, sf_dir):
              SUM(w.wv) OVER (PARTITION BY w.cohort_week ORDER BY w.age_w) AS cv
       FROM weekly w JOIN sizes s ON s.cohort_week = w.cohort_week
     )
-    SELECT CAST(cohort_week AS DATE) AS cohort_week, age_w, n_users,
+    SELECT strftime(CAST(cohort_week AS DATE), '%Y-%m-%d') AS cohort_week, age_w, n_users,
            CAST((2 * cv * 100 + n_users) // (2 * n_users) AS DOUBLE) / 10000.0
              AS cum_ltv_per_user
     FROM cum ORDER BY cohort_week, age_w
@@ -1515,7 +1515,7 @@ def ch_cohort_ltv(spark, sf_dir):
         .alias("cv"),
     )
     return cum.select(
-        F.to_date("cohort_week").alias("cohort_week"),
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         "age_w",
         "n_users",
         (

@@ -80,12 +80,12 @@ def string_regex(spark, sf_dir):
     category="scalar_fn",
     oracle="""
     SELECT o_orderkey,
-           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           strftime(CAST(DATE_TRUNC('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start,
            YEAR(o_orderdate) AS yr,
            MONTH(o_orderdate) AS mo,
            DAY(o_orderdate) AS dy,
            HOUR(o_orderdate) AS hr,
-           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
            DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
            CAST(DAYOFWEEK(o_orderdate) AS INT) AS dow
     FROM orders
@@ -95,18 +95,21 @@ def date_functions(spark, sf_dir):
     """Q-DATE-1: date_trunc / parts / date_add / datediff / day-of-week.
 
     Day-of-week normalized to DuckDB's convention (0 = Sunday); Spark's
-    dayofweek is 1 = Sunday, hence the -1.
+    dayofweek is 1 = Sunday, hence the -1. DATE-typed outputs are emitted
+    as 'yyyy-MM-dd' strings on both engines: DuckDB DATE widens to
+    datetime64 in pandas ('1995-01-31 00:00:00') while Spark yields
+    datetime.date ('1995-01-31') — identical values, divergent hash.
     """
     o = table(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
     return o.select(
         "o_orderkey",
-        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
         F.year(d).cast("bigint").alias("yr"),
         F.month(d).cast("bigint").alias("mo"),
         F.dayofmonth(d).cast("bigint").alias("dy"),
         F.hour(d).cast("bigint").alias("hr"),
-        F.date_add(d.cast("date"), 30).alias("plus30"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("plus30"),
         F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).cast("bigint").alias(
             "days_to_2002"
         ),
@@ -337,8 +340,8 @@ def map_higher_order_fns(spark, sf_dir):
            quarter(o_orderdate) AS q,
            CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
            dayofyear(o_orderdate) AS doy,
-           CAST(last_day(o_orderdate) AS DATE) AS month_end,
-           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+           strftime(CAST(last_day(o_orderdate) AS DATE), '%Y-%m-%d') AS month_end,
+           strftime(CAST(date_trunc('quarter', o_orderdate) AS DATE), '%Y-%m-%d') AS quarter_start
     FROM orders WHERE o_orderkey < 1000
     """,
 )
@@ -346,7 +349,8 @@ def date_functions_extended(spark, sf_dir):
     """Calendar function breadth beyond Q-DATE-1: quarter, ISO week,
     day-of-year, month-end, quarter-start — the Grafana/report bucket
     vocabulary. All pure row expressions; Spark's weekofyear and DuckDB's
-    are both ISO-8601 so the year-boundary weeks agree."""
+    are both ISO-8601 so the year-boundary weeks agree. DATE outputs are
+    string-serialized ('yyyy-MM-dd') on both engines — see date_functions."""
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
     d = F.col("o_orderdate")
     return o.select(
@@ -354,8 +358,8 @@ def date_functions_extended(spark, sf_dir):
         F.quarter(d).alias("q"),
         F.weekofyear(d).alias("iso_week"),
         F.dayofyear(d).alias("doy"),
-        F.last_day(d).alias("month_end"),
-        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias("quarter_start"),
     )
 
 

@@ -22,6 +22,12 @@ from .conftest import SF_DIR
 
 BANNED_FRAGMENTS = ("HUGEINT", "UHUGEINT", "DECIMAL", "[]", "STRUCT", "MAP(")
 
+# Exact-type bans (not substrings): DuckDB DATE reaches pandas as
+# datetime64 ('1995-01-31 00:00:00') while Spark yields datetime.date
+# ('1995-01-31') — value-identical, hash-divergent. TIMESTAMP stays legal
+# (both engines produce pandas Timestamps). Emit dates as strings.
+BANNED_EXACT = ("DATE",)
+
 WITH_ORACLE = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
 
 
@@ -47,14 +53,17 @@ def test_no_oracle_emits_banned_output_types(type_audit):
             (c, ty)
             for c, ty in cols
             if any(b in ty.upper() for b in BANNED_FRAGMENTS)
+            or ty.upper() in BANNED_EXACT
         ]
         if bad:
             offenders[name] = bad
     assert not offenders, (
         "oracles with HUGEINT/DECIMAL (pandas widens to float64 — driver "
-        "hash-fail) or LIST/STRUCT/MAP (driver canonicalizer crash) output "
-        f"columns:\n{offenders}\n"
-        "CAST integers to BIGINT; serialize arrays with array_to_string."
+        "hash-fail), DATE (pandas widens to datetime64 — renders with a "
+        "midnight time Spark's datetime.date lacks), or LIST/STRUCT/MAP "
+        f"(driver canonicalizer crash) output columns:\n{offenders}\n"
+        "CAST integers to BIGINT; serialize arrays with array_to_string; "
+        "serialize dates with strftime(d,'%Y-%m-%d') / date_format."
     )
 
 
