@@ -15,6 +15,7 @@ import os
 import sys
 import time
 
+from solis_solarman_clickhouse_spark.caching import release_cached
 from solis_solarman_clickhouse_spark.queries import REGISTRY
 from solis_solarman_clickhouse_spark.session import get_spark
 
@@ -151,6 +152,11 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
+        finally:
+            # drop this query's tracked persists so a 96-query run never
+            # accumulates cached blocks across queries (LRU eviction under
+            # memory pressure shows up as random multi-second stalls)
+            release_cached()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
@@ -204,7 +210,36 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+
+    # The harness that records this run keeps only a ~2000-char stdout
+    # TAIL and parses the last line — a 96-query map blows past that and
+    # truncates the line mid-way (every BENCH_r*.json through r04 has
+    # parsed: null). Persist the full per-query JSON to a file + stderr,
+    # and keep the LAST stdout line under the tail budget: full JSON if
+    # it fits, else a summary with the slowest rows and a file pointer.
+    full = json.dumps(out)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as fh:
+        fh.write(full + "\n")
+    print(f"# full: {full}", file=sys.stderr)
+    if len(full) <= 1800:
+        print(full)
+    else:
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+        )
+        summary = {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(timings),
+            "sf": float(sf),
+            "ingest": ingest,
+            "slowest": slowest,
+            "n_errors": len(errors),
+            "queries_file": "bench_full.json",
+        }
+        print(json.dumps(summary))
 
 
 if __name__ == "__main__":

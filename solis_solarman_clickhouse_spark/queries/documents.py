@@ -5,6 +5,8 @@
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+
+from ..caching import tracked_persist
 from pyspark.sql import types as T
 
 from ..operators.dedup import (
@@ -1996,7 +1998,7 @@ def doc_curation_v3(spark, sf_dir):
         docs.select("doc_id")
         .join(keep_a_lazy.withColumn("_a", F.lit(1)), "doc_id", "left")
         .join(quality_all, "doc_id", "left")
-        .persist()
+        .transform(tracked_persist)
     )
     flags.count()  # barrier: run each tier's heavy compute exactly once
     keep_a = flags.filter(F.col("_a").isNotNull()).select("doc_id")
@@ -2005,7 +2007,7 @@ def doc_curation_v3(spark, sf_dir):
     keep_b = (
         covb.filter(F.col("n_covered") * 2 <= F.col("n_tokens"))
         .select("doc_id")
-        .persist()
+        .transform(tracked_persist)
     )
     keep_b.count()
     # Tier-D input: ids surviving A∩B∩C — derived from the CACHED frames
@@ -2772,11 +2774,11 @@ def doc_minhash_band_sweep(spark, sf_dir):
     )
 
     docs = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures_md5(docs, n_hashes=16, k=3).persist()
+    sigs = minhash_signatures_md5(docs, n_hashes=16, k=3).transform(tracked_persist)
     truth = (
         ngram_jaccard_pairs(docs, k=3, threshold=0.8)
         .select("doc_a", "doc_b")
-        .persist()
+        .transform(tracked_persist)
     )
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true_total"))
     out = None
@@ -3383,7 +3385,7 @@ def doc_minhash_estimate_error(spark, sf_dir):
     )
 
     docs = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures_md5(docs, n_hashes=16, k=3).persist()
+    sigs = minhash_signatures_md5(docs, n_hashes=16, k=3).transform(tracked_persist)
     rows = 2
     banded = sigs.select(
         "doc_id",
@@ -3574,7 +3576,7 @@ def doc_max_coverage_selection(spark, sf_dir):
     from pyspark.sql import Window as W
     from ..operators.dedup import shingle_index
 
-    sh = shingle_index(table(spark, sf_dir, "documents"), k=3, hashed=False).persist()
+    sh = shingle_index(table(spark, sf_dir, "documents"), k=3, hashed=False).transform(tracked_persist)
     picked = None
     covered = None
     out = None
@@ -3903,7 +3905,10 @@ def doc_heaps_law_fit(spark, sf_dir):
     m AS (
       SELECT doc_id,
              CAST(len(toks) AS BIGINT) AS n_words,
-             ROUND((nc - (len(toks) - 1)) * 1.0 / len(toks), 4) AS mean_wlen,
+             -- integer half-away division: dyadic word counts land mean
+             -- lengths exactly on .00005 where float ROUND modes diverge
+             ((2 * (nc - (len(toks) - 1)) * 10000 + len(toks))
+              // (2 * len(toks))) / 10000.0 AS mean_wlen,
              CAST(len(list_intersect(list_distinct(toks),
                                      ['the', 'a', 'of', 'to', 'and'])) AS BIGINT)
                AS n_stop_distinct
@@ -3934,8 +3939,14 @@ def doc_gopher_rules(spark, sf_dir):
     m = docs.select(
         "doc_id",
         F.size(t).cast("long").alias("n_words"),
-        F.round(
-            (F.length("text") - (F.size(t) - 1)) * F.lit(1.0) / F.size(t), 4
+        # integer half-away division to 4 dp from the exact integer pair
+        # (n_chars-(n_words-1), n_words): ROUND(double,4) splits at .00005
+        # boundaries dyadic word counts land on exactly (half-up vs
+        # half-even across engines). Positive operands, so DIV ≡ //.
+        F.expr(
+            "((2L * (length(text) - (size(split(text, ' ')) - 1)) * 10000L"
+            "  + size(split(text, ' ')))"
+            " DIV (2L * size(split(text, ' ')))) / 10000.0D"
         ).alias("mean_wlen"),
         F.size(F.array_intersect(F.array_distinct(t), stops))
         .cast("long")

@@ -817,19 +817,21 @@ def ch_funnel_time_to_convert(spark, sf_dir):
     ),
     g AS (
       SELECT user_id,
-             (MAX(CASE WHEN rn_d = 1 THEN vc END)
-              - MIN(CASE WHEN rn_a = 1 THEN vc END)) * 3600000000 AS num,
-             (MAX(tu) - MIN(tu)) * 100 AS den
+             CAST(MAX(CASE WHEN rn_d = 1 THEN vc END)
+              - MIN(CASE WHEN rn_a = 1 THEN vc END) AS HUGEINT) * 3600000000 AS num,
+             CAST(MAX(tu) - MIN(tu) AS HUGEINT) * 100 AS den
       FROM span GROUP BY user_id
     )
     -- slope to 4 dp via exact integer half-away division over cent-
     -- quantized values and integer-µs spans: a float ROUND lands exactly
-    -- on .00005 at sf0.1 where engine rounding modes disagree
+    -- on .00005 at sf0.1 where engine rounding modes disagree.
+    -- HUGEINT numerator: 2*diff*3.6e9*1e4 wraps int64 once |diff| >
+    -- ~128k cents; the Spark twin widens to DECIMAL(38,0).
     SELECT user_id,
            CASE WHEN den = 0 THEN NULL
                 WHEN num < 0
-                THEN -((2 * (-num) * 10000 + den) // (2 * den)) / 10000.0 + 0.0
-                ELSE (2 * num * 10000 + den) // (2 * den) / 10000.0 + 0.0 END
+                THEN -CAST((2 * (-num) * 10000 + den) // (2 * den) AS BIGINT) / 10000.0 + 0.0
+                ELSE CAST((2 * num * 10000 + den) // (2 * den) AS BIGINT) / 10000.0 + 0.0 END
              AS slope_per_hour
     FROM g
     """,
@@ -854,16 +856,21 @@ def ch_bounding_ratio(spark, sf_dir):
         F.max(tu).alias("t1"),
     )
     # slope to 4 dp via exact integer half-away division over cent-
-    # quantized values and integer-µs spans (see oracle comment)
+    # quantized values and integer-µs spans (see oracle comment).
+    # DECIMAL(38,0) numerator: the int64 product 2*diff*3.6e9*1e4 wraps
+    # silently (non-ANSI) once |diff| > ~128k cents while DuckDB errors —
+    # widen before multiplying, exactly like the ts_spectral sums.
     return s.select(
         "user_id",
         F.expr(
             "CASE WHEN t1 = t0 THEN NULL"
             " WHEN last_c < first_c"
-            " THEN -((2L * (first_c - last_c) * 3600000000L * 10000L"
-            "         + (t1 - t0) * 100L) DIV (2L * (t1 - t0) * 100L)) / 10000.0D + 0.0D"
-            " ELSE ((2L * (last_c - first_c) * 3600000000L * 10000L"
-            "        + (t1 - t0) * 100L) DIV (2L * (t1 - t0) * 100L)) / 10000.0D + 0.0D END"
+            " THEN -CAST((2 * CAST(first_c - last_c AS DECIMAL(38,0)) * 3600000000 * 10000"
+            "         + CAST(t1 - t0 AS DECIMAL(38,0)) * 100)"
+            "       DIV (2 * CAST(t1 - t0 AS DECIMAL(38,0)) * 100) AS BIGINT) / 10000.0D + 0.0D"
+            " ELSE CAST((2 * CAST(last_c - first_c AS DECIMAL(38,0)) * 3600000000 * 10000"
+            "        + CAST(t1 - t0 AS DECIMAL(38,0)) * 100)"
+            "      DIV (2 * CAST(t1 - t0 AS DECIMAL(38,0)) * 100) AS BIGINT) / 10000.0D + 0.0D END"
         ).alias("slope_per_hour"),
     )
 

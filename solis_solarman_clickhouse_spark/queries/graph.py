@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist, untrack
+
 from ..tables import table
 from .registry import query
 
@@ -100,10 +102,10 @@ def graph_pagerank(spark, sf_dir):
     # iterative-graph analogue of operators/graph.py's checkpoint-per-
     # round; at 100 TB this is a StorageLevel.DISK materialization of
     # the edge list, standard for PageRank).
-    ed = edges.join(deg, "src").persist()
+    ed = edges.join(deg, "src").transform(tracked_persist)
     # Bidirectional construction ⇒ every node has out-degree ≥ 1, so the
     # degree table's key set IS the node set — no extra distinct pass.
-    nodes = deg.select(F.col("src").alias("node")).persist()
+    nodes = deg.select(F.col("src").alias("node")).transform(tracked_persist)
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     base = nodes.crossJoin(F.broadcast(nn))
     r = base.select("node", "n", F.expr(f"{_SCALE} div n").alias("r"))
@@ -399,7 +401,7 @@ def graph_bfs_distance(spark, sf_dir):
     edges, _deg = _chain_edges(spark, sf_dir)
     und = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
         edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
-    ).persist()
+    ).transform(tracked_persist)
     srcn = edges.agg(F.min("u").alias("node"))
     dist = srcn.select("node", F.lit(0).alias("d"))
     for _ in range(4):
@@ -413,8 +415,15 @@ def graph_bfs_distance(spark, sf_dir):
         # k+1's broadcast subquery and the whole chain re-executes per
         # level (iterative-algorithm lineage growth — the same reason
         # graph_pagerank persists its rank vector)
+        prev = dist
         dist = (
-            dist.unionAll(nxt).groupBy("node").agg(F.min("d").alias("d")).persist()
+            dist.unionAll(nxt).groupBy("node").agg(F.min("d").alias("d")).transform(tracked_persist)
         )
         dist.count()
+        # round k's table is fully folded into round k+1's cached blocks
+        # after the count barrier — release it eagerly instead of letting
+        # 4 superseded |V|-sized frames pile up per invocation (unpersist
+        # on the never-persisted seed round is a no-op)
+        prev.unpersist(False)
+        untrack(prev)
     return dist.select("node", F.col("d").alias("dist")).orderBy("node")

@@ -8,6 +8,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
+
 from ..operators.similarity import (
     ann_lsh_topk,
     cosine_topk,
@@ -2314,7 +2316,7 @@ def vec_ivf_nprobe_sweep(spark, sf_dir):
                 " 0D, (a, v) -> a + v)"
             ).alias("d"),
         )
-        .persist()
+        .transform(tracked_persist)
     )
     ex5 = (
         F.broadcast(q)
@@ -2336,7 +2338,7 @@ def vec_ivf_nprobe_sweep(spark, sf_dir):
         )
         .where(F.col("rank") <= 5)
         .select("query_id", "neighbor_id")
-        .persist()
+        .transform(tracked_persist)
     )
     nq = q.agg(F.count(F.lit(1)).alias("nqq"))
     out = None
@@ -2640,7 +2642,7 @@ def vec_mmr_diversified_topk(spark, sf_dir):
                 "qsim"
             ),
         )
-        .persist()
+        .transform(tracked_persist)
     )
     w1 = W.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("vec_id").asc())
     picked = (

@@ -9,12 +9,21 @@ from __future__ import annotations
 
 import pytest
 
+from solis_solarman_clickhouse_spark.caching import release_cached
 from solis_solarman_clickhouse_spark.queries import REGISTRY
 
 from .conftest import SF_DIR, compare
 
 WITH_ORACLE = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
 SMOKE_ONLY = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+@pytest.fixture(autouse=True)
+def _release_tracked_persists():
+    """Drop each query's tracked persists after its compare: the 392-query
+    sweep must not accumulate cached blocks across queries."""
+    yield
+    release_cached()
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
