@@ -3170,8 +3170,17 @@ def doc_weighted_jaccard_pairs(spark, sf_dir):
     TWO physical paths, chosen by measured vocabulary size (one tiny
     count job; the cut is a plan-shape decision, like AQE's join pick):
 
-    - |vocab| > 4096 (natural text): the inverted-index join above —
-      candidate fan-out is bounded by document-frequency caps.
+    - |vocab| > 4096 (natural text): a PPJoin-style prefix-filtered
+      inverted-index join (Xiao et al. 2008, lemma 1, lifted to
+      multisets by treating each occurrence as a distinct element
+      under the global (df, tok, copy) order): tokens are globally
+      ordered rarest-first, each doc indexes only its prefix — the
+      rarest ⌊na/5⌋+1 occurrences — and two docs can reach J_w ≥ 0.8
+      only if their prefixes share a token. EXACT (no df-cap
+      semantics change: candidates are verified against the FULL tf
+      profiles) and fan-out-bounded: stopwords fall outside every
+      prefix except in docs that are mostly stopwords, so the Σdf²
+      blowup of the raw token join never materializes.
     - |vocab| ≤ 4096 (bounded/degenerate vocabularies — THIS fixture's
       31 words, where every token is maximally hot and the index join
       measured Σdf² ≈ 4.5e8 rows, ~2 min at sf0.1): pivot each doc to a
@@ -3195,19 +3204,51 @@ def doc_weighted_jaccard_pairs(spark, sf_dir):
     n_vocab = vocab.count()  # one scalar job to pick the physical path
     if n_vocab <= 4096:
         return _wjaccard_dense_pairs(tf, vocab, n_vocab)
-    tot = tf.groupBy("doc_id").agg(F.sum("f").alias("nf"))
-    a = tf.select(
-        F.col("doc_id").alias("doc_a"), "tok", F.col("f").alias("fa")
+    return _wjaccard_index_pairs(tf)
+
+
+def _wjaccard_index_pairs(tf):
+    """Prefix-filtered inverted-index path of doc_weighted_jaccard_pairs
+    (see its docstring). Candidate generation: PPJoin lemma 1 — under a
+    GLOBAL token order, two bags with overlap ≥ α must share an element
+    within their (size − α + 1)-prefixes. With J_w ≥ 4/5 the minimum
+    overlap against any feasible partner is ⌈0.8·na⌉, so doc a's prefix
+    is its rarest ⌊na/5⌋+1 occurrences in (df, tok) order. Verification
+    then scores candidates against the FULL tf profiles, so the filter
+    is exact, not approximate. At 100 TB: the prefix index is ~20% of
+    the token index, carries the RARE end of the vocabulary (a stopword
+    enters a prefix only when a doc is ≥80% stopwords), and the heavy
+    Σdf² self-join of the raw tf table never runs."""
+    from pyspark.sql import Window as W
+
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = W.partitionBy("doc_id").orderBy("df", "tok")
+    annotated = (
+        tf.join(dfreq, "tok")
+        .withColumn("na", F.sum("f").over(W.partitionBy("doc_id")))
+        .withColumn("cumf_prev", F.sum("f").over(w_doc) - F.col("f"))
     )
-    b = tf.select(
-        F.col("doc_id").alias("doc_b"), "tok", F.col("f").alias("fb")
-    )
-    inter = (
-        a.join(b, "tok")
+    # token is in the prefix iff occurrences before it (global rare-first
+    # order) number < ⌊na/5⌋ + 1
+    prefix = annotated.where(
+        F.col("cumf_prev") <= F.expr("na div 5")
+    ).select("doc_id", "tok")
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "tok")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "tok"), "tok")
         .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = tf.select(F.col("doc_id").alias("doc_a"), "tok", F.col("f").alias("fa"))
+    b = tf.select(F.col("doc_id").alias("doc_b"), "tok", F.col("f").alias("fb"))
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "tok"])
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.least("fa", "fb")).alias("smin"))
     )
+    tot = tf.groupBy("doc_id").agg(F.sum("f").alias("nf"))
     ta = tot.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("na"))
     tb = tot.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nb"))
     union = F.col("na") + F.col("nb") - F.col("smin")

