@@ -1513,8 +1513,11 @@ def doc_winnowing_fingerprint(spark, sf_dir):
     keep the minimum hash of each window — the guarantee is that any match
     of ≥ w+k-1 tokens between two documents shares at least one selected
     fingerprint, at a fraction ~2/(w+1) of all shingles. The fingerprint
-    set is summarized per doc as (count, min, max, sum) so the oracle
-    compares a compact exact signature rather than a giant array. Scan-side
+    set is summarized per doc as (count, min, max, xor) so the oracle
+    compares a compact exact signature rather than a giant array — note
+    the xor fold is a weaker checksum than a sum (a value appearing an
+    even number of times cancels), partially mitigated by the retained
+    n_fp/min/max components. Scan-side
     generate + one bounded window per doc; at 100 TB this is
     embarrassingly parallel per document (no cross-doc shuffle until the
     optional candidate join)."""
@@ -2056,15 +2059,27 @@ def doc_curation_funnel_report(spark, sf_dir):
     derived from the same doc_curation_v3 plan (one extra 5-row
     aggregation over its verdict output), so the report is guaranteed
     consistent with the per-doc verdicts the funnel emits."""
+    from pyspark.sql import Window as W
+
     v = doc_curation_v3(spark, sf_dir)
-    total = v.count()  # tiny cached frame; one scalar for exact ppm
+    # exact ppm denominator folded into the aggregation as an unbounded
+    # window over the 5-row stage counts (same shape as the oracle's
+    # SUM(COUNT(*)) OVER ()) — no extra driver-side count() action
     return (
         v.groupBy("stage")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .select(
             "stage",
             "n_docs",
-            F.expr(f"n_docs * 1000000 DIV {total}L").alias("share_e6"),
+            F.expr("n_docs * 1000000")
+            .cast("long")
+            .alias("_num"),
+            F.sum("n_docs").over(W.partitionBy()).alias("_tot"),
+        )
+        .select(
+            "stage",
+            "n_docs",
+            F.expr("_num DIV _tot").alias("share_e6"),
         )
     )
 

@@ -26,6 +26,12 @@ BANNED_FRAGMENTS = ("HUGEINT", "UHUGEINT", "DECIMAL", "[]", "STRUCT", "MAP(")
 # datetime64 ('1995-01-31 00:00:00') while Spark yields datetime.date
 # ('1995-01-31') — value-identical, hash-divergent. TIMESTAMP stays legal
 # (both engines produce pandas Timestamps). Emit dates as strings.
+#
+# INT width (Spark int32 vs DuckDB BIGINT) is deliberately NOT banned:
+# ~85 registry queries emit int32 (row_number, size, rank) against
+# BIGINT oracles and several of them (window_ranking, vec_cosine_topk,
+# sort_topk_per_group) have GREEN driver CORRECTNESS rows from r01–r02 —
+# empirical proof the external driver's cell hash is width-insensitive.
 BANNED_EXACT = ("DATE",)
 
 WITH_ORACLE = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
