@@ -117,6 +117,11 @@ HEADLINE = [
     "doc_curation_funnel_report",
     "agg_anova_oneway",
     "agg_tukey_fences",
+    # round-5 additions
+    "vec_prototype_prune",
+    "doc_ccnet_perplexity_buckets",
+    "doc_dedup_rate_by_source",
+    "doc_rouge1_decontam_score",
 ]
 
 

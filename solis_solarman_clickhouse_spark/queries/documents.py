@@ -4319,3 +4319,233 @@ def doc_dataset_card(spark, sf_dir):
             "lang_entropy",
         )
     )
+
+
+@query(
+    "doc_ccnet_perplexity_buckets",
+    category="documents",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    vocab AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT SUM(c) AS n FROM vocab),
+    scored AS (
+      SELECT t.doc_id, ln(v.c * 1.0 / tot.n) AS lp
+      FROM tok t JOIN vocab v ON t.w = v.w CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT doc_id, ROUND(SUM(lp) / COUNT(*), 4) AS avg_lp
+      FROM scored GROUP BY doc_id
+    ),
+    bucketed AS (
+      SELECT d.doc_id, d.lang, p.avg_lp,
+             NTILE(3) OVER (PARTITION BY d.lang
+                            ORDER BY p.avg_lp DESC, d.doc_id) AS t
+      FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
+    )
+    SELECT doc_id, lang, avg_lp,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+    FROM bucketed
+    """,
+)
+def doc_ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document with the corpus LM, then split each LANGUAGE into
+    head/middle/tail terciles by model fit — the standard curriculum /
+    filtering signal (head ≈ wikipedia-like, tail ≈ boilerplate; most
+    pipelines train on head+middle and sample tail). Scoring reuses the
+    exact doc_unigram_logprob convention (probabilities are exact count
+    ratios so ln() sees identical rationals; the 4-dp rounded mean is
+    the proven-stable cross-engine value), and the tercile is NTILE(3)
+    over (avg_lp DESC, doc_id) — deterministic on both engines given
+    equal rounded scores. At 100 TB: one token-explode aggregate for the
+    LM (broadcast back), then a per-language window — the per-lang sort
+    shards across executors by partition key; nothing is all-pairs."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    per_doc = (
+        tok.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.log(F.col("c") * 1.0 / F.col("n")).alias("lp"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias("avg_lp"))
+    )
+    t = F.ntile(3).over(
+        W.partitionBy("lang").orderBy(F.col("avg_lp").desc(), "doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_lp",
+            F.when(t == 1, "head").when(t == 2, "middle").otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+    )
+
+
+@query(
+    "doc_dedup_rate_by_source",
+    category="documents",
+    oracle="""
+    WITH h AS (SELECT doc_id, source, md5(text) AS dg FROM documents),
+    g AS (SELECT dg, COUNT(*) AS c, MIN(doc_id) AS keeper
+          FROM h GROUP BY dg)
+    SELECT h.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN g.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_dup_cluster,
+           CAST(SUM(CASE WHEN h.doc_id <> g.keeper THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN h.doc_id <> g.keeper THEN 1 ELSE 0 END)
+             * 1000000 // COUNT(*) AS BIGINT) AS removed_ppm
+    FROM h JOIN g USING (dg)
+    GROUP BY h.source
+    """,
+)
+def doc_dedup_rate_by_source(spark, sf_dir):
+    """Per-source exact-dedup diagnostics — the report a corpus owner
+    reads BEFORE deciding which crawls/feeds to keep: for each source,
+    how many docs sit in a duplicate cluster and how many the min-id
+    keeper policy removes (exact ppm). A source with a high removal rate
+    is re-crawling the same pages; one with high cluster membership but
+    low removal is the canonical copy others duplicate. Digest is md5 of
+    the raw text (portable on both engines); the keeper rule is the same
+    min-doc_id policy as doc_exact_dedup, so this report is consistent
+    with the dedup the pipeline actually runs. One digest groupBy + one
+    source groupBy — both map-side-combinable hash aggregations, no
+    window, scales linearly."""
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "source", F.md5("text").alias("dg"))
+    g = h.groupBy("dg").agg(
+        F.count(F.lit(1)).alias("c"), F.min("doc_id").alias("keeper")
+    )
+    return (
+        h.join(g, "dg")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_in_dup_cluster"),
+            F.sum(F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_in_dup_cluster",
+            "n_removed",
+            F.expr("n_removed * 1000000 div n_docs").alias("removed_ppm"),
+        )
+    )
+
+
+@query(
+    "doc_rouge1_decontam_score",
+    category="documents",
+    oracle="""
+    WITH ev AS (
+      SELECT doc_id AS eval_id, text FROM documents
+      WHERE doc_id % 97 = 0
+    ),
+    etf AS (
+      SELECT eval_id, w, COUNT(*) AS ef
+      FROM (SELECT eval_id, UNNEST(string_split(text, ' ')) AS w FROM ev)
+      GROUP BY eval_id, w
+    ),
+    etot AS (SELECT eval_id, SUM(ef) AS ne FROM etf GROUP BY eval_id),
+    dtf AS (
+      SELECT doc_id, w, COUNT(*) AS df
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+            FROM documents WHERE doc_id % 97 <> 0)
+      GROUP BY doc_id, w
+    ),
+    ov AS (
+      SELECT d.doc_id, e.eval_id, SUM(LEAST(d.df, e.ef)) AS smin
+      FROM dtf d JOIN etf e ON d.w = e.w
+      GROUP BY d.doc_id, e.eval_id
+    ),
+    scored AS (
+      SELECT o.doc_id, o.eval_id,
+             CAST(o.smin * 1000000 // t.ne AS BIGINT) AS rouge1_e6
+      FROM ov o JOIN etot t ON t.eval_id = o.eval_id
+    ),
+    best AS (
+      SELECT doc_id, eval_id, rouge1_e6,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY rouge1_e6 DESC, eval_id) AS rn
+      FROM scored
+    )
+    SELECT doc_id, eval_id AS worst_eval_id, rouge1_e6 AS max_rouge1_e6,
+           rouge1_e6 >= 500000 AS flagged
+    FROM best WHERE rn = 1
+    """,
+)
+def doc_rouge1_decontam_score(spark, sf_dir):
+    """ROUGE-1 recall decontamination score — the token-granular
+    companion to the 8-gram screens (doc_decontaminate_overlap): for
+    every training doc, the maximum unigram recall against any held-out
+    eval doc (Σ min(tf_doc, tf_eval) / |eval|, exact 1e6-scale integer),
+    flagged at ≥ 0.5. N-gram screens miss paraphrases that shuffle word
+    order; unigram recall catches them at the cost of more false
+    positives — pipelines run both and review the disagreement. The
+    eval set is the deterministic doc_id %% 97 == 0 slice (synthetic
+    stand-in for a benchmark suite). At 100 TB: the eval tf table is
+    tiny and BROADCAST; candidates exist only where a token collides
+    with an eval doc, the per-(doc, eval) overlap is one
+    map-side-combinable sum, and the argmax is a per-doc window over
+    ≤ |eval| rows — never all-pairs against the corpus."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    etf = (
+        ev.select(
+            F.col("doc_id").alias("eval_id"),
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .groupBy("eval_id", "w")
+        .agg(F.count(F.lit(1)).alias("ef"))
+    )
+    etot = etf.groupBy("eval_id").agg(F.sum("ef").alias("ne"))
+    dtf = (
+        train.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ov = (
+        dtf.join(F.broadcast(etf), "w")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.sum(F.least("df", "ef")).alias("smin"))
+    )
+    scored = ov.join(F.broadcast(etot), "eval_id").select(
+        "doc_id",
+        "eval_id",
+        F.expr("smin * 1000000 div ne").alias("rouge1_e6"),
+    )
+    best = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(
+                F.col("rouge1_e6").desc(), F.col("eval_id")
+            )
+        ),
+    ).where(F.col("rn") == 1)
+    return best.select(
+        "doc_id",
+        F.col("eval_id").alias("worst_eval_id"),
+        F.col("rouge1_e6").alias("max_rouge1_e6"),
+        (F.col("rouge1_e6") >= 500000).alias("flagged"),
+    )

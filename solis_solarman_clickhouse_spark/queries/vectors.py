@@ -3140,3 +3140,100 @@ def vec_mrr_eval(spark, sf_dir):
     return rr.agg(
         F.expr("sum(1000000 div first_hit) div count(1)").alias("mrr_e6")
     ).crossJoin(F.broadcast(nq)).select("n_queries", "mrr_e6")
+
+
+_PROTO_PRUNE_ORACLE_TMPL = """
+WITH cents(cl, ce) AS (VALUES
+{cents}
+),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+d AS (
+  SELECT m.vec_id, c.cl,
+         list_reduce(list_transform(generate_series(1, 64),
+           i -> (m.e[i] - c.ce[i]) * (m.e[i] - c.ce[i])),
+           (x, y) -> x + y) AS d2
+  FROM emb m CROSS JOIN cents c
+),
+asn AS (
+  SELECT vec_id, cl, d2 FROM (
+    SELECT vec_id, cl, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, cl ASC) AS rn
+    FROM d)
+  WHERE rn = 1
+),
+ranked AS (
+  SELECT vec_id, cl,
+         ROW_NUMBER() OVER (PARTITION BY cl ORDER BY d2 ASC, vec_id ASC)
+           AS proto_rank,
+         COUNT(*) OVER (PARTITION BY cl) AS n_in_list
+  FROM asn
+)
+SELECT vec_id, CAST(cl AS BIGINT) AS list_id,
+       CAST(proto_rank AS BIGINT) AS proto_rank,
+       CAST(n_in_list AS BIGINT) AS n_in_list,
+       4 * proto_rank > n_in_list AS keep
+FROM ranked
+"""
+
+
+@query(
+    "vec_prototype_prune",
+    category="vectors",
+    oracle=_PROTO_PRUNE_ORACLE_TMPL.format(cents=_ivf_cents_sql()),
+)
+def vec_prototype_prune(spark, sf_dir):
+    """Prototypicality-based data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws"): cluster the embedding space, rank each vector
+    by distance to its OWN centroid, and drop the most prototypical
+    (closest) quarter per cluster — easy, redundant examples contribute
+    least to training once the data budget is large, and keeping the
+    hard tail beats random pruning. Per-vector verdicts are emitted so
+    the keep set is auditable (keep ⇔ 4·rank > n, i.e. the closest 25%
+    of every cluster is dropped; integer arithmetic, no float ratios).
+
+    Same literal trained centroids and sequentially-folded squared-L2 as
+    the IVF family (vec_ivf_balance / vec_ann_ivf), so both engines
+    replay the identical assignment. At 100 TB: one broadcast of 16×64
+    doubles onto the scan, one |corpus|-sized shuffle on list_id for the
+    per-cluster window — the same shape as any per-group top-k; no
+    all-pairs anything. The cluster-local window is exactly how D4 /
+    SemDeDup-style pipelines stage their pruning pass."""
+    from pyspark.sql import Window as W
+
+    cents = _ivfpq_coarse()
+    cents_sql = ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in row) + ")" for row in cents
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dists = F.expr(
+        f"transform(array({cents_sql}), c -> "
+        "aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (a, v) -> a + v))"
+    )
+    asn = emb.withColumn("dists", dists).select(
+        "vec_id",
+        (F.expr("array_position(dists, array_min(dists))").cast("int") - 1).alias(
+            "cl"
+        ),
+        F.expr("array_min(dists)").alias("d2"),
+    )
+    wcl = W.partitionBy("cl")
+    ranked = asn.select(
+        "vec_id",
+        F.col("cl").cast("long").alias("list_id"),
+        F.row_number()
+        .over(wcl.orderBy(F.col("d2").asc(), F.col("vec_id").asc()))
+        .cast("long")
+        .alias("proto_rank"),
+        F.count(F.lit(1)).over(wcl).cast("long").alias("n_in_list"),
+    )
+    return ranked.select(
+        "vec_id",
+        "list_id",
+        "proto_rank",
+        "n_in_list",
+        (4 * F.col("proto_rank") > F.col("n_in_list")).alias("keep"),
+    )
