@@ -743,3 +743,42 @@ def test_anova_has_partial_aggregation(spark):
     """agg_anova_oneway must map-side-combine its per-group moments."""
     plan = _plan(REGISTRY["agg_anova_oneway"].fn(spark, SF_DIR))
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_rouge1_broadcasts_eval_tf_tables(spark):
+    """doc_rouge1_decontam_score must broadcast the tiny eval tf/total
+    tables onto the training token stream — the corpus side never joins
+    all-pairs against the eval set."""
+    df = REGISTRY["doc_rouge1_decontam_score"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_prototype_prune_is_single_window_over_assignment(spark):
+    """vec_prototype_prune: centroid assignment is a scan-side literal
+    fold (no join for the 16x64 centroids — they're inlined into the
+    projection), and the only shuffle feeds the per-cluster rank
+    window; nothing all-pairs."""
+    df = REGISTRY["vec_prototype_prune"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Window") >= 1, plan
+
+
+def test_dedup_rate_by_source_has_partial_aggregation(spark):
+    """doc_dedup_rate_by_source: both the digest groupBy and the source
+    groupBy are hash aggregations with map-side partials."""
+    df = REGISTRY["doc_dedup_rate_by_source"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_ccnet_buckets_broadcasts_lm_tables(spark):
+    """doc_ccnet_perplexity_buckets: the vocab LM and total-count tables
+    broadcast onto the token stream (scoring is scan-side); the
+    per-language tercile is the only windowed shuffle."""
+    df = REGISTRY["doc_ccnet_perplexity_buckets"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert plan.count("Window") >= 1, plan
