@@ -122,6 +122,7 @@ HEADLINE = [
     "doc_ccnet_perplexity_buckets",
     "doc_dedup_rate_by_source",
     "doc_rouge1_decontam_score",
+    "vec_coreset_kcenter",
 ]
 
 

@@ -3237,3 +3237,95 @@ def vec_prototype_prune(spark, sf_dir):
         "n_in_list",
         (4 * F.col("proto_rank") > F.col("n_in_list")).alias("keep"),
     )
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Unrolled Gonzalez greedy k-center in DuckDB: round t scores every
+    vector's min sequential-fold L2 against the selected set and picks
+    the farthest (ties -> smallest vec_id)."""
+    fold = (
+        "list_reduce(list_transform(generate_series(1, 64),"
+        " i -> (m.e[i] - c.ce[i]) * (m.e[i] - c.ce[i])), (x, y) -> x + y)"
+    )
+    parts = [
+        "WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        "cents1 AS (SELECT 1 AS pick_order, vec_id, e AS ce,"
+        " CAST(0 AS BIGINT) AS d2_e8 FROM emb"
+        " WHERE vec_id = (SELECT MIN(vec_id) FROM emb))",
+    ]
+    for t in range(2, k + 1):
+        prev = f"cents{t - 1}"
+        parts.append(
+            f"""dm{t} AS (
+  SELECT m.vec_id, MIN({fold}) AS dmin
+  FROM emb m CROSS JOIN {prev} c GROUP BY m.vec_id
+),
+pick{t} AS (
+  SELECT vec_id, dmin FROM dm{t}
+  ORDER BY dmin DESC, vec_id ASC LIMIT 1
+),
+cents{t} AS (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT {t} AS pick_order, e2.vec_id, e2.e AS ce,
+         CAST(floor(p.dmin * 100000000) AS BIGINT) AS d2_e8
+  FROM pick{t} p JOIN emb e2 ON e2.vec_id = p.vec_id
+)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        body
+        + f"\nSELECT pick_order, vec_id, d2_e8 FROM cents{k} ORDER BY pick_order"
+    )
+
+
+@query("vec_coreset_kcenter", category="vectors", oracle=_kcenter_oracle())
+def vec_coreset_kcenter(spark, sf_dir):
+    """Greedy k-center coreset selection (Gonzalez 1985; the classic
+    2-approximation used for active-learning batch selection and
+    diversity-first data subsetting, Sener & Savarese 2018): seed with
+    the min-id vector, then 7 unrolled rounds of "pick the vector
+    farthest from the selected set" — the complement of prototype
+    pruning (vec_prototype_prune drops redundancy; k-center GUARANTEES
+    coverage: every corpus vector is within the final pick radius of a
+    center). Each pick carries its selection distance (floor-quantized
+    1e8 integer) so the coverage-radius curve is auditable.
+
+    The k-vector selected set is DRIVER-HELD state (k·64 doubles — the
+    same contract as the IVF/PQ literal codebooks): each round inlines
+    the current centers as a literal array into a scan-side
+    min-over-folds projection and takes the global top-1 with
+    TakeOrdered — one linear scan per round, no corpus shuffle, no
+    join, no persisted lineage. At 100 TB this is exactly how a
+    distributed k-center pass is written: k passes, tiny broadcast
+    state, argmax as a treeReduce-shaped top-1."""
+    import math as _math
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    seed = emb.orderBy("vec_id").limit(1).select("vec_id", "e").head()
+    picks = [(1, int(seed.vec_id), list(seed.e), 0)]
+    for t in range(2, 9):
+        cents_sql = ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in ce) + ")"
+            for _, _, ce, _ in picks
+        )
+        dmin = F.expr(
+            f"array_min(transform(array({cents_sql}), c -> "
+            "aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)),"
+            " 0D, (a, v) -> a + v)))"
+        )
+        pick = (
+            emb.select("vec_id", "e", dmin.alias("dmin"))
+            .orderBy(F.col("dmin").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .head()
+        )
+        picks.append(
+            (t, int(pick.vec_id), list(pick.e), _math.floor(pick.dmin * 1e8))
+        )
+    return spark.createDataFrame(
+        [(o, v, d) for o, v, _, d in picks],
+        "pick_order int, vec_id long, d2_e8 long",
+    ).orderBy("pick_order")
