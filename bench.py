@@ -123,6 +123,7 @@ HEADLINE = [
     "doc_dedup_rate_by_source",
     "doc_rouge1_decontam_score",
     "vec_coreset_kcenter",
+    "doc_tokenizer_fertility_by_lang",
 ]
 
 

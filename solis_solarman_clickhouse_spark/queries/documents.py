@@ -4549,3 +4549,63 @@ def doc_rouge1_decontam_score(spark, sf_dir):
         F.col("rouge1_e6").alias("max_rouge1_e6"),
         (F.col("rouge1_e6") >= 500000).alias("flagged"),
     )
+
+
+_FERTILITY_TAIL = """,
+    docw AS (
+      SELECT d.lang, UNNEST(string_split(d.text, ' ')) AS w FROM documents d
+    ),
+    per_lang AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(len(w)) AS BIGINT) AS n_chars,
+             CAST(SUM(len(string_split(w6.seg, ' '))) AS BIGINT) AS n_bpe_tokens
+      FROM docw JOIN w6 USING (w)
+      GROUP BY lang
+    )
+    SELECT lang, n_words, n_bpe_tokens,
+           CAST(n_bpe_tokens * 1000000 // n_words AS BIGINT) AS fertility_e6,
+           CAST(n_chars * 1000000 // n_bpe_tokens AS BIGINT)
+             AS chars_per_token_e6
+    FROM per_lang
+"""
+
+
+@query(
+    "doc_tokenizer_fertility_by_lang",
+    category="documents",
+    oracle=_bpe_oracle(carry_w=True, body_only=True) + _FERTILITY_TAIL,
+)
+def doc_tokenizer_fertility_by_lang(spark, sf_dir):
+    """Tokenizer FERTILITY by language — BPE tokens per word and chars
+    per token, per language, under the corpus-trained vocabulary: the
+    standard multilingual-fairness audit (a tokenizer trained on an
+    English-heavy mix fragments low-resource languages into 2-3x more
+    tokens per word, which silently taxes their effective context
+    length and training compute — Rust et al. 2021). Reuses the exact
+    doc_bpe_train/encode chain: encode joins the corpus's token stream
+    against the DISTINCT-WORD segmentation table (vocabulary-sized,
+    broadcast), so the per-language rollup is one explode + one
+    broadcast join + one partial-aggregated groupBy however large the
+    corpus — and the oracle replays the identical training chain, so
+    the fertility numbers are provably from the same vocabulary.
+    Integer 1e6-scale ratios; no floats."""
+    _, words = _bpe_train_frames(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    docw = docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+    enc = docw.join(
+        F.broadcast(words.select("w", F.size(F.split("seg", " ")).alias("ntok"))),
+        "w",
+    )
+    per_lang = enc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("w")).cast("long").alias("n_chars"),
+        F.sum("ntok").cast("long").alias("n_bpe_tokens"),
+    )
+    return per_lang.select(
+        "lang",
+        "n_words",
+        "n_bpe_tokens",
+        F.expr("n_bpe_tokens * 1000000 div n_words").alias("fertility_e6"),
+        F.expr("n_chars * 1000000 div n_bpe_tokens").alias("chars_per_token_e6"),
+    )
