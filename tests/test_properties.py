@@ -571,3 +571,29 @@ def test_wjaccard_prefix_filter_exact_and_bounded(spark):
     assert n_prefix_cand * 10 < n_naive_cand, (
         f"prefix filter not pruning: {n_prefix_cand} vs naive {n_naive_cand}"
     )
+
+
+def test_kcenter_picks_distinct_and_radii_nonincreasing(spark):
+    """Gonzalez greedy k-center invariants: the 8 picks are distinct
+    corpus vectors, and the selection distances are non-increasing from
+    pick 2 on (each pick covers the previous farthest point, so the
+    farthest remaining distance can only shrink)."""
+    from solis_solarman_clickhouse_spark.queries import REGISTRY
+    from solis_solarman_clickhouse_spark.tables import table
+
+    rows = (
+        REGISTRY["vec_coreset_kcenter"]
+        .fn(spark, SF_DIR)
+        .orderBy("pick_order")
+        .collect()
+    )
+    assert len(rows) == 8
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 8
+    corpus_ids = {
+        r["vec_id"] for r in table(spark, SF_DIR, "embeddings").select("vec_id").collect()
+    }
+    assert set(ids) <= corpus_ids
+    d = [r["d2_e8"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(d, d[1:])), d
+    assert d[0] > 0  # corpus is not a single point
