@@ -4500,7 +4500,7 @@ def doc_rouge1_decontam_score(spark, sf_dir):
     flagged at ≥ 0.5. N-gram screens miss paraphrases that shuffle word
     order; unigram recall catches them at the cost of more false
     positives — pipelines run both and review the disagreement. The
-    eval set is the deterministic doc_id %% 97 == 0 slice (synthetic
+    eval set is the deterministic doc_id % 97 == 0 slice (synthetic
     stand-in for a benchmark suite). At 100 TB: the eval tf table is
     tiny and BROADCAST; candidates exist only where a token collides
     with an eval doc, the per-(doc, eval) overlap is one
