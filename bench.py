@@ -155,15 +155,18 @@ def main() -> None:
                 t0 = time.perf_counter()
                 REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 best = min(best, time.perf_counter() - t0)
+                # release INSIDE the run loop: each run re-persists fresh
+                # frames, so deferring to the end lets N copies of a
+                # cache-heavy query's blocks coexist during timing — the
+                # within-query form of the LRU-pressure stall this exists
+                # to eliminate
+                release_cached()
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
         finally:
-            # drop this query's tracked persists so a 96-query run never
-            # accumulates cached blocks across queries (LRU eviction under
-            # memory pressure shows up as random multi-second stalls)
-            release_cached()
+            release_cached()  # safety net on the error path
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 

@@ -41,17 +41,29 @@ def artifact_root() -> str:
 
 
 def _fingerprint(obj: object) -> object:
-    """Recursively expand any local-file path string inside a key to
+    """Recursively expand any local path string inside a key to
     (path, size, mtime_ns) so the cache key tracks file CONTENT identity,
     not just the name — a fixture regenerated in place gets a new key.
-    Non-path values pass through untouched."""
+    Handles bare paths plus the ``file://``, ``file:///`` and Hadoop's
+    single-slash ``file:/`` URI renderings; DIRECTORY paths fingerprint
+    on mtime (a parquet dir's mtime changes when part files are
+    rewritten). Non-path values pass through untouched."""
     if isinstance(obj, (tuple, list)):
         return tuple(_fingerprint(x) for x in obj)
     if isinstance(obj, str):
-        path = obj[7:] if obj.startswith("file://") else obj
-        if os.path.sep in path and os.path.isfile(path):
-            st = os.stat(path)
-            return (path, st.st_size, st.st_mtime_ns)
+        path = obj
+        if path.startswith("file:"):
+            path = path[5:]
+            # file:///p and file:/p both mean /p; file://host/p is not local
+            while path.startswith("//"):
+                path = path[1:]
+        if os.path.sep in path:
+            if os.path.isfile(path):
+                st = os.stat(path)
+                return (path, st.st_size, st.st_mtime_ns)
+            if os.path.isdir(path):
+                st = os.stat(path)
+                return (path, "dir", st.st_mtime_ns)
     return obj
 
 

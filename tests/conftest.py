@@ -45,41 +45,12 @@ def ducks():
     con.close()
 
 
-def _norm_cell(v):
-    """Cell canonicalization with int/float TYPE TAGS — an int64 10000 and
-    a float64 10000.0 must compare UNEQUAL, exactly as they hash-differ in
-    the driver's canonicalizer."""
-    if v is None:
-        return "␀"
-    if isinstance(v, (bool, np.bool_)):
-        return f"b:{bool(v)}"
-    if isinstance(v, (int, np.integer)):
-        return f"i:{int(v)}"
-    if isinstance(v, (float, np.floating)):
-        f = float(v)
-        if math.isnan(f):
-            return "NaN"
-        r = round(f, 4)
-        return f"f:{0.0 if r == 0 else r:.4f}"
-    return str(v)
-
-
-def _canon_pandas(pdf) -> list[tuple]:
-    """Column-name-sorted, row-sorted, cell-normalized result set from a
-    pandas DataFrame (the driver's path). Raises TypeError on list/dict
-    cells, as the driver's canonicalizer does."""
-    cols = sorted(pdf.columns)
-    out = []
-    for row in pdf[cols].itertuples(index=False, name=None):
-        for c in row:
-            if isinstance(c, (list, dict, set, np.ndarray)):
-                raise TypeError(
-                    f"unhashable cell type {type(c).__name__}: top-level "
-                    "array/map output columns crash the driver — serialize "
-                    "them (array_to_string / concat_ws)"
-                )
-        out.append(tuple(_norm_cell(c) for c in row))
-    return sorted(out)
+# The canonicalizer is the package-shared implementation so the test
+# suite and tools/sweep.py can never fork (round-5 review finding).
+from solis_solarman_clickhouse_spark.oracle_compare import (  # noqa: E402
+    canon_pandas as _canon_pandas,
+    norm_cell as _norm_cell,
+)
 
 
 def normalize(rows: list[dict]) -> list[tuple]:

@@ -546,10 +546,21 @@ def test_artifact_key_tracks_file_content(tmp_path, monkeypatch):
     r3 = load_or_train_rows("t_fp", key, train, ("list_id", "centroid"))
     assert calls["n"] == 2 and r3 == [(2, [0.0])]
 
-    # file:// URI and bare path fingerprint to the same artifact
-    assert _key_path("t_fp", (f"file://{fixture}", 16, 42)) == _key_path(
-        "t_fp", (str(fixture), 16, 42)
-    )
+    # file:// URI, file:/// URI, Hadoop's single-slash file:/ form, and
+    # the bare path must all fingerprint to the same artifact
+    for uri in (f"file://{fixture}", f"file://{fixture}"[:7] + str(fixture),
+                f"file:{fixture}"):
+        assert _key_path("t_fp", (uri, 16, 42)) == _key_path(
+            "t_fp", (str(fixture), 16, 42)
+        ), uri
+
+    # directory paths fingerprint on mtime: rewriting content in the dir
+    # must change the key (review finding: dir keys silently no-op'd)
+    d = tmp_path / "pqdir"
+    d.mkdir()
+    k1 = _key_path("t_fp", (str(d), 1))
+    os.utime(d, ns=(5, 10**18))
+    assert _key_path("t_fp", (str(d), 1)) != k1
 
 
 def test_tracked_persists_release_fully(spark):

@@ -9,37 +9,17 @@ tags), and print one line per query. Usage:
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 
 import duckdb
-import numpy as np
 from pyspark.sql import SparkSession
 
+# shared driver-faithful canonicalizer (same code path as tests/conftest.py)
+import sys as _sys
+_sys.path.insert(0, ".")
+from solis_solarman_clickhouse_spark.oracle_compare import canon_pandas as canon  # noqa: E402
 
-def norm_cell(v):
-    if v is None:
-        return "N"
-    if isinstance(v, (bool, np.bool_)):
-        return f"b:{bool(v)}"
-    if isinstance(v, (int, np.integer)):
-        return f"i:{int(v)}"
-    if isinstance(v, (float, np.floating)):
-        f = float(v)
-        if math.isnan(f):
-            return "NaN"
-        r = round(f, 4)
-        return f"f:{0.0 if r == 0 else r:.4f}"
-    return str(v)
-
-
-def canon(pdf):
-    cols = sorted(pdf.columns)
-    out = []
-    for row in pdf[cols].itertuples(index=False, name=None):
-        out.append(tuple(norm_cell(c) for c in row))
-    return sorted(out)
 
 
 def main():
@@ -63,8 +43,16 @@ def main():
             continue
         t0 = time.time()
         try:
-            a = canon(spec.fn(spark, sf).toPandas())
-            o = canon(con.execute(spec.oracle).df())
+            spdf = spec.fn(spark, sf).toPandas()
+            opdf = con.execute(spec.oracle).df()
+            if sorted(spdf.columns) != sorted(opdf.columns):
+                print(
+                    f"{name} COLUMN-MISMATCH {sorted(spdf.columns)} vs "
+                    f"{sorted(opdf.columns)}", flush=True)
+                n_bad += 1
+                continue
+            a = canon(spdf)
+            o = canon(opdf)
             ok = a == o
         except Exception as exc:  # noqa: BLE001
             print(f"{name} ERROR {type(exc).__name__}: {exc}"[:300], flush=True)
