@@ -124,6 +124,7 @@ HEADLINE = [
     "doc_rouge1_decontam_score",
     "vec_coreset_kcenter",
     "doc_tokenizer_fertility_by_lang",
+    "agg_ttest_paired",
 ]
 
 

@@ -3464,3 +3464,75 @@ def agg_tukey_fences(spark, sf_dir):
             "n_total",
         )
     )
+
+
+@query(
+    "agg_ttest_paired",
+    category="aggregate",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    ),
+    pair AS (
+      SELECT user_id,
+             MAX(CASE WHEN rn_d = 1 THEN vc END)
+             - MIN(CASE WHEN rn_a = 1 THEN vc END) AS d
+      FROM s GROUP BY user_id
+      HAVING COUNT(*) >= 2
+    ),
+    m AS (SELECT COUNT(*) AS n, SUM(d) AS s1, SUM(d * d) AS s2 FROM pair)
+    SELECT n,
+           ROUND(CAST(s1 AS DOUBLE) / n / 100.0, 4) + 0.0 AS mean_diff,
+           ROUND(CAST(s1 AS DOUBLE) / n
+                 / SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                        / (n - 1) / n),
+                 4) + 0.0 AS t_stat
+    FROM m
+    """,
+)
+def agg_ttest_paired(spark, sf_dir):
+    """Paired (dependent-samples) t statistic — the third leg of the
+    t-test shelf next to agg_welch_ttest (unpaired, unequal variance)
+    and agg_mann_whitney_u (rank-based): each USER is a pair, the
+    difference is last-minus-first observed value (exact cents via the
+    same deterministic (ts, event_id) first/last pick as
+    ch_bounding_ratio), and t = d̄ / (s_d/√n). The per-user differences
+    are exact BIGINTs, so all moments (n, Σd, Σd²) are exact integers
+    and the t statistic is one fixed IEEE dataflow on both engines —
+    bit-identical before the 4-dp round, with +0.0 normalizing a
+    potential -0.0 mean. Shapes: one per-user min_by/max_by hash
+    aggregation, one single-row moment fold — two
+    map-side-combinable aggregations, no window on the Spark side,
+    scales to any corpus."""
+    ev = table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    vc = F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vc")
+    pair = (
+        ev.select("user_id", "ts", "event_id", vc)
+        .groupBy("user_id")
+        .agg(
+            (F.max_by("vc", key) - F.min_by("vc", key)).alias("d"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .where(F.col("cnt") >= 2)
+    )
+    m = pair.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).alias("s2"),
+    )
+    return m.select(
+        "n",
+        F.expr("ROUND(CAST(s1 AS DOUBLE) / n / 100.0, 4) + 0.0D").alias(
+            "mean_diff"
+        ),
+        F.expr(
+            "ROUND(CAST(s1 AS DOUBLE) / n"
+            " / SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)"
+            "        / (n - 1) / n), 4) + 0.0D"
+        ).alias("t_stat"),
+    )
