@@ -125,6 +125,7 @@ HEADLINE = [
     "vec_coreset_kcenter",
     "doc_tokenizer_fertility_by_lang",
     "agg_ttest_paired",
+    "ts_holt_winters_additive",
 ]
 
 

@@ -2428,3 +2428,153 @@ def ts_token_bucket_admission(spark, sf_dir):
         F.element_at("fin", 3).alias("n_admitted"),
         (F.col("n_requests") - F.element_at("fin", 3)).alias("n_rejected"),
     ).orderBy("user_id")
+
+
+@query(
+    "ts_holt_winters_additive",
+    category="timeseries",
+    oracle="""
+    WITH ar AS (
+      SELECT user_id, event_id, ts,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS a
+      FROM events
+    ),
+    st AS (
+      SELECT user_id, event_id, ts,
+             list_reduce(
+               list_transform(a, x -> [x, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0]),
+               (acc, x) -> [
+                 0.3 * (x[1] - acc[4 + (CAST(acc[3] AS INTEGER) % 4)])
+                   + 0.7 * (acc[1] + acc[2]),
+                 0.1 * (0.3 * (x[1] - acc[4 + (CAST(acc[3] AS INTEGER) % 4)])
+                          + 0.7 * (acc[1] + acc[2]) - acc[1])
+                   + 0.9 * acc[2],
+                 acc[3] + 1.0,
+                 CASE WHEN CAST(acc[3] AS INTEGER) % 4 = 0
+                      THEN 0.2 * (x[1]
+                             - (0.3 * (x[1] - acc[4])
+                                + 0.7 * (acc[1] + acc[2])))
+                           + 0.8 * acc[4]
+                      ELSE acc[4] END,
+                 CASE WHEN CAST(acc[3] AS INTEGER) % 4 = 1
+                      THEN 0.2 * (x[1]
+                             - (0.3 * (x[1] - acc[5])
+                                + 0.7 * (acc[1] + acc[2])))
+                           + 0.8 * acc[5]
+                      ELSE acc[5] END,
+                 CASE WHEN CAST(acc[3] AS INTEGER) % 4 = 2
+                      THEN 0.2 * (x[1]
+                             - (0.3 * (x[1] - acc[6])
+                                + 0.7 * (acc[1] + acc[2])))
+                           + 0.8 * acc[6]
+                      ELSE acc[6] END,
+                 CASE WHEN CAST(acc[3] AS INTEGER) % 4 = 3
+                      THEN 0.2 * (x[1]
+                             - (0.3 * (x[1] - acc[7])
+                                + 0.7 * (acc[1] + acc[2])))
+                           + 0.8 * acc[7]
+                      ELSE acc[7] END
+               ]) AS hw
+      FROM ar
+    )
+    -- floor-based half-up quantization instead of ROUND: the smoothed
+    -- states are free doubles that can land exactly on .00005 where
+    -- engine ROUND modes diverge (measured at sf0.01); floor(x*1e4+0.5)
+    -- is the identical IEEE dataflow on both engines
+    SELECT user_id, event_id, ts,
+           floor(hw[1] * 10000 + 0.5) / 10000.0 + 0.0 AS level,
+           floor(hw[2] * 10000 + 0.5) / 10000.0 + 0.0 AS trend,
+           floor((hw[1] + 4 * hw[2]
+                  + hw[4 + ((CAST(hw[3] AS INTEGER) + 3) % 4)])
+                 * 10000 + 0.5) / 10000.0 + 0.0 AS forecast_4
+    FROM st
+    """,
+)
+def ts_holt_winters_additive(spark, sf_dir):
+    """Holt-Winters ADDITIVE triple exponential smoothing (alpha=0.3,
+    beta=0.1, gamma=0.2, season m=4) over each reading's trailing
+    20-sample window, plus the one-full-season-ahead forecast
+    l + 4b + s_phase — the seasonal tier above ts_holt_forecast (a
+    daily-cycling inverter's output needs the seasonal index; a pure
+    trend model lags every morning ramp). The coupled
+    level/trend/seasonal recursion is a SEQUENTIAL left fold with a
+    7-component [l, b, k, s0..s3] list accumulator: k counts processed
+    samples so the phase (k mod 4) is derivable inside the fold, and
+    the one seasonal slot at the current phase updates while the
+    other three carry (list elements all evaluate against the OLD
+    state on both engines — the LIST-accumulator discipline). Spark's
+    F.aggregate and DuckDB's list_reduce add in the identical order on
+    identical doubles, so the floats are bit-equal before the 4-dp
+    round (ts_ema_bounded / ts_holt_forecast discipline). Bounded
+    frame = bounded state: O(20) per row at any corpus size; the only
+    exchange is the per-user window shuffle."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, W.currentRow)
+    )
+    ar = ev.select(
+        "user_id", "event_id", "ts", F.collect_list("value").over(w).alias("a")
+    )
+    a = F.col("a")
+
+    def phase(acc):
+        return F.element_at(acc, 3).cast("int") % 4
+
+    def s_cur(acc):
+        return F.element_at(acc, phase(acc) + F.lit(4))
+
+    def new_l(acc, x):
+        return F.lit(0.3) * (x - s_cur(acc)) + F.lit(0.7) * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+
+    def s_slot(acc, x, i):
+        upd = F.lit(0.2) * (x - new_l(acc, x)) + F.lit(0.8) * F.element_at(
+            acc, i + 4
+        )
+        return F.when(phase(acc) == i, upd).otherwise(F.element_at(acc, i + 4))
+
+    hw = F.aggregate(
+        F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
+        F.array(
+            F.element_at(a, 1),
+            F.lit(0.0),
+            F.lit(1.0),
+            F.lit(0.0),
+            F.lit(0.0),
+            F.lit(0.0),
+            F.lit(0.0),
+        ),
+        lambda acc, x: F.array(
+            new_l(acc, x),
+            F.lit(0.1) * (new_l(acc, x) - F.element_at(acc, 1))
+            + F.lit(0.9) * F.element_at(acc, 2),
+            F.element_at(acc, 3) + F.lit(1.0),
+            s_slot(acc, x, 0),
+            s_slot(acc, x, 1),
+            s_slot(acc, x, 2),
+            s_slot(acc, x, 3),
+        ),
+    )
+    st = ar.select("user_id", "event_id", "ts", hw.alias("hw"))
+    fc_phase = (F.element_at("hw", 3).cast("int") + 3) % 4
+    def q4(c):
+        # floor-based half-up to 4 dp (see oracle comment): identical
+        # IEEE ops on both engines, immune to the ROUND-mode divergence
+        return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0) + F.lit(0.0)
+
+    return st.select(
+        "user_id",
+        "event_id",
+        "ts",
+        q4(F.element_at("hw", 1)).alias("level"),
+        q4(F.element_at("hw", 2)).alias("trend"),
+        q4(
+            F.element_at("hw", 1)
+            + F.lit(4.0) * F.element_at("hw", 2)
+            + F.element_at(F.col("hw"), fc_phase + F.lit(4))
+        ).alias("forecast_4"),
+    )
