@@ -126,6 +126,8 @@ HEADLINE = [
     "doc_tokenizer_fertility_by_lang",
     "agg_ttest_paired",
     "ts_holt_winters_additive",
+    "graph_kcore_onion",
+    "graph_degree_assortativity",
 ]
 
 

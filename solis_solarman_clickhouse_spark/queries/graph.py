@@ -427,3 +427,208 @@ def graph_bfs_distance(spark, sf_dir):
         prev.unpersist(False)
         untrack(prev)
     return dist.select("node", F.col("d").alias("dist")).orderBy("node")
+
+
+def _kcore_oracle(k: int = 5, rounds: int = 3) -> str:
+    body = f"WITH {_CHAIN_EDGES_SQL},\n" + """
+    und AS (
+      SELECT u AS s, v AS t FROM edges
+      UNION ALL SELECT v AS s, u AS t FROM edges),
+    a0 AS (SELECT node FROM deg)
+    """
+    for r in range(1, rounds + 1):
+        p = r - 1
+        body += f""",
+    d{r} AS (
+      SELECT und.s AS node, COUNT(*) AS c
+      FROM und
+      JOIN a{p} x ON und.s = x.node
+      JOIN a{p} y ON und.t = y.node
+      GROUP BY und.s),
+    r{r} AS (
+      SELECT a{p}.node FROM a{p}
+      LEFT JOIN d{r} ON d{r}.node = a{p}.node
+      WHERE COALESCE(d{r}.c, 0) < {k}),
+    a{r} AS (
+      SELECT node FROM a{p}
+      WHERE node NOT IN (SELECT node FROM r{r}))
+    """
+    layers = "\n      UNION ALL ".join(
+        f"SELECT node, {r} AS layer FROM r{r}" for r in range(1, rounds + 1)
+    )
+    body += f"""
+    SELECT lay.node AS custkey, lay.layer, deg.d AS deg0
+    FROM ({layers}
+      UNION ALL SELECT node, 0 AS layer FROM a{rounds}) lay
+    JOIN deg ON deg.node = lay.node
+    ORDER BY custkey
+    """
+    return body
+
+
+@query("graph_kcore_onion", category="graph", oracle=_kcore_oracle())
+def graph_kcore_onion(spark, sf_dir):
+    """Onion decomposition of the customer affinity graph: iterative
+    k-core peeling (k=5, 3 rounds) labels each node with the round in
+    which it was removed (layer 1..3) or 0 if it survives into the
+    residual core — the "how deep in the mesh does this account sit"
+    centrality that degree alone misses (Hebert-Dufresne et al. 2016;
+    ClickHouse has no graph surface at all, so this extends the
+    reference's analytics the same way the dedup clustering family
+    does). Spark side is the scale-correct PEEL iteration carried as
+    NODE STATE, not set subtraction: one frame (node, a, layer) where
+    a∈{0,1} marks survival, and each round computes alive-degree as
+    SUM(a(t)) over the static adjacency list (a removed neighbor
+    contributes 0, so edges never need rebuilding) then folds
+    a' = a AND alive_deg ≥ k in a single projection. Two references to
+    the state per round — the graph_bfs_distance growth rate — where the
+    naive alive-set + anti-join formulation references its state 4× per
+    round and the unrolled plan grows 4^R: at R=3 that tree OOMed
+    Catalyst plan canonicalization in a vanilla 1 GB driver before any
+    task ran (measured). Per-round state is persisted with a count
+    barrier then released once superseded. A FIXED number of rounds
+    keeps the oracle comparable: both engines run the identical unrolled
+    recursion, so the row set is EXACT whether or not the peel has
+    converged (the graph_pagerank convention). At 100 TB the loop runs
+    to fixpoint with a per-round convergence count instead
+    (operators/graph.py pattern); the per-round shuffle is one
+    map-side-combinable SUM keyed by node — no anti-join cascade, no
+    skew hazard (degrees ≤ 6 by construction here)."""
+    K, R = 5, 3
+    edges, _deg = _chain_edges(spark, sf_dir)
+    und = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    ).transform(tracked_persist)
+    und.count()
+    # derive degrees from the cached edge list rather than re-walking the
+    # window-function edge build a second and third time (seed + final
+    # join) — chain-edges is evaluated exactly once per invocation
+    deg = (
+        und.groupBy(F.col("s").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .transform(tracked_persist)
+    )
+    state = deg.select(
+        "node", F.lit(1).alias("a"), F.lit(0).alias("layer")
+    ).transform(tracked_persist)
+    state.count()
+    for r in range(1, R + 1):
+        nbr = (
+            und.join(
+                F.broadcast(
+                    state.select(F.col("node").alias("t"), F.col("a").alias("at"))
+                ),
+                "t",
+            )
+            .groupBy("s")
+            .agg(F.sum("at").alias("alive_deg"))
+        )
+        prev = state
+        state = (
+            state.join(F.broadcast(nbr.withColumnRenamed("s", "node")), "node", "left")
+            .select(
+                "node",
+                F.when(
+                    (F.col("a") == 1)
+                    & (F.coalesce(F.col("alive_deg"), F.lit(0)) >= K),
+                    F.lit(1),
+                ).otherwise(F.lit(0)).alias("a"),
+                F.when(F.col("layer") > 0, F.col("layer"))
+                .when(
+                    (F.col("a") == 1)
+                    & (F.coalesce(F.col("alive_deg"), F.lit(0)) < K),
+                    F.lit(r),
+                )
+                .otherwise(F.lit(0))
+                .alias("layer"),
+            )
+            .transform(tracked_persist)
+        )
+        state.count()
+        prev.unpersist(False)
+        untrack(prev)
+    res = (
+        state.join(F.broadcast(deg), "node")
+        .select(F.col("node").alias("custkey"), "layer", F.col("d").alias("deg0"))
+        .orderBy("custkey")
+    )
+    return res
+
+
+@query(
+    "graph_degree_assortativity",
+    category="graph",
+    oracle=f"""
+    WITH {_CHAIN_EDGES_SQL},
+    und AS (
+      SELECT u AS s, v AS t FROM edges
+      UNION ALL SELECT v AS s, u AS t FROM edges),
+    ed AS (
+      SELECT ds.d AS du, dt.d AS dv
+      FROM und
+      JOIN deg ds ON ds.node = und.s
+      JOIN deg dt ON dt.node = und.t),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(du) AS HUGEINT) AS sx,
+             CAST(SUM(du * dv) AS HUGEINT) AS sxy,
+             CAST(SUM(du * du) AS HUGEINT) AS sxx
+      FROM ed)
+    SELECT CAST(n AS BIGINT) AS n_dir_edges,
+           CAST(sx AS BIGINT) AS sum_deg,
+           CAST(sxy AS BIGINT) AS sum_deg_prod,
+           CAST(sxx AS BIGINT) AS sum_deg_sq,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                WHEN n * sxy - sx * sx < 0
+                THEN -CAST((2 * (sx * sx - n * sxy) * 10000 + (n * sxx - sx * sx))
+                           // (2 * (n * sxx - sx * sx)) AS BIGINT) / 10000.0 + 0.0
+                ELSE CAST((2 * (n * sxy - sx * sx) * 10000 + (n * sxx - sx * sx))
+                          // (2 * (n * sxx - sx * sx)) AS BIGINT) / 10000.0 + 0.0 END
+             AS assortativity
+    FROM m
+    """,
+)
+def graph_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002) of the customer affinity
+    graph: Pearson correlation between the degrees at the two ends of
+    every edge — do well-connected accounts link to other
+    well-connected accounts (r>0) or to the periphery (r<0)? Computed
+    over the DIRECTED edge list (both orientations), so the symmetric
+    formula applies: r = (n*Sxy - Sx^2) / (n*Sxx - Sx^2). One join of
+    the edge list against the (broadcastable) degree table per endpoint
+    and a single global aggregate — no window, no all-pairs anything;
+    the exact integer moments (n, Sx, Sxy, Sxx) are emitted alongside
+    so downstream gets the un-rounded sufficient statistics. The ratio
+    itself uses the repo's exact half-away integer division at 4 dp
+    over DECIMAL(38,0) operands (int64 wraps at n*Sxy ~ 1e18, i.e. a
+    few hundred-million edges — exactly the 100 TB regime; DuckDB twin
+    uses HUGEINT), sign split out because Spark DIV truncates while
+    DuckDB // floors."""
+    edges, deg = _chain_edges(spark, sf_dir)
+    und = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    )
+    ed = (
+        und.join(F.broadcast(deg.withColumnRenamed("node", "s").withColumnRenamed("d", "du")), "s")
+        .join(F.broadcast(deg.withColumnRenamed("node", "t").withColumnRenamed("d", "dv")), "t")
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("du").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("du") * F.col("dv")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("du") * F.col("du")).cast("decimal(38,0)").alias("sxx"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_dir_edges"),
+        F.col("sx").cast("bigint").alias("sum_deg"),
+        F.col("sxy").cast("bigint").alias("sum_deg_prod"),
+        F.col("sxx").cast("bigint").alias("sum_deg_sq"),
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx = 0 THEN NULL"
+            " WHEN n * sxy - sx * sx < 0"
+            " THEN -CAST((2 * (sx * sx - n * sxy) * 10000 + (n * sxx - sx * sx))"
+            "       DIV (2 * (n * sxx - sx * sx)) AS BIGINT) / 10000.0D + 0.0D"
+            " ELSE CAST((2 * (n * sxy - sx * sx) * 10000 + (n * sxx - sx * sx))"
+            "      DIV (2 * (n * sxx - sx * sx)) AS BIGINT) / 10000.0D + 0.0D END"
+        ).alias("assortativity"),
+    )

@@ -782,3 +782,29 @@ def test_ccnet_buckets_broadcasts_lm_tables(spark):
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 1, plan
     assert plan.count("Window") >= 1, plan
+
+
+def test_assortativity_broadcasts_degree_table(spark):
+    """graph_degree_assortativity joins the |V|-bounded degree table onto
+    the edge list at BOTH endpoints — each must be a broadcast hash join
+    (the degree table is tiny relative to a 100 TB edge list; a
+    sort-merge join would shuffle the edges twice for nothing)."""
+    df = REGISTRY["graph_degree_assortativity"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_kcore_final_state_reads_cache(spark):
+    """graph_kcore_onion's peel loop persists each round's (node, a,
+    layer) state behind a count barrier; the RETURNED plan must read the
+    final round from the cache (InMemoryTableScan / TableCacheQueryStage)
+    rather than re-deriving 3 rounds of join+agg lineage — the same
+    bounded-state discipline as graph_bfs_distance. This also pins the
+    fix for the naive alive-set formulation whose 4-references-per-round
+    unrolled plan OOMed canonicalization in a vanilla 1 GB driver."""
+    df = REGISTRY["graph_kcore_onion"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert (
+        "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    ), plan
