@@ -3329,3 +3329,116 @@ def vec_coreset_kcenter(spark, sf_dir):
         [(o, v, d) for o, v, _, d in picks],
         "pick_order int, vec_id long, d2_e8 long",
     ).orderBy("pick_order")
+
+
+def _pca_power_oracle(iters: int = 3) -> str:
+    """DuckDB twin of the integer power iteration: same quantization,
+    same Gram build, same unrolled recursion — HUGEINT where the Spark
+    side widens to DECIMAL(38,0)."""
+    body = """
+    WITH q AS (
+      SELECT vec_id,
+             UNNEST(generate_series(1, len(embedding))) - 1 AS i,
+             CAST(floor(UNNEST(embedding::DOUBLE[]) * 10000) AS BIGINT) AS qi
+      FROM embeddings),
+    g AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.qi * b.qi) AS gij
+      FROM q a JOIN q b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i),
+    v0 AS (
+      SELECT DISTINCT i AS j, CAST(1000000 AS HUGEINT) AS val FROM q)
+    """
+    for k in range(1, iters + 1):
+        p = k - 1
+        body += f""",
+    w{k} AS (
+      SELECT g.i, SUM(CAST(g.gij AS HUGEINT) * v.val) AS w
+      FROM g JOIN v{p} v ON v.j = g.j
+      GROUP BY g.i),
+    m{k} AS (SELECT MAX(ABS(w)) AS m FROM w{k}),
+    v{k} AS (
+      SELECT i AS j,
+             CASE WHEN w < 0 THEN -(((-w) * 1000000) // m)
+                  ELSE (w * 1000000) // m END AS val
+      FROM w{k}, m{k})
+    """
+    body += f"""
+    SELECT j AS dim, CAST(val AS BIGINT) AS component_e6
+    FROM v{iters}
+    ORDER BY dim
+    """
+    return body
+
+
+@query("vec_pca_power_iteration", category="vectors", oracle=_pca_power_oracle())
+def vec_pca_power_iteration(spark, sf_dir):
+    """Top principal direction of the embedding corpus by DISTRIBUTED
+    power iteration over the relational Gram matrix — the
+    dimensionality-reduction primitive behind embedding whitening,
+    drift monitoring, and Matryoshka-style truncation decisions. The
+    scale-correct decomposition: the d×d Gram matrix G = Σ q qᵀ is the
+    ONLY corpus-sized aggregation (one map-side-combinable SUM into d²
+    groups, built here as per-Arrow-batch partial Grams — one exact
+    int64 BLAS matmul per batch, vectors travel once and only 4096
+    partial rows per batch reach the shuffle; the all-pairs JVM
+    generator variant pushed 20.5M exploded struct rows through codegen
+    and measured ~2.3× slower at sf0.1); the iteration itself touches
+    only the d²-bounded Gram, which is COLLECTED and iterated as
+    driver-held integer state — the IVF-codebook/k-center contract
+    (bounded summaries may live on the driver; per-round 64-row
+    broadcast-join frames measured ~2× slower from pure job-scheduling
+    overhead). A 10^9-vector corpus pays one pass over the data, then
+    the iterations are free. Everything is integer-exact and
+    order-independent: inputs quantize as floor(v·1e4) (the
+    label_centroids idiom), the Gram entries are BIGINT sums, the
+    driver matvec runs in arbitrary-precision Python ints (|w| reaches
+    ~1e23 at fixture scale, far past int64 — the DuckDB twin widens to
+    HUGEINT), and each round renormalizes to max|component| = 1e6 by
+    sign-split floor division (positive divisor, so Python // ≡ DuckDB
+    //). Three FIXED rounds from the all-ones vector: both engines run
+    the identical recursion, so rows are EXACT-comparable whether or
+    not the iteration has converged (the graph_pagerank convention); at
+    100 TB you iterate to a tolerance instead and G is computed once."""
+    emb = table(spark, sf_dir, "embeddings")
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            qm = np.floor(mat * 10000.0).astype(np.int64)
+            part = qm.T @ qm  # exact: int64 matmul, |entry| ≤ n·3.4e7
+            d = part.shape[0]
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "p": part.ravel()}
+            )
+
+    g = (
+        emb.select("embedding")
+        .mapInPandas(gram_partials, "i int, j int, p long")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("gij"))
+        .transform(tracked_persist)
+    )
+    rows = g.collect()  # d²-bounded summary (4096 rows), NOT corpus-sized
+    d = max(r["i"] for r in rows) + 1
+    gm = [[0] * d for _ in range(d)]
+    for r in rows:
+        gm[r["i"]][r["j"]] = r["gij"]
+    # 3 rounds of exact arbitrary-precision integer arithmetic on the
+    # driver (Python ints — |w| reaches ~1e23, past int64); sign-split
+    # floor division mirrors the oracle's HUGEINT // exactly.
+    v = [1_000_000] * d
+    for _ in range(3):
+        w = [sum(gm[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        v = [
+            -((-x * 1_000_000) // m) if x < 0 else (x * 1_000_000) // m
+            for x in w
+        ]
+    return spark.createDataFrame(
+        [(i, int(v[i])) for i in range(d)], "dim long, component_e6 long"
+    ).orderBy("dim")

@@ -183,6 +183,12 @@ def test_no_python_eval_outside_udf_families(spark):
                         # stay JVM-side. The funnel report aggregates the
                         # same verdict plan.
                         "doc_curation_v3", "doc_curation_funnel_report",
+                        # vec_pca_power_iteration builds the d×d Gram as
+                        # per-Arrow-batch exact int64 BLAS matmuls (its
+                        # declared boundary; the JVM outer-product
+                        # generator measured ~2.3× slower at sf0.1). The
+                        # power iteration itself stays JVM-side.
+                        "vec_pca_power_iteration",
                         # the incremental variant shares the probe-side
                         # BLAS pair kernel
                         "vec_incremental_semdedup")
