@@ -632,3 +632,81 @@ def graph_degree_assortativity(spark, sf_dir):
             "      DIV (2 * (n * sxx - sx * sx)) AS BIGINT) / 10000.0D + 0.0D END"
         ).alias("assortativity"),
     )
+
+
+def _cc_oracle(rounds: int = 3) -> str:
+    body = f"WITH {_CHAIN_EDGES_SQL},\n" + """
+    und AS (
+      SELECT u AS s, v AS t FROM edges
+      UNION ALL SELECT v AS s, u AS t FROM edges),
+    l0 AS (SELECT node, node AS lbl FROM deg)
+    """
+    for r in range(1, rounds + 1):
+        p = r - 1
+        body += f""",
+    n{r} AS (
+      SELECT und.s AS node, MIN(prev.lbl) AS nl
+      FROM und JOIN l{p} prev ON prev.node = und.t
+      GROUP BY und.s),
+    l{r} AS (
+      SELECT l{p}.node, LEAST(l{p}.lbl, COALESCE(n{r}.nl, l{p}.lbl)) AS lbl
+      FROM l{p} LEFT JOIN n{r} ON n{r}.node = l{p}.node)
+    """
+    body += f"""
+    SELECT lay.node AS custkey, lay.lbl AS component_r{rounds},
+           cnt.m AS members_r{rounds}
+    FROM l{rounds} lay
+    JOIN (SELECT lbl, COUNT(*) AS m FROM l{rounds} GROUP BY lbl) cnt
+      ON cnt.lbl = lay.lbl
+    ORDER BY custkey
+    """
+    return body
+
+
+@query("graph_connected_components", category="graph", oracle=_cc_oracle())
+def graph_connected_components(spark, sf_dir):
+    """Min-label connected-component propagation over the customer
+    affinity graph, FIXED 3-round unroll — the registry-facing twin of
+    operators/graph.py:26's fixpoint operator (the clustering step
+    behind doc_dedup_clusters / vec_dedup_clusters). Each round is
+    label(v) <- min(label(v), min over neighbors of label(u)),
+    expressed as ONE shuffle: the |V|-bounded label vector is BROADCAST
+    onto the (big) undirected edge list (edges never shuffle), the
+    relayed labels UNION the nodes' own labels, and a per-node MIN
+    combines map-side before a single |V|-sized exchange closes the
+    round — the graph_pagerank shape, one stage cheaper than the
+    join+least formulation (the oracle keeps that equivalent algebra).
+    3 rounds match the kcore/pagerank unroll convention; a fixed unroll
+    keeps both engines on the IDENTICAL recursion, so rows are
+    EXACT-comparable whether or not labels have converged. Labels are
+    node ids (BIGINT min — no float anywhere); the member count per
+    surviving label is one extra |V|-sized groupBy joined back
+    broadcast-side. Each round's state is persisted (operators/
+    graph.py's checkpoint-per-round): without it the lazy broadcast of
+    round k re-executes rounds 1..k-1 from scratch — measured 170 s vs
+    seconds at sf0.1. Untracking is DEFERRED past the terminal action
+    (the returned plan reads the cached rounds), so no round ever
+    recomputes. At 100 TB: edges persist once and are read per round;
+    label state stays |V|-bounded; diameter beyond the unroll is the
+    fixpoint operator's job, not a deeper plan."""
+    edges, deg = _chain_edges(spark, sf_dir)
+    und = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    ).transform(tracked_persist)
+    labels = deg.select("node", F.col("node").alias("lbl")).transform(tracked_persist)
+    for _ in range(3):
+        cand = und.join(
+            F.broadcast(labels.select(F.col("node").alias("t"), "lbl")), "t"
+        ).select(F.col("s").alias("node"), "lbl")
+        labels = (
+            labels.unionAll(cand)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .transform(tracked_persist)
+        )
+    members = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("members_r3"))
+    return labels.join(F.broadcast(members), "lbl").select(
+        F.col("node").alias("custkey"),
+        F.col("lbl").alias("component_r3"),
+        "members_r3",
+    )
