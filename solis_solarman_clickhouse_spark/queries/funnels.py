@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
 from ..operators.asof_join import asof_join
 from ..tables import table
 from .registry import dsum, query, r4, sql_dsum
@@ -1792,4 +1793,72 @@ def ch_moving_avg_array(spark, sf_dir):
         F.array_join(
             F.transform(ordered, lambda s: s["ma_e4"].cast("string")), ","
         ).alias("moving_avgs_e4")
+    )
+
+
+@query(
+    "ch_group_bitmap_ops",
+    category="funnels",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    card AS (
+      SELECT event_type, COUNT(*) AS n FROM d GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS and_card
+      FROM d a JOIN d b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT i.type_a, i.type_b, i.and_card,
+           ca.n + cb.n - i.and_card AS or_card,
+           ca.n + cb.n - 2 * i.and_card AS xor_card
+    FROM inter i
+    JOIN card ca ON ca.event_type = i.type_a
+    JOIN card cb ON cb.event_type = i.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def ch_group_bitmap_ops(spark, sf_dir):
+    """ClickHouse ``groupBitmapAnd / groupBitmapOr / groupBitmapXor``:
+    set-algebra cardinalities between the per-event-type audience
+    bitmaps (which users clicked AND purchased, clicked OR purchased,
+    exactly-one-of). ClickHouse holds roaring bitmaps per group and
+    intersects the compressed states; the relational re-expression
+    never materializes a set: one distinct pass builds the (type, user)
+    membership relation, the AND cardinality is a self-equi-join on
+    user_id counted per type pair (fan-out per user is bounded by the
+    type cardinality, a dictionary-sized constant — never user²), and
+    OR/XOR derive by inclusion-exclusion from the per-type counts
+    (|A|+|B|−|A∩B|, |A|+|B|−2|A∩B|) — no second pass over the data. At
+    100 TB the distinct pass is the only corpus-sized shuffle; the
+    membership relation shuffles once on user_id and the pair counts
+    combine map-side into a types²-sized result. All-integer, EXACT."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct().transform(tracked_persist)
+    card = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = d.select(F.col("event_type").alias("type_a"), "user_id")
+    b = d.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("and_card"))
+    )
+    return (
+        inter.join(
+            F.broadcast(card.withColumnRenamed("event_type", "type_a")
+                        .withColumnRenamed("n", "na")), "type_a")
+        .join(
+            F.broadcast(card.withColumnRenamed("event_type", "type_b")
+                        .withColumnRenamed("n", "nb")), "type_b")
+        .select(
+            "type_a", "type_b", "and_card",
+            (F.col("na") + F.col("nb") - F.col("and_card")).alias("or_card"),
+            (F.col("na") + F.col("nb") - 2 * F.col("and_card")).alias("xor_card"),
+        )
+        .orderBy("type_a", "type_b")
     )
