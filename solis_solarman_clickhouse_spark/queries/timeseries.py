@@ -2578,3 +2578,98 @@ def ts_holt_winters_additive(spark, sf_dir):
             + F.element_at(F.col("hw"), fc_phase + F.lit(4))
         ).alias("forecast_4"),
     )
+
+
+@query(
+    "ts_bollinger_breakouts",
+    category="timeseries",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS qv
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_id, qv,
+             COUNT(*) OVER fr AS n,
+             SUM(qv) OVER fr AS s,
+             SUM(qv * qv) OVER fr AS ss
+      FROM q
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    f AS (
+      SELECT user_id,
+             CASE WHEN n = 20 AND qv * n - s > 0
+                       AND (qv * n - s) * (qv * n - s) > 4 * (n * ss - s * s)
+                  THEN 1 ELSE 0 END AS up,
+             CASE WHEN n = 20 AND qv * n - s < 0
+                       AND (qv * n - s) * (qv * n - s) > 4 * (n * ss - s * s)
+                  THEN 1 ELSE 0 END AS down,
+             CASE WHEN n = 20 THEN 1 ELSE 0 END AS scored
+      FROM w
+    )
+    SELECT user_id, CAST(SUM(scored) AS BIGINT) AS n_scored,
+           CAST(SUM(up) AS BIGINT) AS n_breakout_up,
+           CAST(SUM(down) AS BIGINT) AS n_breakout_down,
+           CAST(CASE WHEN SUM(scored) = 0 THEN 0
+                ELSE ((SUM(up) + SUM(down)) * 1000000) // SUM(scored) END
+             AS BIGINT) AS breakout_ppm
+    FROM f GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ts_bollinger_breakouts(spark, sf_dir):
+    """Bollinger-band breakout detection per user signal: how many
+    points land outside mean ± 2σ of their own trailing 20-point
+    window (full windows only) — the classic volatility-band monitor
+    for gauge channels. INTEGER-EXACT throughout, no sqrt and no float
+    variance: values quantize to cents (floor(v·100)), the rolling
+    window carries (n, Σq, Σq²) as BIGINT window sums over a uniquely
+    ordered ROWS frame ((ts, event_id) — event_id is unique, so both
+    engines see the identical frame), and the 2σ test is the SQUARED
+    comparison (q·n − Σq)² > 4·(n·Σq² − Σq²)  ⟺  |q − mean| > 2σ,
+    which needs only int64 (|q| ≤ 6e4, n = 20 ⇒ the square ≤ ~1.3e12).
+    One shuffle on user_id serves the window AND the final per-user
+    rollup (same partitioning, exchange reuse); output is users-sized.
+    At 100 TB the frame is per-key-local state in a single window pass
+    — no self-join, no range explosion; breakout_ppm is flooring
+    integer division on a non-negative domain (Spark DIV ≡ DuckDB //)."""
+    ev = table(spark, sf_dir, "events")
+    q = ev.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("qv"),
+    )
+    fr = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, W.currentRow)
+    )
+    w = q.select(
+        "user_id", "qv",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum("qv").over(fr).alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).over(fr).alias("ss"),
+    )
+    dev = F.col("qv") * F.col("n") - F.col("s")
+    var4 = 4 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    out = dev * dev > var4
+    full = F.col("n") == 20
+    f = w.select(
+        "user_id",
+        F.when(full & (dev > 0) & out, 1).otherwise(0).alias("up"),
+        F.when(full & (dev < 0) & out, 1).otherwise(0).alias("down"),
+        F.when(full, 1).otherwise(0).alias("scored"),
+    )
+    return (
+        f.groupBy("user_id")
+        .agg(
+            F.sum("scored").alias("n_scored"),
+            F.sum("up").alias("n_breakout_up"),
+            F.sum("down").alias("n_breakout_down"),
+            F.expr(
+                "CASE WHEN SUM(scored) = 0 THEN 0"
+                " ELSE ((SUM(up) + SUM(down)) * 1000000) DIV SUM(scored) END"
+            ).alias("breakout_ppm"),
+        )
+        .orderBy("user_id")
+    )
