@@ -4609,3 +4609,94 @@ def doc_tokenizer_fertility_by_lang(spark, sf_dir):
         F.expr("n_bpe_tokens * 1000000 div n_words").alias("fertility_e6"),
         F.expr("n_chars * 1000000 div n_bpe_tokens").alias("chars_per_token_e6"),
     )
+
+
+@query(
+    "doc_split_leakage_report",
+    category="documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90
+                  THEN 'train'
+                  WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 95
+                  THEN 'val' ELSE 'test' END AS split,
+             string_split(text, ' ') AS ws
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, split,
+             UNNEST(list_transform(generate_series(1, len(ws) - 2),
+                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      FROM w
+    ),
+    train_sh AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+    ev AS (SELECT doc_id, split, s FROM sh WHERE split <> 'train'),
+    hits AS (
+      SELECT e.doc_id, COUNT(*) AS n_hit
+      FROM ev e JOIN train_sh t ON e.s = t.s
+      GROUP BY e.doc_id
+    ),
+    sz AS (SELECT doc_id, split, COUNT(*) AS n FROM ev GROUP BY doc_id, split),
+    verdict AS (
+      SELECT sz.split,
+             CASE WHEN COALESCE(h.n_hit, 0) * 20 >= sz.n THEN 1 ELSE 0 END AS leaky
+      FROM sz LEFT JOIN hits h ON sz.doc_id = h.doc_id
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(leaky) AS BIGINT) AS n_leaky,
+           CAST(SUM(leaky) * 1000000 // COUNT(*) AS BIGINT) AS leak_ppm
+    FROM verdict GROUP BY split ORDER BY split
+    """,
+)
+def doc_split_leakage_report(spark, sf_dir):
+    """Cross-split contamination audit — the check that must run after
+    doc_train_split and before any eval is trusted: how many val/test
+    documents share >= 5% of their 3-gram shingles with the TRAIN split
+    (the doc_benchmark_decontamination threshold, calibrated to this
+    corpus's planted near-dups). Split assignment is the same Knuth
+    multiplicative hash as doc_train_split — a pure projection of
+    doc_id, so the split column rides the shingle index for free (no
+    join against an assignment table). The train shingle set is
+    CORPUS-SIZED (90% of docs), so unlike the benchmark-decontamination
+    case it cannot broadcast: the eval->train membership probe is a
+    left-semi SHUFFLE join on the 8-byte hashed shingle key — the
+    eval side is 10% of the index and only (shingle) keys travel; at
+    100 TB you'd front it with a bloom filter built from the eval
+    side's ~10x-smaller key set (the join_bloom_prefilter pattern) so
+    train partitions drop non-candidate keys scan-side. Verdicts
+    aggregate to a 2-row report (docs, leaky docs, ppm) with integer
+    cross-multiplication for the threshold and flooring ppm division —
+    EXACT on both engines."""
+    from ..operators.dedup import shingle_index
+
+    docs = table(spark, sf_dir, "documents")
+    idx = shingle_index(docs, k=3, hashed=True)
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    idx = idx.withColumn("split", split)
+    train_sh = idx.filter(F.col("split") == "train").select("shingle").distinct()
+    ev = idx.filter(F.col("split") != "train").transform(tracked_persist)
+    hits = (
+        ev.join(train_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    sz = ev.groupBy("doc_id", "split").agg(F.count(F.lit(1)).alias("n"))
+    leaky = F.when(
+        F.coalesce(F.col("n_hit"), F.lit(0)) * 20 >= F.col("n"), 1
+    ).otherwise(0)
+    return (
+        sz.join(hits, "doc_id", "left")
+        .select("split", leaky.alias("leaky"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("leaky").alias("n_leaky"),
+            F.expr("SUM(leaky) * 1000000 DIV COUNT(*)").alias("leak_ppm"),
+        )
+        .orderBy("split")
+    )
