@@ -2673,3 +2673,105 @@ def ts_bollinger_breakouts(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "ts_rsi_regimes",
+    category="timeseries",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS qv
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, ts, event_id,
+             qv - LAG(qv) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS diff
+      FROM q
+    ),
+    w AS (
+      SELECT user_id, ts, event_id,
+             COUNT(diff) OVER fr AS n,
+             SUM(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER fr AS g,
+             SUM(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER fr AS l
+      FROM d
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    f AS (
+      SELECT user_id, ts, event_id, g, l,
+             CASE WHEN n = 14 THEN 1 ELSE 0 END AS scored,
+             CASE WHEN n = 14 AND 3 * g > 7 * l THEN 1 ELSE 0 END AS hot,
+             CASE WHEN n = 14 AND 7 * g < 3 * l THEN 1 ELSE 0 END AS cold,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM w
+    )
+    SELECT user_id, CAST(SUM(scored) AS BIGINT) AS n_scored,
+           CAST(SUM(hot) AS BIGINT) AS n_overbought,
+           CAST(SUM(cold) AS BIGINT) AS n_oversold,
+           CAST(MAX(CASE WHEN rn = 1 AND scored = 1 AND g + l > 0
+                         THEN g * 1000000 // (g + l) END) AS BIGINT)
+             AS last_rsi_e4
+    FROM f GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ts_rsi_regimes(spark, sf_dir):
+    """RSI-14 regime counter per user signal (simple-average Wilder
+    variant): how many points sit in the overbought (RSI>70) and
+    oversold (RSI<30) regimes, plus the latest RSI — the
+    momentum-regime monitor over gauge channels. INTEGER-EXACT with no
+    division in the hot path: values quantize to cents, per-step
+    diffs split into gain/loss, a 14-row ROWS frame (uniquely ordered
+    by (ts, event_id)) carries BIGINT gain/loss sums, and the regime
+    tests are cross-multiplications — RSI>70 ⟺ 100g > 70(g+l) ⟺
+    3g > 7l, RSI<30 ⟺ 7g < 3l. Only the reported last_rsi_e4 divides
+    (flooring, non-negative domain). The lag diff, the rolling frame,
+    the last-point row_number, and the final rollup all share ONE
+    user_id partitioning — a single exchange feeds four window passes
+    and the groupBy (exchange reuse); output is users-sized. Full
+    windows only (n = 14 non-null diffs), so warmup rows never skew
+    the regime counts."""
+    ev = table(spark, sf_dir, "events")
+    q = ev.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("qv"),
+    )
+    ow = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = q.select(
+        "user_id", "ts", "event_id",
+        (F.col("qv") - F.lag("qv").over(ow)).alias("diff"),
+    )
+    fr = ow.rowsBetween(-13, W.currentRow)
+    w = d.select(
+        "user_id", "ts", "event_id",
+        F.count("diff").over(fr).alias("n"),
+        F.sum(F.when(F.col("diff") > 0, F.col("diff")).otherwise(0)).over(fr).alias("g"),
+        F.sum(F.when(F.col("diff") < 0, -F.col("diff")).otherwise(0)).over(fr).alias("l"),
+    )
+    full = F.col("n") == 14
+    f = w.select(
+        "user_id", "g", "l",
+        F.when(full, 1).otherwise(0).alias("scored"),
+        F.when(full & (3 * F.col("g") > 7 * F.col("l")), 1).otherwise(0).alias("hot"),
+        F.when(full & (7 * F.col("g") < 3 * F.col("l")), 1).otherwise(0).alias("cold"),
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        ).alias("rn"),
+    )
+    return (
+        f.groupBy("user_id")
+        .agg(
+            F.sum("scored").alias("n_scored"),
+            F.sum("hot").alias("n_overbought"),
+            F.sum("cold").alias("n_oversold"),
+            F.max(
+                F.when(
+                    (F.col("rn") == 1) & (F.col("scored") == 1) & (F.col("g") + F.col("l") > 0),
+                    F.expr("g * 1000000 DIV (g + l)"),
+                )
+            ).alias("last_rsi_e4"),
+        )
+        .orderBy("user_id")
+    )
