@@ -3331,10 +3331,12 @@ def vec_coreset_kcenter(spark, sf_dir):
     ).orderBy("pick_order")
 
 
-def _pca_power_oracle(iters: int = 3) -> str:
-    """DuckDB twin of the integer power iteration: same quantization,
-    same Gram build, same unrolled recursion — HUGEINT where the Spark
-    side widens to DECIMAL(38,0)."""
+def _pca_recursion_cte(iters: int = 3) -> str:
+    """Shared DuckDB twin of the integer power iteration: same
+    quantization, same Gram build, same unrolled recursion — HUGEINT
+    where the Spark side uses arbitrary-precision driver ints. Ends at
+    CTE v{iters} (the 1e6-normalized component); callers append their
+    own final SELECT."""
     body = """
     WITH q AS (
       SELECT vec_id,
@@ -3362,44 +3364,21 @@ def _pca_power_oracle(iters: int = 3) -> str:
                   ELSE (w * 1000000) // m END AS val
       FROM w{k}, m{k})
     """
-    body += f"""
+    return body
+
+
+def _pca_power_oracle(iters: int = 3) -> str:
+    return _pca_recursion_cte(iters) + f"""
     SELECT j AS dim, CAST(val AS BIGINT) AS component_e6
     FROM v{iters}
     ORDER BY dim
     """
-    return body
 
 
-@query("vec_pca_power_iteration", category="vectors", oracle=_pca_power_oracle())
-def vec_pca_power_iteration(spark, sf_dir):
-    """Top principal direction of the embedding corpus by DISTRIBUTED
-    power iteration over the relational Gram matrix — the
-    dimensionality-reduction primitive behind embedding whitening,
-    drift monitoring, and Matryoshka-style truncation decisions. The
-    scale-correct decomposition: the d×d Gram matrix G = Σ q qᵀ is the
-    ONLY corpus-sized aggregation (one map-side-combinable SUM into d²
-    groups, built here as per-Arrow-batch partial Grams — one exact
-    int64 BLAS matmul per batch, vectors travel once and only 4096
-    partial rows per batch reach the shuffle; the all-pairs JVM
-    generator variant pushed 20.5M exploded struct rows through codegen
-    and measured ~2.3× slower at sf0.1); the iteration itself touches
-    only the d²-bounded Gram, which is COLLECTED and iterated as
-    driver-held integer state — the IVF-codebook/k-center contract
-    (bounded summaries may live on the driver; per-round 64-row
-    broadcast-join frames measured ~2× slower from pure job-scheduling
-    overhead). A 10^9-vector corpus pays one pass over the data, then
-    the iterations are free. Everything is integer-exact and
-    order-independent: inputs quantize as floor(v·1e4) (the
-    label_centroids idiom), the Gram entries are BIGINT sums, the
-    driver matvec runs in arbitrary-precision Python ints (|w| reaches
-    ~1e23 at fixture scale, far past int64 — the DuckDB twin widens to
-    HUGEINT), and each round renormalizes to max|component| = 1e6 by
-    sign-split floor division (positive divisor, so Python // ≡ DuckDB
-    //). Three FIXED rounds from the all-ones vector: both engines run
-    the identical recursion, so rows are EXACT-comparable whether or
-    not the iteration has converged (the graph_pagerank convention); at
-    100 TB you iterate to a tolerance instead and G is computed once."""
-    emb = table(spark, sf_dir, "embeddings")
+def _pca_component(spark, emb) -> list[int]:
+    """Distributed Gram build + driver-side exact integer power
+    iteration; returns the 1e6-normalized component as Python ints.
+    See vec_pca_power_iteration for the full scale contract."""
 
     def gram_partials(batches):
         for pdf in batches:
@@ -3439,6 +3418,84 @@ def vec_pca_power_iteration(spark, sf_dir):
             -((-x * 1_000_000) // m) if x < 0 else (x * 1_000_000) // m
             for x in w
         ]
+    return [int(x) for x in v]
+
+
+@query("vec_pca_power_iteration", category="vectors", oracle=_pca_power_oracle())
+def vec_pca_power_iteration(spark, sf_dir):
+    """Top principal direction of the embedding corpus by DISTRIBUTED
+    power iteration over the relational Gram matrix — the
+    dimensionality-reduction primitive behind embedding whitening,
+    drift monitoring, and Matryoshka-style truncation decisions. The
+    scale-correct decomposition: the d×d Gram matrix G = Σ q qᵀ is the
+    ONLY corpus-sized aggregation (one map-side-combinable SUM into d²
+    groups, built here as per-Arrow-batch partial Grams — one exact
+    int64 BLAS matmul per batch, vectors travel once and only 4096
+    partial rows per batch reach the shuffle; the all-pairs JVM
+    generator variant pushed 20.5M exploded struct rows through codegen
+    and measured ~2.3× slower at sf0.1); the iteration itself touches
+    only the d²-bounded Gram, which is COLLECTED and iterated as
+    driver-held integer state — the IVF-codebook/k-center contract
+    (bounded summaries may live on the driver; per-round 64-row
+    broadcast-join frames measured ~2× slower from pure job-scheduling
+    overhead). A 10^9-vector corpus pays one pass over the data, then
+    the iterations are free. Everything is integer-exact and
+    order-independent: inputs quantize as floor(v·1e4) (the
+    label_centroids idiom), the Gram entries are BIGINT sums, the
+    driver matvec runs in arbitrary-precision Python ints (|w| reaches
+    ~1e23 at fixture scale, far past int64 — the DuckDB twin widens to
+    HUGEINT), and each round renormalizes to max|component| = 1e6 by
+    sign-split floor division (positive divisor, so Python // ≡ DuckDB
+    //). Three FIXED rounds from the all-ones vector: both engines run
+    the identical recursion, so rows are EXACT-comparable whether or
+    not the iteration has converged (the graph_pagerank convention); at
+    100 TB you iterate to a tolerance instead and G is computed once."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = _pca_component(spark, emb)
     return spark.createDataFrame(
-        [(i, int(v[i])) for i in range(d)], "dim long, component_e6 long"
+        list(enumerate(v)), "dim long, component_e6 long"
     ).orderBy("dim")
+
+
+def _pca_project_oracle(iters: int = 3, k: int = 20) -> str:
+    return _pca_recursion_cte(iters) + f""",
+    proj AS (
+      SELECT q.vec_id, SUM(CAST(q.qi AS HUGEINT) * c.val) AS s
+      FROM q JOIN v{iters} c ON c.j = q.i
+      GROUP BY q.vec_id)
+    SELECT vec_id, CAST(s AS BIGINT) AS proj_e10
+    FROM proj ORDER BY ABS(s) DESC, vec_id LIMIT {k}
+    """
+
+
+@query("vec_pca_project_topk", category="vectors", oracle=_pca_project_oracle())
+def vec_pca_project_topk(spark, sf_dir):
+    """The 20 most extreme documents along the corpus's top principal
+    direction — the outlier/drift lens PCA exists for: after
+    vec_pca_power_iteration's component is in hand (same distributed
+    Gram + driver-side exact integer recursion, via _pca_component),
+    project every embedding onto it and rank by |projection|. The
+    projection stays JVM-SIDE and distributed: posexplode the
+    embedding, quantize floor(e·1e4) exactly as the Gram did, join the
+    64-row component as a BROADCAST literal table, and sum qi·v_j per
+    vec_id — a map-side-combinable integer dot product (|score| ≤
+    64·1e4·1e6 ≈ 6e11, safely int64), followed by TakeOrdered(20) (no
+    global sort). Ordering is total — exact integer scores, ties
+    broken by vec_id — so LIMIT 20 is deterministic on both engines.
+    At 100 TB: one pass builds G, one pass projects; the only shuffle
+    is the vec_id-keyed partial-sum combine, and top-k never
+    materializes a sorted corpus."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = _pca_component(spark, emb)
+    comp = spark.createDataFrame(list(enumerate(v)), "j int, val long")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("j", "e")
+    ).select(
+        "vec_id", "j", F.floor(F.col("e").cast("double") * 10000).cast("long").alias("qi")
+    )
+    proj = (
+        ex.join(F.broadcast(comp), "j")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qi") * F.col("val")).alias("proj_e10"))
+    )
+    return proj.orderBy(F.abs(F.col("proj_e10")).desc(), "vec_id").limit(20)

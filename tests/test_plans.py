@@ -188,7 +188,7 @@ def test_no_python_eval_outside_udf_families(spark):
                         # declared boundary; the JVM outer-product
                         # generator measured ~2.3× slower at sf0.1). The
                         # power iteration itself stays JVM-side.
-                        "vec_pca_power_iteration",
+                        "vec_pca_power_iteration", "vec_pca_project_topk",
                         # the incremental variant shares the probe-side
                         # BLAS pair kernel
                         "vec_incremental_semdedup")
