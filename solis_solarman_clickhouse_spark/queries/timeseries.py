@@ -2775,3 +2775,139 @@ def ts_rsi_regimes(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "ts_pacf_durbin_levinson",
+    category="timeseries",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    pairs AS (
+      SELECT a.user_id, l.lag, a.y AS ya, b.y AS yb
+      FROM s a
+      CROSS JOIN (SELECT UNNEST(generate_series(1, 3)) AS lag) l
+      JOIN s b ON b.user_id = a.user_id AND b.rn = a.rn + l.lag
+    ),
+    m AS (
+      SELECT user_id, lag, COUNT(*) AS n,
+             CAST(SUM(CAST(ya AS DECIMAL(38,0))) AS DOUBLE) AS sa,
+             CAST(SUM(CAST(yb AS DECIMAL(38,0))) AS DOUBLE) AS sb,
+             CAST(SUM(CAST(ya * yb AS DECIMAL(38,0))) AS DOUBLE) AS sab,
+             CAST(SUM(CAST(ya * ya AS DECIMAL(38,0))) AS DOUBLE) AS saa,
+             CAST(SUM(CAST(yb * yb AS DECIMAL(38,0))) AS DOUBLE) AS sbb
+      FROM pairs GROUP BY user_id, lag
+    ),
+    acf AS (
+      SELECT user_id, lag,
+             (n * sab - sa * sb)
+               / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)) AS r
+      FROM m WHERE n >= 3
+    ),
+    piv AS (
+      SELECT user_id,
+             MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+             MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+             MAX(CASE WHEN lag = 3 THEN r END) AS r3
+      FROM acf GROUP BY user_id
+      HAVING COUNT(*) = 3
+    ),
+    dl AS (
+      SELECT user_id, r1, r2, r3,
+             (r2 - r1 * r1) / NULLIF(1 - r1 * r1, 0) AS p22
+      FROM piv
+    ),
+    dl2 AS (
+      SELECT user_id, r1, r2, r3, p22,
+             r1 * (1 - p22) AS p21
+      FROM dl
+    )
+    SELECT user_id,
+           ROUND(r1, 4) AS pacf1,
+           ROUND(p22, 4) AS pacf2,
+           ROUND((r3 - p21 * r2 - p22 * r1)
+                 / NULLIF(1 - p21 * r1 - p22 * r2, 0), 4) AS pacf3
+    FROM dl2 ORDER BY user_id
+    """,
+)
+def ts_pacf_durbin_levinson(spark, sf_dir):
+    """Partial autocorrelation at lags 1-3 per user signal via the
+    Durbin-Levinson recursion over the pairs-Pearson correlogram — the
+    other half of Box-Jenkins identification (AR order shows as a PACF
+    cutoff where ts_acf_correlogram shows decay). Estimator contract:
+    r_k is the SAME lagged-pairs Pearson the correlogram query emits
+    (each lag has its own pair means — the finite-sample variant), and
+    the recursion is applied to those r's: phi11 = r1, phi22 =
+    (r2 - r1^2)/(1 - r1^2), phi33 = (r3 - phi21*r2 - phi22*r1) /
+    (1 - phi21*r1 - phi22*r2) with phi21 = r1*(1 - phi22). All moment
+    sums accumulate exactly in DECIMAL(38,0) from integer cents, so
+    both engines feed IDENTICAL doubles into the identical scalar
+    recursion — deterministic to the last bit, rounded once at 4 dp
+    (the acf discipline). The lag grid is a broadcast 3-row frame; one
+    row-number window, one self-join, one grouped aggregate, then a
+    per-user 3-way conditional pivot (users-sized, no second pass over
+    events). Degenerate denominators surface as NULL (NULLIF), never
+    as engine-divergent infinities."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    a = s.crossJoin(F.broadcast(lags)).select(
+        "user_id", "lag", (F.col("rn") + F.col("lag")).alias("rnb"),
+        F.col("y").alias("ya"),
+    )
+    b = s.select("user_id", F.col("rn").alias("rnb"), F.col("y").alias("yb"))
+    pairs = a.join(b, ["user_id", "rnb"])
+    dec = lambda c: F.sum(c.cast(T.DecimalType(38, 0))).cast("double")
+    m = pairs.groupBy("user_id", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.col("ya")).alias("sa"),
+        dec(F.col("yb")).alias("sb"),
+        dec(F.col("ya") * F.col("yb")).alias("sab"),
+        dec(F.col("ya") * F.col("ya")).alias("saa"),
+        dec(F.col("yb") * F.col("yb")).alias("sbb"),
+    )
+    r = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")) / F.sqrt(
+        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+        * (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+    )
+    acf = m.where(F.col("n") >= 3).select("user_id", "lag", r.alias("r"))
+    piv = (
+        acf.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("lag") == 1, F.col("r"))).alias("r1"),
+            F.max(F.when(F.col("lag") == 2, F.col("r"))).alias("r2"),
+            F.max(F.when(F.col("lag") == 3, F.col("r"))).alias("r3"),
+            F.count(F.lit(1)).alias("nl"),
+        )
+        .where(F.col("nl") == 3)
+    )
+    p22 = (F.col("r2") - F.col("r1") * F.col("r1")) / F.nullif(
+        F.lit(1.0) - F.col("r1") * F.col("r1"), F.lit(0.0)
+    )
+    dl = piv.select("user_id", "r1", "r2", "r3", p22.alias("p22"))
+    dl2 = dl.withColumn("p21", F.col("r1") * (F.lit(1.0) - F.col("p22")))
+    pacf3 = (
+        F.col("r3") - F.col("p21") * F.col("r2") - F.col("p22") * F.col("r1")
+    ) / F.nullif(
+        F.lit(1.0) - F.col("p21") * F.col("r1") - F.col("p22") * F.col("r2"),
+        F.lit(0.0),
+    )
+    return dl2.select(
+        "user_id",
+        F.round("r1", 4).alias("pacf1"),
+        F.round("p22", 4).alias("pacf2"),
+        F.round(pacf3, 4).alias("pacf3"),
+    ).orderBy("user_id")
