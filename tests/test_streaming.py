@@ -423,3 +423,40 @@ def test_watermark_cut_exact_equals_real_stream(spark):
     )
     assert streamed.exceptAll(expected).count() == 0, "stream emitted extra rows"
     assert expected.exceptAll(streamed).count() == 0, "stream missed model rows"
+
+
+def test_stream_stream_left_outer_equals_batch(spark):
+    """Left-outer stream-stream join: with the sentinel watermark flush,
+    the landed output (matched + null-padded unmatched purchases) equals
+    the batch left interval join exactly."""
+    from solis_solarman_clickhouse_spark.queries.registry import REGISTRY
+
+    got = REGISTRY["stream_stream_left_outer_join"].fn(spark, SF_DIR)
+
+    ev = (
+        table(spark, SF_DIR, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"), F.max("event_type").alias("event_type"))
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    exp = (
+        purchases.join(
+            views,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        )
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("v_ts").isNull(), 1).otherwise(0)).alias("n_unmatched"),
+        )
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
