@@ -128,6 +128,13 @@ HEADLINE = [
     "ts_holt_winters_additive",
     "graph_kcore_onion",
     "graph_degree_assortativity",
+    "vec_pca_power_iteration",
+    "vec_pca_project_topk",
+    "graph_connected_components",
+    "ch_group_bitmap_ops",
+    "ts_bollinger_breakouts",
+    "doc_split_leakage_report",
+    "ts_rsi_regimes",
 ]
 
 
