@@ -3536,3 +3536,78 @@ def agg_ttest_paired(spark, sf_dir):
             "        / (n - 1) / n), 4) + 0.0D"
         ).alias("t_stat"),
     )
+
+
+@query(
+    "agg_kendall_tau",
+    category="aggregates",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, COUNT(*) AS x,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    p AS (
+      SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS disc,
+             CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tiex,
+             CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS tiey
+      FROM u a JOIN u b ON a.user_id < b.user_id
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(conc) AS BIGINT) AS c, CAST(SUM(disc) AS BIGINT) AS d,
+             CAST(SUM(tiex) AS BIGINT) AS tx, CAST(SUM(tiey) AS BIGINT) AS ty
+      FROM p
+    )
+    SELECT n0, c, d, tx AS ties_x, ty AS ties_y,
+           ROUND((c - d) / sqrt(CAST((n0 - tx) AS DOUBLE) * (n0 - ty)), 4) + 0.0
+             AS tau_b
+    FROM m
+    """,
+)
+def agg_kendall_tau(spark, sf_dir):
+    """Kendall's tau-b between per-user activity volume (event count)
+    and per-user total value — the rank-concordance coefficient that,
+    next to ch_rank_corr's Spearman, completes the robust-correlation
+    shelf (tau-b handles ties explicitly via its denominator). Stage 1
+    collapses the corpus to a USERS-sized summary (one exact integer
+    aggregation — value quantized to cents); stage 2 is the tie-aware
+    concordant/discordant pair count over that bounded summary, an
+    explicit self-join on user_id inequality whose cost is U²/2 pairs —
+    the documented contract for exact tau (the vec_neardup_cosine
+    audit-tier convention: at 100 TB you either sample users first or
+    fall back to Spearman, which needs only ranks; the corpus itself is
+    never pair-joined). Everything through C, D, and the tie counts is
+    exact BIGINT; tau_b = (C−D)/√((n0−tx)(n0−ty)) runs the identical
+    IEEE expression on both engines, rounded once at 4 dp with −0.0
+    normalized."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("y"),
+    )
+    a = u.select(F.col("user_id").alias("ia"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = u.select(F.col("user_id").alias("ib"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    prod = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    p = a.join(b, F.col("ia") < F.col("ib")).select(
+        F.when(prod > 0, 1).otherwise(0).alias("conc"),
+        F.when(prod < 0, 1).otherwise(0).alias("disc"),
+        F.when(F.col("xa") == F.col("xb"), 1).otherwise(0).alias("tiex"),
+        F.when(F.col("ya") == F.col("yb"), 1).otherwise(0).alias("tiey"),
+    )
+    m = p.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("conc").alias("c"),
+        F.sum("disc").alias("d"),
+        F.sum("tiex").alias("tx"),
+        F.sum("tiey").alias("ty"),
+    )
+    return m.select(
+        "n0", "c", "d",
+        F.col("tx").alias("ties_x"), F.col("ty").alias("ties_y"),
+        F.expr(
+            "ROUND((c - d) / SQRT(CAST((n0 - tx) AS DOUBLE) * (n0 - ty)), 4)"
+            " + 0.0D"
+        ).alias("tau_b"),
+    )
