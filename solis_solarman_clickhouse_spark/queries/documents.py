@@ -4700,3 +4700,74 @@ def doc_split_leakage_report(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+@query(
+    "doc_lexical_diversity",
+    category="documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, source, word, COUNT(*) AS k
+      FROM w GROUP BY doc_id, source, word
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             CAST(SUM(k) AS BIGINT) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM cnt GROUP BY doc_id, source
+    ),
+    scored AS (
+      SELECT source,
+             n_types * 1000000 // n_words AS ttr_e6,
+             n_hapax * 1000000 // n_words AS hapax_e6
+      FROM per_doc WHERE n_words > 0
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ttr_e6) // COUNT(*) AS BIGINT) AS mean_ttr_e6,
+           CAST(SUM(hapax_e6) // COUNT(*) AS BIGINT) AS mean_hapax_e6
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def doc_lexical_diversity(spark, sf_dir):
+    """Lexical diversity per source: mean type-token ratio and mean
+    hapax-legomenon share — the vocabulary-richness screen that
+    separates template/boilerplate-heavy crawls (low TTR, few hapaxes)
+    from natural prose, complementing doc_zipf_fit's corpus-level slope
+    with per-document signals. One explode to (doc, word) term counts
+    (the split is projected to a column before exploding — the
+    split-before-explode discipline), one per-doc rollup, then a
+    sources-sized mean. INTEGER-EXACT end to end: per-doc ratios floor
+    to 1e6 scale (n_types·1e6 // n_words), the per-source mean is a
+    flooring integer division of exact sums — no float ever, both
+    engines agree bit-for-bit. At 100 TB the (doc, word) count is the
+    only corpus-sized shuffle and it combines map-side; everything
+    after is docs-sized then sources-sized."""
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("ws")
+    ).select("doc_id", "source", F.explode("ws").alias("word"))
+    cnt = words.groupBy("doc_id", "source", "word").agg(F.count(F.lit(1)).alias("k"))
+    per_doc = cnt.groupBy("doc_id", "source").agg(
+        F.sum("k").alias("n_words"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    scored = per_doc.where(F.col("n_words") > 0).select(
+        "source",
+        F.expr("n_types * 1000000 DIV n_words").alias("ttr_e6"),
+        F.expr("n_hapax * 1000000 DIV n_words").alias("hapax_e6"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("SUM(ttr_e6) DIV COUNT(*)").alias("mean_ttr_e6"),
+            F.expr("SUM(hapax_e6) DIV COUNT(*)").alias("mean_hapax_e6"),
+        )
+        .orderBy("source")
+    )
