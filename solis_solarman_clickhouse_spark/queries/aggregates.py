@@ -3611,3 +3611,83 @@ def agg_kendall_tau(spark, sf_dir):
             " + 0.0D"
         ).alias("tau_b"),
     )
+
+
+@query(
+    "agg_cohens_d",
+    category="aggregates",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)
+                      * CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS s2
+      FROM events WHERE event_type IN ('purchase', 'view')
+      GROUP BY event_type
+    ),
+    m AS (
+      SELECT
+        MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+        MAX(CASE WHEN event_type = 'purchase' THEN s1 END) AS a1,
+        MAX(CASE WHEN event_type = 'purchase' THEN s2 END) AS q1,
+        MAX(CASE WHEN event_type = 'view' THEN n END) AS n2,
+        MAX(CASE WHEN event_type = 'view' THEN s1 END) AS a2,
+        MAX(CASE WHEN event_type = 'view' THEN s2 END) AS q2
+      FROM g
+    )
+    SELECT n1, n2,
+           ROUND((CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2)
+                 / sqrt(((CAST(q1 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n1)
+                         + (CAST(q2 AS DOUBLE) - CAST(a2 AS DOUBLE) * a2 / n2))
+                        / (n1 + n2 - 2)), 4) + 0.0 AS cohens_d,
+           ROUND(((CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2)
+                 / sqrt(((CAST(q1 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n1)
+                         + (CAST(q2 AS DOUBLE) - CAST(a2 AS DOUBLE) * a2 / n2))
+                        / (n1 + n2 - 2)))
+                 * (1 - 3.0 / (4 * (n1 + n2) - 9)), 4) + 0.0 AS hedges_g
+    FROM m
+    """,
+)
+def agg_cohens_d(spark, sf_dir):
+    """Cohen's d (pooled-SD standardized mean difference) between the
+    purchase and view value distributions, plus the small-sample
+    Hedges' g correction (1 − 3/(4(n1+n2)−9)) — the effect-size number
+    that belongs next to the t-statistics (agg_welch_ttest,
+    agg_ttest_paired) and agg_power_sample_size: significance says
+    whether, d says HOW MUCH. One grouped pass collapses the corpus to
+    two rows of exact integer moments (n, Σy, Σy²) from cent-quantized
+    values; the d/g arithmetic is one fixed IEEE dataflow over those
+    identical integers on both engines — the agg_welch_ttest
+    discipline — rounded once at 4 dp, −0.0 normalized. Map-side
+    combinable all the way; output is one row."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    q = F.floor(F.col("value") * 100).cast("bigint")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+    )
+    m = g.agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("s1"))).alias("a1"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("s2"))).alias("q1"),
+        F.max(F.when(F.col("event_type") == "view", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("event_type") == "view", F.col("s1"))).alias("a2"),
+        F.max(F.when(F.col("event_type") == "view", F.col("s2"))).alias("q2"),
+    )
+    d_expr = (
+        "(CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2)"
+        " / SQRT(((CAST(q1 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n1)"
+        "         + (CAST(q2 AS DOUBLE) - CAST(a2 AS DOUBLE) * a2 / n2))"
+        "        / (n1 + n2 - 2))"
+    )
+    return m.select(
+        "n1", "n2",
+        F.expr(f"ROUND({d_expr}, 4) + 0.0D").alias("cohens_d"),
+        F.expr(
+            f"ROUND(({d_expr}) * (1 - 3.0D / (4 * (n1 + n2) - 9)), 4) + 0.0D"
+        ).alias("hedges_g"),
+    )
