@@ -4771,3 +4771,107 @@ def doc_lexical_diversity(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "doc_ngram_entropy_rate",
+    category="documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+    ),
+    uni AS (
+      SELECT source, UNNEST(ws) AS w1 FROM w
+    ),
+    ucnt AS (SELECT source, w1, COUNT(*) AS k FROM uni GROUP BY source, w1),
+    h1 AS (
+      SELECT source, CAST(SUM(k) AS BIGINT) AS t,
+             CAST(SUM(CAST(floor(k * log2(CAST(k AS DOUBLE)) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM ucnt GROUP BY source
+    ),
+    bi AS (
+      SELECT source,
+             UNNEST(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS b
+      FROM w WHERE len(ws) >= 2
+    ),
+    bcnt AS (SELECT source, b, COUNT(*) AS k FROM bi GROUP BY source, b),
+    h2 AS (
+      SELECT source, CAST(SUM(k) AS BIGINT) AS t,
+             CAST(SUM(CAST(floor(k * log2(CAST(k AS DOUBLE)) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM bcnt GROUP BY source
+    ),
+    e AS (
+      SELECT h1.source,
+             CAST(floor(log2(CAST(h1.t AS DOUBLE)) * 1000000) AS BIGINT)
+               - h1.s // h1.t AS hu,
+             CAST(floor(log2(CAST(h2.t AS DOUBLE)) * 1000000) AS BIGINT)
+               - h2.s // h2.t AS hb
+      FROM h1 JOIN h2 ON h2.source = h1.source
+    )
+    SELECT source, hu AS h_unigram_e6, hb AS h_bigram_e6,
+           hb - hu AS h_cond_e6
+    FROM e ORDER BY source
+    """,
+)
+def doc_ngram_entropy_rate(spark, sf_dir):
+    """Per-source n-gram entropy rate: unigram entropy H(W), bigram
+    entropy H(W1,W2), and the conditional entropy rate H(W2|W1) =
+    H(bigram) - H(unigram) - the information-theoretic redundancy
+    screen (template-heavy or looped text shows a collapsed conditional
+    rate long before dedup finds the cliques; natural prose sits near
+    the language's ~6-8 bits/word). DETERMINISM: a float
+    SUM(p*log2 p) over a vocabulary-sized term set is summation-ORDER
+    dependent (the hazard ch_entropy escapes only because its per-user
+    sums have <= 6 terms), so the estimator is quantized BEFORE the
+    big sum: H = log2 T - (1/T)*SUM k*log2 k is computed as
+    floor(log2(T)*1e6) - (SUM floor(k*log2(k)*1e6)) // T - each term
+    is one deterministic IEEE scalar, the corpus-sized SUM is exact
+    BIGINT (order-free), and the division floors. Quantization bias is
+    < vocab/T micro-bits - a defined, engine-identical estimator.
+    Counts come from two map-side-combinable shuffles (per-source
+    unigram and bigram tallies; split projected before explode);
+    output is sources-sized integers."""
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select("source", F.split(F.col("text"), " ").alias("ws"))
+    uni = w.select("source", F.explode("ws").alias("w1"))
+    term = F.floor(
+        F.col("k") * F.log2(F.col("k").cast("double")) * 1000000
+    ).cast("bigint")
+    ucnt = uni.groupBy("source", "w1").agg(F.count(F.lit(1)).alias("k"))
+    h1 = ucnt.groupBy("source").agg(
+        F.sum("k").alias("t"), F.sum(term).alias("s")
+    )
+    bi = (
+        w.where(F.size("ws") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> concat(ws[i-1], ' ', ws[i]))"
+                )
+            ).alias("b"),
+        )
+    )
+    bcnt = bi.groupBy("source", "b").agg(F.count(F.lit(1)).alias("k"))
+    h2 = bcnt.groupBy("source").agg(
+        F.sum("k").alias("t"), F.sum(term).alias("s")
+    )
+    ent = lambda t, s: (
+        F.floor(F.log2(F.col(t).cast("double")) * 1000000).cast("bigint")
+        - F.expr(f"{s} DIV {t}")
+    )
+    e = h1.join(
+        h2.withColumnRenamed("t", "t2").withColumnRenamed("s", "s2"), "source"
+    ).select(
+        "source",
+        ent("t", "s").alias("h_unigram_e6"),
+        ent("t2", "s2").alias("h_bigram_e6"),
+    )
+    return e.select(
+        "source", "h_unigram_e6", "h_bigram_e6",
+        (F.col("h_bigram_e6") - F.col("h_unigram_e6")).alias("h_cond_e6"),
+    ).orderBy("source")
