@@ -135,6 +135,11 @@ HEADLINE = [
     "ts_bollinger_breakouts",
     "doc_split_leakage_report",
     "ts_rsi_regimes",
+    "ts_pacf_durbin_levinson",
+    "agg_kendall_tau",
+    "doc_lexical_diversity",
+    "agg_cohens_d",
+    "doc_ngram_entropy_rate",
 ]
 
 

@@ -272,3 +272,74 @@ def mm_video_scene_cuts(spark, sf_dir):
         .otherwise(0)
         .alias("is_cut"),
     )
+
+
+@query(
+    "mm_image_aspect_buckets",
+    category="multimodal",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             16 * (1 + {_NB} % 64) AS w,
+             16 * (1 + {_NB} % 48) AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    b AS (
+      SELECT doc_id, w, h, w * 1000 // h AS ar_e3,
+             CASE WHEN w * 1000 // h < 667 THEN 'tall'
+                  WHEN w * 1000 // h < 910 THEN 'portrait'
+                  WHEN w * 1000 // h < 1100 THEN 'square'
+                  WHEN w * 1000 // h < 1500 THEN 'landscape'
+                  ELSE 'wide' END AS bucket
+      FROM dims
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(ar_e3) AS BIGINT) AS min_ar_e3,
+           CAST(MAX(ar_e3) AS BIGINT) AS max_ar_e3,
+           CAST(SUM(ar_e3) // COUNT(*) AS BIGINT) AS mean_ar_e3,
+           CAST(SUM(w * h) AS BIGINT) AS total_pixels
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def mm_image_aspect_buckets(spark, sf_dir):
+    """Aspect-ratio bucketing for batched image training (the
+    SDXL/NovelAI recipe: group images into fixed aspect buckets so each
+    batch shares one canvas and padding waste stays bounded): per
+    bucket, the image count, aspect-ratio envelope, and total pixel
+    mass a data loader needs to plan epochs. Dimensions come from the
+    SAME deterministic decode stand-in contract as mm_image_decode
+    (header-derived w/h in production; w = 16(1+n%64), h = 16(1+n%48)
+    over the synthetic payloads — the documented codec boundary), but
+    bucketing itself never touches payload bytes: the meta projection
+    prunes the binary column from the scan. Bucket edges compare
+    flooring integer milli-ratios (w·1000 // h — positive domain, Spark
+    DIV ≡ DuckDB //), so bucket membership is integer-exact; the
+    rollup is one map-side-combinable aggregation into a buckets-sized
+    result."""
+    p = attach_payloads(table(spark, sf_dir, "documents"))
+    img = p.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        (16 * (1 + F.col("meta.n_bytes") % 64)).alias("w"),
+        (16 * (1 + F.col("meta.n_bytes") % 48)).alias("h"),
+    )
+    ar = F.expr("w * 1000 DIV h")
+    b = img.select(
+        "w", "h", ar.alias("ar_e3"),
+        F.when(ar < 667, "tall")
+        .when(ar < 910, "portrait")
+        .when(ar < 1100, "square")
+        .when(ar < 1500, "landscape")
+        .otherwise("wide")
+        .alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("ar_e3").alias("min_ar_e3"),
+            F.max("ar_e3").alias("max_ar_e3"),
+            F.expr("SUM(ar_e3) DIV COUNT(*)").alias("mean_ar_e3"),
+            F.sum(F.col("w") * F.col("h")).alias("total_pixels"),
+        )
+        .orderBy("bucket")
+    )
