@@ -392,3 +392,60 @@ def sink_text_roundtrip(spark, sf_dir):
         F.min(F.length("value")).alias("min_len"),
         F.max(F.length("value")).alias("max_len"),
     )
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    category="sink",
+    oracle="""
+    WITH final AS (
+      SELECT * FROM orders
+      WHERE strftime(o_orderdate, '%Y%m') <> '199506'
+      UNION ALL
+      SELECT * FROM orders
+      WHERE strftime(o_orderdate, '%Y%m') = '199506'
+        AND o_orderstatus = 'F'
+    )
+    SELECT strftime(o_orderdate, '%Y%m') AS ym,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def sink_dynamic_partition_overwrite(spark, sf_dir):
+    """DYNAMIC partition overwrite — the idiom behind every
+    restate-one-day backfill: mode('overwrite') with
+    partitionOverwriteMode=dynamic replaces ONLY the partitions present
+    in the incoming frame and must leave every other partition's files
+    untouched (static overwrite would truncate the whole table — the
+    classic data-loss footgun this query pins down). Sequence: land
+    orders partitioned by month, then overwrite month 1995-06 with a
+    restated slice (only status-F rows); the re-read table must equal
+    UNION(all other months, restated slice) — any other month lost or
+    duplicated shifts its count/key-sum and fails the hash. The setting
+    is scoped to the session conf for the query's duration and
+    restored. At 100 TB this is a metadata-only swap of one partition
+    directory; the write shuffles only the restated slice."""
+    base = os.path.join(tempfile.mkdtemp(prefix="sinkdpo_"), "fact")
+    o = table(spark, sf_dir, "orders").withColumn(
+        "ym", F.date_format("o_orderdate", "yyyyMM")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        o.write.mode("overwrite").partitionBy("ym").parquet(base)
+        restated = o.where(
+            (F.col("ym") == "199506") & (F.col("o_orderstatus") == "F")
+        )
+        restated.write.mode("overwrite").partitionBy("ym").parquet(base)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(base)
+        .groupBy(F.col("ym").cast("string").alias("ym"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("ym")
+    )
