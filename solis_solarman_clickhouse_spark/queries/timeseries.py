@@ -2911,3 +2911,72 @@ def ts_pacf_durbin_levinson(spark, sf_dir):
         F.round("p22", 4).alias("pacf2"),
         F.round(pacf3, 4).alias("pacf3"),
     ).orderBy("user_id")
+
+
+@query(
+    "ts_smape_naive_baseline",
+    category="timeseries",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, y,
+             LAG(y) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS yhat
+      FROM q
+    ),
+    t AS (
+      SELECT user_id,
+             ABS(y - yhat) AS ae,
+             CASE WHEN ABS(y) + ABS(yhat) = 0 THEN 0
+                  ELSE 2000000000 * ABS(y - yhat) // (ABS(y) + ABS(yhat)) END
+               AS smape_e9
+      FROM d WHERE yhat IS NOT NULL
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(smape_e9) // COUNT(*) AS BIGINT) AS smape_e9,
+           CAST(SUM(ae) // COUNT(*) AS BIGINT) AS mae_cents
+    FROM t GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ts_smape_naive_baseline(spark, sf_dir):
+    """SMAPE and MAE of the lag-1 naive forecast per user signal — the
+    baseline every forecasting claim must beat (MASE's denominator;
+    ts_holt_forecast and ts_seasonal_naive_forecast report predictions,
+    this reports the floor under them). ORDER-FREE integer estimator:
+    each point contributes a flooring milli-ratio
+    2e9·|y−ŷ| // (|y|+|ŷ|) as BIGINT (the doc_ngram_entropy_rate
+    quantize-before-the-big-sum discipline — a float SMAPE mean over a
+    per-user point set would be summation-order dependent), and the
+    per-user mean is a flooring integer division of exact sums;
+    zero-denominator points contribute 0 by definition. |y| ≤ 6e4
+    cents keeps 2e9·|Δ| inside int64. One user_id exchange feeds the
+    lag window and the rollup (exchange reuse); output is users-sized."""
+    ev = table(spark, sf_dir, "events")
+    q = ev.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    ow = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = q.select("user_id", "y", F.lag("y").over(ow).alias("yhat")).where(
+        F.col("yhat").isNotNull()
+    )
+    t = d.select(
+        "user_id",
+        F.abs(F.col("y") - F.col("yhat")).alias("ae"),
+        F.expr(
+            "CASE WHEN ABS(y) + ABS(yhat) = 0 THEN 0L"
+            " ELSE 2000000000L * ABS(y - yhat) DIV (ABS(y) + ABS(yhat)) END"
+        ).alias("smape_e9"),
+    )
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.expr("SUM(smape_e9) DIV COUNT(*)").alias("smape_e9"),
+            F.expr("SUM(ae) DIV COUNT(*)").alias("mae_cents"),
+        )
+        .orderBy("user_id")
+    )
