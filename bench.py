@@ -140,6 +140,9 @@ HEADLINE = [
     "doc_lexical_diversity",
     "agg_cohens_d",
     "doc_ngram_entropy_rate",
+    "mm_image_aspect_buckets",
+    "sink_dynamic_partition_overwrite",
+    "ts_smape_naive_baseline",
 ]
 
 
