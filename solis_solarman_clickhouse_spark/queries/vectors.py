@@ -3499,3 +3499,66 @@ def vec_pca_project_topk(spark, sf_dir):
         .agg(F.sum(F.col("qi") * F.col("val")).alias("proj_e10"))
     )
     return proj.orderBy(F.abs(F.col("proj_e10")).desc(), "vec_id").limit(20)
+
+
+_KNN_OOD_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+rk AS (
+  SELECT q.query_id,
+         list_dot_product(q.qv, c.cv)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+           list_dot_product(q.qv, c.cv)
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+           c.neighbor_id ASC) AS rank
+  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id AS vec_id, ROUND(cosine, 4) + 0.0 AS knn5_cosine
+FROM rk WHERE rank = 5
+ORDER BY knn5_cosine ASC, vec_id LIMIT 20
+"""
+
+
+@query("vec_knn_ood_audit", category="vectors", oracle=_KNN_OOD_ORACLE)
+def vec_knn_ood_audit(spark, sf_dir):
+    """kNN-distance out-of-distribution audit: for a deterministic 2 %
+    sample of vectors (vec_id % 50 = 0), the cosine similarity of each
+    vector's 5th-nearest neighbor in the FULL corpus, bottom-20 — the
+    isolation score data-curation pipelines use to surface
+    noise/outlier embeddings for review (the complement of SemDeDup:
+    that prunes what has too-close neighbors, this flags what has
+    none). Reuses the brute-force cosine_topk operator: the sample
+    broadcasts, the corpus never shuffles, and the rank-5 pick rides
+    cosine_topk's existing WindowGroupLimit; the 5th-NN VALUE is
+    order-independent even under cosine ties (the (cosine, neighbor_id)
+    order is total), and the bottom-20 cut orders by the 4-dp-rounded
+    score with vec_id tie-break. This is the exact AUDIT tier of the
+    family (the vec_neardup_cosine contract): at 100 TB the sample
+    stays a broadcastable slice and the corpus side stays a scan; the
+    full-corpus scale path is the ANN shelf, priced by its recall
+    rows."""
+    emb = table(spark, sf_dir, "embeddings")
+    sample = emb.where(F.col("vec_id") % 50 == 0)
+    tk = cosine_topk(emb, sample, k=5)
+    from pyspark.sql import Window as W
+
+    fifth = tk.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("neighbor_id")
+            )
+        ),
+    ).where(F.col("rk") == 5)
+    return (
+        fifth.select(
+            F.col("query_id").alias("vec_id"),
+            (F.round("cosine", 4) + F.lit(0.0)).alias("knn5_cosine"),
+        )
+        .orderBy(F.col("knn5_cosine").asc(), "vec_id")
+        .limit(20)
+    )
