@@ -814,3 +814,61 @@ def test_kcore_final_state_reads_cache(spark):
     assert (
         "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
     ), plan
+
+
+def test_connected_components_state_reads_cache_and_broadcasts_labels(spark):
+    """graph_connected_components persists each round's |V|-bounded
+    label state and BROADCASTS it onto the persisted edge list — the
+    returned plan must read state from cache (not re-derive 3 rounds of
+    lineage: the unpersisted unroll measured 170 s vs seconds at sf0.1)
+    and must contain no SortMergeJoin (edges never shuffle for the
+    scatter; the members join is broadcast too)."""
+    df = REGISTRY["graph_connected_components"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pca_project_broadcasts_component(spark):
+    """vec_pca_project_topk joins the 64-row component as a broadcast
+    literal and takes the top-20 via TakeOrdered — no global sort, no
+    sort-merge join of the exploded fact side."""
+    df = REGISTRY["vec_pca_project_topk"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bollinger_single_exchange_feeds_window_and_rollup(spark):
+    """ts_bollinger_breakouts partitions once on user_id: the rolling
+    (n, Σq, Σq²) window and the final per-user rollup must share ONE
+    exchange (hashpartitioning on user_id appears exactly once)."""
+    df = REGISTRY["ts_bollinger_breakouts"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    n_user_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning(user_id" in line.strip()
+    )
+    assert n_user_exchanges == 1, plan
+
+
+def test_bitmap_ops_card_join_is_broadcast(spark):
+    """ch_group_bitmap_ops derives OR/XOR by inclusion-exclusion from
+    the types-sized cardinality table — both joins of that table onto
+    the pair counts must be broadcasts, never a shuffle of the pair
+    relation."""
+    df = REGISTRY["ch_group_bitmap_ops"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_split_leakage_semi_join_prunes_payload(spark):
+    """doc_split_leakage_report probes train membership with a LEFT SEMI
+    join on the hashed shingle key — the semi join must be present (no
+    payload duplication) and the aggregate must have a partial phase."""
+    df = REGISTRY["doc_split_leakage_report"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
