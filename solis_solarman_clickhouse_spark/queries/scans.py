@@ -422,3 +422,79 @@ def scan_ignore_corrupt_files(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "scan_json_corrupt_records",
+    category="scan",
+    oracle="""
+    WITH good AS (
+      SELECT event_type, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_id % 3 = 0
+      GROUP BY event_type
+    )
+    SELECT event_type, n_rows, cents FROM good
+    UNION ALL
+    SELECT '_corrupt_', CAST(7 AS BIGINT), CAST(0 AS BIGINT)
+    ORDER BY event_type
+    """,
+)
+def scan_json_corrupt_records(spark, sf_dir):
+    """PERMISSIVE JSON-lines recovery — the semi-structured twin of
+    scan_ignore_corrupt_files: a third of events lands as JSONL with 7
+    deterministically planted garbage lines (truncated object, bare
+    text, invalid escape — what a flaky producer actually emits), and
+    the read runs in the default PERMISSIVE mode with
+    columnNameOfCorruptRecord so broken lines become quarantine rows
+    instead of killing the job (FAILFAST) or vanishing silently
+    (DROPMALFORMED — the dangerous one: a lost line is invisible). The
+    report counts healthy rows per type PLUS the quarantine bucket —
+    the oracle knows exactly 7 lines were planted, so a parser that
+    drops or double-counts either side hash-fails. Schema is supplied
+    explicitly (production contract: never infer over a quarantine
+    read). Scan-parallel at any scale; the quarantine rollup is one
+    map-side-combinable aggregate."""
+    import tempfile
+
+    ev = table(spark, sf_dir, "events").where(F.col("event_id") % 3 == 0)
+    d = tempfile.mkdtemp(prefix="json_corrupt_")
+    ev.selectExpr(
+        "event_id", "event_type", "CAST(floor(value * 100) AS BIGINT) AS cents"
+    ).coalesce(2).write.mode("overwrite").json(d)
+    bad = [
+        '{"event_id": 1, "event_type": "click", "cents": ',
+        "this is not json at all",
+        '{"event_id": }',
+        '{"event_id": 2, "event_type": "x", "cents": "\\q"}',
+        "[1, 2,",
+        '{"event_id" 3}',
+        '{{"nested": true}',
+    ]
+    with open(os.path.join(d, "part-bad-00099.json"), "w") as f:
+        f.write("\n".join(bad) + "\n")
+    schema = (
+        "event_id BIGINT, event_type STRING, cents BIGINT, _corrupt STRING"
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(d)
+    )
+    return (
+        parsed.select(
+            F.when(F.col("_corrupt").isNotNull(), F.lit("_corrupt_"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            F.when(F.col("_corrupt").isNotNull(), F.lit(0))
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("event_type")
+    )
