@@ -3691,3 +3691,141 @@ def agg_cohens_d(spark, sf_dir):
             f"ROUND(({d_expr}) * (1 - 3.0D / (4 * (n1 + n2) - 9)), 4) + 0.0D"
         ).alias("hedges_g"),
     )
+
+
+@query(
+    "agg_trimmed_mean",
+    category="aggregates",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY floor(value * 100), event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    kept AS (
+      SELECT event_type, cents, n FROM q
+      WHERE rk > n // 10 AND rk <= n - n // 10
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(cents) // COUNT(*) AS BIGINT) AS trimmed_mean_cents
+    FROM kept GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_trimmed_mean(spark, sf_dir):
+    """10 % two-sided TRIMMED mean per event type — the robust-location
+    sibling of agg_winsorized_mean (winsorizing clamps the tails into
+    the estimate, trimming removes them; both belong on the
+    heavy-tailed-metrics shelf). Rank-based and integer-exact: one
+    window pass assigns a TOTAL order by (cents, event_id) — event_id
+    breaks ties, so both engines trim the identical row set — the keep
+    band is rank ∈ (⌊n/10⌋, n−⌊n/10⌋] by integer floor division, and
+    the mean is a flooring division of exact cent sums. One exchange
+    on event_type serves the rank window, the count window, and the
+    final rollup. At 100 TB an exact global trim needs the rank sort
+    per group (this plan); the approximate path is percentile_approx
+    cuts (agg_approx_percentile) feeding a filtered mean."""
+    ev = table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    wrk = W.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = W.partitionBy("event_type")
+    r = q.select(
+        "event_type", "cents",
+        F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kept = r.where(
+        (F.col("rk") > F.expr("n DIV 10")) & (F.col("rk") <= F.col("n") - F.expr("n DIV 10"))
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_total"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.expr("SUM(cents) DIV COUNT(*)").alias("trimmed_mean_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_ratio_delta_method",
+    category="aggregates",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM u
+    )
+    SELECT n,
+           ROUND(CAST(sx AS DOUBLE) / sy, 4) + 0.0 AS ratio,
+           ROUND((1.0 / (CAST(sy AS DOUBLE) / n) / (CAST(sy AS DOUBLE) / n))
+                 * ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)
+                    - 2 * (CAST(sx AS DOUBLE) / sy)
+                        * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1))
+                    + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+                        * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1)))
+                 / n, 4) + 0.0 AS var_ratio
+    FROM m
+    """,
+)
+def agg_ratio_delta_method(spark, sf_dir):
+    """Delta-method variance of a RATIO metric (revenue per event,
+    clustered by user) — the experimentation-infrastructure staple the
+    naive per-row variance gets WRONG when the randomization unit
+    (user) differs from the analysis unit (event): Var(X̄/Ȳ) ≈
+    (1/μy²)(σx² − 2r·σxy + r²σy²)/n over per-user totals (Deng et al.
+    2018's cluster-ratio correction). Completes the A/B shelf next to
+    agg_srm_check / agg_cuped_adjustment / agg_diff_in_diff. One pass
+    collapses events to per-user exact integer totals (purchase cents,
+    event count); the second is one row of exact BIGINT cross-moments;
+    the delta formula is a single fixed IEEE dataflow over those
+    identical integers, rounded once at 4 dp, −0.0 normalized."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return m.select(
+        "n",
+        F.expr("ROUND(CAST(sx AS DOUBLE) / sy, 4) + 0.0D").alias("ratio"),
+        F.expr(
+            "ROUND((1.0D / (CAST(sy AS DOUBLE) / n) / (CAST(sy AS DOUBLE) / n))"
+            " * ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)"
+            "    - 2 * (CAST(sx AS DOUBLE) / sy)"
+            "        * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1))"
+            "    + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)"
+            "        * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1)))"
+            " / n, 4) + 0.0D"
+        ).alias("var_ratio"),
+    )
