@@ -1862,3 +1862,72 @@ def ch_group_bitmap_ops(spark, sf_dir):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "ch_quantile_exact_low_high",
+    category="funnels",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY floor(value * 100), event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(MAX(CASE WHEN rk = (n - 1) * 5 // 10 + 1 THEN cents END)
+             AS BIGINT) AS p50_low,
+           CAST(MAX(CASE WHEN rk = (n - 1) * 5 // 10 + 1
+                              + CASE WHEN (n - 1) * 5 % 10 = 0 THEN 0 ELSE 1 END
+                     THEN cents END) AS BIGINT) AS p50_high,
+           CAST(MAX(CASE WHEN rk = (n - 1) * 9 // 10 + 1 THEN cents END)
+             AS BIGINT) AS p90_low,
+           CAST(MAX(CASE WHEN rk = (n - 1) * 9 // 10 + 1
+                              + CASE WHEN (n - 1) * 9 % 10 = 0 THEN 0 ELSE 1 END
+                     THEN cents END) AS BIGINT) AS p90_high
+    FROM q GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ch_quantile_exact_low_high(spark, sf_dir):
+    """ClickHouse ``quantileExactLow`` / ``quantileExactHigh`` parity at
+    p50 and p90: the floor- and ceil-rank ELEMENT picks (no
+    interpolation — the estimator that returns a value that actually
+    occurred, which ch_quantiles_exact's interpolating variant does
+    not guarantee). Rank k_low = ⌊(n−1)q⌋+1 and k_high = ⌈(n−1)q⌉+1
+    in 1-based (cents, event_id) total order — the ceil is written as
+    floor + (remainder≠0) so BOTH engines use pure integer arithmetic
+    (no float rank boundary). One exchange on event_type serves the
+    rank window, the count window, and the conditional-pick rollup;
+    the element picks are MAX(CASE WHEN rk = k) — map-side
+    combinable. At 100 TB exact per-group quantiles need the per-group
+    sort (this plan); the sketch path is agg_kll_quantiles."""
+    ev = table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    wrk = W.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = W.partitionBy("event_type")
+    r = q.select(
+        "event_type", "cents",
+        F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    def pick(mul: int, hi: bool) -> F.Column:
+        base = F.expr(f"(n - 1) * {mul} DIV 10 + 1")
+        if hi:
+            base = base + F.expr(
+                f"CASE WHEN (n - 1) * {mul} % 10 = 0 THEN 0 ELSE 1 END"
+            )
+        return F.max(F.when(F.col("rk") == base, F.col("cents")))
+    return (
+        r.groupBy("event_type")
+        .agg(
+            pick(5, False).alias("p50_low"),
+            pick(5, True).alias("p50_high"),
+            pick(9, False).alias("p90_low"),
+            pick(9, True).alias("p90_high"),
+        )
+        .orderBy("event_type")
+    )
