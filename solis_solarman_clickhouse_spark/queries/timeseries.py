@@ -2980,3 +2980,116 @@ def ts_smape_naive_baseline(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "ts_ljung_box_whiteness",
+    category="timeseries",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CAST(ROUND(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    nn AS (SELECT user_id, COUNT(*) AS n FROM s GROUP BY user_id),
+    pairs AS (
+      SELECT a.user_id, l.lag, a.y AS ya, b.y AS yb
+      FROM s a
+      CROSS JOIN (SELECT UNNEST(generate_series(1, 5)) AS lag) l
+      JOIN s b ON b.user_id = a.user_id AND b.rn = a.rn + l.lag
+    ),
+    m AS (
+      SELECT user_id, lag, COUNT(*) AS np,
+             CAST(SUM(CAST(ya AS DECIMAL(38,0))) AS DOUBLE) AS sa,
+             CAST(SUM(CAST(yb AS DECIMAL(38,0))) AS DOUBLE) AS sb,
+             CAST(SUM(CAST(ya * yb AS DECIMAL(38,0))) AS DOUBLE) AS sab,
+             CAST(SUM(CAST(ya * ya AS DECIMAL(38,0))) AS DOUBLE) AS saa,
+             CAST(SUM(CAST(yb * yb AS DECIMAL(38,0))) AS DOUBLE) AS sbb
+      FROM pairs GROUP BY user_id, lag
+    ),
+    acf AS (
+      SELECT user_id, lag,
+             (np * sab - sa * sb)
+               / sqrt((np * saa - sa * sa) * (np * sbb - sb * sb)) AS r
+      FROM m WHERE np >= 3
+    ),
+    q AS (
+      SELECT a.user_id, nn.n,
+             SUM(a.r * a.r / (nn.n - a.lag)) AS acc,
+             COUNT(*) AS n_lags
+      FROM acf a JOIN nn ON nn.user_id = a.user_id
+      GROUP BY a.user_id, nn.n
+      HAVING COUNT(*) = 5
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           ROUND(n * (n + 2) * acc, 4) + 0.0 AS q_stat,
+           CAST(ROUND(n * (n + 2) * acc, 4) > 11.0705 AS BOOLEAN)
+             AS reject_white_noise
+    FROM q ORDER BY user_id
+    """,
+)
+def ts_ljung_box_whiteness(spark, sf_dir):
+    """Ljung-Box portmanteau whiteness test per user signal: Q =
+    n(n+2)·Σ_{k=1..5} r_k²/(n−k), flagged against the χ²(5) 95 %
+    critical value 11.0705 — the residual-diagnostics stamp that
+    belongs after every forecasting query (a model whose residuals
+    fail Ljung-Box is underfit regardless of its SMAPE). Reuses the
+    correlogram machinery: lagged-pairs Pearson r_k from exact
+    DECIMAL(38,0) moments (the ts_acf_correlogram discipline — both
+    engines feed identical doubles), then Q accumulates over a FIXED
+    5-term set (order-free: 5 terms, each a deterministic scalar; the
+    SUM is grouped per user over exactly 5 rows — within the safe
+    small-sum class ch_entropy established). Comparison against the
+    critical value happens on the 4-dp ROUNDED statistic so the
+    boolean can never straddle an unrounded boundary. One self-join
+    against a broadcast 5-row lag grid + two grouped aggregates; output
+    is users-sized."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    nn = s.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    lags = spark.range(1, 6).select(F.col("id").cast("int").alias("lag"))
+    a = s.crossJoin(F.broadcast(lags)).select(
+        "user_id", "lag", (F.col("rn") + F.col("lag")).alias("rnb"),
+        F.col("y").alias("ya"),
+    )
+    b = s.select("user_id", F.col("rn").alias("rnb"), F.col("y").alias("yb"))
+    pairs = a.join(b, ["user_id", "rnb"])
+    dec = lambda c: F.sum(c.cast(T.DecimalType(38, 0))).cast("double")
+    m = pairs.groupBy("user_id", "lag").agg(
+        F.count(F.lit(1)).alias("np"),
+        dec(F.col("ya")).alias("sa"),
+        dec(F.col("yb")).alias("sb"),
+        dec(F.col("ya") * F.col("yb")).alias("sab"),
+        dec(F.col("ya") * F.col("ya")).alias("saa"),
+        dec(F.col("yb") * F.col("yb")).alias("sbb"),
+    )
+    r = (F.col("np") * F.col("sab") - F.col("sa") * F.col("sb")) / F.sqrt(
+        (F.col("np") * F.col("saa") - F.col("sa") * F.col("sa"))
+        * (F.col("np") * F.col("sbb") - F.col("sb") * F.col("sb"))
+    )
+    acf = m.where(F.col("np") >= 3).select("user_id", "lag", r.alias("r"))
+    qacc = (
+        acf.join(F.broadcast(nn), "user_id")
+        .groupBy("user_id", "n")
+        .agg(
+            F.sum(F.col("r") * F.col("r") / (F.col("n") - F.col("lag"))).alias("acc"),
+            F.count(F.lit(1)).alias("n_lags"),
+        )
+        .where(F.col("n_lags") == 5)
+    )
+    qstat = F.round(F.col("n") * (F.col("n") + 2) * F.col("acc"), 4) + F.lit(0.0)
+    return qacc.select(
+        "user_id", "n",
+        qstat.alias("q_stat"),
+        (qstat > 11.0705).alias("reject_white_noise"),
+    ).orderBy("user_id")
