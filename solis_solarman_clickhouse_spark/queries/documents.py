@@ -4875,3 +4875,106 @@ def doc_ngram_entropy_rate(spark, sf_dir):
         "source", "h_unigram_e6", "h_bigram_e6",
         (F.col("h_bigram_e6") - F.col("h_unigram_e6")).alias("h_cond_e6"),
     ).orderBy("source")
+
+
+def _langid_kappa_oracle() -> str:
+    """Compose the two existing langid oracles as subqueries and compute
+    Cohen's kappa from exact integer counts: kappa = (agree·n − Σ_l
+    na_l·nb_l) / (n² − Σ_l na_l·nb_l)."""
+    from .registry import REGISTRY
+
+    heur = REGISTRY["doc_langid"].oracle
+    nb = REGISTRY["doc_naive_bayes_langid"].oracle
+    return f"""
+    WITH h AS (SELECT doc_id, predicted_lang AS pa FROM ({heur})),
+    nbp AS (SELECT doc_id, predicted AS pb FROM ({nb})),
+    j AS (SELECT h.doc_id, h.pa, nbp.pb FROM h JOIN nbp ON nbp.doc_id = h.doc_id),
+    marg AS (
+      SELECT CAST(SUM(na * nb) AS HUGEINT) AS smp FROM (
+        SELECT COALESCE(a.l, b.l) AS l, COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+        FROM (SELECT pa AS l, COUNT(*) AS na FROM j GROUP BY pa) a
+        FULL JOIN (SELECT pb AS l, COUNT(*) AS nb FROM j GROUP BY pb) b
+          ON b.l = a.l)
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CASE WHEN pa = pb THEN 1 ELSE 0 END) AS HUGEINT) AS agree
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs, CAST(agree AS BIGINT) AS n_agree,
+           CAST(smp AS BIGINT) AS sum_marginal_prod,
+           CASE WHEN n * n - smp = 0 THEN NULL
+                WHEN agree * n - smp < 0
+                THEN -CAST((2 * (smp - agree * n) * 10000 + (n * n - smp))
+                           // (2 * (n * n - smp)) AS BIGINT) / 10000.0 + 0.0
+                ELSE CAST((2 * (agree * n - smp) * 10000 + (n * n - smp))
+                          // (2 * (n * n - smp)) AS BIGINT) / 10000.0 + 0.0 END
+             AS kappa
+    FROM m, marg
+    """
+
+
+@query(
+    "doc_langid_agreement_kappa",
+    category="documents",
+    oracle=_langid_kappa_oracle(),
+)
+def doc_langid_agreement_kappa(spark, sf_dir):
+    """Cohen's kappa between the repo's two language-ID classifiers
+    (the stopword heuristic doc_langid vs the trained naive-Bayes
+    doc_naive_bayes_langid) — the inter-annotator-agreement number a
+    curation pipeline reads before trusting EITHER labeler on
+    unlabeled data (high kappa ⇒ the cheap heuristic can gate the
+    expensive model; low kappa ⇒ neither is trustworthy alone). The
+    two verdict frames come from the SAME registry implementations
+    (the funnel-report composition pattern), joined on doc_id;
+    kappa = (p_o − p_e)/(1 − p_e) reduces over exact integer counts to
+    (agree·n − Σ_l na_l·nb_l)/(n² − Σ_l na_l·nb_l) — computed with the
+    assortativity idiom: DECIMAL(38,0) operands (HUGEINT twin), 4-dp
+    half-away integer division, sign split out so Spark DIV ≡
+    DuckDB //. Marginal products come from two 4-row frames; the join
+    is doc-keyed and both sides derive from single scans."""
+    from .registry import REGISTRY
+
+    h = (
+        REGISTRY["doc_langid"]
+        .fn(spark, sf_dir)
+        .select("doc_id", F.col("predicted_lang").alias("pa"))
+    )
+    nb = (
+        REGISTRY["doc_naive_bayes_langid"]
+        .fn(spark, sf_dir)
+        .select("doc_id", F.col("predicted").alias("pb"))
+    )
+    j = h.join(nb, "doc_id").transform(tracked_persist)
+    na = j.groupBy(F.col("pa").alias("l")).agg(F.count(F.lit(1)).alias("na"))
+    nbm = j.groupBy(F.col("pb").alias("l")).agg(F.count(F.lit(1)).alias("nb"))
+    marg = (
+        na.join(nbm, "l", "full")
+        .select(
+            (
+                F.coalesce(F.col("na"), F.lit(0))
+                * F.coalesce(F.col("nb"), F.lit(0))
+            ).alias("p")
+        )
+        .agg(F.sum("p").cast("decimal(38,0)").alias("smp"))
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.when(F.col("pa") == F.col("pb"), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("agree"),
+    )
+    return m.crossJoin(F.broadcast(marg)).select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("agree").cast("bigint").alias("n_agree"),
+        F.col("smp").cast("bigint").alias("sum_marginal_prod"),
+        F.expr(
+            "CASE WHEN n * n - smp = 0 THEN NULL"
+            " WHEN agree * n - smp < 0"
+            " THEN -CAST((2 * (smp - agree * n) * 10000 + (n * n - smp))"
+            "       DIV (2 * (n * n - smp)) AS BIGINT) / 10000.0D + 0.0D"
+            " ELSE CAST((2 * (agree * n - smp) * 10000 + (n * n - smp))"
+            "      DIV (2 * (n * n - smp)) AS BIGINT) / 10000.0D + 0.0D END"
+        ).alias("kappa"),
+    )
