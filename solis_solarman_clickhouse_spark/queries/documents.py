@@ -4978,3 +4978,69 @@ def doc_langid_agreement_kappa(spark, sf_dir):
             "      DIV (2 * (n * n - smp)) AS BIGINT) / 10000.0D + 0.0D END"
         ).alias("kappa"),
     )
+
+
+@query(
+    "doc_feature_hash_collisions",
+    category="documents",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    h AS (
+      SELECT w, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM vocab
+    ),
+    per_b AS (
+      SELECT b.bits,
+             COUNT(*) AS n_tokens,
+             COUNT(DISTINCT hv % (1 << b.bits)) AS n_buckets_used
+      FROM h CROSS JOIN (SELECT UNNEST([8, 10, 12]) AS bits) b
+      GROUP BY b.bits
+    )
+    SELECT bits, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_buckets_used AS BIGINT) AS n_buckets_used,
+           CAST((n_tokens - n_buckets_used) * 1000000 // n_tokens AS BIGINT)
+             AS collision_ppm
+    FROM per_b ORDER BY bits
+    """,
+)
+def doc_feature_hash_collisions(spark, sf_dir):
+    """Hashing-trick collision audit: before committing to a 2^b-bucket
+    hashed feature space (the doc_naive_bayes_langid / fasttext-style
+    featurization), measure how much of the vocabulary actually
+    collides at b ∈ {8, 10, 12} bits — n_tokens − buckets_used is the
+    birthday-paradox loss the model silently eats. The hash is the
+    repo's PORTABLE md5-prefix integer (identical on both engines —
+    the NB-langid idiom), bucketed by power-of-two modulus; the vocab
+    is one distinct pass, the three widths fan out over a broadcast
+    3-row grid, and the per-width bucket count is a COUNT DISTINCT
+    Spark plans as two-phase Expand (map-side dedup before the
+    exchange). Output: 3 rows of exact integers with flooring ppm. At
+    100 TB the vocab distinct is the only corpus-scale shuffle —
+    dictionary-sized output."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w")).distinct()
+    )
+    h = vocab.select(
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint").alias("hv")
+    )
+    bits = spark.range(0).sparkSession.createDataFrame(
+        [(8,), (10,), (12,)], "bits int"
+    )
+    per_b = (
+        h.crossJoin(F.broadcast(bits))
+        .groupBy("bits")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct(
+                F.expr("hv % shiftleft(1L, CAST(bits AS INT))")
+            ).alias("n_buckets_used"),
+        )
+    )
+    return per_b.select(
+        "bits", "n_tokens", "n_buckets_used",
+        F.expr(
+            "(n_tokens - n_buckets_used) * 1000000 DIV n_tokens"
+        ).alias("collision_ppm"),
+    ).orderBy("bits")
