@@ -3829,3 +3829,54 @@ def agg_ratio_delta_method(spark, sf_dir):
             " / n, 4) + 0.0D"
         ).alias("var_ratio"),
     )
+
+
+@query(
+    "agg_k_anonymity_check",
+    category="aggregates",
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS seg,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             COUNT(*) AS k
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_classes,
+           CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             AS n_exposed_rows,
+           CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) * 1000000
+                // SUM(k) AS BIGINT) AS exposed_ppm,
+           CAST(MIN(k) AS BIGINT) AS min_k
+    FROM qi
+    """,
+)
+def agg_k_anonymity_check(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    market segment, account-balance band): how many equivalence
+    classes fall below k = 5, and what share of ROWS they expose — the
+    release-gate every governed dataset export runs before quasi-
+    identifiers leave the boundary (Sweeney 2002; the banded balance
+    is the generalization step, floor(bal/1000) so the band edge is
+    integer-exact on both engines). One map-side-combinable groupBy
+    builds the class-size table; the audit is a second tiny aggregate
+    over it — classes-sized, never row-sized. Flooring ppm division;
+    min_k reports the worst class so the re-generalization loop
+    (widen bands until min_k ≥ 5) has its control signal."""
+    c = table(spark, sf_dir, "customer")
+    qi = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    small = F.when(F.col("k") < 5, F.col("k")).otherwise(F.lit(0))
+    return qi.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("k") < 5, 1).otherwise(0)).alias("n_small_classes"),
+        F.sum(small).alias("n_exposed_rows"),
+        F.expr(
+            "SUM(CASE WHEN k < 5 THEN k ELSE 0 END) * 1000000 DIV SUM(k)"
+        ).alias("exposed_ppm"),
+        F.min("k").alias("min_k"),
+    )
