@@ -3093,3 +3093,103 @@ def ts_ljung_box_whiteness(spark, sf_dir):
         qstat.alias("q_stat"),
         (qstat > 11.0705).alias("reject_white_noise"),
     ).orderBy("user_id")
+
+
+def _stl_strength_oracle() -> str:
+    """Compose the proven-exact ts_stl_decompose oracle as a subquery;
+    strengths from exact integer moments of the e4-quantized components."""
+    from .registry import REGISTRY
+
+    stl = REGISTRY["ts_stl_decompose"].oracle
+    return f"""
+    WITH comp AS (
+      SELECT user_id,
+             CAST(ROUND(seasonal * 10000) AS BIGINT) AS qs,
+             CAST(ROUND(residual * 10000) AS BIGINT) AS qr,
+             CAST(ROUND(trend * 10000) AS BIGINT) AS qt
+      FROM ({stl})
+    ),
+    m AS (
+      SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(qr) AS HUGEINT) AS sr,
+             CAST(SUM(qr * qr) AS HUGEINT) AS srr,
+             CAST(SUM(qs + qr) AS HUGEINT) AS ssr,
+             CAST(SUM((qs + qr) * (qs + qr)) AS HUGEINT) AS ssrr,
+             CAST(SUM(qt + qr) AS HUGEINT) AS str_,
+             CAST(SUM((qt + qr) * (qt + qr)) AS HUGEINT) AS strr
+      FROM comp GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_points,
+           CASE WHEN n * ssrr - ssr * ssr <= 0 THEN NULL
+                WHEN n * srr - sr * sr >= n * ssrr - ssr * ssr THEN 0.0 + 0.0
+                ELSE CAST((2 * ((n * ssrr - ssr * ssr) - (n * srr - sr * sr))
+                           * 10000 + (n * ssrr - ssr * ssr))
+                          // (2 * (n * ssrr - ssr * ssr)) AS BIGINT)
+                     / 10000.0 + 0.0 END AS f_seasonal,
+           CASE WHEN n * strr - str_ * str_ <= 0 THEN NULL
+                WHEN n * srr - sr * sr >= n * strr - str_ * str_ THEN 0.0 + 0.0
+                ELSE CAST((2 * ((n * strr - str_ * str_) - (n * srr - sr * sr))
+                           * 10000 + (n * strr - str_ * str_))
+                          // (2 * (n * strr - str_ * str_)) AS BIGINT)
+                     / 10000.0 + 0.0 END AS f_trend
+    FROM m ORDER BY user_id
+    """
+
+
+@query(
+    "ts_stl_strength",
+    category="timeseries",
+    oracle=_stl_strength_oracle(),
+)
+def ts_stl_strength(spark, sf_dir):
+    """Seasonal and trend STRENGTH per user signal (Wang, Smith &
+    Hyndman 2006; the feature-based time-series triage used to route
+    signals to the right forecasting model): F_seasonal = max(0, 1 −
+    Var(R)/Var(S+R)) and F_trend = max(0, 1 − Var(R)/Var(T+R)) over
+    the ts_stl_decompose components — strong seasonality pushes
+    F_seasonal toward 1, a flat signal toward 0. Composes the SAME
+    registry STL implementation (the funnel-report pattern); its 4-dp
+    component doubles are PROVEN bit-identical cross-engine by its own
+    EXACT gate, so quantizing at e4 (ROUND ×10000 — exact, the values
+    carry ≤4 dp) yields identical BIGINTs, variances come from exact
+    integer moments (HUGEINT / DECIMAL(38,0) — n·Σq² at corpus scale
+    passes int64), and the final ratio is the half-away 4-dp integer
+    division with the degenerate-variance and negative-strength edges
+    pinned (NULL / 0.0). One users-sized aggregation over the STL
+    output — no extra pass over events."""
+    from .registry import REGISTRY
+
+    stl = REGISTRY["ts_stl_decompose"].fn(spark, sf_dir)
+    comp = stl.select(
+        "user_id",
+        F.round(F.col("seasonal") * 10000).cast("long").alias("qs"),
+        F.round(F.col("residual") * 10000).cast("long").alias("qr"),
+        F.round(F.col("trend") * 10000).cast("long").alias("qt"),
+    )
+    d38 = lambda c: F.sum(c).cast("decimal(38,0)")
+    m = comp.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        d38(F.col("qr")).alias("sr"),
+        d38(F.col("qr") * F.col("qr")).alias("srr"),
+        d38(F.col("qs") + F.col("qr")).alias("ssr"),
+        d38((F.col("qs") + F.col("qr")) * (F.col("qs") + F.col("qr"))).alias("ssrr"),
+        d38(F.col("qt") + F.col("qr")).alias("str_"),
+        d38((F.col("qt") + F.col("qr")) * (F.col("qt") + F.col("qr"))).alias("strr"),
+    )
+
+    def strength(tot_ss: str, tot_s: str) -> F.Column:
+        var_tot = f"(n * {tot_ss} - {tot_s} * {tot_s})"
+        var_r = "(n * srr - sr * sr)"
+        return F.expr(
+            f"CASE WHEN {var_tot} <= 0 THEN NULL"
+            f" WHEN {var_r} >= {var_tot} THEN 0.0D + 0.0D"
+            f" ELSE CAST((2 * ({var_tot} - {var_r}) * 10000 + {var_tot})"
+            f"      DIV (2 * {var_tot}) AS BIGINT) / 10000.0D + 0.0D END"
+        )
+
+    return m.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_points"),
+        strength("ssrr", "ssr").alias("f_seasonal"),
+        strength("strr", "str_").alias("f_trend"),
+    ).orderBy("user_id")
