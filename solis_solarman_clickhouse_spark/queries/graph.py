@@ -710,3 +710,109 @@ def graph_connected_components(spark, sf_dir):
         F.col("lbl").alias("component_r3"),
         "members_r3",
     )
+
+
+def _modularity_oracle(rounds: int = 3) -> str:
+    """Compose the CC label recursion; modularity of the round-3 label
+    partition from exact integer edge/degree sums at 1e6 scale."""
+    base = _cc_oracle.__wrapped__ if hasattr(_cc_oracle, "__wrapped__") else _cc_oracle
+    cc = base(rounds)
+    # reuse everything up to l{rounds}; strip the final SELECT
+    cut = cc.index("SELECT lay.node")
+    body = cc[:cut]
+    return body + f"""
+    , lab AS (SELECT node, lbl FROM l{rounds}),
+    mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m2 FROM und),
+    ein AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS win
+      FROM und
+      JOIN lab a ON a.node = und.s
+      JOIN lab b ON b.node = und.t
+      WHERE a.lbl = b.lbl
+    ),
+    dsum AS (
+      SELECT CAST(SUM(dd * dd) AS HUGEINT) AS sum_d2 FROM (
+        SELECT a.lbl, CAST(SUM(d.d) AS HUGEINT) AS dd
+        FROM deg d JOIN lab a ON a.node = d.node
+        GROUP BY a.lbl)
+    )
+    SELECT CAST(mm.m2 AS BIGINT) AS n_directed_edges,
+           CAST(ein.win AS BIGINT) AS n_within_edges,
+           CAST(dsum.sum_d2 AS BIGINT) AS sum_comm_degree_sq,
+           CASE WHEN ein.win * mm.m2 - dsum.sum_d2 < 0
+                THEN -CAST((2 * (dsum.sum_d2 - ein.win * mm.m2) * 1000000
+                            + mm.m2 * mm.m2)
+                           // (2 * mm.m2 * mm.m2) AS BIGINT) / 1000000.0 + 0.0
+                ELSE CAST((2 * (ein.win * mm.m2 - dsum.sum_d2) * 1000000
+                           + mm.m2 * mm.m2)
+                          // (2 * mm.m2 * mm.m2) AS BIGINT) / 1000000.0 + 0.0
+           END AS modularity
+    FROM mm, ein, dsum
+    """
+
+
+@query("graph_modularity", category="graph", oracle=_modularity_oracle())
+def graph_modularity(spark, sf_dir):
+    """Newman modularity Q of the connected-component partition over
+    the customer affinity graph — the "is this clustering better than
+    chance" score that prices a partition before anything downstream
+    trusts it: Q = Σ_c (e_c/m − (d_c/2m)²) = (2m·Σwin − Σ_c d_c²)/(2m)²
+    over the DIRECTED edge count 2m (both orientations, so every term
+    is an exact integer). Labels come from the SAME fixed 3-round
+    min-label recursion as graph_connected_components (identical
+    unroll in the oracle), so Q prices exactly the partition that
+    query reports. Within-community edges are one edge-list join
+    against the broadcast |V|-sized label table (counted, never
+    materialized); per-community degree mass is a labels-sized rollup;
+    the final scalar uses the half-away 1e-6 integer division over
+    HUGEINT/DECIMAL(38,0) operands (m² at 1e9-edge scale is far past
+    int64). At 100 TB: two broadcast joins over the persisted edge
+    list + two bounded aggregations — no new shuffle shape beyond the
+    CC rounds themselves."""
+    edges, deg = _chain_edges(spark, sf_dir)
+    und = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    ).transform(tracked_persist)
+    labels = deg.select("node", F.col("node").alias("lbl")).transform(tracked_persist)
+    for _ in range(3):
+        cand = und.join(
+            F.broadcast(labels.select(F.col("node").alias("t"), "lbl")), "t"
+        ).select(F.col("s").alias("node"), "lbl")
+        labels = (
+            labels.unionAll(cand)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .transform(tracked_persist)
+        )
+    lab = labels
+    m2 = und.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m2"))
+    win = (
+        und.join(F.broadcast(lab.withColumnRenamed("node", "s")
+                             .withColumnRenamed("lbl", "la")), "s")
+        .join(F.broadcast(lab.withColumnRenamed("node", "t")
+                          .withColumnRenamed("lbl", "lb")), "t")
+        .where(F.col("la") == F.col("lb"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("win"))
+    )
+    dsum = (
+        deg.join(F.broadcast(lab), "node")
+        .groupBy("lbl")
+        .agg(F.sum("d").cast("decimal(38,0)").alias("dd"))
+        .agg(F.sum(F.col("dd") * F.col("dd")).cast("decimal(38,0)").alias("sum_d2"))
+    )
+    return (
+        m2.crossJoin(F.broadcast(win))
+        .crossJoin(F.broadcast(dsum))
+        .select(
+            F.col("m2").cast("bigint").alias("n_directed_edges"),
+            F.col("win").cast("bigint").alias("n_within_edges"),
+            F.col("sum_d2").cast("bigint").alias("sum_comm_degree_sq"),
+            F.expr(
+                "CASE WHEN win * m2 - sum_d2 < 0"
+                " THEN -CAST((2 * (sum_d2 - win * m2) * 1000000 + m2 * m2)"
+                "       DIV (2 * m2 * m2) AS BIGINT) / 1000000.0D + 0.0D"
+                " ELSE CAST((2 * (win * m2 - sum_d2) * 1000000 + m2 * m2)"
+                "      DIV (2 * m2 * m2) AS BIGINT) / 1000000.0D + 0.0D END"
+            ).alias("modularity"),
+        )
+    )
