@@ -3562,3 +3562,133 @@ def vec_knn_ood_audit(spark, sf_dir):
         .orderBy(F.col("knn5_cosine").asc(), "vec_id")
         .limit(20)
     )
+
+
+_SILHOUETTE_ORACLE = """
+WITH q AS (
+  SELECT vec_id, label,
+         UNNEST(generate_series(1, len(embedding))) - 1 AS j,
+         CAST(floor(UNNEST(embedding::DOUBLE[]) * 10000) AS BIGINT) AS qi
+  FROM embeddings
+),
+cen AS (
+  SELECT label AS c, j, CAST(SUM(qi) AS BIGINT) AS s, COUNT(DISTINCT vec_id) AS nc
+  FROM q GROUP BY label, j
+),
+d2 AS (
+  SELECT q.vec_id, q.label, cen.c,
+         CAST(SUM(CAST((q.qi * cen.nc - cen.s) AS HUGEINT)
+                  * (q.qi * cen.nc - cen.s)) AS HUGEINT) AS dn,
+         MAX(cen.nc) AS nc
+  FROM q JOIN cen ON cen.j = q.j
+  GROUP BY q.vec_id, q.label, cen.c
+),
+rq AS (
+  SELECT vec_id, label, c,
+         CAST(dn // (CAST(nc AS HUGEINT) * nc) AS BIGINT) AS r
+  FROM d2
+),
+ab AS (
+  SELECT vec_id, label,
+         MAX(CASE WHEN c = label THEN r END) AS a,
+         MIN(CASE WHEN c <> label THEN r END) AS b
+  FROM rq GROUP BY vec_id, label
+),
+s AS (
+  SELECT vec_id, label,
+         CASE WHEN GREATEST(a, b) = 0 THEN 0
+              WHEN b - a < 0
+              THEN -CAST((2 * CAST(a - b AS HUGEINT) * 1000000 + GREATEST(a, b))
+                         // (2 * CAST(GREATEST(a, b) AS HUGEINT)) AS BIGINT)
+              ELSE CAST((2 * CAST(b - a AS HUGEINT) * 1000000 + GREATEST(a, b))
+                        // (2 * CAST(GREATEST(a, b) AS HUGEINT)) AS BIGINT)
+         END AS s_e6
+  FROM ab
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(CASE WHEN SUM(s_e6) < 0
+                 THEN -((-CAST(SUM(s_e6) AS HUGEINT)) // COUNT(*))
+                 ELSE CAST(SUM(s_e6) AS HUGEINT) // COUNT(*) END AS BIGINT)
+         AS mean_silhouette_e6
+FROM s GROUP BY label ORDER BY label
+"""
+
+
+@query("vec_silhouette_simplified", category="vectors", oracle=_SILHOUETTE_ORACLE)
+def vec_silhouette_simplified(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per label — the scalable
+    clustering-quality score (Hruschka et al.'s simplified silhouette:
+    distance-to-centroid replaces the O(n²) mean pairwise distance, the
+    variant every large-scale pipeline actually computes): s_i =
+    (b−a)/max(a,b) with a = squared distance to the OWN label centroid
+    and b = the minimum over other labels. INTEGER-EXACT pipeline:
+    vectors quantize at e4 (the Gram/PCA idiom), centroid means stay
+    un-divided as (Σq, n_c) numerator pairs, the squared distance to
+    centroid c carries the exact integer Σ_j (q_j·n_c − S_cj)² (common
+    denominator n_c²), and the heterogeneous-denominator comparison is
+    settled by ONE flooring division r = dn // n_c² (values ~1e12, so
+    the floor loses <1e-12 relative — a defined estimator, identical
+    both engines; HUGEINT/DECIMAL(38,0) where products pass int64).
+    s quantizes at 1e6 by half-away sign-split division; per-label
+    means are integer divisions of exact sums. Plan: one explode joins
+    the BROADCAST 640-row centroid-numerator table — vectors travel
+    once; everything after is (vec × 10 labels)-sized then
+    labels-sized. The exact all-pairs silhouette is the audit-tier
+    complement (the vec_neardup_cosine contract)."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "e"),
+    ).select(
+        "vec_id", "label", "j",
+        F.floor(F.col("e") * 10000).cast("long").alias("qi"),
+    )
+    cen = q.groupBy(F.col("label").alias("c"), "j").agg(
+        F.sum("qi").alias("s"), F.count_distinct("vec_id").alias("nc")
+    )
+    d2 = (
+        q.join(F.broadcast(cen), "j")
+        .groupBy("vec_id", "label", "c")
+        .agg(
+            F.sum(
+                (
+                    (F.col("qi") * F.col("nc") - F.col("s")).cast("decimal(38,0)")
+                    * (F.col("qi") * F.col("nc") - F.col("s")).cast("decimal(38,0)")
+                )
+            ).alias("dn"),
+            F.max("nc").alias("nc"),
+        )
+    )
+    rq = d2.select(
+        "vec_id", "label", "c",
+        F.expr(
+            "CAST(dn DIV (CAST(nc AS DECIMAL(38,0)) * nc) AS BIGINT)"
+        ).alias("r"),
+    )
+    ab = rq.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("c") == F.col("label"), F.col("r"))).alias("a"),
+        F.min(F.when(F.col("c") != F.col("label"), F.col("r"))).alias("b"),
+    )
+    s = ab.select(
+        "label",
+        F.expr(
+            "CASE WHEN GREATEST(a, b) = 0 THEN 0L"
+            " WHEN b - a < 0"
+            " THEN -CAST((2 * CAST(a - b AS DECIMAL(38,0)) * 1000000 + GREATEST(a, b))"
+            "       DIV (2 * CAST(GREATEST(a, b) AS DECIMAL(38,0))) AS BIGINT)"
+            " ELSE CAST((2 * CAST(b - a AS DECIMAL(38,0)) * 1000000 + GREATEST(a, b))"
+            "      DIV (2 * CAST(GREATEST(a, b) AS DECIMAL(38,0))) AS BIGINT) END"
+        ).alias("s_e6"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.expr(
+                "CAST(CASE WHEN SUM(s_e6) < 0"
+                " THEN -((-CAST(SUM(s_e6) AS DECIMAL(38,0))) DIV COUNT(*))"
+                " ELSE CAST(SUM(s_e6) AS DECIMAL(38,0)) DIV COUNT(*) END AS BIGINT)"
+            ).alias("mean_silhouette_e6"),
+        )
+        .orderBy("label")
+    )
