@@ -5044,3 +5044,77 @@ def doc_feature_hash_collisions(spark, sf_dir):
             "(n_tokens - n_buckets_used) * 1000000 DIV n_tokens"
         ).alias("collision_ppm"),
     ).orderBy("bits")
+
+
+def _calibration_oracle() -> str:
+    from .registry import REGISTRY
+
+    clf = REGISTRY["doc_quality_classifier"].oracle
+    gop = REGISTRY["doc_gopher_rules"].oracle
+    return f"""
+    WITH clf AS (SELECT doc_id, quality_prob FROM ({clf})),
+    gop AS (SELECT doc_id, keep FROM ({gop})),
+    j AS (
+      SELECT LEAST(CAST(floor(clf.quality_prob * 10) AS BIGINT), 9) AS bin,
+             CASE WHEN gop.keep THEN 1 ELSE 0 END AS y,
+             CAST(ROUND(clf.quality_prob * 10000) AS BIGINT) AS p_e4
+      FROM clf JOIN gop ON gop.doc_id = clf.doc_id
+    ),
+    b AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(y) AS BIGINT) AS sum_keep,
+             CAST(SUM(p_e4) AS BIGINT) AS sum_prob_e4
+      FROM j GROUP BY bin
+    )
+    SELECT bin, n_docs, sum_keep, sum_prob_e4,
+           CAST(ABS(sum_keep * 10000 - sum_prob_e4) * 1000000
+                // (n_docs * 10000) AS BIGINT) AS gap_e6
+    FROM b ORDER BY bin
+    """
+
+
+@query(
+    "doc_quality_calibration_ece",
+    category="documents",
+    oracle=_calibration_oracle(),
+)
+def doc_quality_calibration_ece(spark, sf_dir):
+    """Calibration audit of the learned quality classifier against the
+    Gopher rule verdict, binned for the expected-calibration-error
+    reading (Guo et al. 2017): 10 equal-width confidence bins, each
+    reporting document count, rule-keep count, summed confidence, and
+    the per-bin |accuracy − confidence| gap — the reliability-diagram
+    table; ECE is the n-weighted gap sum, recoverable exactly from the
+    emitted integers. A curation pipeline reads this before swapping
+    the cheap rule gate for the model: a high-confidence bin whose
+    rule-agreement is low is where the model would silently change the
+    corpus. INTEGER-EXACT: quality_prob is 4-dp-exact cross-engine
+    (its own EXACT gate proves it), so p_e4 = round(p·1e4) and the bin
+    id are identical BIGINTs; the gap reduces to
+    |Σy·1e4 − Σp_e4|·1e6 // (n_b·1e4) — no float ever crosses an
+    aggregation. Composes the two registry implementations (the
+    funnel-report pattern); one doc-keyed join, one bins-sized
+    rollup."""
+    from .registry import REGISTRY
+
+    clf = REGISTRY["doc_quality_classifier"].fn(spark, sf_dir).select(
+        "doc_id", "quality_prob"
+    )
+    gop = REGISTRY["doc_gopher_rules"].fn(spark, sf_dir).select("doc_id", "keep")
+    j = clf.join(gop, "doc_id").select(
+        F.least(F.floor(F.col("quality_prob") * 10).cast("bigint"), F.lit(9)).alias("bin"),
+        F.when(F.col("keep"), 1).otherwise(0).alias("y"),
+        F.round(F.col("quality_prob") * 10000).cast("bigint").alias("p_e4"),
+    )
+    b = j.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("y").alias("sum_keep"),
+        F.sum("p_e4").alias("sum_prob_e4"),
+    )
+    return b.select(
+        "bin", "n_docs", "sum_keep", "sum_prob_e4",
+        F.expr(
+            "ABS(sum_keep * 10000 - sum_prob_e4) * 1000000"
+            " DIV (n_docs * 10000)"
+        ).alias("gap_e6"),
+    ).orderBy("bin")
