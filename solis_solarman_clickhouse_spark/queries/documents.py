@@ -5118,3 +5118,95 @@ def doc_quality_calibration_ece(spark, sf_dir):
             " DIV (n_docs * 10000)"
         ).alias("gap_e6"),
     ).orderBy("bin")
+
+
+def _auc_oracle() -> str:
+    from .registry import REGISTRY
+
+    clf = REGISTRY["doc_quality_classifier"].oracle
+    gop = REGISTRY["doc_gopher_rules"].oracle
+    return f"""
+    WITH clf AS (SELECT doc_id, quality_prob FROM ({clf})),
+    gop AS (SELECT doc_id, keep FROM ({gop})),
+    j AS (
+      SELECT CAST(ROUND(clf.quality_prob * 10000) AS BIGINT) AS p_e4,
+             CASE WHEN gop.keep THEN 1 ELSE 0 END AS y
+      FROM clf JOIN gop ON gop.doc_id = clf.doc_id
+    ),
+    r AS (
+      SELECT y,
+             2 * RANK() OVER (ORDER BY p_e4)
+               + COUNT(*) OVER (PARTITION BY p_e4) - 1 AS dr
+      FROM j
+    ),
+    m AS (
+      SELECT CAST(SUM(CASE WHEN y = 1 THEN dr ELSE 0 END) AS HUGEINT) AS s2r,
+             CAST(SUM(y) AS HUGEINT) AS np,
+             CAST(SUM(1 - y) AS HUGEINT) AS nn
+      FROM r
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           CAST(s2r AS BIGINT) AS sum_doubled_midranks_pos,
+           CASE WHEN np * nn = 0 THEN NULL
+                ELSE CAST((2 * (s2r - np * (np + 1)) * 1000000
+                           + 2 * np * nn)
+                          // (2 * 2 * np * nn) AS BIGINT) / 1000000.0 + 0.0
+           END AS auc
+    FROM m
+    """
+
+
+@query("agg_auc_roc", category="documents", oracle=_auc_oracle())
+def agg_auc_roc(spark, sf_dir):
+    """ROC AUC of the learned quality classifier scored against the
+    Gopher rule verdict — the threshold-free ranking-quality number
+    that belongs next to doc_quality_calibration_ece (ECE says whether
+    the probabilities are honest; AUC says whether the ORDERING is
+    right): AUC = (ΣR₊ − n₊(n₊+1)/2)/(n₊n₋) via the Mann-Whitney
+    identity, with TIE-CORRECTED midranks carried DOUBLED so every
+    intermediate stays an exact BIGINT (the agg_mann_whitney_u
+    discipline — 4-dp probabilities tie heavily and naive average
+    ranks would be floats): doubled midrank = 2·RANK() + tiecount − 1.
+    The final ratio is one half-away integer division at 1e-6
+    (HUGEINT/DECIMAL(38,0) operands). One doc-keyed join, one global
+    rank sort (at 100 TB: the rank is computable from a p_e4 histogram
+    — dictionary-sized — instead of a row sort; the histogram path is
+    the scale variant), one scalar aggregate."""
+    from pyspark.sql import Window as W
+
+    from .registry import REGISTRY
+
+    clf = REGISTRY["doc_quality_classifier"].fn(spark, sf_dir).select(
+        "doc_id", "quality_prob"
+    )
+    gop = REGISTRY["doc_gopher_rules"].fn(spark, sf_dir).select("doc_id", "keep")
+    j = clf.join(gop, "doc_id").select(
+        F.round(F.col("quality_prob") * 10000).cast("bigint").alias("p_e4"),
+        F.when(F.col("keep"), 1).otherwise(0).alias("y"),
+    )
+    r = j.select(
+        "y",
+        (
+            2 * F.rank().over(W.orderBy("p_e4"))
+            + F.count(F.lit(1)).over(W.partitionBy("p_e4"))
+            - 1
+        ).alias("dr"),
+    )
+    m = r.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("dr")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("s2r"),
+        F.sum("y").cast("decimal(38,0)").alias("np"),
+        F.sum(1 - F.col("y")).cast("decimal(38,0)").alias("nn"),
+    )
+    return m.select(
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        F.col("s2r").cast("bigint").alias("sum_doubled_midranks_pos"),
+        F.expr(
+            "CASE WHEN np * nn = 0 THEN NULL"
+            " ELSE CAST((2 * (s2r - np * (np + 1)) * 1000000"
+            "            + 2 * np * nn)"
+            "           DIV (2 * 2 * np * nn) AS BIGINT) / 1000000.0D + 0.0D END"
+        ).alias("auc"),
+    )
