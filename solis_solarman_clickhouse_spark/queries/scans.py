@@ -498,3 +498,51 @@ def scan_json_corrupt_records(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "scan_observed_metrics",
+    category="scan",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_value,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events
+    """,
+)
+def scan_observed_metrics(spark, sf_dir):
+    """Spark's Observation API (``df.observe``) — pipeline observability
+    WITHOUT a second pass: the metrics accumulate as the main action
+    executes (here a noop-ish count), so a production job gets its
+    row-count / checksum / null-rate / cardinality telemetry for free
+    instead of re-scanning 100 TB to compute them. The observed values
+    are returned AS the result frame so the oracle can hash-check that
+    the free-rider metrics equal a direct aggregation — a divergence
+    would mean observe() dropped rows (e.g. under task retries,
+    which Spark's semantics guarantee against for deterministic
+    metrics). All metrics are exact integers; DISTINCT aggregates are
+    rejected by CollectMetrics (INVALID_OBSERVED_METRICS), so the
+    cardinality telemetry slot carries the key ENVELOPE (min/max) —
+    at scale the distinct-ish signal would be approx_count_distinct,
+    which observe() does allow."""
+    from pyspark.sql import Observation
+
+    ev = table(spark, sf_dir, "events")
+    obs = Observation("scan_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("cents"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null_value"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+    observed.count()  # the main action; metrics ride along
+    g = obs.get
+    return spark.createDataFrame(
+        [(g["n_rows"], g["cents"], g["n_null_value"], g["min_user"], g["max_user"])],
+        "n_rows long, cents long, n_null_value long, min_user long, max_user long",
+    )
