@@ -5210,3 +5210,94 @@ def agg_auc_roc(spark, sf_dir):
             "           DIV (2 * 2 * np * nn) AS BIGINT) / 1000000.0D + 0.0D END"
         ).alias("auc"),
     )
+
+
+@query(
+    "doc_span_corruption_plan",
+    category="documents",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id, n_tokens, (n_tokens + 2) // 3 AS n_blocks
+      FROM d WHERE n_tokens > 0
+    ),
+    hits AS (
+      SELECT doc_id, n_tokens, n_blocks,
+             UNNEST(generate_series(0, n_blocks - 1)) AS b
+      FROM blocks
+    ),
+    sel AS (
+      SELECT doc_id, n_tokens, n_blocks, b,
+             CASE WHEN b = n_blocks - 1 THEN n_tokens - 3 * (n_blocks - 1)
+                  ELSE 3 END AS blk_tokens
+      FROM hits
+      WHERE ('0x' || substr(md5(doc_id || '_' || b), 1, 15))::BIGINT % 5 = 0
+    )
+    SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(COUNT(sel.b), 0) AS BIGINT) AS n_spans_masked,
+           CAST(COALESCE(SUM(sel.blk_tokens), 0) AS BIGINT) AS n_tokens_masked,
+           CAST(COALESCE(SUM(sel.blk_tokens), 0) * 1000000 // d.n_tokens
+                AS BIGINT) AS mask_ppm
+    FROM d LEFT JOIN sel ON sel.doc_id = d.doc_id
+    WHERE d.n_tokens > 0
+    GROUP BY d.doc_id, d.n_tokens
+    ORDER BY d.doc_id
+    """,
+)
+def doc_span_corruption_plan(spark, sf_dir):
+    """T5-style span-corruption PLAN (Raffel et al. 2020 §3.1.4): which
+    3-token spans of each document get masked for denoising
+    pretraining, at a ~20 % corruption rate — computed as a
+    DETERMINISTIC plan (hash-selected blocks) so every epoch, engine,
+    and retry masks the identical spans (the doc_train_split
+    reproducibility contract; RNG-based masking cannot replay). Spans
+    are non-overlapping by construction (token blocks of 3; the last
+    block carries the remainder), selected where the portable
+    md5-prefix hash of (doc_id, block) ≡ 0 mod 5. Emits the per-doc
+    audit (span count, masked-token count, flooring ppm) a data loader
+    validates against its actual batch stream. One scan computes token
+    counts; block fan-out is an explode of n/3-sized index ranges —
+    scan-parallel, no shuffle until the docs-sized rollup."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    ).where(F.col("n_tokens") > 0)
+    b = d.select(
+        "doc_id", "n_tokens",
+        F.expr("(n_tokens + 2) DIV 3").alias("n_blocks"),
+    ).select(
+        "doc_id", "n_tokens", "n_blocks",
+        F.explode(F.expr("sequence(0L, n_blocks - 1)")).alias("b"),
+    )
+    sel = b.where(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("_", "doc_id", "b")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 5
+        == 0
+    ).select(
+        "doc_id", "n_tokens",
+        F.expr(
+            "CASE WHEN b = n_blocks - 1 THEN n_tokens - 3 * (n_blocks - 1)"
+            " ELSE 3L END"
+        ).alias("blk_tokens"),
+    )
+    agg = sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans_masked"),
+        F.sum("blk_tokens").alias("n_tokens_masked"),
+    )
+    return (
+        d.join(agg, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce("n_spans_masked", F.lit(0)).alias("n_spans_masked"),
+            F.coalesce("n_tokens_masked", F.lit(0)).alias("n_tokens_masked"),
+            F.expr(
+                "COALESCE(n_tokens_masked, 0) * 1000000 DIV n_tokens"
+            ).alias("mask_ppm"),
+        )
+        .orderBy("doc_id")
+    )
