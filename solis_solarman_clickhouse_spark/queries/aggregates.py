@@ -3880,3 +3880,79 @@ def agg_k_anonymity_check(spark, sf_dir):
         ).alias("exposed_ppm"),
         F.min("k").alias("min_k"),
     )
+
+
+@query(
+    "agg_population_stability_index",
+    category="aggregates",
+    oracle="""
+    WITH mid AS (
+      SELECT epoch_us(MIN(ts)) + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2
+               AS m
+      FROM events
+    ),
+    lab AS (
+      SELECT LEAST(CAST(floor(value / 60) AS BIGINT), 9) AS bin,
+             CASE WHEN epoch_us(ts) < mid.m THEN 0 ELSE 1 END AS period
+      FROM events CROSS JOIN mid
+    ),
+    c AS (
+      SELECT bin,
+             SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS b
+      FROM lab GROUP BY bin
+    ),
+    t AS (SELECT SUM(a) AS ta, SUM(b) AS tb FROM c)
+    SELECT c.bin, CAST(c.a AS BIGINT) AS n_before, CAST(c.b AS BIGINT) AS n_after,
+           ROUND((CAST(c.a AS DOUBLE) / t.ta - CAST(c.b AS DOUBLE) / t.tb)
+                 * ln((CAST(c.a AS DOUBLE) / t.ta)
+                      / (CAST(c.b AS DOUBLE) / t.tb)), 6) + 0.0 AS psi_term
+    FROM c CROSS JOIN t
+    WHERE c.a > 0 AND c.b > 0
+    ORDER BY c.bin
+    """,
+)
+def agg_population_stability_index(spark, sf_dir):
+    """Population Stability Index between the first and second half of
+    the event stream, per value decile-band — THE model-ops drift
+    alarm (PSI > 0.25 = retrain): psi = Σ_bins (p−q)·ln(p/q). Emitted
+    as the per-bin term table (exact before/after counts + the 6-dp
+    term) so the alarm threshold AND the culprit bins read from one
+    result; the scalar is the term sum (≤10 values — the safe small-
+    sum class). The period split keys off the integer midpoint of the
+    time range (epoch-µs floor division — engine-identical); bins are
+    integer value bands (floor(v/60), capped at 9). Counts are exact
+    integers from ONE grouped pass (the period CASE rides the same
+    scan); p/q ratios feed one fixed IEEE dataflow both engines share,
+    rounded once. Zero-count bins are excluded (standard PSI practice
+    — ln diverges; production smooths instead). Scan-parallel,
+    bins-sized output."""
+    ev = table(spark, sf_dir, "events")
+    mid = ev.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.expr("(MAX(unix_micros(ts)) - MIN(unix_micros(ts))) DIV 2")
+        ).alias("m")
+    )
+    lab = ev.crossJoin(F.broadcast(mid)).select(
+        F.least(F.floor(F.col("value") / 60).cast("bigint"), F.lit(9)).alias("bin"),
+        F.when(F.unix_micros("ts") < F.col("m"), 0).otherwise(1).alias("period"),
+    )
+    c = lab.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("b"),
+    )
+    t = c.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    p = F.col("a").cast("double") / F.col("ta")
+    q = F.col("b").cast("double") / F.col("tb")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .where((F.col("a") > 0) & (F.col("b") > 0))
+        .select(
+            "bin",
+            F.col("a").alias("n_before"),
+            F.col("b").alias("n_after"),
+            (F.round((p - q) * F.log(p / q), 6) + F.lit(0.0)).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
