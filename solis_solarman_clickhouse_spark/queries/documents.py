@@ -5301,3 +5301,87 @@ def doc_span_corruption_plan(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "doc_vocab_kl_matrix",
+    category="documents",
+    oracle="""
+    WITH w AS (
+      SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cnt AS (SELECT source, tok, COUNT(*) AS k FROM w GROUP BY source, tok),
+    tot AS (SELECT source, SUM(k) AS t FROM cnt GROUP BY source),
+    vv AS (SELECT COUNT(DISTINCT tok) AS v FROM w),
+    terms AS (
+      SELECT a.source AS src_a, tb.source AS src_b,
+             CAST(floor(
+               (CAST(a.k AS DOUBLE) / ta.t)
+               * ln((CAST(a.k AS DOUBLE) / ta.t)
+                    / ((COALESCE(b.k, 0) + 1.0) / (tb.t + vv.v)))
+               * 1000000000000) AS BIGINT) AS t_e12
+      FROM cnt a
+      JOIN tot ta ON ta.source = a.source
+      CROSS JOIN tot tb
+      CROSS JOIN vv
+      LEFT JOIN cnt b ON b.source = tb.source AND b.tok = a.tok
+      WHERE tb.source <> a.source
+    )
+    SELECT src_a, src_b,
+           CAST(GREATEST(CAST(SUM(t_e12) AS BIGINT), 0) // 1000000 AS BIGINT)
+             AS kl_e6
+    FROM terms GROUP BY src_a, src_b
+    ORDER BY kl_e6 DESC, src_a, src_b LIMIT 30
+    """,
+)
+def doc_vocab_kl_matrix(spark, sf_dir):
+    """Pairwise vocabulary KL divergence between sources — the
+    DISTRIBUTIONAL contamination/shift screen next to
+    doc_vocab_overlap_matrix's set-Jaccard (two crawls can share 90 %
+    of their vocabulary yet weight it completely differently; KL sees
+    that, Jaccard cannot): KL(a‖b) = Σ_w p_a(w)·ln(p_a(w)/q_b(w)) with
+    add-1-smoothed q over the corpus vocabulary (proper support, so
+    the sum is provably ≥ 0), top-30 most-divergent directed pairs.
+    ORDER-FREE: each term is one fixed IEEE scalar floored at 1e-12
+    into BIGINT before the vocabulary-sized sum (mathematical floor —
+    identical for negative terms on both engines, unlike truncating
+    division), the sum is exact, and the tiny quantization residue is
+    clamped at 0 before the final flooring rescale so no negative ever
+    meets DIV. Plan: one (source, token) tally; the pair fan-out joins
+    the a-side tally against the 20-row totals grid and LEFT-probes
+    the b-side count — Σ|vocab_a|·(S−1) rows, all map-side combinable
+    into a 380-row matrix. At 100 TB the tally is the only corpus
+    shuffle; the matrix is dictionary-scale."""
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    cnt = w.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("k")).transform(tracked_persist)
+    tot = cnt.groupBy("source").agg(F.sum("k").alias("t"))
+    vv = w.agg(F.count_distinct("tok").alias("v"))
+    a = cnt.select(
+        F.col("source").alias("src_a"), "tok", F.col("k").alias("ka")
+    ).join(
+        F.broadcast(tot.withColumnRenamed("source", "src_a").withColumnRenamed("t", "ta")),
+        "src_a",
+    )
+    pairs = a.crossJoin(
+        F.broadcast(tot.withColumnRenamed("source", "src_b").withColumnRenamed("t", "tb"))
+    ).where(F.col("src_b") != F.col("src_a")).crossJoin(F.broadcast(vv))
+    b = cnt.select(
+        F.col("source").alias("src_b"), "tok", F.col("k").alias("kb")
+    )
+    j = pairs.join(b, ["src_b", "tok"], "left")
+    pa = F.col("ka").cast("double") / F.col("ta")
+    qb = (F.coalesce(F.col("kb"), F.lit(0)) + 1.0) / (F.col("tb") + F.col("v"))
+    t_e12 = F.floor(pa * F.log(pa / qb) * 1e12).cast("bigint")
+    return (
+        j.select("src_a", "src_b", t_e12.alias("t_e12"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.expr(
+                "CAST(GREATEST(CAST(SUM(t_e12) AS BIGINT), 0L) DIV 1000000"
+                " AS BIGINT)"
+            ).alias("kl_e6")
+        )
+        .orderBy(F.col("kl_e6").desc(), "src_a", "src_b")
+        .limit(30)
+    )
