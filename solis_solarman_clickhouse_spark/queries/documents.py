@@ -5385,3 +5385,74 @@ def doc_vocab_kl_matrix(spark, sf_dir):
         .orderBy(F.col("kl_e6").desc(), "src_a", "src_b")
         .limit(30)
     )
+
+
+def _simhash_balance_oracle(bits: int = 60) -> str:
+    h = "('0x' || substr(md5(t.tok), 1, 15))::BIGINT"
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sets = "\n      UNION ALL ".join(
+        f"SELECT {b} AS bit, CASE WHEN v{b} > 0 THEN 1 ELSE 0 END AS s FROM votes"
+        for b in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {h} AS h
+      FROM documents, UNNEST(string_split_regex(text, '\\s+')) AS t(tok)
+    ),
+    votes AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id),
+    bitset AS ({sets}),
+    agg AS (
+      SELECT bit, CAST(SUM(s) AS BIGINT) AS n_set, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bitset GROUP BY bit
+    )
+    SELECT bit, n_set,
+           CAST(ABS(2 * n_set - n) * 1000000 // n AS BIGINT) AS imbalance_ppm
+    FROM agg ORDER BY imbalance_ppm DESC, bit LIMIT 10
+    """
+
+
+@query(
+    "doc_simhash_bit_balance",
+    category="documents",
+    oracle=_simhash_balance_oracle(),
+)
+def doc_simhash_bit_balance(spark, sf_dir):
+    """Hash-family health audit for the SimHash dedup tier: per
+    fingerprint bit, how far the set-rate drifts from the ideal 50 %
+    (imbalance = |2·n_set − n|/n) — a skewed bit carries less than one
+    bit of discriminating power, quietly inflating the collision rate
+    of the banded candidate generator, and this audit catches a bad
+    token-hash or a degenerate corpus BEFORE the dedup quality report
+    does. Top-10 most-imbalanced bits of the 60-bit engine-portable
+    md5 fingerprint (the exact simhash the doc_neardup_simhash_exact
+    oracle verifies, so the audit prices the production fingerprints,
+    not a lookalike). One explode + one grouped 60-way conditional
+    sum (map-side combinable) + a 60-row unpivot — the per-bit stack
+    rides Spark's Expand; integers end to end with flooring ppm. At
+    100 TB the vote aggregation is the only corpus-sized stage."""
+    from ..operators.dedup import simhash_fingerprints_md5
+
+    fps = simhash_fingerprints_md5(table(spark, sf_dir, "documents"))
+    bitset = fps.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 59),"
+                " b -> named_struct('bit', b,"
+                "  's', CAST(shiftright(simhash, b) & 1 AS INT)))"
+            )
+        ).alias("e")
+    ).select(F.col("e.bit").alias("bit"), F.col("e.s").alias("s"))
+    agg = bitset.groupBy("bit").agg(
+        F.sum("s").alias("n_set"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        agg.select(
+            "bit", "n_set",
+            F.expr("ABS(2 * n_set - n) * 1000000 DIV n").alias("imbalance_ppm"),
+        )
+        .orderBy(F.col("imbalance_ppm").desc(), "bit")
+        .limit(10)
+    )
