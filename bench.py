@@ -143,6 +143,23 @@ HEADLINE = [
     "mm_image_aspect_buckets",
     "sink_dynamic_partition_overwrite",
     "ts_smape_naive_baseline",
+    "vec_knn_ood_audit",
+    "scan_json_corrupt_records",
+    "agg_trimmed_mean",
+    "agg_ratio_delta_method",
+    "ch_quantile_exact_low_high",
+    "ts_ljung_box_whiteness",
+    "doc_feature_hash_collisions",
+    "agg_k_anonymity_check",
+    "ts_stl_strength",
+    "vec_silhouette_simplified",
+    "doc_quality_calibration_ece",
+    "agg_auc_roc",
+    "scan_observed_metrics",
+    "doc_span_corruption_plan",
+    "agg_population_stability_index",
+    "doc_vocab_kl_matrix",
+    "doc_simhash_bit_balance",
 ]
 
 

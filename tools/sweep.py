@@ -24,7 +24,14 @@ from solis_solarman_clickhouse_spark.oracle_compare import canon_pandas as canon
 
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = SparkSession.builder.master("local[16]").getOrCreate()
+    # 4g driver: 420+ queries share one JVM; the default 1g heap OOMed
+    # on accumulated session state ~400 queries in (vec_mmr at sf0.1,
+    # isolated-pass). Periodic System.gc() below bounds the drift.
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     sys.path.insert(0, ".")
     from solis_solarman_clickhouse_spark.caching import release_cached
@@ -60,6 +67,9 @@ def main():
             continue
         finally:
             release_cached()
+            if (n_ok + n_bad) % 50 == 0:
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()
         dt = time.time() - t0
         if ok:
             n_ok += 1
