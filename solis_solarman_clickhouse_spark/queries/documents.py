@@ -5456,3 +5456,72 @@ def doc_simhash_bit_balance(spark, sf_dir):
         .orderBy(F.col("imbalance_ppm").desc(), "bit")
         .limit(10)
     )
+
+
+@query(
+    "doc_vocab_coverage_topk",
+    category="documents",
+    oracle="""
+    WITH cnt AS (
+      SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    c AS (SELECT tok, COUNT(*) AS k FROM cnt GROUP BY tok),
+    r AS (
+      SELECT k, ROW_NUMBER() OVER (ORDER BY k DESC, tok) AS rk,
+             SUM(k) OVER (ORDER BY k DESC, tok
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(k) OVER () AS tot,
+             COUNT(*) OVER () AS v
+      FROM c
+    )
+    SELECT g.ksize,
+           CAST(MAX(CASE WHEN r.rk = LEAST(g.ksize, r.v)
+                         THEN r.cum * 1000000 // r.tot END) AS BIGINT)
+             AS coverage_ppm
+    FROM r CROSS JOIN (SELECT UNNEST([100, 1000, 4000]) AS ksize) g
+    GROUP BY g.ksize ORDER BY g.ksize
+    """,
+)
+def doc_vocab_coverage_topk(spark, sf_dir):
+    """Vocabulary-truncation coverage curve: what share of all token
+    OCCURRENCES the top-k vocabulary types cover, at k ∈ {100, 1000,
+    4000} — the number a tokenizer designer reads before fixing a
+    vocab size (the integral view of doc_zipf_fit's slope; Zipf says
+    the curve's shape, this prices specific cutoffs). The token tally
+    is one map-side-combinable shuffle; coverage is a running sum over
+    the TOTAL (count DESC, token) order — unique, so both engines cut
+    the identical prefix — probed at each k via the rank = min(k, V)
+    row (min() so a vocabulary smaller than k still reports, at full
+    coverage). Flooring ppm on exact integers. At 100 TB the sort is
+    dictionary-sized, not corpus-sized; the tally is the only big
+    stage."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    c = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    ow = W.orderBy(F.col("k").desc(), "tok")
+    r = c.select(
+        F.row_number().over(ow).alias("rk"),
+        F.sum("k").over(ow.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+        F.sum("k").over(W.partitionBy()).alias("tot"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("v"),
+    )
+    g = spark.createDataFrame([(100,), (1000,), (4000,)], "ksize int")
+    return (
+        r.crossJoin(F.broadcast(g))
+        .groupBy("ksize")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rk") == F.least(F.col("ksize").cast("bigint"), F.col("v")),
+                    F.expr("cum * 1000000 DIV tot"),
+                )
+            ).alias("coverage_ppm")
+        )
+        .orderBy("ksize")
+    )
