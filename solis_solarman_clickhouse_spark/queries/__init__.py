@@ -52,6 +52,7 @@ _PRIORITY = [
     "doc_quality_calibration_ece", "agg_auc_roc", "scan_observed_metrics",
     "doc_span_corruption_plan", "agg_population_stability_index",
     "doc_vocab_kl_matrix", "doc_simhash_bit_balance",
+    "doc_vocab_coverage_topk", "agg_histogram_equi_depth",
     "ts_holt_winters_additive", "agg_ttest_paired", "doc_tokenizer_fertility_by_lang", "vec_coreset_kcenter", "vec_prototype_prune", "doc_ccnet_perplexity_buckets",
     "doc_dedup_rate_by_source", "doc_rouge1_decontam_score",
     "vec_ivfpq_topk", "vec_ivfpq_recall", "doc_bpe_train", "doc_bpe_encode",

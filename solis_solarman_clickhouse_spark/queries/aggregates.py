@@ -3956,3 +3956,50 @@ def agg_population_stability_index(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "agg_histogram_equi_depth",
+    category="aggregates",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+             NTILE(8) OVER (ORDER BY floor(l_extendedprice * 100),
+                            l_orderkey, l_linenumber) AS bucket
+      FROM lineitem
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents
+    FROM q GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_histogram_equi_depth(spark, sf_dir):
+    """EQUI-DEPTH histogram of lineitem price (8 buckets of equal row
+    count) — the histogram a query OPTIMIZER keeps (equal-depth bounds
+    selectivity estimates uniformly; agg_histogram's equal-WIDTH
+    variant starves the dense buckets), and what Spark itself stores
+    under `spark.sql.statistics.histogram.enabled`. NTILE over a TOTAL
+    order — cents then the unique (l_orderkey, l_linenumber) key, so
+    both engines assign the identical bucket to every tied-price row —
+    then per-bucket count and exact integer bounds. The global sort is
+    the cost (at 100 TB: sample first, exactly as Spark's ANALYZE
+    does; this is the exact reference the sampled sketch is judged
+    against — the agg_approx_percentile pairing). All-integer
+    output."""
+    li = table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.ntile(8)
+        .over(W.orderBy(F.expr("floor(l_extendedprice * 100)"), "l_orderkey", "l_linenumber"))
+        .alias("bucket"),
+    )
+    return (
+        q.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )
