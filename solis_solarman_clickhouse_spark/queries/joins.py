@@ -937,3 +937,64 @@ def join_context_window_count(spark, sf_dir):
     return j.groupBy("o_orderkey", "o_custkey").agg(
         F.coalesce(F.sum("n"), F.lit(0)).alias("events_within_1d")
     )
+
+
+@query(
+    "join_null_skew_isolation",
+    category="joins",
+    oracle="""
+    WITH e AS (
+      SELECT CASE WHEN value < 50 THEN NULL
+                  ELSE user_id % 1500 + 1 END AS k,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT COALESCE(c.c_mktsegment, '_unmatched_') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(e.cents) AS BIGINT) AS cents
+    FROM e LEFT JOIN customer c ON c.c_custkey = e.k
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_null_skew_isolation(spark, sf_dir):
+    """NULL-key skew isolation — the physical pattern for the classic
+    production incident: a LEFT join whose key is often NULL (here
+    ~10 % of events carry no account linkage) sorts/hashes every NULL
+    row into ONE partition of a shuffle join, and that straggler IS
+    the job. The isolation rewrite splits the fact side FIRST: NULL
+    keys can never match, so they bypass the join entirely (a pure
+    projection to the null-padded shape) and only the non-null slice
+    joins — here against a BROADCAST dim, so the fact side never
+    shuffles at all; the two branches re-unite with unionByName. The
+    result is provably identical to the naive LEFT join (the oracle
+    runs exactly that), which is the point: this query pins that the
+    rewrite is semantics-free. At 100 TB with a non-broadcastable dim
+    the same split feeds a shuffle join whose partitions are now
+    null-free and balanced."""
+    ev = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    e = ev.select(
+        F.when(F.col("value") < 50, F.lit(None).cast("bigint"))
+        .otherwise(F.col("user_id") % 1500 + 1)
+        .alias("k"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    nulls = e.where(F.col("k").isNull()).select(
+        F.lit(None).cast("string").alias("c_mktsegment"), "cents"
+    )
+    matched = (
+        e.where(F.col("k").isNotNull())
+        .join(F.broadcast(c), F.col("k") == F.col("c_custkey"), "left")
+        .select("c_mktsegment", "cents")
+    )
+    return (
+        matched.unionByName(nulls)
+        .groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("_unmatched_")).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("segment")
+    )
