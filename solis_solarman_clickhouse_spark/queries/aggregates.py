@@ -4003,3 +4003,56 @@ def agg_histogram_equi_depth(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "agg_table_checksum",
+    category="aggregates",
+    oracle="""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+               || CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+               || '|' || strftime(o_orderdate, '%Y-%m-%d')), 1, 15))::BIGINT
+               AS hv
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(hv AS HUGEINT)) % 9223372036854775807 AS BIGINT)
+             AS checksum_sum,
+           CAST(bit_xor(hv) AS BIGINT) AS checksum_xor
+    FROM h
+    """,
+)
+def agg_table_checksum(spark, sf_dir):
+    """Order-independent TABLE CHECKSUM over orders (ClickHouse's
+    ``groupBitXor(cityHash64(*))`` replication-verification idiom,
+    re-expressed portably): each row canonicalizes to a delimited
+    string (cents-quantized price, ISO date), hashes through the
+    engine-portable md5-prefix integer, and the table fingerprint is
+    BOTH the mod-2⁶³−1 SUM and the XOR of row hashes — commutative, so
+    the result is independent of partitioning, ordering, and engine
+    (the check a migration runs on both sides of a copy; sum AND xor
+    together because xor alone cancels even-multiplicity corruption,
+    the doc_winnowing_fingerprint caveat). One scan, one
+    map-side-combinable aggregate, three integers out — the cheapest
+    possible 100 TB integrity gate."""
+    o = table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    h = o.select(
+        F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint").alias("hv")
+    )
+    return h.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            "CAST(SUM(CAST(hv AS DECIMAL(38,0))) % 9223372036854775807"
+            " AS BIGINT)"
+        ).alias("checksum_sum"),
+        F.expr("bit_xor(hv)").alias("checksum_xor"),
+    )
