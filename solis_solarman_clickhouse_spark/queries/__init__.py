@@ -53,7 +53,8 @@ _PRIORITY = [
     "doc_span_corruption_plan", "agg_population_stability_index",
     "doc_vocab_kl_matrix", "doc_simhash_bit_balance",
     "doc_vocab_coverage_topk", "agg_histogram_equi_depth",
-    "join_null_skew_isolation",
+    "join_null_skew_isolation", "agg_table_checksum",
+    "doc_prefix_boilerplate_clusters",
     "ts_holt_winters_additive", "agg_ttest_paired", "doc_tokenizer_fertility_by_lang", "vec_coreset_kcenter", "vec_prototype_prune", "doc_ccnet_perplexity_buckets",
     "doc_dedup_rate_by_source", "doc_rouge1_decontam_score",
     "vec_ivfpq_topk", "vec_ivfpq_recall", "doc_bpe_train", "doc_bpe_encode",

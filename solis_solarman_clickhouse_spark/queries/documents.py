@@ -5525,3 +5525,58 @@ def doc_vocab_coverage_topk(spark, sf_dir):
         )
         .orderBy("ksize")
     )
+
+
+@query(
+    "doc_prefix_boilerplate_clusters",
+    category="documents",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, source, substr(text, 1, 60) AS prefix
+      FROM documents WHERE length(text) >= 60
+    ),
+    c AS (
+      SELECT prefix, COUNT(*) AS n_docs,
+             COUNT(DISTINCT source) AS n_sources,
+             MIN(doc_id) AS exemplar_doc
+      FROM p GROUP BY prefix
+    )
+    SELECT substr(prefix, 1, 30) AS prefix_head,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           CAST(exemplar_doc AS BIGINT) AS exemplar_doc
+    FROM c WHERE n_docs >= 3
+    ORDER BY n_docs DESC, prefix_head LIMIT 20
+    """,
+)
+def doc_prefix_boilerplate_clusters(spark, sf_dir):
+    """Boilerplate-prefix detection: documents sharing their first 60
+    characters verbatim (navigation chrome, license headers, template
+    intros — the content C4/RefinedWeb strip BEFORE dedup, because a
+    shared header makes unrelated docs look near-duplicate and
+    poisons MinHash bands). Clusters of ≥ 3 docs reported with their
+    cross-source spread (a prefix spanning many sources is crawl
+    chrome; single-source is a template) and a deterministic min-id
+    exemplar. One scan + one map-side-combinable groupBy on the
+    fixed-width prefix key — corpus-sized shuffle of 60-byte keys,
+    prefix-clusters-sized output; the total (n_docs DESC, prefix)
+    order makes LIMIT 20 deterministic. At 100 TB this is the cheap
+    screen in front of doc_line_dedup's exact span machinery."""
+    docs = table(spark, sf_dir, "documents")
+    p = docs.where(F.length("text") >= 60).select(
+        "doc_id", "source", F.substring("text", 1, 60).alias("prefix")
+    )
+    c = p.groupBy("prefix").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.min("doc_id").alias("exemplar_doc"),
+    )
+    return (
+        c.where(F.col("n_docs") >= 3)
+        .select(
+            F.substring("prefix", 1, 30).alias("prefix_head"),
+            "n_docs", "n_sources", "exemplar_doc",
+        )
+        .orderBy(F.col("n_docs").desc(), "prefix_head")
+        .limit(20)
+    )
