@@ -546,3 +546,44 @@ def scan_observed_metrics(spark, sf_dir):
         [(g["n_rows"], g["cents"], g["n_null_value"], g["min_user"], g["max_user"])],
         "n_rows long, cents long, n_null_value long, min_user long, max_user long",
     )
+
+
+@query(
+    "scan_high_watermark_incremental",
+    category="scan",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def scan_high_watermark_incremental(spark, sf_dir):
+    """High-watermark INCREMENTAL extraction — the pattern behind every
+    scheduled ETL pull: run 1 takes rows up to a cutoff and records
+    max(ts) as its watermark; run 2 takes STRICTLY ts > watermark. The
+    query executes both runs and aggregates their UNION; equality with
+    the oracle's direct full-table aggregation proves the contract the
+    pattern lives or dies by — no row lost at the boundary (the
+    classic bug: `>= watermark` duplicates the boundary row,
+    `> cutoff` with watermark≠max loses late-arriving equals). The
+    watermark is a one-row aggregate fetched between runs (exactly
+    what an orchestrator persists); each run is a pushed-down range
+    scan (PushedFilters on ts), so at 100 TB run 2 reads only the new
+    partitions. Exact integer aggregation."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    ).first()
+    cut = bounds["lo"] + (bounds["hi"] - bounds["lo"]) * 6 // 10
+    run1 = ev.where(F.unix_micros("ts") <= cut)
+    watermark = run1.agg(F.max(F.unix_micros("ts")).alias("w")).first()["w"]
+    run2 = ev.where(F.unix_micros("ts") > watermark)
+    return (
+        run1.unionByName(run2)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+        .orderBy("event_type")
+    )
