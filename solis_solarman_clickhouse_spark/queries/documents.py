@@ -5580,3 +5580,48 @@ def doc_prefix_boilerplate_clusters(spark, sf_dir):
         .orderBy(F.col("n_docs").desc(), "prefix_head")
         .limit(20)
     )
+
+
+@query(
+    "doc_dup_cluster_size_histogram",
+    category="documents",
+    oracle="""
+    WITH h AS (
+      SELECT md5(text) AS d, COUNT(*) AS sz FROM documents GROUP BY md5(text)
+    ),
+    b AS (
+      SELECT CAST(floor(log2(sz)) AS BIGINT) AS bucket_log2, sz FROM h
+    )
+    SELECT bucket_log2, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+    FROM b GROUP BY bucket_log2 ORDER BY bucket_log2
+    """,
+)
+def doc_dup_cluster_size_histogram(spark, sf_dir):
+    """Exact-duplicate cluster-SIZE histogram (log2 buckets): how
+    duplication mass distributes — many pairs, or a few megaclusters?
+    The shape decides the dedup strategy (pair-heavy corpora suit
+    hash-groupBy; megaclusters demand the min-id keeper stream and
+    make MinHash banding explode — RefinedWeb reports exactly this
+    diagnostic before choosing). Per bucket: cluster count, document
+    mass, and the removable-doc count (Σ(size−1) — the dedup savings
+    the bucket is worth). One md5-groupBy (the doc_exact_dedup digest)
+    then a clusters-sized log2 rollup; floor(log2) on exact integer
+    sizes is engine-identical. At 100 TB the digest groupBy is the one
+    corpus shuffle — the same pass exact dedup already pays."""
+    docs = table(spark, sf_dir, "documents")
+    h = docs.groupBy(F.md5("text").alias("d")).agg(F.count(F.lit(1)).alias("sz"))
+    b = h.select(
+        F.floor(F.log2(F.col("sz").cast("double"))).cast("bigint").alias("bucket_log2"),
+        "sz",
+    )
+    return (
+        b.groupBy("bucket_log2")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+            F.sum(F.col("sz") - 1).alias("n_removable"),
+        )
+        .orderBy("bucket_log2")
+    )
