@@ -3692,3 +3692,109 @@ def vec_silhouette_simplified(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+_ROCCHIO_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+r1 AS (
+  SELECT q.query_id, c.neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+           list_dot_product(q.qv, c.cv)
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+           c.neighbor_id ASC) AS rank
+  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
+),
+fb AS (SELECT query_id, neighbor_id FROM r1 WHERE rank <= 5),
+qe AS (
+  SELECT query_id,
+         UNNEST(generate_series(1, len(qv))) - 1 AS j,
+         CAST(floor(UNNEST(qv) * 10000) AS BIGINT) AS qi
+  FROM q
+),
+ce AS (
+  SELECT vec_id,
+         UNNEST(generate_series(1, len(embedding))) - 1 AS j,
+         CAST(floor(UNNEST(embedding::DOUBLE[]) * 10000) AS BIGINT) AS ci
+  FROM embeddings
+),
+expq AS (
+  SELECT f.query_id, ce.j, SUM(ce.ci) AS fsum
+  FROM fb f JOIN ce ON ce.vec_id = f.neighbor_id
+  GROUP BY f.query_id, ce.j
+),
+qprime AS (
+  SELECT e.query_id, e.j, qe.qi * 5 + e.fsum AS w
+  FROM expq e JOIN qe ON qe.query_id = e.query_id AND qe.j = e.j
+),
+r2 AS (
+  SELECT p.query_id, ce.vec_id AS neighbor_id,
+         CAST(SUM(p.w * ce.ci) AS BIGINT) AS score_e8
+  FROM qprime p JOIN ce ON ce.j = p.j
+  WHERE ce.vec_id <> p.query_id
+  GROUP BY p.query_id, ce.vec_id
+),
+rk AS (
+  SELECT query_id, neighbor_id, score_e8,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_e8 DESC, neighbor_id) AS rk
+  FROM r2
+)
+SELECT query_id, rk, neighbor_id, score_e8
+FROM rk WHERE rk <= 5 ORDER BY query_id, rk
+"""
+
+
+@query("vec_rocchio_prf", category="vectors", oracle=_ROCCHIO_ORACLE)
+def vec_rocchio_prf(spark, sf_dir):
+    """Pseudo-relevance feedback retrieval (Rocchio 1971, the
+    two-round expansion every classical IR stack ships): round 1
+    retrieves each query's top-5 cosine neighbors, the query expands
+    as q' = α·q + β·centroid(feedback) (α=β=1, carried UN-DIVIDED as
+    5q+Σ — the silhouette numerator idiom, so q' is an exact integer
+    vector), and round 2 re-ranks the corpus by the integer dot
+    product q'·c. Round 1 rides the proven cosine_topk operator
+    (broadcast queries, corpus never shuffled); the feedback centroid
+    is a 5-row-per-query exact sum; round 2 is the vec_pca_project
+    shape — posexplode the corpus once, join the BROADCAST
+    (query, dim, weight) table (5 queries × 64 dims), map-side-combine
+    the per-(query, vector) partial dots, TakeOrdered per query via
+    WindowGroupLimit. Total orders everywhere (score, id), so top-5 is
+    deterministic; |q'·c| ≤ 64·6e5·6e4 ≈ 2e12, inside int64. At
+    100 TB both rounds are one corpus scan each — the expansion never
+    materializes pairwise anything."""
+    from pyspark.sql import Window as W
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    tk = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    ce = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "e")
+    ).select("vec_id", "j", F.floor(F.col("e") * 10000).cast("long").alias("ci"))
+    qe = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "e"),
+    ).select("query_id", "j", F.floor(F.col("e") * 10000).cast("long").alias("qi"))
+    fsum = (
+        tk.join(ce.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .groupBy("query_id", "j")
+        .agg(F.sum("ci").alias("fsum"))
+    )
+    qprime = fsum.join(qe, ["query_id", "j"]).select(
+        "query_id", "j", (F.col("qi") * 5 + F.col("fsum")).alias("w")
+    )
+    r2 = (
+        ce.join(F.broadcast(qprime), "j")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("w") * F.col("ci")).alias("score_e8"))
+    )
+    win = W.partitionBy("query_id").orderBy(F.col("score_e8").desc(), "neighbor_id")
+    return (
+        r2.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= 5)
+        .select("query_id", "rk", "neighbor_id", "score_e8")
+        .orderBy("query_id", "rk")
+    )
