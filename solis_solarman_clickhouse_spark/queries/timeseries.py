@@ -3193,3 +3193,68 @@ def ts_stl_strength(spark, sf_dir):
         strength("ssrr", "ssr").alias("f_seasonal"),
         strength("strr", "str_").alias("f_trend"),
     ).orderBy("user_id")
+
+
+@query(
+    "ts_poisson_rate_anomaly",
+    category="timeseries",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+             COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, CAST(SUM(x) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM b GROUP BY event_type
+    ),
+    f AS (
+      SELECT b.event_type, b.x, t.tot, t.nb,
+             CASE WHEN (b.x * t.nb - t.tot) * (b.x * t.nb - t.tot)
+                       > 9 * t.tot * t.nb THEN 1 ELSE 0 END AS anom
+      FROM b JOIN t ON t.event_type = b.event_type
+    )
+    SELECT event_type, CAST(MAX(nb) AS BIGINT) AS n_buckets,
+           CAST(SUM(anom) AS BIGINT) AS n_anomalous,
+           CAST(MAX(ABS(x * nb - tot)) AS BIGINT) AS max_abs_dev_scaled
+    FROM f GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_poisson_rate_anomaly(spark, sf_dir):
+    """Poisson rate-anomaly screen per event type: hourly counts
+    whose deviation from the type's mean rate exceeds 3σ under the
+    Poisson model (σ² = λ) — the first-line burst/outage detector for
+    event pipelines (error-rate spikes, crawler storms). The 3σ test
+    is pure integer CROSS-MULTIPLICATION: with λ = T/B (total over
+    buckets), |x − λ| > 3√λ ⟺ (x·B − T)² > 9·T·B — no float, no sqrt,
+    engine-identical (magnitudes: x ≤ 1e5-ish, B ≤ 1e3 ⇒ the square
+    ≤ ~1e16, inside int64 at fixture scale; DECIMAL widening is the
+    documented next step at true corpus rates). One bucketed count
+    (map-side combinable), one types-sized join, output per type:
+    bucket count, anomalous-bucket count, worst scaled deviation."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.window("ts", "1 hour").alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    t = b.groupBy("event_type").agg(
+        F.sum("x").alias("tot"), F.count(F.lit(1)).alias("nb")
+    )
+    f = b.join(F.broadcast(t), "event_type").select(
+        "event_type", "x", "tot", "nb",
+        F.expr(
+            "CASE WHEN (x * nb - tot) * (x * nb - tot) > 9 * tot * nb"
+            " THEN 1 ELSE 0 END"
+        ).alias("anom"),
+    )
+    return (
+        f.groupBy("event_type")
+        .agg(
+            F.max("nb").alias("n_buckets"),
+            F.sum("anom").alias("n_anomalous"),
+            F.max(F.abs(F.col("x") * F.col("nb") - F.col("tot"))).alias(
+                "max_abs_dev_scaled"
+            ),
+        )
+        .orderBy("event_type")
+    )
