@@ -4056,3 +4056,67 @@ def agg_table_checksum(spark, sf_dir):
         ).alias("checksum_sum"),
         F.expr("bit_xor(hv)").alias("checksum_xor"),
     )
+
+
+@query(
+    "agg_contingency_residuals",
+    category="aggregates",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CASE WHEN user_id % 3 = 0 THEN 'cohort_a'
+                  WHEN user_id % 3 = 1 THEN 'cohort_b'
+                  ELSE 'cohort_c' END AS cohort,
+             COUNT(*) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT c.*,
+             SUM(obs) OVER (PARTITION BY event_type) AS row_tot,
+             SUM(obs) OVER (PARTITION BY cohort) AS col_tot,
+             SUM(obs) OVER () AS n
+      FROM c
+    )
+    SELECT event_type, cohort, CAST(obs AS BIGINT) AS obs,
+           ROUND(CAST(row_tot AS DOUBLE) * col_tot / n, 4) + 0.0 AS expected,
+           ROUND((obs - CAST(row_tot AS DOUBLE) * col_tot / n)
+                 / sqrt(CAST(row_tot AS DOUBLE) * col_tot / n), 4) + 0.0
+             AS std_residual
+    FROM m ORDER BY event_type, cohort
+    """,
+)
+def agg_contingency_residuals(spark, sf_dir):
+    """Standardized residuals of the event-type × cohort contingency
+    table — the DRILL-DOWN behind ch_contingency's single χ² number:
+    the χ² says THAT the table deviates, the per-cell residual
+    (obs − exp)/√exp says WHERE (|residual| > 2 marks the driving
+    cells — the post-hoc every A/B readout needs before acting). Cell
+    counts and both margins are exact integers from one grouped pass
+    (the margins ride window sums over the cells-sized frame, no
+    second scan); expected and residual are one fixed IEEE dataflow
+    over those identical integers per cell, rounded once at 4 dp with
+    −0.0 normalized. Output is a 15-cell table; everything after the
+    count shuffle is cells-sized."""
+    ev = table(spark, sf_dir, "events")
+    cohort = (
+        F.when(F.col("user_id") % 3 == 0, "cohort_a")
+        .when(F.col("user_id") % 3 == 1, "cohort_b")
+        .otherwise("cohort_c")
+    )
+    c = ev.groupBy("event_type", cohort.alias("cohort")).agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    m = c.select(
+        "event_type", "cohort", "obs",
+        F.sum("obs").over(W.partitionBy("event_type")).alias("row_tot"),
+        F.sum("obs").over(W.partitionBy("cohort")).alias("col_tot"),
+        F.sum("obs").over(W.partitionBy()).alias("n"),
+    )
+    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    return m.select(
+        "event_type", "cohort", "obs",
+        (F.round(exp, 4) + F.lit(0.0)).alias("expected"),
+        (F.round((F.col("obs") - exp) / F.sqrt(exp), 4) + F.lit(0.0)).alias(
+            "std_residual"
+        ),
+    ).orderBy("event_type", "cohort")
