@@ -612,3 +612,75 @@ def window_groups_frame(spark, sf_dir):
         "hr",
         (F.sum("v").over(wg).cast("double") / 100.0).alias("gsum"),
     )
+
+
+@query(
+    "window_streak_detection",
+    category="windows",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN CAST(floor(value * 100) AS BIGINT)
+                       - LAG(CAST(floor(value * 100) AS BIGINT))
+                         OVER w > 0 THEN 1 ELSE 0 END AS up
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, up,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - ROW_NUMBER() OVER (PARTITION BY user_id, up
+                                    ORDER BY ts, event_id) AS grp
+      FROM d
+    ),
+    runs AS (
+      SELECT user_id, COUNT(*) AS len
+      FROM g WHERE up = 1 GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_up_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_up_runs
+    FROM runs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def window_streak_detection(spark, sf_dir):
+    """Longest rising STREAK per user signal (and the count of rising
+    runs) — the gaps-and-islands variant keyed on VALUE DIRECTION
+    rather than time gaps (ts_sessionize_islands' sibling; monitoring
+    reads it as "how long do ramps last", trading as max consecutive
+    up-ticks). The island id is the classic double-row-number
+    difference — global position minus within-state position, both
+    over the SAME total (ts, event_id) order, so the subtraction is
+    constant exactly within a run — and every quantity is an integer
+    over cents diffs (ties and drops both break a streak: up is a
+    strict > 0 test). One user_id exchange feeds the lag, both
+    row-number windows, and the rollups (exchange reuse); output is
+    users-sized."""
+    ev = table(spark, sf_dir, "events")
+    ow = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    d = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(cents - F.lag(cents).over(ow) > 0, 1).otherwise(0).alias("up"),
+    )
+    g = d.select(
+        "user_id", "up",
+        (
+            F.row_number().over(ow)
+            - F.row_number().over(
+                W.partitionBy("user_id", "up").orderBy("ts", "event_id")
+            )
+        ).alias("grp"),
+    )
+    runs = (
+        g.where(F.col("up") == 1)
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_up_streak"),
+            F.count(F.lit(1)).alias("n_up_runs"),
+        )
+        .orderBy("user_id")
+    )
