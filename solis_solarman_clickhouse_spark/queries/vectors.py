@@ -3798,3 +3798,80 @@ def vec_rocchio_prf(spark, sf_dir):
         .select("query_id", "rk", "neighbor_id", "score_e8")
         .orderBy("query_id", "rk")
     )
+
+
+_DIST_CONC_ORACLE = """
+WITH q AS (
+  SELECT vec_id,
+         UNNEST(generate_series(1, len(embedding))) - 1 AS j,
+         CAST(floor(UNNEST(embedding::DOUBLE[]) * 10000) AS BIGINT) AS qi
+  FROM embeddings
+),
+a AS (SELECT vec_id, j, qi FROM q WHERE vec_id % 7 = 0),
+b AS (SELECT vec_id, j, qi FROM q WHERE vec_id % 11 = 0),
+d2 AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(SUM((a.qi - b.qi) * (a.qi - b.qi)) AS BIGINT) AS d2
+  FROM a JOIN b ON a.j = b.j AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(d2 AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(MIN(d2) AS BIGINT) AS mn, CAST(MAX(d2) AS BIGINT) AS mx
+  FROM d2
+)
+SELECT CAST(n AS BIGINT) AS n_pairs, mn AS min_d2_e8, mx AS max_d2_e8,
+       CAST(s // n AS BIGINT) AS mean_d2_e8,
+       CAST((mx - mn) * 1000000 // (s // n) AS BIGINT) AS relative_spread_ppm
+FROM m
+"""
+
+
+@query("vec_distance_concentration", category="vectors", oracle=_DIST_CONC_ORACLE)
+def vec_distance_concentration(spark, sf_dir):
+    """Distance-CONCENTRATION diagnostic over a deterministic pair
+    sample (vec_id%7 × vec_id%11 grid, ~1% of pairs): min / mean / max
+    squared distance and the relative spread (max−min)/mean — the
+    curse-of-dimensionality health check run before trusting ANY
+    nearest-neighbor machinery (when distances concentrate, spread→0
+    and kNN/LSH/IVF all degrade to noise; Beyer et al. 1999). All
+    integer: e4-quantized coordinates, exact int64 squared distances
+    (≤ 64·(1.2e5)² ≈ 9e11), HUGEINT/DECIMAL(38,0) moments, flooring
+    ppm. The pair sample is the audit-tier contract — two modulus
+    slices join on dimension, never all-pairs; at 100 TB both slices
+    stay broadcastable or the grid widens. Pairs with va<vb only, so
+    the sample is unordered-unique."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "e")
+    ).select("vec_id", "j", F.floor(F.col("e") * 10000).cast("long").alias("qi"))
+    a = q.where(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("va"), "j", F.col("qi").alias("qa")
+    )
+    b = q.where(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").alias("vb"), "j", F.col("qi").alias("qb")
+    )
+    d2 = (
+        a.join(b, ["j"])
+        .where(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum((F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb"))).alias("d2")
+        )
+    )
+    m = d2.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("d2").cast("decimal(38,0)")).alias("s"),
+        F.min("d2").alias("mn"),
+        F.max("d2").alias("mx"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.col("mn").alias("min_d2_e8"),
+        F.col("mx").alias("max_d2_e8"),
+        F.expr("CAST(s DIV n AS BIGINT)").alias("mean_d2_e8"),
+        F.expr(
+            "CAST((mx - mn) * 1000000 DIV CAST(s DIV n AS BIGINT) AS BIGINT)"
+        ).alias("relative_spread_ppm"),
+    )
