@@ -228,3 +228,62 @@ def sql_parameterized(spark, sf_dir):
         """,
         args={"tbl": "orders", "status": "F", "floor": 50000.0},
     )
+
+
+_ANY_ALL_SQL = """
+SELECT s.s_nationkey AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CASE WHEN s.s_acctbal > ANY (
+              SELECT c.c_acctbal FROM customer c
+              WHERE c.c_nationkey = s.s_nationkey)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_above_some_customer,
+       CAST(SUM(CASE WHEN s.s_acctbal > ALL (
+              SELECT c.c_acctbal FROM customer c
+              WHERE c.c_nationkey = s.s_nationkey)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_above_every_customer
+FROM supplier s
+GROUP BY s.s_nationkey
+ORDER BY nationkey
+"""
+
+
+@query("sub_any_all_quantified", category="subquery", oracle=_ANY_ALL_SQL)
+def sub_any_all_quantified(spark, sf_dir):
+    """Quantified comparisons — ``> ANY`` and ``> ALL`` correlated
+    subqueries (suppliers richer than SOME / EVERY customer of their
+    nation). Spark's parser REJECTS quantified comparison subqueries
+    (ParseException — a genuine ANSI gap), so this query IS the
+    engine-side answer: the textbook decorrelation, hand-applied —
+    ANY ⇒ compare against the per-nation MIN, ALL ⇒ against the MAX
+    with the empty-set edge (ALL over an empty set is TRUE — the dual
+    of the sub_not_in_null_trap pitfall, handled via the left join's
+    null bound). The per-nation bound table is tiny and broadcasts;
+    no row-vs-row comparison ever materializes — the same physical
+    plan Catalyst would emit had it supported the syntax, which the
+    DuckDB oracle (running the NATIVE quantifiers) certifies
+    row-for-row. Grouped integer counts, nations-sized output."""
+    from pyspark.sql import functions as F
+
+    from ..tables import table
+
+    s = table(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+    c = table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    bounds = c.groupBy(F.col("c_nationkey").alias("s_nationkey")).agg(
+        F.min("c_acctbal").alias("mn"), F.max("c_acctbal").alias("mx")
+    )
+    j = s.join(F.broadcast(bounds), "s_nationkey", "left")
+    return (
+        j.groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(
+                F.when(F.col("s_acctbal") > F.col("mn"), 1).otherwise(0)
+            ).alias("n_above_some_customer"),
+            F.sum(
+                F.when(
+                    F.col("mx").isNull() | (F.col("s_acctbal") > F.col("mx")), 1
+                ).otherwise(0)
+            ).alias("n_above_every_customer"),
+        )
+        .orderBy("nationkey")
+    )
