@@ -5625,3 +5625,48 @@ def doc_dup_cluster_size_histogram(spark, sf_dir):
         )
         .orderBy("bucket_log2")
     )
+
+
+@query(
+    "doc_eyeball_panel",
+    category="documents",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, n_chars,
+             NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS exemplar_doc
+    FROM d GROUP BY source, decile
+    ORDER BY source, decile
+    """,
+)
+def doc_eyeball_panel(spark, sf_dir):
+    """Stratified INSPECTION panel — the 'eyeball set' every curation
+    change ships with (What's In My Big Data?, Elazar et al. 2024,
+    institutionalized the practice): one deterministic exemplar per
+    (source × length-decile) cell plus the cell count, so a reviewer
+    reads ~200 docs that SPAN the corpus instead of 200 random ones
+    that all come from the head. The decile is doc_quality_decile's
+    exact NTILE over the total (n_chars, doc_id) order (same
+    stratification, so panels are comparable across rounds); the
+    exemplar is min-id — stable under re-runs, re-partitioning, and
+    engine swap (a random sample would churn every review). One
+    global-order window + one cells-sized rollup; at 100 TB the NTILE
+    runs on the (n_chars, doc_id) pairs, never the text."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source",
+        F.ntile(10).over(W.orderBy("n_chars", "doc_id")).alias("decile"),
+    )
+    return (
+        d.groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("exemplar_doc"),
+        )
+        .orderBy("source", "decile")
+    )
