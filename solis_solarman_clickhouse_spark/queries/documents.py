@@ -5670,3 +5670,109 @@ def doc_eyeball_panel(spark, sf_dir):
         )
         .orderBy("source", "decile")
     )
+
+
+@query(
+    "doc_bitext_mining_candidates",
+    category="documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, lang, n_chars,
+             UNNEST(list_transform(generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+      FROM w WHERE len(ws) >= 3
+    ),
+    cap AS (
+      SELECT GREATEST(3, COUNT(*) // 150) AS c FROM documents
+    ),
+    dfs AS (
+      SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS d
+                     FROM sh GROUP BY g) x CROSS JOIN cap WHERE d <= cap.c
+    ),
+    rare AS (SELECT sh.* FROM sh JOIN dfs ON dfs.g = sh.g),
+    pairs AS (
+      SELECT a.doc_id AS doc_en, b.doc_id AS doc_xx, b.lang AS lang_xx,
+             COUNT(*) AS n_shared,
+             MAX(a.n_chars) AS len_en, MAX(b.n_chars) AS len_xx
+      FROM rare a JOIN rare b
+        ON a.g = b.g AND a.lang = 'en' AND b.lang <> 'en'
+      GROUP BY a.doc_id, b.doc_id, b.lang
+    )
+    SELECT doc_en, doc_xx, lang_xx, CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(len_en AS BIGINT) AS len_en, CAST(len_xx AS BIGINT) AS len_xx
+    FROM pairs
+    WHERE n_shared >= 2 AND 2 * len_en >= len_xx AND 2 * len_xx >= len_en
+    ORDER BY n_shared DESC, doc_en, doc_xx LIMIT 20
+    """,
+)
+def doc_bitext_mining_candidates(spark, sf_dir):
+    """Bitext (parallel-corpus) candidate mining — the lexical
+    pre-filter stage of a translation-pair pipeline (CCMatrix/CCAligned
+    run exactly this shape before the expensive embedding alignment):
+    an English doc and a non-English doc are candidates when they
+    share >= 2 RARE 3-gram shingles (document frequency <= max(3, N/150),
+    a corpus-adaptive rarity cut — names,
+    numbers, and code fragments survive translation verbatim, and the
+    shingle keeps them in context) and their lengths agree within 2x
+    (integer cross-multiplication, no ratio float). The rare-shingle
+    inverted index is the fan-out bound: a df <= 3 key contributes at
+    most 2x1=2 cross-lingual pairs, so the candidate join is provably
+    linear in the index size (the doc_neardup_jaccard_capped
+    discipline — never all-pairs; the embedding aligner is the
+    precision stage downstream). One distinct (doc, shingle) pass
+    (split projected before the explode), one df filter, one bounded
+    join; the total (n_shared DESC, ids) order makes LIMIT 20
+    deterministic."""
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", "lang", "n_chars", F.split("text", " ").alias("ws")
+    ).where(F.size("ws") >= 3)
+    sh = w.select(
+        "doc_id", "lang", "n_chars",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 2),"
+                " i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    cap = docs.agg(
+        F.greatest(F.lit(3).cast("bigint"), F.expr("COUNT(*) DIV 150")).alias("c")
+    )
+    dfs = (
+        sh.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("d"))
+        .crossJoin(F.broadcast(cap))
+        .where(F.col("d") <= F.col("c"))
+        .select("g")
+    )
+    rare = sh.join(dfs, "g").transform(tracked_persist)
+    a = rare.where(F.col("lang") == "en").select(
+        "g", F.col("doc_id").alias("doc_en"), F.col("n_chars").alias("len_en")
+    )
+    b = rare.where(F.col("lang") != "en").select(
+        "g", F.col("doc_id").alias("doc_xx"), F.col("lang").alias("lang_xx"),
+        F.col("n_chars").alias("len_xx"),
+    )
+    pairs = (
+        a.join(b, "g")
+        .groupBy("doc_en", "doc_xx", "lang_xx")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.max("len_en").alias("len_en"),
+            F.max("len_xx").alias("len_xx"),
+        )
+    )
+    return (
+        pairs.where(
+            (F.col("n_shared") >= 2)
+            & (2 * F.col("len_en") >= F.col("len_xx"))
+            & (2 * F.col("len_xx") >= F.col("len_en"))
+        )
+        .orderBy(F.col("n_shared").desc(), "doc_en", "doc_xx")
+        .limit(20)
+    )
