@@ -160,6 +160,21 @@ HEADLINE = [
     "agg_population_stability_index",
     "doc_vocab_kl_matrix",
     "doc_simhash_bit_balance",
+    "doc_vocab_coverage_topk",
+    "agg_histogram_equi_depth",
+    "join_null_skew_isolation",
+    "agg_table_checksum",
+    "doc_prefix_boilerplate_clusters",
+    "scan_high_watermark_incremental",
+    "doc_dup_cluster_size_histogram",
+    "vec_rocchio_prf",
+    "ts_poisson_rate_anomaly",
+    "agg_contingency_residuals",
+    "window_streak_detection",
+    "vec_distance_concentration",
+    "sub_any_all_quantified",
+    "doc_eyeball_panel",
+    "doc_bitext_mining_candidates",
 ]
 
 
