@@ -59,7 +59,7 @@ _PRIORITY = [
     "ts_poisson_rate_anomaly", "agg_contingency_residuals",
     "window_streak_detection", "vec_distance_concentration",
     "sub_any_all_quantified", "doc_eyeball_panel",
-    "doc_bitext_mining_candidates",
+    "doc_bitext_mining_candidates", "doc_pps_systematic_sample",
     "ts_holt_winters_additive", "agg_ttest_paired", "doc_tokenizer_fertility_by_lang", "vec_coreset_kcenter", "vec_prototype_prune", "doc_ccnet_perplexity_buckets",
     "doc_dedup_rate_by_source", "doc_rouge1_decontam_score",
     "vec_ivfpq_topk", "vec_ivfpq_recall", "doc_bpe_train", "doc_bpe_encode",

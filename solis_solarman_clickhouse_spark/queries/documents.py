@@ -5776,3 +5776,63 @@ def doc_bitext_mining_candidates(spark, sf_dir):
         .orderBy(F.col("n_shared").desc(), "doc_en", "doc_xx")
         .limit(20)
     )
+
+
+@query(
+    "doc_pps_systematic_sample",
+    category="documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+             SUM(n_chars) OVER () AS t
+      FROM documents WHERE n_chars > 0
+    ),
+    p AS (
+      SELECT doc_id, source, n_chars,
+             (2 * cum * 50 + t) // (2 * t)
+               - (2 * (cum - n_chars) * 50 + t) // (2 * t) AS n_picks
+      FROM w
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_picks AS BIGINT) AS n_picks
+    FROM p WHERE n_picks > 0 ORDER BY doc_id
+    """,
+)
+def doc_pps_systematic_sample(spark, sf_dir):
+    """Systematic PPS sampling (probability proportional to size) — the
+    sampling DESIGN behind every token-budgeted corpus draw: 50 picks
+    placed at equal token intervals along the doc_id-ordered cumulative
+    character mass, so a document's selection probability is exactly
+    proportional to its length and a doc longer than one stride can be
+    picked MULTIPLE times (its replication weight — emitted, because
+    dropping it silently biases the draw). Fully deterministic and
+    INTEGER-EXACT: pick count per doc = ⌊(2·cum·50+T)/(2T)⌋ −
+    ⌊(2·cum_prev·50+T)/(2T)⌋ (thresholds at (k+½)·T/50 — the textbook
+    half-stride offset — counted by flooring division on positive
+    integers, Spark DIV ≡ DuckDB //; Σ n_picks = 50 by telescoping).
+    One running-sum window over the (doc_id) total order + a scan-side
+    projection; at 100 TB the cumsum runs over (doc_id, n_chars)
+    pairs, never the text, and replaces the unreproducible
+    rand()-weighted alternatives (the doc_train_split determinism
+    contract)."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    ow = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = docs.select(
+        "doc_id", "source", "n_chars",
+        F.sum("n_chars").over(ow).alias("cum"),
+        F.sum("n_chars").over(W.partitionBy()).alias("t"),
+    )
+    picks = F.expr(
+        "(2 * cum * 50 + t) DIV (2 * t)"
+        " - (2 * (cum - n_chars) * 50 + t) DIV (2 * t)"
+    )
+    return (
+        w.select("doc_id", "source", "n_chars", picks.alias("n_picks"))
+        .where(F.col("n_picks") > 0)
+        .orderBy("doc_id")
+    )
