@@ -175,6 +175,7 @@ HEADLINE = [
     "sub_any_all_quantified",
     "doc_eyeball_panel",
     "doc_bitext_mining_candidates",
+    "doc_pps_systematic_sample",
 ]
 
 
