@@ -45,16 +45,26 @@ def _fingerprint(obj: object) -> object:
     (path, size, mtime_ns) so the cache key tracks file CONTENT identity,
     not just the name — a fixture regenerated in place gets a new key.
     Handles bare paths plus the ``file://``, ``file:///`` and Hadoop's
-    single-slash ``file:/`` URI renderings; DIRECTORY paths fingerprint
-    on mtime (a parquet dir's mtime changes when part files are
-    rewritten). Non-path values pass through untouched."""
+    single-slash ``file:/`` URI renderings; ``file://host/p`` with a
+    non-empty remote host is NOT a local path and passes through
+    untouched. DIRECTORY paths fingerprint over their top-level entries
+    (sorted (name, size, mtime_ns)) — the dir inode's own mtime only
+    moves on create/rename, so an in-place truncate/overwrite of a part
+    file would otherwise reuse a stale artifact. Non-path values pass
+    through untouched."""
     if isinstance(obj, (tuple, list)):
         return tuple(_fingerprint(x) for x in obj)
     if isinstance(obj, str):
         path = obj
         if path.startswith("file:"):
-            path = path[5:]
-            # file:///p and file:/p both mean /p; file://host/p is not local
+            rest = path[5:]
+            if rest.startswith("//") and not rest.startswith("///"):
+                host = rest[2:].split("/", 1)[0]
+                if host not in ("", "localhost"):
+                    return obj  # remote-host file URI — not a local path
+                rest = rest[2 + len(host):]  # file://localhost/p -> /p
+            path = rest
+            # file:///p and file:/p both mean /p
             while path.startswith("//"):
                 path = path[1:]
         if os.path.sep in path:
@@ -62,8 +72,14 @@ def _fingerprint(obj: object) -> object:
                 st = os.stat(path)
                 return (path, st.st_size, st.st_mtime_ns)
             if os.path.isdir(path):
-                st = os.stat(path)
-                return (path, "dir", st.st_mtime_ns)
+                entries = []
+                for name in sorted(os.listdir(path)):
+                    try:
+                        st = os.stat(os.path.join(path, name))
+                    except OSError:
+                        continue
+                    entries.append((name, st.st_size, st.st_mtime_ns))
+                return (path, "dir", tuple(entries))
     return obj
 
 

@@ -619,7 +619,7 @@ def agg_mode_deterministic(spark, sf_dir):
 
 @query(
     "agg_weighted_median",
-    category="agg",
+    category="aggregate",
     oracle="""
     WITH c AS (
       SELECT source, doc_id, n_chars,
@@ -673,7 +673,7 @@ def agg_weighted_median(spark, sf_dir):
 
 @query(
     "agg_moments_skew_kurtosis",
-    category="agg",
+    category="aggregate",
     oracle="""
     WITH s AS (
       SELECT source, COUNT(*) AS n,
@@ -3540,7 +3540,7 @@ def agg_ttest_paired(spark, sf_dir):
 
 @query(
     "agg_kendall_tau",
-    category="aggregates",
+    category="aggregate",
     oracle="""
     WITH u AS (
       SELECT user_id, COUNT(*) AS x,
@@ -3615,7 +3615,7 @@ def agg_kendall_tau(spark, sf_dir):
 
 @query(
     "agg_cohens_d",
-    category="aggregates",
+    category="aggregate",
     oracle="""
     WITH g AS (
       SELECT event_type,
@@ -3695,7 +3695,7 @@ def agg_cohens_d(spark, sf_dir):
 
 @query(
     "agg_trimmed_mean",
-    category="aggregates",
+    category="aggregate",
     oracle="""
     WITH q AS (
       SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
@@ -3756,7 +3756,7 @@ def agg_trimmed_mean(spark, sf_dir):
 
 @query(
     "agg_ratio_delta_method",
-    category="aggregates",
+    category="aggregate",
     oracle="""
     WITH u AS (
       SELECT user_id,
@@ -3833,7 +3833,7 @@ def agg_ratio_delta_method(spark, sf_dir):
 
 @query(
     "agg_k_anonymity_check",
-    category="aggregates",
+    category="aggregate",
     oracle="""
     WITH qi AS (
       SELECT c_nationkey AS nation, c_mktsegment AS seg,
@@ -3884,7 +3884,7 @@ def agg_k_anonymity_check(spark, sf_dir):
 
 @query(
     "agg_population_stability_index",
-    category="aggregates",
+    category="aggregate",
     oracle="""
     WITH mid AS (
       SELECT epoch_us(MIN(ts)) + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2
@@ -3960,7 +3960,7 @@ def agg_population_stability_index(spark, sf_dir):
 
 @query(
     "agg_histogram_equi_depth",
-    category="aggregates",
+    category="aggregate",
     oracle="""
     WITH q AS (
       SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
@@ -4007,7 +4007,7 @@ def agg_histogram_equi_depth(spark, sf_dir):
 
 @query(
     "agg_table_checksum",
-    category="aggregates",
+    category="aggregate",
     oracle="""
     WITH h AS (
       SELECT ('0x' || substr(md5(
@@ -4060,7 +4060,7 @@ def agg_table_checksum(spark, sf_dir):
 
 @query(
     "agg_contingency_residuals",
-    category="aggregates",
+    category="aggregate",
     oracle="""
     WITH c AS (
       SELECT event_type,

@@ -684,9 +684,12 @@ def graph_connected_components(spark, sf_dir):
     broadcast-side. Each round's state is persisted (operators/
     graph.py's checkpoint-per-round): without it the lazy broadcast of
     round k re-executes rounds 1..k-1 from scratch — measured 170 s vs
-    seconds at sf0.1. Untracking is DEFERRED past the terminal action
-    (the returned plan reads the cached rounds), so no round ever
-    recomputes. At 100 TB: edges persist once and are read per round;
+    seconds at sf0.1. Each round takes a count() materialization
+    barrier and then releases the superseded label frame in-loop (the
+    graph_bfs_distance discipline), so peak cache stays one |V|-sized
+    frame + the edge list rather than every round's labels coexisting
+    until harness cleanup. At 100 TB: edges persist once and are read
+    per round;
     label state stays |V|-bounded; diameter beyond the unroll is the
     fixpoint operator's job, not a deeper plan."""
     edges, deg = _chain_edges(spark, sf_dir)
@@ -694,16 +697,21 @@ def graph_connected_components(spark, sf_dir):
         edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
     ).transform(tracked_persist)
     labels = deg.select("node", F.col("node").alias("lbl")).transform(tracked_persist)
+    labels.count()
     for _ in range(3):
         cand = und.join(
             F.broadcast(labels.select(F.col("node").alias("t"), "lbl")), "t"
         ).select(F.col("s").alias("node"), "lbl")
+        prev = labels
         labels = (
             labels.unionAll(cand)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
             .transform(tracked_persist)
         )
+        labels.count()
+        prev.unpersist(False)
+        untrack(prev)
     members = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("members_r3"))
     return labels.join(F.broadcast(members), "lbl").select(
         F.col("node").alias("custkey"),
@@ -774,16 +782,21 @@ def graph_modularity(spark, sf_dir):
         edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
     ).transform(tracked_persist)
     labels = deg.select("node", F.col("node").alias("lbl")).transform(tracked_persist)
+    labels.count()
     for _ in range(3):
         cand = und.join(
             F.broadcast(labels.select(F.col("node").alias("t"), "lbl")), "t"
         ).select(F.col("s").alias("node"), "lbl")
+        prev = labels
         labels = (
             labels.unionAll(cand)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
             .transform(tracked_persist)
         )
+        labels.count()
+        prev.unpersist(False)
+        untrack(prev)
     lab = labels
     m2 = und.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m2"))
     win = (

@@ -554,13 +554,31 @@ def test_artifact_key_tracks_file_content(tmp_path, monkeypatch):
             "t_fp", (str(fixture), 16, 42)
         ), uri
 
-    # directory paths fingerprint on mtime: rewriting content in the dir
-    # must change the key (review finding: dir keys silently no-op'd)
+    # directory paths fingerprint over their ENTRIES (name, size,
+    # mtime_ns): an in-place truncate/overwrite of a part file — which
+    # moves the file's mtime but NOT the parent dir inode's — must change
+    # the key (round-5 advice: dir-inode-mtime keys silently reused stale
+    # artifacts for rewrite-in-place writers)
     d = tmp_path / "pqdir"
     d.mkdir()
+    part = d / "part-00000.parquet"
+    part.write_bytes(b"v1")
     k1 = _key_path("t_fp", (str(d), 1))
-    os.utime(d, ns=(5, 10**18))
+    part.write_bytes(b"v2 longer")  # same filename: dir inode mtime unmoved
     assert _key_path("t_fp", (str(d), 1)) != k1
+    # adding a file changes it too
+    (d / "part-00001.parquet").write_bytes(b"x")
+    k2 = _key_path("t_fp", (str(d), 1))
+    assert k2 != k1
+
+    # a file:// URI with a non-empty remote host is NOT a local path:
+    # it must pass through untouched, never collapsed to /host/p
+    remote = f"file://somehost{fixture}"
+    assert _key_path("t_fp", (remote, 1)) != _key_path(
+        "t_fp", (str(fixture), 1)
+    )
+    # ...and must not depend on any local file state (pure string key)
+    assert _key_path("t_fp", (remote, 1)) == _key_path("t_fp", (remote, 1))
 
 
 def test_tracked_persists_release_fully(spark):

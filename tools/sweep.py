@@ -4,8 +4,12 @@ vanilla SparkSession and DuckDB over the same parquet, compare through
 the driver-faithful pandas path (sorted columns, sorted rows, typed cell
 tags), and print one line per query. Usage:
 
-    python tools/sweep.py /root/testdata/sf0.01
-"""
+    python tools/sweep.py /root/testdata/sf0.01 [--width-sensitive]
+
+``--width-sensitive`` additionally compares the pandas DTYPE of every
+output column between the two engines (int32 vs int64 etc.) and prints a
+``WIDTH`` line per divergent column — the defensive audit for an
+external comparator whose hash might be integer-width-sensitive."""
 
 from __future__ import annotations
 
@@ -23,7 +27,9 @@ from solis_solarman_clickhouse_spark.oracle_compare import canon_pandas as canon
 
 
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    width_sensitive = "--width-sensitive" in sys.argv
+    sf = args[0] if args else "/root/testdata/sf0.01"
     # 4g driver: 420+ queries share one JVM; the default 1g heap OOMed
     # on accumulated session state ~400 queries in (vec_mmr at sf0.1,
     # isolated-pass). Periodic System.gc() below bounds the drift.
@@ -43,7 +49,7 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_width = n_done = 0
     for name in sorted(REGISTRY):
         spec = REGISTRY[name]
         if spec.oracle is None:
@@ -58,6 +64,13 @@ def main():
                     f"{sorted(opdf.columns)}", flush=True)
                 n_bad += 1
                 continue
+            if width_sensitive:
+                for c in sorted(spdf.columns):
+                    ds, do = str(spdf[c].dtype), str(opdf[c].dtype)
+                    if ds != do:
+                        print(f"{name} WIDTH {c}: spark={ds} oracle={do}",
+                              flush=True)
+                        n_width += 1
             a = canon(spdf)
             o = canon(opdf)
             ok = a == o
@@ -66,8 +79,11 @@ def main():
             n_bad += 1
             continue
         finally:
+            # count COMPLETED queries (the loop body above may `continue`
+            # past the ok/bad increments, so track completions separately)
+            n_done += 1
             release_cached()
-            if (n_ok + n_bad) % 50 == 0:
+            if n_done % 50 == 0:
                 spark.catalog.clearCache()
                 spark._jvm.System.gc()
         dt = time.time() - t0
@@ -78,7 +94,8 @@ def main():
             n_bad += 1
             mism = [(x, y) for x, y in zip(a, o) if x != y][:2]
             print(f"{name} MISMATCH {len(a)} vs {len(o)} {mism}", flush=True)
-    print(f"SWEEP DONE sf={sf}: {n_ok} ok, {n_bad} bad", flush=True)
+    tail = f", {n_width} width-divergent cols" if width_sensitive else ""
+    print(f"SWEEP DONE sf={sf}: {n_ok} ok, {n_bad} bad{tail}", flush=True)
 
 
 if __name__ == "__main__":
