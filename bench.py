@@ -197,16 +197,19 @@ def main() -> None:
     # the engine, not the compiler.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         # Per-query fault isolation: one broken query must cost only its own
         # row, never the whole bench (round-1 post-mortem).
         best = float("inf")
+        samples: list[float] = []
         try:
             for _ in range(runs):
                 t0 = time.perf_counter()
                 REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                best = min(best, time.perf_counter() - t0)
+                samples.append(round(time.perf_counter() - t0, 3))
+                best = min(best, samples[-1])
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
@@ -224,7 +227,8 @@ def main() -> None:
             # cache entry.
             release_cached()
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        all_runs[name] = samples
+        print(f"# {name}: {timings[name]}s {samples}", file=sys.stderr)
 
     # Ingest throughput: raw registers -> decode -> derive -> partitioned
     # sink, end to end. The reference's envelope is ~0.33 rows/s sustained
@@ -265,12 +269,40 @@ def main() -> None:
         print(f"# ingest: ERROR {errors['__ingest__']}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Session-factory fingerprint: the recorded numbers are only
+    # reproducible under these configs (README §"Reproducing the bench" —
+    # a vanilla 200-shuffle-partition session is ~4× slower on iterative
+    # rows). Recording them lets a later reader separate config drift
+    # from real regression without re-running.
+    import hashlib
+
+    fp_keys = [
+        "spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
+        "spark.driver.memory", "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.autoBroadcastJoinThreshold", "spark.master",
+    ]
+    fp_cfg = {k: spark.conf.get(k, None) for k in fp_keys}
+    session_fp = {
+        "configs": fp_cfg,
+        "hash": hashlib.md5(
+            json.dumps(fp_cfg, sort_keys=True).encode()
+        ).hexdigest()[:12],
+        "runs_per_query": runs,
+        "timing": "min of N in-sequence runs, caches released between "
+                  "queries (not between runs — see loop comment)",
+    }
+    medians = {
+        n: sorted(s)[len(s) // 2] for n, s in all_runs.items() if s
+    }
     out: dict = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
         "queries": timings,
+        "queries_median": medians,
+        "runs": all_runs,
+        "session": session_fp,
         "sf": float(sf),
         "ingest": ingest,
     }
@@ -303,6 +335,7 @@ def main() -> None:
             "ingest": ingest,
             "slowest": slowest,
             "n_errors": len(errors),
+            "session_hash": session_fp["hash"],
             "queries_file": "bench_full.json",
         }
         print(json.dumps(summary))

@@ -33,6 +33,7 @@ Usage:
 from __future__ import annotations
 
 import math
+import os
 from datetime import datetime, timezone
 
 from pyspark.sql.datasource import (
@@ -126,11 +127,77 @@ def simulate_registers(inv_i: int, slot: int, samples_per_day: int) -> dict[int,
     }
 
 
+def _read_image(inv_i: int, slot: int, samples_per_day: int) -> dict[int, int]:
+    """One poll cycle's register image, via one of three paths:
+
+    1. ``SPARK_GRAFT_SOLARMAN_HOST`` set — LIVE: drive the V5/Modbus-RTU
+       codec (ingest/solarman_v5.py) over a real TCP socket, one
+       read-input-registers exchange per contiguous address span, exactly
+       the reference's fetch cycle (solarman.py:255-307 via
+       read_input_register :340-361). Falls back to fixture replay if the
+       peer is unreachable, as README documents.
+    2. ``SPARK_GRAFT_SOLARMAN_CODEC=1`` — CODEC REPLAY: the same encode →
+       wire-bytes → decode path against an in-memory ReplayDevice seeded
+       with the simulated image; proves the byte path without hardware.
+    3. default — direct simulated image (fast fixture path)."""
+    regs = simulate_registers(inv_i, slot, samples_per_day)
+    host = os.environ.get("SPARK_GRAFT_SOLARMAN_HOST")
+    use_codec = os.environ.get("SPARK_GRAFT_SOLARMAN_CODEC") == "1"
+    if not host and not use_codec:
+        return regs
+
+    from . import solarman_v5 as v5
+
+    serial, slave = 1_700_000_000 + inv_i, 1
+    spans = _contiguous_spans(_ADDRS)
+    if host:
+        import socket
+
+        port = int(os.environ.get("SPARK_GRAFT_SOLARMAN_PORT", "8899"))
+        try:
+            with socket.create_connection((host, port), timeout=5) as sock:
+                def exchange(req: bytes) -> bytes:
+                    sock.sendall(req)
+                    return sock.recv(4096)
+
+                return _fetch_spans(v5, exchange, serial, slave, slot, spans)
+        except OSError:
+            return regs  # no socket peer — fixture replay fallback
+    device = v5.ReplayDevice(serial, slave, regs)
+    return _fetch_spans(v5, device.exchange, serial, slave, slot, spans)
+
+
+def _contiguous_spans(addrs: list[int]) -> list[tuple[int, int]]:
+    """Collapse the ascending address list into (start, quantity) spans so
+    each poll is a few multi-register reads, not one read per address —
+    the batching a real 30 s cadence needs."""
+    spans: list[tuple[int, int]] = []
+    for a in addrs:
+        if spans and a == spans[-1][0] + spans[-1][1]:
+            spans[-1] = (spans[-1][0], spans[-1][1] + 1)
+        else:
+            spans.append((a, 1))
+    return spans
+
+
+def _fetch_spans(v5, exchange, serial: int, slave: int, slot: int,
+                 spans: list[tuple[int, int]]) -> dict[int, int]:
+    out: dict[int, int] = {}
+    for i, (addr, qty) in enumerate(spans):
+        values = v5.read_registers_via(
+            exchange, seq=(slot * 31 + i) & 0xFFFF, logger_serial=serial,
+            slave=slave, addr=addr, quantity=qty,
+        )
+        for j, val in enumerate(values):
+            out[addr + j] = val
+    return out
+
+
 def _rows(inv_i: int, slot_start: int, slot_end: int, samples_per_day: int):
     """Rows for one inverter over [slot_start, slot_end), schema order."""
     name = f"INV-{inv_i}"
     for slot in range(slot_start, slot_end):
-        regs = simulate_registers(inv_i, slot, samples_per_day)
+        regs = _read_image(inv_i, slot, samples_per_day)
         ts = datetime.fromtimestamp(
             START_EPOCH + slot * CADENCE_S, tz=timezone.utc
         )

@@ -27,40 +27,18 @@ from . import sinks  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
 
 
-# Round-5 ordering. The driver checks the FIRST ~50 names with its per-round
-# budget; rows earned in earlier rounds are banked (the judge unions
-# CORRECTNESS_r*.json), so the prefix spends budget ONLY on queries with no
-# driver-green row yet (130 banked through r04). Front tier: the round-4
-# verdict's rotation list — LLM flagships (IVF-PQ, BPE, span/line dedup,
-# graph family) plus the 27 re-cast oracles and this round's overflow/
-# rounding/DATE fixes — so the external gate confirms the re-typed oracles.
-# Then every remaining never-sampled query, prior priority order preserved.
+# Round-6 ordering. The driver checks the FIRST ~50 names with its
+# per-round budget; rows earned in earlier rounds are banked (the judge
+# unions CORRECTNESS_r*.json; 180 distinct green rows through r05), so the
+# prefix spends budget ONLY on queries with no driver-green row yet. Front:
+# the two round-6 convergence-loop graph queries (new, never sampled), then
+# every remaining never-sampled query in the prior rotation order.
 _PRIORITY = [
-    "vec_pca_power_iteration", "graph_kcore_onion",
-    "graph_degree_assortativity", "graph_connected_components",
-    "ch_group_bitmap_ops", "ts_bollinger_breakouts",
-    "doc_split_leakage_report", "ts_rsi_regimes", "vec_pca_project_topk",
-    "ts_pacf_durbin_levinson", "stream_stream_left_outer_join",
-    "agg_kendall_tau", "doc_lexical_diversity", "agg_cohens_d",
-    "doc_ngram_entropy_rate", "mm_image_aspect_buckets",
-    "sink_dynamic_partition_overwrite", "ts_smape_naive_baseline",
-    "vec_knn_ood_audit", "scan_json_corrupt_records", "agg_trimmed_mean",
-    "agg_ratio_delta_method", "ch_quantile_exact_low_high",
-    "ts_ljung_box_whiteness", "doc_langid_agreement_kappa",
-    "doc_feature_hash_collisions", "agg_k_anonymity_check",
-    "ts_stl_strength", "graph_modularity", "vec_silhouette_simplified",
-    "doc_quality_calibration_ece", "agg_auc_roc", "scan_observed_metrics",
-    "doc_span_corruption_plan", "agg_population_stability_index",
-    "doc_vocab_kl_matrix", "doc_simhash_bit_balance",
-    "doc_vocab_coverage_topk", "agg_histogram_equi_depth",
-    "join_null_skew_isolation", "agg_table_checksum",
-    "doc_prefix_boilerplate_clusters", "scan_high_watermark_incremental",
-    "doc_dup_cluster_size_histogram", "vec_rocchio_prf",
-    "ts_poisson_rate_anomaly", "agg_contingency_residuals",
-    "window_streak_detection", "vec_distance_concentration",
-    "sub_any_all_quantified", "doc_eyeball_panel",
+    "graph_kcore_full", "graph_pagerank_converged", "doc_eyeball_panel",
     "doc_bitext_mining_candidates", "doc_pps_systematic_sample",
-    "ts_holt_winters_additive", "agg_ttest_paired", "doc_tokenizer_fertility_by_lang", "vec_coreset_kcenter", "vec_prototype_prune", "doc_ccnet_perplexity_buckets",
+    "ts_holt_winters_additive", "agg_ttest_paired",
+    "doc_tokenizer_fertility_by_lang", "vec_coreset_kcenter",
+    "vec_prototype_prune", "doc_ccnet_perplexity_buckets",
     "doc_dedup_rate_by_source", "doc_rouge1_decontam_score",
     "vec_ivfpq_topk", "vec_ivfpq_recall", "doc_bpe_train", "doc_bpe_encode",
     "doc_dup_span_coverage", "doc_line_dedup", "graph_pagerank",
@@ -155,55 +133,76 @@ _PRIORITY = [
     "window_rolling_median",
 ]
 
-#: Names with a driver-green row in rounds 1-4 (union of
-#: CORRECTNESS_r01-r04) — kept after the never-checked tiers so a larger
+#: Names with a driver-green row in rounds 1-5 (union of
+#: CORRECTNESS_r01-r05) — kept after the never-checked tiers so a larger
 #: driver budget re-confirms them before the long tail.
 _DRIVER_GREEN = [
     "agg_anova_oneway", "agg_approx_distinct", "agg_approx_percentile",
-    "agg_bit_ops", "agg_collect_sorted", "agg_count_distinct",
+    "agg_auc_roc", "agg_bit_ops", "agg_cohens_d", "agg_collect_sorted",
+    "agg_contingency_residuals", "agg_count_distinct",
     "agg_count_distinct_multi", "agg_count_if_family", "agg_cramers_v",
     "agg_cube", "agg_filter_clause", "agg_global_stats", "agg_grouping_sets",
-    "agg_having", "agg_histogram", "agg_hll_intersection",
-    "agg_hll_sketch_union", "agg_last_point", "agg_mann_whitney_u",
+    "agg_having", "agg_histogram", "agg_histogram_equi_depth",
+    "agg_hll_intersection", "agg_hll_sketch_union", "agg_k_anonymity_check",
+    "agg_kendall_tau", "agg_last_point", "agg_mann_whitney_u",
     "agg_mode_deterministic", "agg_moments_skew_kurtosis", "agg_percentiles",
-    "agg_pivot", "agg_pythagorean_means", "agg_regr_ols", "agg_rollup",
-    "agg_salted_skew", "agg_tpch_q1", "agg_unpivot", "agg_weighted_median",
+    "agg_pivot", "agg_population_stability_index", "agg_pythagorean_means",
+    "agg_ratio_delta_method", "agg_regr_ols", "agg_rollup",
+    "agg_salted_skew", "agg_table_checksum", "agg_tpch_q1",
+    "agg_trimmed_mean", "agg_unpivot", "agg_weighted_median",
     "agg_welch_ttest", "array_explode", "array_functions",
-    "ch_cramers_v_bias_corrected", "ch_kolmogorov_smirnov",
-    "ch_moving_avg_array", "ch_rank_corr", "conditional_functions",
+    "ch_cramers_v_bias_corrected", "ch_group_bitmap_ops",
+    "ch_kolmogorov_smirnov", "ch_moving_avg_array",
+    "ch_quantile_exact_low_high", "ch_rank_corr", "conditional_functions",
     "date_epoch_roundtrip", "date_functions", "doc_curation_funnel_report",
     "doc_curation_v3", "doc_dataset_card", "doc_decontaminate_overlap",
-    "doc_dedup_clusters", "doc_exact_dedup", "doc_fingerprint",
+    "doc_dedup_clusters", "doc_dup_cluster_size_histogram",
+    "doc_exact_dedup", "doc_feature_hash_collisions", "doc_fingerprint",
     "doc_gopher_rules", "doc_incremental_dedup", "doc_langid",
+    "doc_langid_agreement_kappa", "doc_lexical_diversity",
     "doc_neardup_jaccard", "doc_neardup_jaccard_capped",
     "doc_neardup_minhash", "doc_neardup_minhash_exact",
     "doc_neardup_minhash_recall", "doc_neardup_simhash",
-    "doc_neardup_simhash_exact", "doc_quality_score",
-    "doc_repetition_filters", "doc_text_stats", "doc_token_count_bpe",
-    "filter_compound", "join_anti", "join_asof_latest_event", "join_cross",
-    "join_full_outer", "join_interval_pairs", "join_left_outer", "join_semi",
-    "join_star_revenue", "join_theta_prior_orders", "json_extract",
-    "map_functions", "math_functions", "mm_image_decode",
-    "mm_payload_exact_dedup", "mm_payload_meta", "mm_video_frame_sample",
-    "proj_clamp_dropzero", "proj_clamp_nullsafe", "proj_revenue_expr",
-    "scan_count_all", "scan_files_metadata", "scan_profile_stats",
-    "scan_pruned_projection", "scan_reservoir_per_group", "scan_sample_hash",
-    "scan_select_except", "scan_validation_report", "set_except",
-    "set_intersect", "set_union", "set_union_distinct",
-    "sink_compact_small_files", "sink_idempotent_upsert",
+    "doc_neardup_simhash_exact", "doc_ngram_entropy_rate",
+    "doc_prefix_boilerplate_clusters", "doc_quality_calibration_ece",
+    "doc_quality_score", "doc_repetition_filters", "doc_simhash_bit_balance",
+    "doc_span_corruption_plan", "doc_split_leakage_report", "doc_text_stats",
+    "doc_token_count_bpe", "doc_vocab_coverage_topk", "doc_vocab_kl_matrix",
+    "filter_compound", "graph_connected_components",
+    "graph_degree_assortativity", "graph_kcore_onion", "graph_modularity",
+    "join_anti", "join_asof_latest_event", "join_cross", "join_full_outer",
+    "join_interval_pairs", "join_left_outer", "join_null_skew_isolation",
+    "join_semi", "join_star_revenue", "join_theta_prior_orders",
+    "json_extract", "map_functions", "math_functions",
+    "mm_image_aspect_buckets", "mm_image_decode", "mm_payload_exact_dedup",
+    "mm_payload_meta", "mm_video_frame_sample", "proj_clamp_dropzero",
+    "proj_clamp_nullsafe", "proj_revenue_expr", "scan_count_all",
+    "scan_files_metadata", "scan_high_watermark_incremental",
+    "scan_json_corrupt_records", "scan_observed_metrics",
+    "scan_profile_stats", "scan_pruned_projection",
+    "scan_reservoir_per_group", "scan_sample_hash", "scan_select_except",
+    "scan_validation_report", "set_except", "set_intersect", "set_union",
+    "set_union_distinct", "sink_compact_small_files",
+    "sink_dynamic_partition_overwrite", "sink_idempotent_upsert",
     "sink_parquet_roundtrip", "sink_tar_shards", "sink_zorder_layout",
     "sort_multi_nulls", "sort_topk_global", "sort_topk_per_group",
     "source_python_datasource", "stream_counter_rate_stateful",
     "stream_dedup_first", "stream_ingest_e2e", "stream_peak_tracker_tws",
     "stream_session_window", "stream_sliding_window",
-    "stream_stream_interval_join", "stream_tumbling_window",
-    "stream_watermark_cut_exact", "stream_watermark_late_data",
-    "string_functions", "string_regex", "udf_grouped_agg_mean",
-    "udf_map_in_pandas_decode", "udf_scalar_clamp", "vec_ann_ivf",
-    "vec_ann_lsh", "vec_ann_recall_ivf", "vec_ann_recall_lsh",
-    "vec_cosine_topk", "vec_label_centroids", "vec_neardup_cosine",
-    "window_analytic", "window_counter_delta", "window_moving_avg",
-    "window_range_frame", "window_ranking", "window_running_sum",
+    "stream_stream_interval_join", "stream_stream_left_outer_join",
+    "stream_tumbling_window", "stream_watermark_cut_exact",
+    "stream_watermark_late_data", "string_functions", "string_regex",
+    "sub_any_all_quantified", "ts_bollinger_breakouts",
+    "ts_ljung_box_whiteness", "ts_pacf_durbin_levinson",
+    "ts_poisson_rate_anomaly", "ts_rsi_regimes", "ts_smape_naive_baseline",
+    "ts_stl_strength", "udf_grouped_agg_mean", "udf_map_in_pandas_decode",
+    "udf_scalar_clamp", "vec_ann_ivf", "vec_ann_lsh", "vec_ann_recall_ivf",
+    "vec_ann_recall_lsh", "vec_cosine_topk", "vec_distance_concentration",
+    "vec_knn_ood_audit", "vec_label_centroids", "vec_neardup_cosine",
+    "vec_pca_power_iteration", "vec_pca_project_topk", "vec_rocchio_prf",
+    "vec_silhouette_simplified", "window_analytic", "window_counter_delta",
+    "window_moving_avg", "window_range_frame", "window_ranking",
+    "window_running_sum", "window_streak_detection",
 ]
 
 

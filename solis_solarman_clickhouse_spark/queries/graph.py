@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..caching import tracked_persist, untrack
+from ..session import pinned_shuffle
 
 from ..tables import table
 from .registry import query
@@ -828,4 +829,282 @@ def graph_modularity(spark, sf_dir):
                 "      DIV (2 * m2 * m2) AS BIGINT) / 1000000.0D + 0.0D END"
             ).alias("modularity"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Convergence-loop variants (round-5 verdict, Next round #4): the fixed-R
+# queries above keep both engines on an identical unroll; these two run the
+# DATA-DEPENDENT convergence loop a 100 TB deployment actually wants, and
+# stay EXACT-comparable through one theorem: for a DETERMINISTIC iteration
+# map, "stop early when the state provably stopped changing (period ≤ p)"
+# produces the same canonical output as "always run the full R_cap unroll" —
+# extra oracle rounds past convergence are no-ops, and if the data never
+# converges within the cap, BOTH sides simply run all R_cap rounds. Either
+# way the row sets are equal, so a recursive-CTE-free DuckDB oracle (the
+# unrolled recursion) stays EXACT while Spark's round count is decided by
+# the data.
+
+
+def _kcore_full_oracle(k: int = 5, cap: int = 16) -> str:
+    body = f"""
+    WITH {_CHAIN_EDGES_SQL},
+    und AS (
+      SELECT u AS s, v AS t FROM edges
+      UNION ALL SELECT v AS s, u AS t FROM edges),
+    l0 AS (SELECT node, 1 AS a, 0 AS layer FROM deg)
+    """
+    for r in range(1, cap + 1):
+        p = r - 1
+        body += f""",
+    n{r} AS (
+      SELECT und.s AS node, SUM(prev.a) AS alive
+      FROM und JOIN l{p} prev ON prev.node = und.t
+      GROUP BY und.s),
+    l{r} AS MATERIALIZED (
+      SELECT l{p}.node,
+             CASE WHEN l{p}.a = 1 AND COALESCE(n{r}.alive, 0) >= {k}
+                  THEN 1 ELSE 0 END AS a,
+             CASE WHEN l{p}.layer > 0 THEN l{p}.layer
+                  WHEN l{p}.a = 1 AND COALESCE(n{r}.alive, 0) < {k}
+                  THEN {r} ELSE 0 END AS layer
+      FROM l{p} LEFT JOIN n{r} ON n{r}.node = l{p}.node)
+    """
+    body += f"""
+    SELECT lay.node AS custkey, CAST(lay.a AS BIGINT) AS in_core,
+           CAST(lay.layer AS BIGINT) AS peel_layer
+    FROM l{cap} lay
+    ORDER BY custkey
+    """
+    return body
+
+
+@query("graph_kcore_full", category="graph", oracle=_kcore_full_oracle())
+def graph_kcore_full(spark, sf_dir):
+    """k-core decomposition run to FIXPOINT (k=5, data-decided round
+    count, safety cap 16) — the convergence-loop twin of
+    graph_kcore_onion's fixed-3-round unroll, closing the "fixed R
+    because oracle" caveat: the peel is MONOTONE (the alive vector only
+    ever shrinks pointwise), so "alive count unchanged" IS the fixpoint
+    test, one scalar aggregate per round (the operators/graph.py
+    convergence-count pattern — state never leaves the cluster). The
+    oracle unrolls the identical recursion to the cap: rounds past
+    convergence change nothing (a is already fixed), so early-stopped
+    Spark output equals the cap-round oracle EXACTLY whether the peel
+    converged (measured: 9 rounds at sf0.01, 10 at sf0.1) or not.
+    Per-round plan is the kcore_onion shape (alive-degree as one
+    map-side-combinable SUM over the static adjacency, state referenced
+    once via broadcast); per-round persist + in-loop release of the
+    superseded frame keeps peak cache at one |V| state + the edge list.
+    At 100 TB nothing changes: round count is set by cascade depth, not
+    data volume, and each round is one bounded shuffle."""
+    K, CAP = 5, 16
+    with pinned_shuffle(spark):
+        return _kcore_full_loop(spark, sf_dir, K, CAP)
+
+
+def _kcore_full_loop(spark, sf_dir, K, CAP):
+    edges, _deg = _chain_edges(spark, sf_dir)
+    und = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    ).transform(tracked_persist)
+    und.count()
+    deg = (
+        und.groupBy(F.col("s").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .transform(tracked_persist)
+    )
+    # localCheckpoint per round, NOT persist: the state is referenced
+    # TWICE per round (alive-degree sum + the fold), so with persist the
+    # LOGICAL plan doubles every round and Catalyst analysis goes 2^R —
+    # measured 1.5 s -> 28.9 s per round by round 6. Checkpointing
+    # truncates lineage to the materialized partitions: flat ~0.6 s/round
+    # at sf0.01 (eager => it is also the materialization barrier).
+    state = deg.select(
+        "node", F.lit(1).alias("a"), F.lit(0).alias("layer")
+    ).localCheckpoint(eager=True)
+    alive = state.agg(F.sum("a")).collect()[0][0]
+    rounds = 0
+    for r in range(1, CAP + 1):
+        nbr = (
+            und.join(
+                F.broadcast(
+                    state.select(F.col("node").alias("t"), F.col("a").alias("at"))
+                ),
+                "t",
+            )
+            .groupBy("s")
+            .agg(F.sum("at").alias("alive_deg"))
+        )
+        prev = state
+        state = (
+            state.join(F.broadcast(nbr.withColumnRenamed("s", "node")), "node", "left")
+            .select(
+                "node",
+                F.when(
+                    (F.col("a") == 1)
+                    & (F.coalesce(F.col("alive_deg"), F.lit(0)) >= K),
+                    F.lit(1),
+                ).otherwise(F.lit(0)).alias("a"),
+                F.when(F.col("layer") > 0, F.col("layer"))
+                .when(
+                    (F.col("a") == 1)
+                    & (F.coalesce(F.col("alive_deg"), F.lit(0)) < K),
+                    F.lit(r),
+                )
+                .otherwise(F.lit(0))
+                .alias("layer"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_alive = state.agg(F.sum("a")).collect()[0][0]  # convergence probe
+        prev.unpersist(False)  # superseded checkpoint blocks
+        rounds = r
+        if new_alive == alive:
+            break  # monotone peel: unchanged count == unchanged vector
+        alive = new_alive
+    graph_kcore_full.last_rounds = rounds  # convergence-invariant test hook
+    return state.select(
+        F.col("node").alias("custkey"),
+        F.col("a").cast("bigint").alias("in_core"),
+        F.col("layer").cast("bigint").alias("peel_layer"),
+    ).orderBy("custkey")
+
+
+def _pagerank_converged_oracle(cap: int = 48) -> str:
+    body = f"""
+    WITH {_CHAIN_EDGES_SQL},
+    und AS (
+      SELECT u AS s, v AS t FROM edges
+      UNION ALL SELECT v AS s, u AS t FROM edges),
+    r0 AS (SELECT node, CAST(10000 AS BIGINT) AS r FROM deg)
+    """
+    for r in range(1, cap + 1):
+        p = r - 1
+        body += f""",
+    s{r} AS (
+      SELECT und.s AS node, SUM(prev.r // d.d) AS m
+      FROM und
+      JOIN r{p} prev ON prev.node = und.t
+      JOIN deg d ON d.node = und.t
+      GROUP BY und.s),
+    r{r} AS MATERIALIZED (
+      SELECT deg.node,
+             CAST(1500 + (85 * COALESCE(s{r}.m, 0)) // 100 AS BIGINT) AS r
+      FROM deg LEFT JOIN s{r} ON s{r}.node = deg.node)
+    """
+    body += f"""
+    SELECT a.node AS custkey, LEAST(a.r, b.r) AS rank_e4
+    FROM r{cap} a JOIN r{cap - 1} b ON b.node = a.node
+    ORDER BY custkey
+    """
+    return body
+
+
+@query(
+    "graph_pagerank_converged",
+    category="graph",
+    oracle=_pagerank_converged_oracle(),
+)
+def graph_pagerank_converged(spark, sf_dir):
+    """PageRank run to CONVERGENCE (data-decided round count, cap 48) in
+    an integer-quantized dataflow — the convergence-loop twin of
+    graph_pagerank's fixed-3-round unroll. Ranks are carried as BIGINT
+    1e4-scale units and the update is the exact integer map
+    r' = 1500 + (85 * Σ_in (r_u DIV d_u)) DIV 100 (nonnegative operands,
+    so Spark DIV ≡ DuckDB //): a deterministic map on a finite lattice,
+    so the orbit must become periodic — measured period ≤ 2 entered at
+    round ~31-32 on both sf0.01 and sf0.1 (an exact fixpoint is the
+    period-1 case). The loop therefore stops when state(t) == state(t-2)
+    (covers periods 1 and 2; one |V|-sized broadcast anti-probe per
+    round), and the CANONICAL output is the elementwise MIN of the last
+    two states — invariant under where the orbit is sampled, so the
+    early-stopped result equals the oracle's LEAST(r_cap, r_cap-1) over
+    the full 48-round unroll EXACTLY; if some dataset never enters a
+    short orbit, both sides just run all 48 rounds and remain equal.
+    Per-round: contributions via one broadcast of the |V| rank vector
+    onto the static adjacency + map-side-combinable SUM — the
+    graph_pagerank shape; superseded states (t-3 and older) release
+    in-loop. At 100 TB: round count is contraction-driven (damping
+    0.85), independent of |V|; each round is one bounded shuffle."""
+    CAP = 48
+    with pinned_shuffle(spark):
+        return _pagerank_converged_loop(spark, sf_dir, CAP)
+
+
+def _pagerank_converged_loop(spark, sf_dir, CAP):
+    edges, deg0 = _chain_edges(spark, sf_dir)
+    und = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    ).transform(tracked_persist)
+    und.count()
+    deg = (
+        und.groupBy(F.col("s").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .transform(tracked_persist)
+    )
+    # localCheckpoint per round (see _kcore_full_loop): lineage truncation
+    # keeps round cost FLAT over the ~31-round run where persisted-but-
+    # unbroken lineage grows the analyzed plan every round.
+    state = deg.select(
+        "node", F.lit(10000).cast("bigint").alias("r")
+    ).localCheckpoint(eager=True)
+    def one_round(st):
+        contrib = st.join(F.broadcast(deg), "node").select(
+            F.col("node").alias("t"), F.expr("r DIV d").alias("c")
+        )
+        relay = (
+            und.join(F.broadcast(contrib), "t")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("c").alias("m"))
+        )
+        return deg.join(F.broadcast(relay), "node", "left").select(
+            "node",
+            F.expr(
+                "CAST(1500L + (85L * COALESCE(m, 0L)) DIV 100L AS BIGINT)"
+            ).alias("r"),
+        )
+
+    # Two iteration rounds per checkpoint+probe: the state is referenced
+    # once per round, so the intermediate (odd) round stays a LAZY plan of
+    # depth 1 on the last checkpoint — never materialized on its own —
+    # and the fixed checkpoint/probe cost is paid once per TWO rounds.
+    # The probe compares state(t) to state(t-2), exactly the period-<=2
+    # test, so probing on even t only delays detection by at most one
+    # round and never changes the canonical min-of-last-two output (the
+    # final min reads state(t-1) through its lazy one-round plan).
+    hist = [state]  # checkpointed states, 2-round stride
+    mid = state
+    rounds = 0
+    while rounds < CAP:
+        mid = one_round(state)  # lazy: state(t-1)
+        if rounds + 2 <= CAP:
+            state = one_round(mid).localCheckpoint(eager=True)
+            rounds += 2
+        else:  # odd CAP tail (unreachable for even CAP)
+            state = mid.localCheckpoint(eager=True)
+            mid = hist[-1]
+            rounds += 1
+        two_back = hist[-1]
+        hist.append(state)
+        changed = (
+            state.join(
+                F.broadcast(two_back.withColumnRenamed("r", "r_old")), "node"
+            )
+            .where(F.col("r") != F.col("r_old"))
+            .count()
+        )  # period-<=2 orbit probe
+        while len(hist) > 2:
+            hist.pop(0).unpersist(False)  # superseded checkpoint blocks
+        if changed == 0:
+            break
+    graph_pagerank_converged.last_rounds = rounds
+    cur, prev = state, mid  # state(t) and lazy state(t-1)
+    return (
+        cur.join(F.broadcast(prev.withColumnRenamed("r", "r_prev")), "node")
+        .select(
+            F.col("node").alias("custkey"),
+            F.least("r", "r_prev").alias("rank_e4"),
+        )
+        .orderBy("custkey")
     )

@@ -872,3 +872,46 @@ def test_split_leakage_semi_join_prunes_payload(spark):
     plan = _plan(df)
     assert "LeftSemi" in plan, plan
     assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_kcore_full_converges_and_is_monotone(spark):
+    """graph_kcore_full must EXIT EARLY (data-decided round count < the
+    16-round safety cap) and agree with the fixed-R onion on the overlap:
+    a node peeled in onion round r<=3 must carry the same layer here
+    (the peel recursion is identical; full just runs it to fixpoint)."""
+    from solis_solarman_clickhouse_spark.queries.graph import graph_kcore_full
+
+    full = REGISTRY["graph_kcore_full"].fn(spark, SF_DIR).collect()
+    assert 0 < graph_kcore_full.last_rounds < 16, graph_kcore_full.last_rounds
+    onion = {
+        r["custkey"]: r["layer"]
+        for r in REGISTRY["graph_kcore_onion"].fn(spark, SF_DIR).collect()
+    }
+    for row in full:
+        if 0 < onion[row["custkey"]] <= 3:
+            assert row["peel_layer"] == onion[row["custkey"]], row
+        # fixpoint: nothing may still be alive with layer 0 unless in core
+        assert row["in_core"] in (0, 1)
+        assert (row["in_core"] == 1) == (row["peel_layer"] == 0) or (
+            row["in_core"] == 0 and row["peel_layer"] > 0
+        )
+
+
+def test_pagerank_converged_invariants(spark):
+    """graph_pagerank_converged must stop before the 48-round cap
+    (period-<=2 orbit detection), conserve total rank mass to within the
+    integer-floor loss bound (each node floors away < 1+0.85 units per
+    round => total in [0.985*N*1e4, N*1e4]), and rank leaves (degree-1
+    chain ends) strictly below the global mean."""
+    from solis_solarman_clickhouse_spark.queries.graph import (
+        graph_pagerank_converged,
+    )
+
+    rows = REGISTRY["graph_pagerank_converged"].fn(spark, SF_DIR).collect()
+    assert 0 < graph_pagerank_converged.last_rounds < 48, (
+        graph_pagerank_converged.last_rounds
+    )
+    n = len(rows)
+    total = sum(r["rank_e4"] for r in rows)
+    assert 0.985 * n * 10000 <= total <= n * 10000, total / (n * 10000)
+    assert min(r["rank_e4"] for r in rows) > 0
