@@ -2786,7 +2786,7 @@ def agg_pareto_point(spark, sf_dir):
       SELECT c.source, q.q_pct, c.doc_id, c.n_chars,
              ROW_NUMBER() OVER (PARTITION BY c.source, q.q_pct
                                 ORDER BY c.n_chars, c.doc_id) AS rk
-      FROM c CROSS JOIN (SELECT UNNEST([25, 50, 75, 90]) AS q_pct) q
+      FROM c CROSS JOIN (SELECT UNNEST(CAST([25, 50, 75, 90] AS BIGINT[])) AS q_pct) q
       WHERE 100 * c.cum >= q.q_pct * c.tot
     )
     SELECT source, q_pct, n_chars AS q_len, doc_id AS q_doc

@@ -355,7 +355,7 @@ def _simhash_md5_oracle(bits: int = 60, max_hamming: int = 8) -> str:
     votes AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id),
     fp AS (SELECT doc_id, {fp} AS simhash FROM votes)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
@@ -3396,7 +3396,7 @@ def _minhash_est_err_oracle(n_hashes: int = 16, bands: int = 8) -> str:
     sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             ({matches}) * 1000000 // {n_hashes} AS est_e6
+             CAST(({matches}) * 1000000 // {n_hashes} AS BIGINT) AS est_e6
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       WHERE {band_conds}
     ),

@@ -1730,7 +1730,8 @@ WITH {_BQ_CODE_DUCK},
 q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM codes WHERE vec_id < 10),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
-         bit_count(xor(q.qlo, c.lo)) + bit_count(xor(q.qhi, c.hi)) AS hamming
+         CAST(bit_count(xor(q.qlo, c.lo)) + bit_count(xor(q.qhi, c.hi)) AS BIGINT)
+           AS hamming
   FROM q CROSS JOIN codes c WHERE c.vec_id <> q.query_id
 ),
 ranked AS (

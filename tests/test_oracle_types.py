@@ -27,12 +27,15 @@ BANNED_FRAGMENTS = ("HUGEINT", "UHUGEINT", "DECIMAL", "[]", "STRUCT", "MAP(")
 # ('1995-01-31') — value-identical, hash-divergent. TIMESTAMP stays legal
 # (both engines produce pandas Timestamps). Emit dates as strings.
 #
-# INT width (Spark int32 vs DuckDB BIGINT) is deliberately NOT banned:
-# ~85 registry queries emit int32 (row_number, size, rank) against
-# BIGINT oracles and several of them (window_ranking, vec_cosine_topk,
-# sort_topk_per_group) have GREEN driver CORRECTNESS rows from r01–r02 —
-# empirical proof the external driver's cell hash is width-insensitive.
-BANNED_EXACT = ("DATE",)
+# INT width: as of round 6 every integer output column is BIGINT on BOTH
+# engines — Spark narrow ints are widened at the registry boundary
+# (registry.widen_ints) and the 49 audited narrow-int oracles carry a
+# widening outer SELECT (registry._ORACLE_WIDEN). The driver's cell hash
+# was empirically width-INsensitive (green int32-vs-BIGINT rows from
+# r01-r02), but a dtype-keyed comparator would have failed ~110 columns;
+# banning narrow ints here keeps the closed class closed.
+BANNED_EXACT = ("DATE", "TINYINT", "SMALLINT", "INTEGER",
+                "UTINYINT", "USMALLINT", "UINTEGER")
 
 WITH_ORACLE = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
 
