@@ -67,6 +67,16 @@ def main():
             if width_sensitive:
                 for c in sorted(spdf.columns):
                     ds, do = str(spdf[c].dtype), str(opdf[c].dtype)
+                    # datetime64[ns] (Spark toPandas) vs datetime64[us]
+                    # (DuckDB .df()) is pandas RESOLUTION, not value width:
+                    # driver-sampled timestamp queries (agg_last_point,
+                    # ch_arg_min_max) hash-match green, and the canonical
+                    # cell repr str()s both identically. Suppress so the
+                    # audit's signal stays "integer width only".
+                    if ds.startswith("datetime64") and do.startswith(
+                        "datetime64"
+                    ):
+                        continue
                     if ds != do:
                         print(f"{name} WIDTH {c}: spark={ds} oracle={do}",
                               flush=True)
