@@ -127,6 +127,8 @@ HEADLINE = [
     "agg_ttest_paired",
     "ts_holt_winters_additive",
     "graph_kcore_onion",
+    "graph_kcore_full",
+    "graph_pagerank_converged",
     "graph_degree_assortativity",
     "vec_pca_power_iteration",
     "vec_pca_project_topk",
@@ -196,10 +198,15 @@ def main() -> None:
     # can exceed the query's actual runtime at this SF; min-of-N measures
     # the engine, not the compiler.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # SPARK_GRAFT_BENCH_ONLY=q1,q2 reruns a subset (scaling-triage loop:
+    # tools/scalecheck.py flags rows, this re-measures just those).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = [n for n in HEADLINE if n in set(only.split(","))] \
+        if only else HEADLINE
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         # Per-query fault isolation: one broken query must cost only its own
         # row, never the whole bench (round-1 post-mortem).
         best = float("inf")

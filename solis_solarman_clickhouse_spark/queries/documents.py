@@ -3279,11 +3279,20 @@ def _wjaccard_index_pairs(tf):
     )
 
 
-def _wjaccard_dense_pairs(tf, vocab, n_vocab: int, n_blocks: int = 8):
+def _wjaccard_dense_pairs(tf, vocab, n_vocab: int, n_blocks: int = 16):
     """Dense bounded-vocab path of doc_weighted_jaccard_pairs (see its
     docstring): block-nested-loop all-pairs over per-doc integer tf
     vectors, Σmin via the exact L1 identity, ≥0.8 cut and the 1e6 score
-    in int64 — bit-identical to the inverted-index path."""
+    in int64 — bit-identical to the inverted-index path.
+
+    LENGTH-BLOCKED: wjaccard ≥ 0.8 forces 5·min(na,nb) ≥ 4·max(na,nb)
+    (Σmin ≤ min and 9·Σmin ≥ 4(na+nb) together), so docs are blocked by
+    TOTAL-TOKEN-COUNT ntile instead of doc_id%N and any block pair whose
+    [min_na, max_na] ranges cannot satisfy the 1.25× ratio is skipped
+    before a byte ships — the qualifying-pair set is untouched (the cut
+    is implied by the threshold), the all-pairs work drops to the
+    near-diagonal band. Measured at sf1.0 (50 k docs, lengths 10-100):
+    136 block pairs → ~40 compatible, ~3.5× less kernel compute."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window as W
@@ -3291,6 +3300,26 @@ def _wjaccard_dense_pairs(tf, vocab, n_vocab: int, n_blocks: int = 8):
     tok_ids = vocab.select(
         "tok", (F.row_number().over(W.orderBy("tok")) - 1).alias("tok_id")
     )
+    # block ids from a SLIM (doc_id, na) frame: the ntile quantile sort is
+    # a single-partition window, so it must never carry the tfs payload —
+    # the 2-column frame sorts in milliseconds and broadcast-joins back.
+    from ..caching import tracked_persist
+
+    slim = (
+        tf.groupBy("doc_id")
+        .agg(F.sum("f").alias("na"))
+        .withColumn(
+            "blk",
+            (F.ntile(n_blocks).over(W.orderBy("na", "doc_id")) - 1).cast("int"),
+        )
+        .transform(tracked_persist)  # read by rng collect AND the join back
+    )
+    rng = {
+        int(r["blk"]): (int(r["lo"]), int(r["hi"]))
+        for r in slim.groupBy("blk")
+        .agg(F.min("na").alias("lo"), F.max("na").alias("hi"))
+        .collect()
+    }
     per_doc = (
         tf.join(F.broadcast(tok_ids), "tok")
         .groupBy("doc_id")
@@ -3298,10 +3327,17 @@ def _wjaccard_dense_pairs(tf, vocab, n_vocab: int, n_blocks: int = 8):
             F.collect_list(F.struct("tok_id", "f")).alias("tfs"),
             F.sum("f").alias("na"),
         )
-        .withColumn("blk", (F.col("doc_id") % n_blocks).cast("int"))
+        .join(F.broadcast(slim.select("doc_id", "blk")), "doc_id")
     )
     pairs_of_blocks = [
-        (bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)
+        (bi, bj)
+        for bi in range(n_blocks)
+        for bj in range(bi, n_blocks)
+        if bi in rng
+        and bj in rng
+        # ratio-compatible: some a in bi, b in bj with 5*min >= 4*max
+        and 5 * rng[bi][1] >= 4 * rng[bj][0]
+        and 5 * rng[bj][1] >= 4 * rng[bi][0]
     ]
     # ship each doc once per block-pair it participates in
     routes = F.array(
@@ -3360,6 +3396,13 @@ def _wjaccard_dense_pairs(tf, vocab, n_vocab: int, n_blocks: int = 8):
             }
         )
 
+    # explicit hash-partition by grp at the block-pair count: the kernel
+    # stage's input is small in BYTES but heavy in COMPUTE (2-3 s per
+    # block pair), and AQE's size-based coalescing was measured merging
+    # it to ~1 task (54 pairs × 2.5 s serialized = 2 min; spread = ~8 s).
+    # A user repartition is not coalescible, and its HashPartitioning
+    # satisfies the groupBy's required distribution — no extra exchange.
+    routed = routed.repartition(max(len(pairs_of_blocks), 1), "grp")
     return routed.groupBy("grp").applyInPandas(
         score, "doc_a long, doc_b long, wjaccard_e6 long"
     )
@@ -4501,11 +4544,19 @@ def doc_rouge1_decontam_score(spark, sf_dir):
     order; unigram recall catches them at the cost of more false
     positives — pipelines run both and review the disagreement. The
     eval set is the deterministic doc_id % 97 == 0 slice (synthetic
-    stand-in for a benchmark suite). At 100 TB: the eval tf table is
-    tiny and BROADCAST; candidates exist only where a token collides
-    with an eval doc, the per-(doc, eval) overlap is one
-    map-side-combinable sum, and the argmax is a per-doc window over
-    ≤ |eval| rows — never all-pairs against the corpus."""
+    stand-in for a benchmark suite). Physical-path choice, measured
+    (the doc_weighted_jaccard_pairs convention): when the EVAL
+    vocabulary is bounded (one tiny distinct-count job; ≤ 4096), the
+    eval tf table broadcasts as a dense int64 matrix and a mapInPandas
+    kernel computes Σ min(tf_doc, tf_eval) for all evals plus the
+    per-doc argmax ENTIRELY in-batch — zero shuffle, one output row
+    per doc (the sparse token join on the degenerate 31-word fixture
+    fans every train token out to every eval doc: ~700 M joined rows,
+    79 s at sf1.0, vs ~2 s dense). A natural vocabulary keeps the
+    sparse plan: eval tf tiny and BROADCAST, candidates only where a
+    token collides, one map-side-combinable sum, per-doc argmax over
+    ≤ |eval| rows — never all-pairs against the corpus. Both paths
+    are identical exact-integer arithmetic against the same oracle."""
     from pyspark.sql import Window as W
 
     docs = table(spark, sf_dir, "documents")
@@ -4519,6 +4570,9 @@ def doc_rouge1_decontam_score(spark, sf_dir):
         .groupBy("eval_id", "w")
         .agg(F.count(F.lit(1)).alias("ef"))
     )
+    n_vocab = etf.select("w").distinct().count()
+    if n_vocab <= 4096:
+        return _rouge1_dense(spark, train, etf)
     etot = etf.groupBy("eval_id").agg(F.sum("ef").alias("ne"))
     dtf = (
         train.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
@@ -4548,6 +4602,79 @@ def doc_rouge1_decontam_score(spark, sf_dir):
         F.col("eval_id").alias("worst_eval_id"),
         F.col("rouge1_e6").alias("max_rouge1_e6"),
         (F.col("rouge1_e6") >= 500000).alias("flagged"),
+    )
+
+
+def _rouge1_dense(spark, train, etf):
+    """Dense bounded-vocab kernel for doc_rouge1_decontam_score: the
+    collected eval tf matrix (E×V int64, V ≤ 4096 by the caller's
+    measured gate) broadcasts; each Arrow batch of train docs tokenizes
+    (same single-space split as F.split(text, ' ') — Python re keeps
+    empty fields exactly like Spark/DuckDB), builds its tf matrix with
+    np.add.at restricted to the eval vocabulary, takes
+    smin = Σ_V min(tf_doc, tf_eval) by chunked broadcasting, floors
+    rouge1_e6 = smin·1e6 // ne in int64, masks no-overlap pairs
+    (smin = 0 pairs do not exist in the sparse join), and argmaxes per
+    doc with first-index-wins ties == (rouge DESC, eval_id ASC) since
+    eval columns are sorted by eval_id. Output is one row per
+    overlapping doc; nothing pairwise ever shuffles."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    erows = etf.collect()
+    eval_ids = sorted({int(r["eval_id"]) for r in erows})
+    vocab = sorted({r["w"] for r in erows})
+    vid = {w: i for i, w in enumerate(vocab)}
+    eidx = {e: i for i, e in enumerate(eval_ids)}
+    emat = np.zeros((len(eval_ids), len(vocab)), dtype=np.int64)
+    for r in erows:
+        emat[eidx[int(r["eval_id"])], vid[r["w"]]] = int(r["ef"])
+    ne = emat.sum(axis=1)  # (E,) — Σ ef == eval token count
+    bc = spark.sparkContext.broadcast(
+        (np.array(eval_ids, dtype=np.int64), vocab, emat, ne)
+    )
+
+    def score(batches):
+        eids, voc, em, ne_ = bc.value
+        vmap = {w: i for i, w in enumerate(voc)}
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            if len(ids) == 0:
+                continue
+            tf = np.zeros((len(ids), len(voc)), dtype=np.int64)
+            for i, text in enumerate(pdf["text"]):
+                for w in re.split(" ", text):
+                    j = vmap.get(w)
+                    if j is not None:
+                        tf[i, j] += 1
+            best_r = np.full(len(ids), -1, dtype=np.int64)
+            best_e = np.zeros(len(ids), dtype=np.int64)
+            # chunk so the (b, E, V) broadcast stays ~256 MB of int64
+            step = max(1, (1 << 25) // max(1, em.shape[0] * em.shape[1]))
+            for lo in range(0, len(ids), step):
+                hi = min(lo + step, len(ids))
+                smin = np.minimum(
+                    tf[lo:hi, None, :], em[None, :, :]
+                ).sum(axis=2)  # (b, E)
+                r = np.where(smin > 0, smin * 1000000 // ne_[None, :], -1)
+                bi = r.argmax(axis=1)  # first max == lowest eval_id
+                best_r[lo:hi] = r[np.arange(hi - lo), bi]
+                best_e[lo:hi] = eids[bi]
+            keep = best_r >= 0
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids[keep],
+                    "worst_eval_id": best_e[keep],
+                    "max_rouge1_e6": best_r[keep],
+                    "flagged": best_r[keep] >= 500000,
+                }
+            )
+
+    return train.select("doc_id", "text").mapInPandas(
+        score,
+        "doc_id long, worst_eval_id long, max_rouge1_e6 long, flagged boolean",
     )
 
 
