@@ -21,6 +21,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_partitions(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Ensure a frame feeding a compute-heavy mapInPandas kernel has at
+    least the session's default parallelism in partitions. mapInPandas
+    inherits the INPUT partitioning, and a small single-file parquet
+    scan arrives in 1-2 partitions — the sf1.0 exact-pairs audit ran
+    its whole N×N matmul in 2 tasks (53 s) until this guard (→ 32
+    tasks, ~4 s). At corpus scale inputs already carry thousands of
+    partitions and this is a no-op — no shuffle is added. getNumPartitions
+    on a DataFrame-derived RDD is plan-time metadata, not a job."""
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor <= target:
+        return df.repartition(target)
+    return df
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
@@ -130,9 +146,11 @@ def cosine_topk_blas(
 
     from pyspark.sql import Window as W
 
-    cand = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+    cand = spread_partitions(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
     ).mapInPandas(
         batch_topk, "query_id long, neighbor_id long, cosine double"
     )
@@ -547,6 +565,46 @@ def cosine_tau_pairs_within(
 
     return grouped.groupBy(bucket_col).applyInPandas(
         _bucket_pairs, "vec_a long, vec_b long"
+    )
+
+
+def cosine_tau_pairs_exact(
+    vecs: DataFrame, *, tau: float, id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """Exact all-pairs (vec_a, vec_b) with ROUND(cosine, 8) >= tau —
+    the PARALLEL audit-tier twin of cosine_tau_pairs_within's
+    constant-bucket trick: that shape puts the whole corpus in ONE
+    applyInPandas group, so the N×N matmul runs single-threaded (the
+    sf1.0 20 k-vector audit measured ~15 s in one task). Here the
+    corpus broadcasts as one matrix (N×64 doubles — 10 MB at 20 k, the
+    broadcast-join size class) and every Arrow batch matmuls its rows
+    against it, emitting each unordered pair once from its lower-id
+    side, so the work spreads over all input partitions. Identical
+    8-dp round-half-even quantization before the tau cut."""
+    sess = vecs.sparkSession
+    rows = vecs.select(id_col, vec_col).collect()
+    ids = np.array([int(r[id_col]) for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    m = np.array([list(map(float, r[vec_col])) for r in rows])[order]
+    norms = np.sqrt((m * m).sum(axis=1))
+    bc = sess.sparkContext.broadcast((ids, m, norms))
+
+    def pairs(batches):
+        aid, am, an = bc.value
+        for pdf in batches:
+            bid = pdf[id_col].to_numpy(dtype=np.int64)
+            if len(bid) == 0:
+                continue
+            bm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bn = np.sqrt((bm * bm).sum(axis=1))
+            cos = np.round((bm @ am.T) / (bn[:, None] * an[None, :]), 8)
+            ii, jj = np.nonzero((cos >= tau) & (bid[:, None] < aid[None, :]))
+            yield pd.DataFrame({"vec_a": bid[ii], "vec_b": aid[jj]})
+
+    return spread_partitions(vecs.select(id_col, vec_col)).mapInPandas(
+        pairs, "vec_a long, vec_b long"
     )
 
 

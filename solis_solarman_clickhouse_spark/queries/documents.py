@@ -4672,7 +4672,9 @@ def _rouge1_dense(spark, train, etf):
                 }
             )
 
-    return train.select("doc_id", "text").mapInPandas(
+    from ..operators.similarity import spread_partitions
+
+    return spread_partitions(train.select("doc_id", "text")).mapInPandas(
         score,
         "doc_id long, worst_eval_id long, max_rouge1_e6 long, flagged boolean",
     )

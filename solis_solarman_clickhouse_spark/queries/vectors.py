@@ -2511,7 +2511,7 @@ def vec_semdedup_recall(spark, sf_dir):
     oracle from the same plane literals. The exact side is the
     fixture-scale audit; at 100 TB only the bucketed side runs, priced
     by THIS number measured on samples."""
-    from ..operators.similarity import cosine_tau_pairs_within, semdedup_bucketed
+    from ..operators.similarity import cosine_tau_pairs_exact, semdedup_bucketed
 
     emb = table(spark, sf_dir, "embeddings")
     approx = (
@@ -2519,17 +2519,19 @@ def vec_semdedup_recall(spark, sf_dir):
         .where(~F.col("is_kept"))
         .select("vec_id")
     )
-    # Exact ground truth via the same chunked-matmul kernel with ONE
-    # all-rows bucket — at audit (fixture/sample) scale a single group is
-    # fine, and it replaces a 2000x2000 theta-join scored by interpreted
-    # folds (measured ~58 s at sf0.1) with one BLAS call (~1 s).
+    # Exact ground truth via the broadcast-parallel all-pairs kernel
+    # (cosine_tau_pairs_exact): same 8-dp quantized cut, but the N×N
+    # matmul spreads over every input partition instead of running in
+    # one applyInPandas group — the single-group constant-bucket shape
+    # measured ~15 s single-threaded at sf1.0 (20 k vectors) vs ~2 s
+    # spread. (The original 2000×2000 theta-join with interpreted folds
+    # measured ~58 s at sf0.1.)
     e = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
-        F.lit(0).alias("bucket"),
     )
     exact = (
-        cosine_tau_pairs_within(e, tau=0.45)
+        cosine_tau_pairs_exact(e, tau=0.45)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
     )
@@ -3891,8 +3893,10 @@ def vec_distance_concentration(spark, sf_dir):
                 }
             )
 
-    part = emb.where(F.col("vec_id") % 11 == 0).select(
-        "vec_id", "embedding"
+    from ..operators.similarity import spread_partitions
+
+    part = spread_partitions(
+        emb.where(F.col("vec_id") % 11 == 0).select("vec_id", "embedding")
     ).mapInPandas(partial_moments, "n long, s long, mn long, mx long")
     m = part.agg(
         F.sum(F.col("n").cast("decimal(38,0)")).alias("n"),
