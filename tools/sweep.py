@@ -44,12 +44,43 @@ def main():
     from solis_solarman_clickhouse_spark.queries import REGISTRY
 
     con = duckdb.connect()
+    # bound the oracle side: a handful of oracles are intentionally
+    # pairwise (all-pairs weighted Jaccard, containment) and intractable
+    # in DuckDB beyond the driver's correctness SFs — at sf1.0 one was
+    # measured at 95 GB RSS before being killed. Cap memory and interrupt
+    # past --oracle-timeout (default 180 s; 0 = unlimited), recording
+    # ORACLE-TIMEOUT as a skip, never a fail (the Spark side still ran).
+    con.execute("SET memory_limit='24GB'")
+    timeout_s = 180.0
+    for a in sys.argv[1:]:
+        if a.startswith("--oracle-timeout="):
+            timeout_s = float(a.split("=", 1)[1])
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
-    n_ok = n_bad = n_width = n_done = 0
+
+    import threading
+
+    class _OracleTimeout(Exception):
+        pass
+
+    def run_oracle(sql: str):
+        if not timeout_s:
+            return con.execute(sql).df()
+        timer = threading.Timer(timeout_s, con.interrupt)
+        timer.start()
+        try:
+            return con.execute(sql).df()
+        except (duckdb.InterruptException, RuntimeError) as exc:
+            if "INTERRUPT" in type(exc).__name__.upper() or "interrupt" in str(exc).lower():
+                raise _OracleTimeout() from exc
+            raise
+        finally:
+            timer.cancel()
+
+    n_ok = n_bad = n_width = n_done = n_skip = 0
     for name in sorted(REGISTRY):
         spec = REGISTRY[name]
         if spec.oracle is None:
@@ -57,7 +88,7 @@ def main():
         t0 = time.time()
         try:
             spdf = spec.fn(spark, sf).toPandas()
-            opdf = con.execute(spec.oracle).df()
+            opdf = run_oracle(spec.oracle)
             if sorted(spdf.columns) != sorted(opdf.columns):
                 print(
                     f"{name} COLUMN-MISMATCH {sorted(spdf.columns)} vs "
@@ -84,6 +115,11 @@ def main():
             a = canon(spdf)
             o = canon(opdf)
             ok = a == o
+        except _OracleTimeout:
+            print(f"{name} ORACLE-TIMEOUT after {timeout_s:.0f}s "
+                  "(spark side ran; oracle skipped)", flush=True)
+            n_skip += 1
+            continue
         except Exception as exc:  # noqa: BLE001
             print(f"{name} ERROR {type(exc).__name__}: {exc}"[:300], flush=True)
             n_bad += 1
@@ -105,6 +141,8 @@ def main():
             mism = [(x, y) for x, y in zip(a, o) if x != y][:2]
             print(f"{name} MISMATCH {len(a)} vs {len(o)} {mism}", flush=True)
     tail = f", {n_width} width-divergent cols" if width_sensitive else ""
+    if n_skip:
+        tail += f", {n_skip} oracle-timeout skips"
     print(f"SWEEP DONE sf={sf}: {n_ok} ok, {n_bad} bad{tail}", flush=True)
 
 
