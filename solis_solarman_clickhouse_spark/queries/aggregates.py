@@ -2624,8 +2624,12 @@ def agg_lorenz_deciles(spark, sf_dir):
     revenue"): customers ntile'd into 10 ascending-spend buckets (the
     unique (x, custkey) order pins bucket membership on both engines),
     per-decile and cumulative revenue shares as 1e6 integers from
-    exact BIGINT cent sums. One rank window + one tiny 10-row
-    cumulative window."""
+    exact cent sums carried in DECIMAL(38,0): at sf1.0 the cumulative
+    cents reach ~2e13, so cum·1e6 overflows BIGINT (caught by the
+    sf1.0 sweep as an ANSI ARITHMETIC_OVERFLOW) — DuckDB's SUM(BIGINT)
+    widens to HUGEINT implicitly, Spark needs the explicit decimal
+    (the agg_hhi_concentration discipline). One rank window + one tiny
+    10-row cumulative window."""
     from pyspark.sql import Window as W
 
     o = table(spark, sf_dir, "orders")
@@ -2636,7 +2640,8 @@ def agg_lorenz_deciles(spark, sf_dir):
         "x", F.ntile(10).over(W.orderBy("x", "o_custkey")).alias("decile")
     )
     d = ranked.groupBy("decile").agg(
-        F.sum("x").alias("dx"), F.count(F.lit(1)).alias("nc")
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("dx"),
+        F.count(F.lit(1)).alias("nc"),
     )
     c = d.select(
         "decile",
@@ -2648,8 +2653,8 @@ def agg_lorenz_deciles(spark, sf_dir):
     return c.select(
         "decile",
         F.col("nc").alias("n_customers"),
-        F.expr("dx * 1000000 div tot").alias("share_e6"),
-        F.expr("cum * 1000000 div tot").alias("cum_share_e6"),
+        F.expr("CAST(dx * 1000000 DIV tot AS BIGINT)").alias("share_e6"),
+        F.expr("CAST(cum * 1000000 DIV tot AS BIGINT)").alias("cum_share_e6"),
     ).orderBy("decile")
 
 
@@ -4078,7 +4083,8 @@ def agg_table_checksum(spark, sf_dir):
       FROM c
     )
     SELECT event_type, cohort, CAST(obs AS BIGINT) AS obs,
-           ROUND(CAST(row_tot AS DOUBLE) * col_tot / n, 4) + 0.0 AS expected,
+           CAST((2 * row_tot * col_tot * 10000 + n) // (2 * n) AS BIGINT)
+             / 10000.0 + 0.0 AS expected,
            ROUND((obs - CAST(row_tot AS DOUBLE) * col_tot / n)
                  / sqrt(CAST(row_tot AS DOUBLE) * col_tot / n), 4) + 0.0
              AS std_residual
@@ -4093,10 +4099,13 @@ def agg_contingency_residuals(spark, sf_dir):
     cells — the post-hoc every A/B readout needs before acting). Cell
     counts and both margins are exact integers from one grouped pass
     (the margins ride window sums over the cells-sized frame, no
-    second scan); expected and residual are one fixed IEEE dataflow
-    over those identical integers per cell, rounded once at 4 dp with
-    −0.0 normalized. Output is a 15-cell table; everything after the
-    count shuffle is cells-sized."""
+    second scan); EXPECTED is emitted via exact integer half-away
+    division (row·col·1e4 ≈ 1e15, safely int64) because at sf1.0 one
+    cell's true expected lands exactly on a .00005 boundary where
+    Spark's ROUND half-up and DuckDB's half-even disagree (caught by
+    the sf1.0 sweep); the residual keeps the shared fixed IEEE
+    dataflow, rounded once at 4 dp with −0.0 normalized. Output is a
+    15-cell table; everything after the count shuffle is cells-sized."""
     ev = table(spark, sf_dir, "events")
     cohort = (
         F.when(F.col("user_id") % 3 == 0, "cohort_a")
@@ -4115,7 +4124,12 @@ def agg_contingency_residuals(spark, sf_dir):
     exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
     return m.select(
         "event_type", "cohort", "obs",
-        (F.round(exp, 4) + F.lit(0.0)).alias("expected"),
+        (
+            F.expr(
+                "(2 * row_tot * col_tot * 10000 + n) DIV (2 * n)"
+            ) / 10000.0
+            + F.lit(0.0)
+        ).alias("expected"),
         (F.round((F.col("obs") - exp) / F.sqrt(exp), 4) + F.lit(0.0)).alias(
             "std_residual"
         ),
