@@ -466,24 +466,29 @@ def ch_group_concat(spark, sf_dir):
     category="clickhouse",
     oracle="""
     WITH f AS (
-      SELECT user_id, ts, event_id,
+      SELECT user_id,
              CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
-                             ELSE 2 END AS code
+                             ELSE 2 END AS code,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
       FROM events WHERE event_type IN ('view', 'click', 'purchase')
     ),
-    folded AS (
-      SELECT user_id,
-             abs(list_reduce(
-               list_prepend(0, list(code ORDER BY ts, event_id)),
-               (a, b) -> CASE WHEN a < 0 THEN a
-                              WHEN b = a THEN a + 1
-                              ELSE -a END)) AS funnel_level
-      FROM f GROUP BY user_id
+    p AS (
+      SELECT user_id, MIN(rn) AS p FROM f WHERE code = 0 GROUP BY user_id
+    ),
+    lv AS (
+      SELECT p.user_id,
+             CASE WHEN c1.code = 1 AND c2.code = 2 THEN 3
+                  WHEN c1.code = 1 THEN 2
+                  ELSE 1 END AS funnel_level
+      FROM p
+      LEFT JOIN f c1 ON c1.user_id = p.user_id AND c1.rn = p.p + 1
+      LEFT JOIN f c2 ON c2.user_id = p.user_id AND c2.rn = p.p + 2
     ),
     u AS (SELECT DISTINCT user_id FROM events)
-    SELECT COALESCE(folded.funnel_level, 0) AS funnel_level,
+    SELECT COALESCE(lv.funnel_level, 0) AS funnel_level,
            COUNT(*) AS n_users
-    FROM u LEFT JOIN folded USING (user_id)
+    FROM u LEFT JOIN lv USING (user_id)
     GROUP BY 1
     """,
 )
@@ -495,9 +500,21 @@ def ch_window_funnel_strict_order(spark, sf_dir):
     funnel event — CH's strict_order. Implemented as a pure integer fold
     (aggregate) over the sorted per-user code array: state = level,
     negated to freeze; abs() at the end. One grouped collect per user,
-    the fold is a codegen'd lambda — and the identical fold runs in
-    DuckDB's list_reduce, so a sequential-scan semantic is still
-    EXACT-oracle-checkable."""
+    the fold is a codegen'd lambda.
+
+    ORACLE NOTE: the oracle uses the fold's CLOSED FORM — with the
+    -0 == 0 convention the state only leaves 0 at the first code-0
+    event and afterwards freezes at the first non-consecutive step, so
+    level = f(position of first 0, the two codes after it) — because
+    DuckDB v1.0.0's list_reduce MISFOLDS inside a large grouped query:
+    at sf1.0 (1 M events / 30 k groups) it returned 2 for a list whose
+    literal re-fold (same lambda, same list) returns 1. Caught by the
+    sf1.0 sweep; the relational form is engine-bug-free and identical
+    on all fixtures. Equivalence of fold and closed form: a=0 absorbs
+    non-zero codes (−0 == 0); after the first 0, a ≥ 1 and each
+    subsequent event either equals a (advance) or permanently freezes,
+    so the level is 1 + [next == 1] (+ [next-next == 2] if so), capped
+    at 3 since codes ≤ 2 can never equal a state of 3."""
     ev = table(spark, sf_dir, "events")
     f = ev.filter(F.col("event_type").isin("view", "click", "purchase")).select(
         "user_id",

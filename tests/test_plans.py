@@ -169,6 +169,16 @@ def test_no_python_eval_outside_udf_families(spark):
                         # is the block-nested-loop dense L1 kernel
                         # (applyInPandas), picked by measured vocab size.
                         "doc_weighted_jaccard_pairs",
+                        # doc_rouge1_decontam_score's bounded-eval-vocab
+                        # path is the dense Σmin mapInPandas kernel
+                        # (same measured-path convention; sparse natural-
+                        # vocab corpora keep the broadcast-join plan)
+                        "doc_rouge1_decontam_score",
+                        # the exact-audit tiers of the embedding family
+                        # run the broadcast-matrix BLAS kernels
+                        # (cosine_topk_blas / cosine_tau_pairs_exact)
+                        "vec_knn_ood_audit",
+                        "vec_distance_concentration",
                         # the PQ family assigns codes / builds query
                         # distance tables in the same Arrow boundary
                         # (vectors._pq_code_frame: ~1000 interpreted
@@ -752,12 +762,18 @@ def test_anova_has_partial_aggregation(spark):
 
 
 def test_rouge1_broadcasts_eval_tf_tables(spark):
-    """doc_rouge1_decontam_score must broadcast the tiny eval tf/total
-    tables onto the training token stream — the corpus side never joins
-    all-pairs against the eval set."""
+    """doc_rouge1_decontam_score: the corpus side never joins all-pairs
+    against the eval set. On the bounded-eval-vocab fixture the dense
+    mapInPandas kernel fires (eval tf matrix rides an sc.broadcast, the
+    corpus is one scan — no join at all); a natural vocabulary takes
+    the sparse plan, which must BROADCAST the tiny eval tf/total tables
+    onto the training token stream."""
     df = REGISTRY["doc_rouge1_decontam_score"].fn(spark, SF_DIR)
     plan = _plan(df)
-    assert plan.count("BroadcastHashJoin") >= 2, plan
+    if "MapInPandas" in plan:  # dense bounded-vocab path
+        assert "Join" not in plan, plan
+    else:  # sparse natural-vocab path
+        assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
 
 
