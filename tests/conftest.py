@@ -43,11 +43,16 @@ def pytest_collection_modifyitems(config, items):
     idx, n = (int(x) for x in shard_spec.split("/"))
     keep, skip = [], []
     for item in items:
-        if "test_oracle.py" in str(item.fspath):
-            (keep if zlib.crc32(item.nodeid.encode()) % n == idx else skip
-             ).append(item)
+        fname = str(item.fspath)
+        if "test_oracle.py" in fname:
+            # per-parametrization split: these are independent and
+            # dominate wall time
+            key = item.nodeid.encode()
         else:
-            (keep if idx == 0 else skip).append(item)
+            # whole-file granularity: module-scoped fixtures stay
+            # within one process
+            key = fname.encode()
+        (keep if zlib.crc32(key) % n == idx else skip).append(item)
     items[:] = keep
     config.hook.pytest_deselected(items=skip)
 

@@ -2,13 +2,15 @@
 """Parallel test runner: shards the suite across N pytest subprocesses
 (one JVM each) without pytest-xdist (not shipped in this container).
 
-Sharding is two-level:
+Sharding is two-level, via the ``ORACLE_SHARD=i/N`` env var honored in
+tests/conftest.py's ``pytest_collection_modifyitems``:
 - the oracle sweep (tests/test_oracle.py — ~85 % of single-process wall
-  time, one parametrization per registry query) is split into N slices
-  via the ``ORACLE_SHARD=i/N`` env var, honored in tests/conftest.py's
-  ``pytest_collection_modifyitems`` (stable hash of the test id, so every
-  parametrization lands in exactly one shard);
-- every other test file rides along with shard 0 (they total ~3 min).
+  time, one parametrization per registry query) splits per
+  PARAMETRIZATION (stable CRC32 of the test id);
+- every other test file is assigned whole (CRC32 of the file path), so
+  module-scoped fixtures stay within one process.
+Every shard therefore runs the full ``tests/`` tree with its own slice;
+the union over shards is exactly the full suite.
 
 Usage:
     python tools/partest.py [N]          # default N=4
@@ -33,10 +35,7 @@ def main() -> int:
     t0 = time.time()
     for i in range(n):
         env = dict(os.environ, ORACLE_SHARD=f"{i}/{n}")
-        # shard 0 carries the whole suite minus the other oracle slices;
-        # shards 1..N-1 run only their oracle slice.
-        args = [sys.executable, "-m", "pytest", "-q",
-                "tests/" if i == 0 else "tests/test_oracle.py"]
+        args = [sys.executable, "-m", "pytest", "-q", "tests/"]
         log = tempfile.NamedTemporaryFile(
             mode="w+", suffix=f".shard{i}.log", delete=False
         )
