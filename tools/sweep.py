@@ -30,12 +30,37 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     width_sensitive = "--width-sensitive" in sys.argv
     sf = args[0] if args else "/root/testdata/sf0.01"
-    # 4g driver: 420+ queries share one JVM; the default 1g heap OOMed
-    # on accumulated session state ~400 queries in (vec_mmr at sf0.1,
-    # isolated-pass). Periodic System.gc() below bounds the drift.
+    # 4g driver default: 420+ queries share one JVM; the default 1g heap
+    # OOMed on accumulated session state ~400 queries in (vec_mmr at
+    # sf0.1, isolated-pass). Periodic System.gc() below bounds the
+    # drift. At sf1.0 pass --driver-mem=16g (toPandas of 1M-row results
+    # plus session drift blew 4g). --resume-log=FILE skips every query
+    # that already has a result line in a prior run's log.
+    driver_mem = "4g"
+    resume_done: set[str] = set()
+    for a in sys.argv[1:]:
+        if a.startswith("--driver-mem="):
+            driver_mem = a.split("=", 1)[1]
+        if a.startswith("--resume-log="):
+            import re
+
+            with open(a.split("=", 1)[1]) as fh:
+                for line in fh:
+                    # skip prior OK/timeout rows; prior MISMATCH/ERROR
+                    # re-run (the fix being retested is the usual reason
+                    # for a resume)
+                    m = re.search(
+                        r"(?:^|\x1b\[[0-9;]*m|\r| )([a-z_0-9]+) "
+                        r"(OK|ORACLE-TIMEOUT)",
+                        line,
+                    )
+                    if m:
+                        resume_done.add(m.group(1))
+            print(f"# resume: skipping {len(resume_done)} finished queries",
+                  flush=True)
     spark = (
         SparkSession.builder.master("local[16]")
-        .config("spark.driver.memory", "4g")
+        .config("spark.driver.memory", driver_mem)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -83,7 +108,7 @@ def main():
     n_ok = n_bad = n_width = n_done = n_skip = 0
     for name in sorted(REGISTRY):
         spec = REGISTRY[name]
-        if spec.oracle is None:
+        if spec.oracle is None or name in resume_done:
             continue
         t0 = time.time()
         try:
