@@ -21,20 +21,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def spread_partitions(df: DataFrame, min_factor: int = 2) -> DataFrame:
+def spread_partitions(df: DataFrame) -> DataFrame:
     """Ensure a frame feeding a compute-heavy mapInPandas kernel has at
     least the session's default parallelism in partitions. mapInPandas
     inherits the INPUT partitioning, and a small single-file parquet
     scan arrives in 1-2 partitions — the sf1.0 exact-pairs audit ran
     its whole N×N matmul in 2 tasks (53 s) until this guard (→ 32
-    tasks, ~4 s). At corpus scale inputs already carry thousands of
-    partitions and this is a no-op — no shuffle is added. getNumPartitions
-    on a DataFrame-derived RDD is plan-time metadata, not a job."""
-    sess = df.sparkSession
-    target = sess.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * min_factor <= target:
-        return df.repartition(target)
-    return df
+    tasks, ~4 s). Thin alias of tables.spread(): file-count metadata
+    decides (no .rdd lineage pin, no job), and any real multi-file
+    table at scale passes through untouched — no shuffle added."""
+    from ..tables import spread
+
+    return spread(df)
 
 
 def _dot(a, b):

@@ -1114,7 +1114,18 @@ def doc_containment_dedup(spark, sf_dir):
     differ). Same hashed shingle inverted index as doc_neardup_jaccard;
     the undirected intersection is computed once (a<b) and emitted in both
     directions; the threshold is an integer cross-multiplication so no
-    float comparison gates rows."""
+    float comparison gates rows.
+
+    Scaling note (measured, sf1.0): the inverted-index intermediate is
+    Σ_s df(s)² — on THIS fixture the shingle dfs are near-uniform ~100
+    (no rare shingles), so the c>0 pair set is ~dense-quadratic (261 M
+    joined rows at 50 k docs, 31 s) and prefix filtering cannot shrink
+    it (candidates ≈ the full pair set when every prefix shingle has
+    df≈100 — unlike weighted Jaccard, containment has no length-ratio
+    bound to block on: |B| is unbounded above). On natural corpora dfs
+    are Zipfian and the same plan is the standard sparse containment
+    join; the 100 TB path pairs it with the minhash/simhash candidate
+    tiers, which ARE bucketed."""
     docs = table(spark, sf_dir, "documents")
     idx = shingle_index(docs, k=3, hashed=True)
     sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

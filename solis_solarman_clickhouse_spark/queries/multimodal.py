@@ -186,7 +186,15 @@ def mm_image_phash_dedup(spark, sf_dir):
     tier above mm_payload_exact_dedup: re-encoded/resized copies that
     break byte equality still collide here. SMOKE (the mapInPandas hash
     isn't ANSI-SQL); determinism and the byte-identical⇒Hamming-0
-    invariant are pytest-asserted in tests/test_multimodal.py."""
+    invariant are pytest-asserted in tests/test_multimodal.py.
+
+    Scaling note (measured, sf1.0): the OUTPUT pair list itself grows
+    ~quadratically on this fixture (46 k pairs at 5 k images → 4.7 M at
+    50 k, 20 s — the synthetic payload space is tiny, so collision
+    density is fixture-high); per-output-row cost is flat. A production
+    corpus keeps banding selective; when it doesn't, the downstream
+    consumer is the connected-components keeper election, which never
+    materializes pairs to the driver."""
     from ..operators.dedup import in_bucket_pairs
     from ..operators.multimodal import image_phash
 
