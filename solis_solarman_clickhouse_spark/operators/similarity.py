@@ -568,7 +568,7 @@ def cosine_tau_pairs_within(
 
 def cosine_tau_pairs_exact(
     vecs: DataFrame, *, tau: float, id_col: str = "vec_id",
-    vec_col: str = "e",
+    vec_col: str = "e", emit_cosine: bool = False,
 ) -> DataFrame:
     """Exact all-pairs (vec_a, vec_b) with ROUND(cosine, 8) >= tau —
     the PARALLEL audit-tier twin of cosine_tau_pairs_within's
@@ -579,7 +579,11 @@ def cosine_tau_pairs_exact(
     broadcast-join size class) and every Arrow batch matmuls its rows
     against it, emitting each unordered pair once from its lower-id
     side, so the work spreads over all input partitions. Identical
-    8-dp round-half-even quantization before the tau cut."""
+    8-dp round-half-even quantization before the tau cut (the family
+    convention: an oracle comparing against this kernel must also cut
+    on ROUND(cosine, 8) — a raw-threshold oracle is one last-ulp
+    summation-order divergence away from a borderline-pair flip).
+    ``emit_cosine`` adds the quantized cosine as a third column."""
     sess = vecs.sparkSession
     rows = vecs.select(id_col, vec_col).collect()
     ids = np.array([int(r[id_col]) for r in rows], dtype=np.int64)
@@ -599,10 +603,16 @@ def cosine_tau_pairs_exact(
             bn = np.sqrt((bm * bm).sum(axis=1))
             cos = np.round((bm @ am.T) / (bn[:, None] * an[None, :]), 8)
             ii, jj = np.nonzero((cos >= tau) & (bid[:, None] < aid[None, :]))
-            yield pd.DataFrame({"vec_a": bid[ii], "vec_b": aid[jj]})
+            out = {"vec_a": bid[ii], "vec_b": aid[jj]}
+            if emit_cosine:
+                out["cosine"] = cos[ii, jj]
+            yield pd.DataFrame(out)
 
+    schema = "vec_a long, vec_b long" + (
+        ", cosine double" if emit_cosine else ""
+    )
     return spread_partitions(vecs.select(id_col, vec_col)).mapInPandas(
-        pairs, "vec_a long, vec_b long"
+        pairs, schema
     )
 
 

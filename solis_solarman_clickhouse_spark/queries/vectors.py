@@ -237,12 +237,12 @@ def vec_ann_recall_ivf(spark, sf_dir):
 _NEARDUP_ORACLE = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_dot_product(a.e, b.e)
-             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4)
+       ROUND(ROUND(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 8), 4)
          AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.e, b.e)
-      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
+WHERE ROUND(list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 8) >= 0.45
 """
 
 
@@ -252,15 +252,18 @@ def vec_neardup_cosine(spark, sf_dir):
     tier for training-data pipelines. Threshold 0.45 is CALIBRATED to the
     synthetic fixture (random near-orthogonal vectors top out at ~0.51
     cosine, so a production-style >=0.99 cut matches nothing and would
-    test nothing); a real corpus uses >=0.99."""
+    test nothing); a real corpus uses >=0.99. Runs on the broadcast-
+    matrix BLAS kernel (cosine_tau_pairs_exact) — the N²/2 theta join
+    with interpreted zip_with folds it replaces was measured at ~38 B
+    lambda evaluations (tens of minutes) at sf1.0's 20 k vectors vs ~2 s
+    for the matmul; both engines cut on the family's 8-dp quantized
+    cosine."""
+    from ..operators.similarity import cosine_tau_pairs_exact
+
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    scored = with_cosine(pairs, "ea", "eb")
-    return scored.filter(F.col("cosine") >= 0.45).select(
+    return cosine_tau_pairs_exact(emb, tau=0.45, emit_cosine=True).select(
         "vec_a", "vec_b", F.round("cosine", 4).alias("cosine")
     )
 
@@ -508,8 +511,8 @@ WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM v a JOIN v b ON a.vec_id < b.vec_id
-  WHERE list_dot_product(a.e, b.e)
-        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+  WHERE ROUND(list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 8)
         >= 0.42
 ),
 edges AS (
@@ -538,17 +541,16 @@ def vec_dedup_clusters(spark, sf_dir):
     vectors that appear in some near-dup pair are clustered (singletons
     need no keeper election). Threshold 0.42 calibrated to the synthetic
     near-orthogonal fixture so the pair graph is non-trivial (see
-    vec_neardup_cosine)."""
+    vec_neardup_cosine). Pair generation rides the broadcast-matrix
+    BLAS kernel (cosine_tau_pairs_exact, 8-dp quantized cut on both
+    engines) — the interpreted all-pairs theta join it replaces is
+    quadratic in lambda evaluations and stalled the sf1.0 sweep."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    pairs = (
-        with_cosine(a.join(b, F.col("vec_a") < F.col("vec_b")), "ea", "eb")
-        .filter(F.col("cosine") >= 0.42)
-        .select("vec_a", "vec_b")
-    )
+    from ..operators.similarity import cosine_tau_pairs_exact
+
+    pairs = cosine_tau_pairs_exact(emb, tau=0.42)
     from ..operators.graph import connected_components
 
     cc = connected_components(pairs, src="vec_a", dst="vec_b")
@@ -604,13 +606,13 @@ _SEMANTIC_TEXT_ORACLE = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 cand AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         ROUND(list_dot_product(a.e, b.e)
+         ROUND(ROUND(list_dot_product(a.e, b.e)
                / (sqrt(list_dot_product(a.e, a.e))
-                  * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+                  * sqrt(list_dot_product(b.e, b.e))), 8), 4) AS cosine
   FROM v a JOIN v b ON a.vec_id < b.vec_id
-  WHERE list_dot_product(a.e, b.e)
+  WHERE ROUND(list_dot_product(a.e, b.e)
         / (sqrt(list_dot_product(a.e, a.e))
-           * sqrt(list_dot_product(b.e, b.e))) >= 0.45
+           * sqrt(list_dot_product(b.e, b.e))), 8) >= 0.45
 ),
 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (
@@ -647,16 +649,18 @@ def doc_semantic_text_dedup(spark, sf_dir):
     distinct shingle arrays. The candidate set (not the corpus cross
     join) drives the text comparison, so the expensive lexical step runs
     on |candidates| rows only; both doc-side joins are broadcasts of the
-    tiny documents table at this SF, fact-side shuffle-free."""
+    tiny documents table at this SF, fact-side shuffle-free. The
+    candidate tier rides the broadcast-matrix BLAS kernel
+    (cosine_tau_pairs_exact, 8-dp quantized cut on both engines) — the
+    interpreted all-pairs theta join it replaces stalled the sf1.0
+    sweep for 25+ minutes."""
+    from ..operators.similarity import cosine_tau_pairs_exact
+
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    cand = (
-        with_cosine(a.join(b, F.col("vec_a") < F.col("vec_b")), "ea", "eb")
-        .filter(F.col("cosine") >= 0.45)
-        .select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
+    cand = cosine_tau_pairs_exact(emb, tau=0.45, emit_cosine=True).select(
+        "vec_a", "vec_b", F.round("cosine", 4).alias("cosine")
     )
     docs = table(spark, sf_dir, "documents")
     t = F.split("text", " ")
@@ -2380,9 +2384,9 @@ WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label_a,
          b.label AS label_b,
-         list_dot_product(a.e, b.e)
+         ROUND(list_dot_product(a.e, b.e)
            / (sqrt(list_dot_product(a.e, a.e))
-              * sqrt(list_dot_product(b.e, b.e))) AS cosine
+              * sqrt(list_dot_product(b.e, b.e))), 8) AS cosine
   FROM emb a JOIN emb b ON a.vec_id < b.vec_id AND a.label <> b.label
 ),
 ranked AS (
@@ -2405,39 +2409,78 @@ def vec_hard_negative_mining(spark, sf_dir):
     separable and teach nothing). Same all-pairs-with-structure shape
     as vec_neardup_cosine but filtered to label disagreement BEFORE
     scoring, and globally top-k'd with a fully deterministic
-    (cosine DESC, vec_a, vec_b) order. At 100 TB the all-pairs stage is
-    replaced by exactly the approximate tiers this repo already prices
-    (semdedup buckets / IVF lists as candidate generators), with this
-    exact form as the ground-truth audit on a sample — mirroring the
-    dedup family's exact-vs-LSH structure."""
+    (quantized-cosine DESC, vec_a, vec_b) order. Runs as a broadcast-
+    matrix BLAS kernel with IN-BATCH partial top-50 per the same total
+    order (global top-k ⊆ union of per-batch top-k), so only
+    batches×50 candidate rows reach the final window — the interpreted
+    N²/2 theta join it replaces is quadratic in lambda evaluations and
+    unrunnable at sf1.0. Ranking uses the family's 8-dp quantized
+    cosine on BOTH engines so a last-ulp summation-order divergence
+    cannot reorder near-ties (ids break the rest). At 100 TB the
+    all-pairs stage is replaced by exactly the approximate tiers this
+    repo already prices (semdedup buckets / IVF lists as candidate
+    generators), with this exact form as the ground-truth audit on a
+    sample — mirroring the dedup family's exact-vs-LSH structure."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window as W
+
+    from ..tables import spread
 
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label").alias("label_a"),
-        F.col("e").alias("ea"),
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
+    labels = np.array([int(r["label"]) for r in rows], dtype=np.int64)
+    m = np.array([list(map(float, r["e"])) for r in rows])
+    norms = np.sqrt((m * m).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, labels, m, norms))
+
+    def batch_top(batches):
+        aid, alab, am, an = bc.value
+        for pdf in batches:
+            bid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            if len(bid) == 0:
+                continue
+            blab = pdf["label"].to_numpy(dtype=np.int64)
+            bm = np.array(pdf["e"].tolist(), dtype=np.float64)
+            bn = np.sqrt((bm * bm).sum(axis=1))
+            cos = np.round((bm @ am.T) / (bn[:, None] * an[None, :]), 8)
+            mask = (bid[:, None] < aid[None, :]) & (
+                blab[:, None] != alab[None, :]
+            )
+            ii, jj = np.nonzero(mask)
+            if len(ii) == 0:
+                continue
+            c = cos[ii, jj]
+            order = np.lexsort((aid[jj], bid[ii], -c))[:50]
+            yield pd.DataFrame(
+                {
+                    "vec_a": bid[ii][order],
+                    "vec_b": aid[jj][order],
+                    "label_a": blab[ii][order],
+                    "label_b": alab[jj][order],
+                    "cos8": c[order],
+                }
+            )
+
+    cand = spread(emb).mapInPandas(
+        batch_top,
+        "vec_a long, vec_b long, label_a long, label_b long, cos8 double",
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("e").alias("eb"),
-    )
-    pairs = (
-        a.join(b, (F.col("vec_a") < F.col("vec_b")) & (F.col("label_a") != F.col("label_b")))
-    )
-    pairs = with_cosine(pairs, "ea", "eb")
     return (
-        pairs.withColumn(
+        cand.withColumn(
             "rn",
             F.row_number().over(
-                W.orderBy(F.col("cosine").desc(), F.col("vec_a"), F.col("vec_b"))
+                W.orderBy(F.col("cos8").desc(), F.col("vec_a"), F.col("vec_b"))
             ),
         )
         .where(F.col("rn") <= 50)
-        .select("vec_a", "vec_b", "label_a", "label_b", F.round("cosine", 4).alias("cosine"))
+        .select(
+            "vec_a", "vec_b", "label_a", "label_b",
+            F.round("cos8", 4).alias("cosine"),
+        )
     )
 
 
