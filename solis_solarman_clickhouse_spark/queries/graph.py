@@ -83,6 +83,11 @@ def graph_pagerank(spark, sf_dir):
     a production run pre-partitions edges by src and checkpoints every
     few sweeps — the operators/graph.py pattern); 3 unrolled sweeps ≈
     the lineage depth AQE handles comfortably."""
+    with pinned_shuffle(spark):
+        return _pagerank_unrolled(spark, sf_dir)
+
+
+def _pagerank_unrolled(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
@@ -103,7 +108,11 @@ def graph_pagerank(spark, sf_dir):
     # iterative-graph analogue of operators/graph.py's checkpoint-per-
     # round; at 100 TB this is a StorageLevel.DISK materialization of
     # the edge list, standard for PageRank).
-    ed = edges.join(deg, "src").transform(tracked_persist)
+    ed = (
+        edges.join(deg, "src")
+        .repartition(spark.sparkContext.defaultParallelism, "src")
+        .transform(tracked_persist)
+    )
     # Bidirectional construction ⇒ every node has out-degree ≥ 1, so the
     # degree table's key set IS the node set — no extra distinct pass.
     nodes = deg.select(F.col("src").alias("node")).transform(tracked_persist)
@@ -111,11 +120,15 @@ def graph_pagerank(spark, sf_dir):
     base = nodes.crossJoin(F.broadcast(nn))
     r = base.select("node", "n", F.expr(f"{_SCALE} div n").alias("r"))
     for _ in range(3):
-        # The rank vector is |V|-sized — broadcast it onto the (big) edge
-        # list so the scatter never shuffles edges, and the per-dst sum
-        # combines MAP-SIDE before the one |V|-sized exchange per sweep.
+        # The rank vector is |V|-sized and joins the KEY-PARTITIONED
+        # persisted edge list cluster-side (edges never re-shuffle; only
+        # the rank vector exchanges), and the per-dst sum combines
+        # MAP-SIDE before the one |V|-sized exchange per sweep. No
+        # F.broadcast here: broadcasting the LAZY round-k rank plan is a
+        # driver collect that re-executes rounds 1..k-1 per round (the
+        # _pagerank_converged_loop lesson).
         contrib = ed.join(
-            F.broadcast(r.select(F.col("node").alias("src"), "r")), "src"
+            r.select(F.col("node").alias("src"), "r"), "src"
         ).select("dst", F.expr("r div od").alias("contrib"))
         s = contrib.groupBy("dst").agg(F.sum("contrib").alias("m"))
         r = base.join(s.withColumnRenamed("dst", "node"), "node", "left").select(
@@ -398,17 +411,28 @@ def graph_bfs_distance(spark, sf_dir):
     feasible only at fixture scale, which is exactly the point of the
     comparison (same numbers, different asymptotics; the repo's
     recursive-CTE twin of the operators/graph.py min-propagation
-    pattern). Positive-domain integer arithmetic throughout."""
+    pattern). Positive-domain integer arithmetic throughout. In-loop
+    joins are cluster-side against the key-partitioned persisted
+    adjacency under pinned_shuffle (the _pagerank_converged_loop
+    discipline)."""
+    with pinned_shuffle(spark):
+        return _bfs_rounds(spark, sf_dir)
+
+
+def _bfs_rounds(spark, sf_dir):
     edges, _deg = _chain_edges(spark, sf_dir)
-    und = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
-        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
-    ).transform(tracked_persist)
+    und = (
+        edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
+        .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
+        .repartition(spark.sparkContext.defaultParallelism, "s")
+        .transform(tracked_persist)
+    )
     srcn = edges.agg(F.min("u").alias("node"))
     dist = srcn.select("node", F.lit(0).alias("d"))
     for _ in range(4):
         nxt = (
             und.join(
-                F.broadcast(dist.withColumnRenamed("node", "s")), "s"
+                dist.withColumnRenamed("node", "s"), "s"
             ).select(F.col("t").alias("node"), (F.col("d") + 1).alias("d"))
         )
         # materialize the |V|-bounded distance table each round: without
@@ -690,16 +714,29 @@ def graph_connected_components(spark, sf_dir):
     until harness cleanup. At 100 TB: edges persist once and are read
     per round;
     label state stays |V|-bounded; diameter beyond the unroll is the
-    fixpoint operator's job, not a deeper plan."""
+    fixpoint operator's job, not a deeper plan. In-loop joins are
+    cluster-side shuffle joins against the key-partitioned persisted
+    edge list under pinned_shuffle (the _pagerank_converged_loop
+    discipline — every in-loop F.broadcast of a state-derived frame is
+    a driver collect job, and an unpinned loop pays the caller's
+    shuffle-partition count in empty tasks per round)."""
+    with pinned_shuffle(spark):
+        return _cc_rounds(spark, sf_dir)
+
+
+def _cc_rounds(spark, sf_dir):
     edges, deg = _chain_edges(spark, sf_dir)
-    und = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
-        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
-    ).transform(tracked_persist)
+    und = (
+        edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
+        .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
+        .repartition(spark.sparkContext.defaultParallelism, "t")
+        .transform(tracked_persist)
+    )
     labels = deg.select("node", F.col("node").alias("lbl")).transform(tracked_persist)
     labels.count()
     for _ in range(3):
         cand = und.join(
-            F.broadcast(labels.select(F.col("node").alias("t"), "lbl")), "t"
+            labels.select(F.col("node").alias("t"), "lbl"), "t"
         ).select(F.col("s").alias("node"), "lbl")
         prev = labels
         labels = (
@@ -712,7 +749,7 @@ def graph_connected_components(spark, sf_dir):
         prev.unpersist(False)
         untrack(prev)
     members = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("members_r3"))
-    return labels.join(F.broadcast(members), "lbl").select(
+    return labels.join(members, "lbl").select(
         F.col("node").alias("custkey"),
         F.col("lbl").alias("component_r3"),
         "members_r3",
@@ -773,18 +810,29 @@ def graph_modularity(spark, sf_dir):
     materialized); per-community degree mass is a labels-sized rollup;
     the final scalar uses the half-away 1e-6 integer division over
     HUGEINT/DECIMAL(38,0) operands (m² at 1e9-edge scale is far past
-    int64). At 100 TB: two broadcast joins over the persisted edge
-    list + two bounded aggregations — no new shuffle shape beyond the
-    CC rounds themselves."""
+    int64). In-loop joins are cluster-side shuffle joins under
+    pinned_shuffle (the _pagerank_converged_loop discipline; measured
+    184.7 s → seconds at sf1.0 under the sweep's vanilla session). At
+    100 TB: two label joins over the persisted edge list + two bounded
+    aggregations — no new shuffle shape beyond the CC rounds
+    themselves."""
+    with pinned_shuffle(spark):
+        return _modularity_body(spark, sf_dir)
+
+
+def _modularity_body(spark, sf_dir):
     edges, deg = _chain_edges(spark, sf_dir)
-    und = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
-        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
-    ).transform(tracked_persist)
+    und = (
+        edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
+        .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
+        .repartition(spark.sparkContext.defaultParallelism, "t")
+        .transform(tracked_persist)
+    )
     labels = deg.select("node", F.col("node").alias("lbl")).transform(tracked_persist)
     labels.count()
     for _ in range(3):
         cand = und.join(
-            F.broadcast(labels.select(F.col("node").alias("t"), "lbl")), "t"
+            labels.select(F.col("node").alias("t"), "lbl"), "t"
         ).select(F.col("s").alias("node"), "lbl")
         prev = labels
         labels = (
@@ -799,15 +847,15 @@ def graph_modularity(spark, sf_dir):
     lab = labels
     m2 = und.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m2"))
     win = (
-        und.join(F.broadcast(lab.withColumnRenamed("node", "s")
-                             .withColumnRenamed("lbl", "la")), "s")
-        .join(F.broadcast(lab.withColumnRenamed("node", "t")
-                          .withColumnRenamed("lbl", "lb")), "t")
+        und.join(lab.withColumnRenamed("node", "s")
+                 .withColumnRenamed("lbl", "la"), "s")
+        .join(lab.withColumnRenamed("node", "t")
+              .withColumnRenamed("lbl", "lb"), "t")
         .where(F.col("la") == F.col("lb"))
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("win"))
     )
     dsum = (
-        deg.join(F.broadcast(lab), "node")
+        deg.join(lab, "node")
         .groupBy("lbl")
         .agg(F.sum("d").cast("decimal(38,0)").alias("dd"))
         .agg(F.sum(F.col("dd") * F.col("dd")).cast("decimal(38,0)").alias("sum_d2"))
