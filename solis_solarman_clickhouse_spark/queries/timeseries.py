@@ -850,16 +850,22 @@ def ts_wau_growth(spark, sf_dir):
     "ts_drawdown",
     category="timeseries",
     oracle="""
-    WITH r AS (
-      SELECT user_id, value,
-             MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS run_max
+    WITH q AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value * 10000) AS BIGINT) AS qv
       FROM events
+    ),
+    r AS (
+      SELECT user_id, qv,
+             MAX(qv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_max
+      FROM q
     )
     SELECT user_id,
-           ROUND(MAX(run_max - value), 4) AS max_drawdown,
-           ROUND(MAX(CASE WHEN run_max > 0 THEN (run_max - value) / run_max END), 4)
+           CAST(MAX(run_max - qv) AS DOUBLE) / 10000.0 + 0.0 AS max_drawdown,
+           MAX(CASE WHEN run_max > 0
+                    THEN CAST(run_max - qv AS DOUBLE) / run_max END) + 0.0
              AS max_drawdown_frac
     FROM r GROUP BY user_id
     """,
@@ -868,23 +874,37 @@ def ts_drawdown(spark, sf_dir):
     """Maximum drawdown per key: largest drop from a running peak — the
     degradation/reliability metric for anything monotonic-ish (peak power
     output, portfolio value; ClickHouse spells it runningAccumulate +
-    max). Running max is an exact pick (no float accumulation), the drop
-    is one subtraction of engine-identical doubles, and the aggregate
-    rides the same (user, time) shuffle as the window."""
+    max). Values quantize to e4 integers FIRST (floor(v·1e4); floor
+    commutes with max, so the running peak is the quantized peak), so
+    the drop is an exact BIGINT and the fraction is one IEEE division of
+    engine-identical integers — emitted UNROUNDED on both sides, because
+    every op is per-row deterministic (no accumulation-order hazard) and
+    DuckDB v1.0.0's VECTORIZED ROUND(double, 4) misrounds a value one
+    ulp below the .00005 boundary UP (0.99964999… → 0.9997; its scalar/
+    constant-folded ROUND and Spark both give 0.9996 — caught by the
+    sf1.0 sweep, one user in 15 000). The aggregate rides the same
+    (user, time) shuffle as the window."""
     ev = table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    r = ev.select(
-        "user_id", "value", F.max("value").over(w).alias("run_max")
+    q = ev.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 10000).cast("long").alias("qv"),
     )
-    dd = F.col("run_max") - F.col("value")
+    r = q.select(
+        "user_id", "qv", F.max("qv").over(w).alias("run_max")
+    )
+    dd = F.col("run_max") - F.col("qv")
     return r.groupBy("user_id").agg(
-        F.round(F.max(dd), 4).alias("max_drawdown"),
-        F.round(
-            F.max(F.when(F.col("run_max") > 0, dd / F.col("run_max"))), 4
+        (F.max(dd).cast("double") / 10000.0 + F.lit(0.0)).alias("max_drawdown"),
+        (
+            F.max(
+                F.when(F.col("run_max") > 0, dd.cast("double") / F.col("run_max"))
+            )
+            + F.lit(0.0)
         ).alias("max_drawdown_frac"),
     )
 
