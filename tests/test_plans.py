@@ -201,7 +201,15 @@ def test_no_python_eval_outside_udf_families(spark):
                         "vec_pca_power_iteration", "vec_pca_project_topk",
                         # the incremental variant shares the probe-side
                         # BLAS pair kernel
-                        "vec_incremental_semdedup")
+                        "vec_incremental_semdedup",
+                        # the remaining all-pairs cosine theta joins were
+                        # routed onto the same broadcast-matrix BLAS kernel
+                        # (cosine_tau_pairs_exact) after the sf1.0 sweep
+                        # measured their interpreted zip_with folds at
+                        # ~38B lambda evals — their declared Arrow boundary
+                        "vec_neardup_cosine", "vec_dedup_clusters",
+                        "doc_semantic_text_dedup",
+                        "vec_hard_negative_mining")
     for name, spec in sorted(REGISTRY.items()):
         if name.startswith(allowed_prefixes):
             continue
