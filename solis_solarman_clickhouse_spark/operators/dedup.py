@@ -120,6 +120,182 @@ def in_bucket_pairs(banded: DataFrame, item, pair) -> DataFrame:
     return buckets.select(F.explode(pairs).alias("p")).select("p.*").distinct()
 
 
+def _prefix_index(idx: DataFrame, threshold: float) -> DataFrame:
+    """PPJoin prefix of every doc's shingle SET (Xiao et al. 2008, lemma
+    1, the same filter the weighted-Jaccard sparse path uses): under the
+    GLOBAL rarest-first (df, shingle) order, J(A,B) >= t forces an
+    overlap of at least ceil(t*|A|) with any feasible partner, so A must
+    share a shingle within its first |A| - ceil(t*|A|) + 1 entries.
+    Joining prefixes instead of full index rows cuts the candidate join
+    from sum(df^2) to sum(df_prefix^2); on natural Zipfian corpora the
+    prefix carries the RARE end of the vocabulary (boilerplate never
+    enters a prefix), and even on the degenerate uniform-df bench
+    fixture it is a measured ~25x join-volume cut (prefix 20 of ~98
+    shingles at t=0.8). The ceil is integer-exact at e6 threshold
+    precision. Emits (doc_id, shingle, n) with n = |full set|."""
+    from pyspark.sql import Window as W
+
+    t_e6 = int(round(threshold * 1_000_000))
+    dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    w_doc = W.partitionBy("doc_id").orderBy("_df", "shingle")
+    return (
+        idx.join(dfreq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("_r", F.row_number().over(w_doc))
+        .where(F.col("_r") <= F.expr(f"n - (({t_e6} * n + 999999) DIV 1000000) + 1"))
+        .select("doc_id", "shingle", "n")
+    )
+
+
+def _verify_pairs_by_array(
+    cand: DataFrame, idx: DataFrame, *, threshold: float, small_docs: bool
+) -> DataFrame:
+    """Exact Jaccard on a candidate-pair frame carrying (doc_a, doc_b,
+    n_a, n_b): |A∩B| from per-doc shingle ARRAYS (array_intersect on
+    8-byte hashed shingles, JVM-side), NOT a candidate-restricted index
+    re-join — the re-join shape multiplies every candidate by its
+    shingle count before the group-by (measured 1.5e9 intermediate rows
+    at sf1.0) while the array join touches each candidate once. The
+    per-doc array table is |docs| rows x ~|shingles| longs;
+    ``small_docs=True`` broadcasts it (two ~40 MB broadcasts at 50 k
+    docs beat shipping arrays through a 15 M-row pair shuffle); at
+    corpus scale leave False and the pair stream sort-merge-joins it."""
+    arrs = idx.groupBy("doc_id").agg(F.collect_list("shingle").alias("_shs"))
+    a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("_shs").alias("_sa"))
+    b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("_shs").alias("_sb"))
+    if small_docs:
+        a, b = F.broadcast(a), F.broadcast(b)
+    c = F.size(F.array_intersect("_sa", "_sb")).cast("long")
+    scored = (
+        cand.join(a, "doc_a").join(b, "doc_b").withColumn("_c", c)
+    )
+    jac = F.col("_c") / (F.col("n_a") + F.col("n_b") - F.col("_c"))
+    return scored.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+def _jaccard_selfjoin_pairs(idx: DataFrame, *, threshold: float) -> DataFrame:
+    """Exact Jaccard pairs via the full index self-join with the
+    intersection count FUSED into candidate generation (one Tungsten
+    hash-aggregate over the joined stream — no candidate materialization,
+    no per-pair array work). Volume is sum_s df(s)^2; this is the floor
+    plan when document frequencies are near-uniform (no rare tail for a
+    prefix filter to exploit — the bench fixture's 25 k-shingle vocab at
+    df~=200 is exactly that shape)."""
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = idx.alias("a"), idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _prefix_join_wins(idx: DataFrame, threshold: float, n_docs: int) -> bool:
+    """Measured plan-shape decision between the prefix-filtered and
+    fused-self-join Jaccard plans (the wjaccard vocab-size convention,
+    generalized): from the DOCUMENT-FREQUENCY table alone (vocab-sized,
+    tiny relative to the index), estimate the prefix join volume by
+    filling the corpus's total prefix capacity — sum over docs of
+    (1-t)*n+1 <= (1-t)*|index| + n_docs — greedily from the rarest
+    shingles (a lower bound on the prefix pair-slot volume, i.e.
+    optimistic FOR the prefix plan), and compare against the full
+    pair-slot volume sum df*(df-1).
+
+    The prefix plan must promise a ~50x volume cut to win: its
+    verification costs ~avg_doc_size array ops per CANDIDATE plus a
+    distinct shuffle, while the self-join pays ~1 hash-agg op per JOINED
+    ROW (measured at sf1.0: 961 M fused rows in 22 s vs ~90 M candidates
+    + array verification in 46 s). Zipfian corpora pass the 50x bar by
+    orders of magnitude (df=1 tails absorb the whole capacity); bounded
+    near-uniform vocabularies fail it and keep the fused plan."""
+    t_e6 = int(round(threshold * 1_000_000))
+    # ONE aggregation job: the df HISTOGRAM (distinct df values — a few
+    # hundred rows at any corpus scale) collects to the driver and the
+    # greedy capacity walk runs in plain Python. Pair-slot volume is
+    # df*(df-1), NOT df^2: a df=1 bucket joins against nothing, and df=1
+    # shingles are exactly the rare tail that absorbs prefix capacity
+    # for free on natural corpora.
+    hist = (
+        idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        .groupBy("_df").agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    inst = sum(r["_df"] * r["_n"] for r in hist)
+    vol_full = sum(r["_df"] * (r["_df"] - 1) * r["_n"] for r in hist)
+    if not inst or not vol_full:
+        return False
+    capacity = (1_000_000 - t_e6) * inst // 1_000_000 + n_docs
+    cum = 0
+    vol_prefix = 0
+    for r in sorted(hist, key=lambda r: r["_df"]):
+        df, cnt = r["_df"], r["_n"]
+        k = min(cnt, max(0, (capacity - cum) // df))
+        vol_prefix += k * df * (df - 1)
+        cum += k * df
+        if k < cnt:
+            break
+    return vol_prefix * 50 <= vol_full
+
+
+def _jaccard_prefix_pairs(
+    idx: DataFrame, *, threshold: float, small_docs: bool
+) -> DataFrame:
+    """Exact Jaccard-similar pairs = prefix-filtered candidates (lemma-1
+    complete: no qualifying pair can be lost) + array verification, with
+    the size filter min >= t*max (implied by J >= t) applied before any
+    array ships."""
+    t_e6 = int(round(threshold * 1_000_000))
+    prefix = _prefix_index(idx, threshold)
+    cand = in_bucket_pairs(
+        prefix.select(
+            F.lit(0).alias("band"), F.col("shingle").alias("bucket"),
+            "doc_id", "n",
+        ),
+        F.struct(F.col("doc_id"), F.col("n")),
+        lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"), y["doc_id"].alias("doc_b"),
+            x["n"].alias("n_a"), y["n"].alias("n_b"),
+        ),
+    ).where(
+        F.least("n_a", "n_b") * 1_000_000 >= F.lit(t_e6) * F.greatest("n_a", "n_b")
+    )
+    return _verify_pairs_by_array(
+        cand, idx, threshold=threshold, small_docs=small_docs
+    )
+
+
+# Above this many docs the per-doc array table stops being broadcastable
+# (100k docs x ~100 shingles x 8 B ~= 80 MB per side) and verification
+# falls back to shuffle joins. A row count on the source table decides —
+# parquet footer metadata, not a scan.
+_BROADCAST_DOCS_MAX = 100_000
+
+
+def _jaccard_auto(idx: DataFrame, *, threshold: float, n_docs: int) -> DataFrame:
+    """Exact Jaccard pairs through whichever physical plan the measured
+    df distribution favors (see _prefix_join_wins): prefix-filtered +
+    array-verified on rare-tailed (natural) vocabularies, fused
+    self-join on near-uniform ones. Both plans are EXACT — the choice
+    moves cost, never results."""
+    if _prefix_join_wins(idx, threshold, n_docs):
+        return _jaccard_prefix_pairs(
+            idx, threshold=threshold, small_docs=n_docs <= _BROADCAST_DOCS_MAX
+        )
+    return _jaccard_selfjoin_pairs(idx, threshold=threshold)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, *, k: int = 3, threshold: float = 0.8,
     text_col: str = "text", id_col: str = "doc_id",
@@ -127,10 +303,16 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via the shingle inverted index.
 
-    |A∩B| from the index self-join, |A∪B| = |A|+|B|−|A∩B|. Scales as the
-    number of truly-colliding shingles, not |docs|². The join runs on
-    hashed 8-byte shingle keys (see shingle_index docstring for collision
-    math).
+    TWO exact physical plans, picked by the measured df distribution
+    (_prefix_join_wins): PPJoin prefix-filtered candidates
+    (_prefix_index — lemma-1 complete) + per-pair array verification on
+    rare-tailed natural vocabularies, where the prefix join volume is
+    orders of magnitude below the full sum(df²); the fused
+    self-join+count on near-uniform vocabularies (the bench fixture:
+    25 k shingles at df≈200), where no prefix tail exists and the
+    hash-aggregate over the joined stream is the measured floor. The
+    join runs on hashed 8-byte shingle keys (see shingle_index
+    docstring for collision math).
 
     ``max_df_frac`` is the hot-shingle frequency cap for 100 TB corpora:
     shingles present in more than that fraction of docs (boilerplate —
@@ -144,23 +326,9 @@ def ngram_jaccard_pairs(
     exact_dedup. With the cap unset the single-pass uncapped plan runs.
     """
     idx = shingle_index(docs, k=k, text_col=text_col, id_col=id_col, hashed=True)
+    n_docs_est = docs.count()
     if max_df_frac is None:
-        sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-        a, b = idx.alias("a"), idx.alias("b")
-        inter = (
-            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
-        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
-        jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-        return (
-            inter.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .filter(jac >= threshold)
-            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        )
+        return _jaccard_auto(idx, threshold=threshold, n_docs=n_docs_est)
 
     # Capped path. HOT shingles (df > max_df_frac·n_docs) are FEW by
     # construction — at most total-occurrences/(n_docs·frac) of them — so
@@ -178,6 +346,14 @@ def ngram_jaccard_pairs(
         .filter(F.col("_df") > F.col("_n_docs") * max_df_frac)
         .select("shingle")
     )
+    if hot.limit(1).count() == 0:
+        # Measured plan-shape decision: with ZERO hot shingles the
+        # capped plan is definitionally the uncapped query, so skip the
+        # cap machinery (two extra joins and a broadcast) and run the
+        # uncapped auto plan. This is the normal case on corpora without
+        # boilerplate (every df below the cap); the cap only earns its
+        # cost when it actually prunes something.
+        return _jaccard_auto(idx, threshold=threshold, n_docs=n_docs_est)
     cold_idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
     hot_idx = idx.join(F.broadcast(hot), "shingle")
 
@@ -563,27 +739,61 @@ def incremental_dedup(
         .distinct()
     )
     # near tier: full index ⋈ increment-only index (the asymmetry is the
-    # scale win), exact intersection counts, threshold on true Jaccard
+    # scale win: base×base is never joined). Same measured dual-path as
+    # ngram_jaccard_pairs — on rare-tailed vocabularies the PPJoin
+    # prefix cut (lemma 1 holds per pair regardless of which side each
+    # doc sits on) bounds the fan-out and candidates verify by exact
+    # array intersection; on near-uniform vocabularies the fused
+    # join+count IS the floor and prefix verification would only add
+    # per-candidate array cost.
     idx_all = shingle_index(all_docs, k=k, text_col=text_col, id_col=id_col, hashed=True)
-    idx_incr = idx_all.join(
-        incr.select(F.col(id_col).alias("doc_id")), "doc_id"
-    )
-    sizes = idx_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = idx_all.alias("a"), idx_incr.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
-    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    near_dropped = (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .filter(jac >= threshold)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    n_docs_est = all_docs.count()
+    if _prefix_join_wins(idx_all, threshold, n_docs_est):
+        t_e6 = int(round(threshold * 1_000_000))
+        prefix_all = _prefix_index(idx_all, threshold)
+        prefix_incr = prefix_all.join(
+            incr.select(F.col(id_col).alias("doc_id")), "doc_id"
+        )
+        a = prefix_all.select(
+            F.col("doc_id").alias("doc_a"), "shingle", F.col("n").alias("n_a")
+        )
+        b = prefix_incr.select(
+            F.col("doc_id").alias("doc_b"), "shingle", F.col("n").alias("n_b")
+        )
+        cand = (
+            a.join(b, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "n_a", "n_b")
+            .distinct()
+            .where(
+                F.least("n_a", "n_b") * 1_000_000
+                >= F.lit(t_e6) * F.greatest("n_a", "n_b")
+            )
+        )
+        pairs = _verify_pairs_by_array(
+            cand, idx_all, threshold=threshold,
+            small_docs=n_docs_est <= _BROADCAST_DOCS_MAX,
+        )
+    else:
+        idx_incr = idx_all.join(
+            incr.select(F.col(id_col).alias("doc_id")), "doc_id"
+        )
+        sizes = idx_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+        a, b = idx_all.alias("a"), idx_incr.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+        jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        pairs = (
+            inter.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(jac >= threshold)
+            .select("doc_a", "doc_b")
+        )
+    near_dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     dropped = earlier_same.unionByName(near_dropped).distinct()
     return (
         incr.select(F.col(id_col).alias("doc_id"))
