@@ -688,6 +688,53 @@ def test_wjaccard_dense_path_equals_inverted_index(spark):
     assert dense.count() > 0  # fixture has qualifying near-dup pairs
 
 
+def test_jaccard_prefix_path_equals_selfjoin(spark):
+    """The PPJoin prefix-filtered plan of ngram_jaccard_pairs must return
+    EXACTLY the fused self-join's pairs (lemma-1 completeness + same
+    verification arithmetic), and _prefix_join_wins must route a
+    rare-tailed vocabulary to it while keeping the near-uniform bench
+    fixture on the fused plan — the physical-path choice may never
+    change the answer."""
+    import random
+
+    from solis_solarman_clickhouse_spark.operators.dedup import (
+        _jaccard_prefix_pairs,
+        _jaccard_selfjoin_pairs,
+        _prefix_join_wins,
+        shingle_index,
+    )
+
+    # rare-tailed synthetic: 20 hot tokens + a 5000-token rare pool, with
+    # 30 planted one-token-perturbation near-dups
+    random.seed(7)
+    rare_pool = [f"r{i}" for i in range(5000)]
+    common = [f"c{i}" for i in range(20)]
+    rows = []
+    for d in range(300):
+        toks = [random.choice(common) for _ in range(30)] + random.sample(rare_pool, 12)
+        random.shuffle(toks)
+        rows.append((d, " ".join(toks)))
+    for d in range(300, 330):
+        base = rows[d - 300][1].split()
+        base[0] = "zz"
+        rows.append((d, " ".join(base)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = shingle_index(docs, k=3, hashed=True)
+    assert _prefix_join_wins(idx, 0.8, 330), "rare tail must pick the prefix plan"
+    prefix = _jaccard_prefix_pairs(idx, threshold=0.8, small_docs=True)
+    selfjoin = _jaccard_selfjoin_pairs(idx, threshold=0.8)
+    assert prefix.exceptAll(selfjoin).count() == 0
+    assert selfjoin.exceptAll(prefix).count() == 0
+    assert selfjoin.count() >= 30  # every planted near-dup found
+
+    # the sf0.1 bench fixture's near-uniform dfs (df ~ 20, no rare tail)
+    # must keep the fused self-join; sf0.001's 50 docs are legitimately
+    # rare-tailed (dfs ~ 1), so the check needs the bigger fixture
+    fixture = table(spark, "/root/testdata/sf0.1", "documents")
+    fidx = shingle_index(fixture, k=3, hashed=True)
+    assert not _prefix_join_wins(fidx, 0.8, fixture.count())
+
+
 def test_cosine_tau_kernel_equals_expression_fold(spark):
     """cosine_tau_pairs_within (chunked BLAS, 8-dp quantized) must agree
     with a direct JVM zip_with/aggregate cosine fold on which pairs pass
