@@ -36,7 +36,18 @@ def main():
     # drift. At sf1.0 pass --driver-mem=16g (toPandas of 1M-row results
     # plus session drift blew 4g). --resume-log=FILE skips every query
     # that already has a result line in a prior run's log.
+    # --shard=i/N runs only the i-th slice of the sorted registry (stable
+    # index mod N) so several sweep processes can split one SF between
+    # them; --oracle-mem=SIZE bounds each process's DuckDB (default 24GB)
+    # so sharded runs stay inside the box.
     driver_mem = "4g"
+    shard_i, shard_n = 0, 1
+    oracle_mem = "24GB"
+    for a in sys.argv[1:]:
+        if a.startswith("--shard="):
+            shard_i, shard_n = (int(x) for x in a.split("=", 1)[1].split("/"))
+        if a.startswith("--oracle-mem="):
+            oracle_mem = a.split("=", 1)[1]
     resume_done: set[str] = set()
     for a in sys.argv[1:]:
         if a.startswith("--driver-mem="):
@@ -75,7 +86,7 @@ def main():
     # measured at 95 GB RSS before being killed. Cap memory and interrupt
     # past --oracle-timeout (default 180 s; 0 = unlimited), recording
     # ORACLE-TIMEOUT as a skip, never a fail (the Spark side still ran).
-    con.execute("SET memory_limit='24GB'")
+    con.execute(f"SET memory_limit='{oracle_mem}'")
     timeout_s = 180.0
     for a in sys.argv[1:]:
         if a.startswith("--oracle-timeout="):
@@ -106,7 +117,9 @@ def main():
             timer.cancel()
 
     n_ok = n_bad = n_width = n_done = n_skip = 0
-    for name in sorted(REGISTRY):
+    for qi, name in enumerate(sorted(REGISTRY)):
+        if qi % shard_n != shard_i:
+            continue
         spec = REGISTRY[name]
         if spec.oracle is None or name in resume_done:
             continue
