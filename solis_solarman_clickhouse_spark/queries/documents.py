@@ -904,14 +904,14 @@ def doc_benchmark_decontamination(spark, sf_dir):
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       WHERE len(string_split(text, ' ')) >= 3
     ),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              UNNEST(list_transform(generate_series(1, len(ws) - 2),
                                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
       FROM w
     ),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
+    inter AS MATERIALIZED (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
@@ -922,7 +922,11 @@ def doc_benchmark_decontamination(spark, sf_dir):
       JOIN sz sb ON doc_b = sb.doc_id
       WHERE c * 5 >= (sa.n + sb.n - c) * 4
     ),
-    edges AS (
+    -- MATERIALIZED matters: each reach iteration re-executes its plan,
+    -- and with edges inlined as a view the quadratic shingle self-join
+    -- re-runs PER ITERATION (the sf1.0 resource wall: >900 s spilling
+    -- inlined vs 94 s materialized, identical rows).
+    edges AS MATERIALIZED (
       SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs
     ),
@@ -1016,14 +1020,14 @@ def doc_tfidf_topterms(spark, sf_dir):
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       WHERE len(string_split(text, ' ')) >= 3
     ),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              UNNEST(list_transform(generate_series(1, len(ws) - 2),
                                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
       FROM w
     ),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
+    inter AS MATERIALIZED (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
@@ -1034,7 +1038,11 @@ def doc_tfidf_topterms(spark, sf_dir):
       JOIN sz sb ON doc_b = sb.doc_id
       WHERE c * 5 >= (sa.n + sb.n - c) * 4
     ),
-    edges AS (
+    -- MATERIALIZED matters: each reach iteration re-executes its plan,
+    -- and with edges inlined as a view the quadratic shingle self-join
+    -- re-runs PER ITERATION (the sf1.0 resource wall: >900 s spilling
+    -- inlined vs 94 s materialized, identical rows).
+    edges AS MATERIALIZED (
       SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs
     ),
@@ -2720,50 +2728,65 @@ def _band_sweep_oracle(n_hashes: int = 16) -> str:
         f"MIN(({a} * {base} + {b}) % {MINHASH_P}) AS g{i}"
         for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
     )
+    # A pair is a candidate iff ANY band matches in full — the OR of
+    # per-band equality conjunctions. Expressing that OR directly as a
+    # join predicate forces a nested-loop over ALL doc pairs (N²·bands
+    # comparisons — the sf1.0 resource wall); the union-of-equality-
+    # joins form below is the same set by definition, and every branch
+    # is a hashable multi-key equi-join whose volume is the actual LSH
+    # bucket-collision volume (exactly the work the Spark side does).
+    cand_sql = []
     cfg_sql = []
     for bands in (16, 8, 4):
         rows = n_hashes // bands
-        band_conds = " OR ".join(
-            "("
+        per_band = "\n        UNION ALL ".join(
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON "
             + " AND ".join(f"a.g{b * rows + r} = b.g{b * rows + r}" for r in range(rows))
-            + ")"
+            + " AND a.doc_id < b.doc_id"
             for b in range(bands)
         )
+        cand_sql.append(f"""
+    cand{bands} AS MATERIALIZED (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        {per_band}
+      )
+    )""")
         cfg_sql.append(f"""
     SELECT {bands} AS bands, {rows} AS rows_per_band,
-           (SELECT COUNT(*) FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-            WHERE {band_conds}) AS n_candidates,
-           (SELECT COUNT(*) FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-            JOIN truth t ON t.doc_a = a.doc_id AND t.doc_b = b.doc_id
-            WHERE {band_conds}) AS n_true_candidates,
+           (SELECT COUNT(*) FROM cand{bands}) AS n_candidates,
+           (SELECT COUNT(*) FROM cand{bands} c
+            JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+             AS n_true_candidates,
            (SELECT COUNT(*) FROM truth) AS n_true_total
         """)
+    cands = ",".join(cand_sql)
     union = "\nUNION ALL\n".join(cfg_sql)
     return f"""
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       WHERE len(string_split(text, ' ')) >= 3
     ),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              UNNEST(list_transform(generate_series(1, len(ws) - 2),
                                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
       FROM w
     ),
-    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    sig AS MATERIALIZED (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    inter0 AS (
+    inter0 AS MATERIALIZED (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.s = b.s
       GROUP BY 1, 2
     ),
-    truth AS (
+    truth AS MATERIALIZED (
       SELECT i.doc_a, i.doc_b
       FROM inter0 i
       JOIN sz sa ON i.doc_a = sa.doc_id
       JOIN sz sb ON i.doc_b = sb.doc_id
       WHERE i.cnt * 5 >= (sa.n + sb.n - i.cnt) * 4
     ),
+    {cands},
     cfg AS (
 {union}
     )
@@ -3158,16 +3181,27 @@ def doc_char_entropy(spark, sf_dir):
     "doc_weighted_jaccard_pairs",
     category="documents",
     oracle="""
-    WITH tf AS (
+    WITH tf AS MATERIALIZED (
       SELECT doc_id, tok, COUNT(*) AS f
       FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
       GROUP BY doc_id, tok
     ),
-    tot AS (SELECT doc_id, SUM(f) AS nf FROM tf GROUP BY doc_id),
+    tot AS MATERIALIZED (SELECT doc_id, SUM(f) AS nf FROM tf GROUP BY doc_id),
+    tfn AS MATERIALIZED (
+      SELECT tf.doc_id, tf.tok, tf.f, tot.nf
+      FROM tf JOIN tot ON tot.doc_id = tf.doc_id
+    ),
+    -- Length-ratio prune INSIDE the pair join (exact, same bound the
+    -- Spark side's length-block pruning uses): smin <= min(nf) and
+    -- union >= max(nf), so wJ >= 4/5 forces 5*min(nf) >= 4*max(nf).
+    -- Without it the doc-pair GROUP BY hash table holds every pair
+    -- sharing any token — the sf1.0 spill wall; with it only pairs in
+    -- the feasible length band aggregate.
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              SUM(LEAST(a.f, b.f)) AS smin
-      FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      FROM tfn a JOIN tfn b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       AND LEAST(a.nf, b.nf) * 5 >= GREATEST(a.nf, b.nf) * 4
       GROUP BY 1, 2
     )
     SELECT i.doc_a, i.doc_b,
@@ -3624,13 +3658,18 @@ def doc_ngram_novelty(spark, sf_dir):
 
 def _max_cov_oracle(k: int = 5) -> str:
     """Greedy max-coverage replay: pick_j = doc covering the most
-    corpus shingles not covered by pick_1..j-1 (ties -> lower doc_id)."""
+    corpus shingles not covered by pick_1..j-1 (ties -> lower doc_id).
+
+    sh/cov_j are MATERIALIZED: inlined as views, every pick_j CTE
+    re-explodes the whole corpus into trigram strings for its gain scan
+    AND once more per cov_j reference (~2k re-explosions across the
+    5-step chain was the sf1.0 resource wall)."""
     parts = ["""
 w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
   WHERE len(string_split(text, ' ')) >= 3
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id,
          UNNEST(list_transform(generate_series(1, len(ws) - 2),
                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
@@ -3647,7 +3686,7 @@ pick1 AS (
             f"SELECT doc_id FROM pick{i}" for i in range(1, j)
         )
         parts.append(f"""
-cov{j} AS (
+cov{j} AS MATERIALIZED (
   SELECT DISTINCT s FROM sh
   WHERE doc_id IN ({picked_union})
 ),

@@ -455,8 +455,13 @@ def _bfs_rounds(spark, sf_dir):
 
 
 def _kcore_oracle(k: int = 5, rounds: int = 3) -> str:
+    # MATERIALIZED per round: inlined as views, a{r} re-evaluates its
+    # whole CTE prefix at every reference (d{r+1} alone reads a{r}
+    # twice), giving ~4^R re-expansion — the sf1.0 disk-spill wall.
+    # Materialized, each round's frames compute once (the same fix the
+    # kcore_full/pagerank unrolled oracles already carry).
     body = f"WITH {_CHAIN_EDGES_SQL},\n" + """
-    und AS (
+    und AS MATERIALIZED (
       SELECT u AS s, v AS t FROM edges
       UNION ALL SELECT v AS s, u AS t FROM edges),
     a0 AS (SELECT node FROM deg)
@@ -464,17 +469,17 @@ def _kcore_oracle(k: int = 5, rounds: int = 3) -> str:
     for r in range(1, rounds + 1):
         p = r - 1
         body += f""",
-    d{r} AS (
+    d{r} AS MATERIALIZED (
       SELECT und.s AS node, COUNT(*) AS c
       FROM und
       JOIN a{p} x ON und.s = x.node
       JOIN a{p} y ON und.t = y.node
       GROUP BY und.s),
-    r{r} AS (
+    r{r} AS MATERIALIZED (
       SELECT a{p}.node FROM a{p}
       LEFT JOIN d{r} ON d{r}.node = a{p}.node
       WHERE COALESCE(d{r}.c, 0) < {k}),
-    a{r} AS (
+    a{r} AS MATERIALIZED (
       SELECT node FROM a{p}
       WHERE node NOT IN (SELECT node FROM r{r}))
     """

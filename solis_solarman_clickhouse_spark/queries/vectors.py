@@ -507,15 +507,20 @@ def vec_cosine_topk_pandas(spark, sf_dir):
 
 
 _VEC_CLUSTER_ORACLE = """
-WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-pairs AS (
+WITH RECURSIVE v AS MATERIALIZED (
+  -- norms precomputed ONCE: inlined per pair, the two norm dot-products
+  -- triple the N² work (the other 2/3 of the sf1.0 >900 s wall)
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+),
+-- MATERIALIZED: the reach recursion re-executes its plan per iteration;
+-- inlined as views, the N^2 cosine join would re-run every round.
+pairs AS MATERIALIZED (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM v a JOIN v b ON a.vec_id < b.vec_id
-  WHERE ROUND(list_dot_product(a.e, b.e)
-        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 8)
-        >= 0.42
+  WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 8) >= 0.42
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT vec_a AS u, vec_b AS v FROM pairs
   UNION SELECT vec_b, vec_a FROM pairs
 ),

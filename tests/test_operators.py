@@ -769,3 +769,34 @@ def test_cosine_tau_kernel_equals_expression_fold(spark):
     )
     assert kernel.exceptAll(fold).count() == 0
     assert fold.exceptAll(kernel).count() == 0
+
+
+def test_zipf_generator_routes_prefix_path_and_recalls_planted_dups(spark, tmp_path):
+    """tools/gen_zipf.py is the scaling-evidence generator
+    (bench_records/r6_zipf_scaling.json): its Zipfian vocabulary must
+    (a) route _prefix_join_wins onto the PPJoin prefix plan — the whole
+    point of the natural-corpus measurement — and (b) plant near-dups
+    that the exact Jaccard tier actually recovers (trigram Jaccard of a
+    3%-token-noise copy concentrates around ~0.84 > 0.8)."""
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import gen_zipf
+
+    from solis_solarman_clickhouse_spark.operators.dedup import (
+        _prefix_join_wins,
+        ngram_jaccard_pairs,
+        shingle_index,
+    )
+
+    out = str(tmp_path / "zipf")
+    stats = gen_zipf.generate(800, out, seed=7)
+    assert stats["planted_dups"] > 20
+    docs = spark.read.parquet(os.path.join(out, "documents.parquet"))
+    idx = shingle_index(docs, k=3, hashed=True)
+    assert _prefix_join_wins(idx, 0.8, 800), "Zipfian corpus must take the prefix plan"
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+    # noise makes individual planted pairs probabilistic; in aggregate a
+    # large majority must cross the 0.8 trigram-Jaccard threshold
+    assert pairs.count() >= stats["planted_dups"] * 0.5

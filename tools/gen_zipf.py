@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Zipfian natural-corpus documents generator (scaling evidence).
+
+The driver fixtures draw document text from a bounded 30-word
+near-uniform vocabulary — the DEGENERATE worst case for exact
+set-similarity plans (every shingle has df ~ N/30, so candidate volume
+is quadratic in N by construction; see
+bench_records/r6_scalecheck_sf0.1_to_sf1.0.txt). Real crawl corpora are
+Zipfian: most of the vocabulary is rare, and PPJoin prefix filtering
+(operators/dedup._jaccard_prefix_pairs) collapses candidate volume to
+near-linear. This generator produces a documents.parquet with the SAME
+schema as the driver fixtures (doc_id, text, lang, source, n_chars) but
+a natural token distribution, so the near-linear claim can be MEASURED
+(tools/zipfscale.py) instead of argued:
+
+- 50 000 word types, rank probability p(r) ~ 1/r^1.05 (web-corpus-like
+  exponent; ~40%% of drawn types appear once at N=50k docs).
+- doc length ~ clipped lognormal (median ~110 words, range 20-400).
+- 8%% of docs are PLANTED near-duplicates of an earlier doc (~3%% of
+  token positions resampled; a flipped token corrupts ~3 trigram
+  shingles, so expected trigram Jaccard ~ (1-0.09)/(1+0.09) ~ 0.84),
+  so the J >= 0.8 output is non-trivial and recall is checkable.
+
+Usage:
+    python tools/gen_zipf.py N_DOCS OUT_DIR [seed]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+V = 50_000
+ZIPF_S = 1.05
+DUP_FRAC = 0.08
+DUP_NOISE = 0.03
+
+
+def generate(n_docs: int, out: str, seed: int = 42) -> dict:
+    rng = np.random.default_rng(seed)
+    os.makedirs(out, exist_ok=True)
+
+    ranks = np.arange(1, V + 1, dtype=np.float64)
+    p = 1.0 / ranks**ZIPF_S
+    p /= p.sum()
+    vocab = np.array([f"w{i:05d}" for i in range(V)])
+
+    lens = np.clip(
+        np.exp(rng.normal(np.log(110), 0.5, n_docs)).astype(np.int64), 20, 400
+    )
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    total = int(offsets[-1])
+    tok = rng.choice(V, size=total, p=p)
+
+    # Plant near-duplicates: doc i copies doc j (j < i, within a 1000-doc
+    # back-window) and resamples ~7% of positions. Lengths equalize to
+    # the source doc's length so J stays high.
+    is_dup = (rng.random(n_docs) < DUP_FRAC) & (np.arange(n_docs) > 0)
+    dup_src = np.maximum(
+        0, np.arange(n_docs) - rng.integers(1, 1001, n_docs)
+    )
+    docs = []
+    n_dup = 0
+    for i in range(n_docs):
+        if is_dup[i]:
+            j = int(dup_src[i])
+            t = tok[offsets[j] : offsets[j + 1]].copy()
+            flip = rng.random(t.size) < DUP_NOISE
+            t[flip] = rng.choice(V, size=int(flip.sum()), p=p)
+            n_dup += 1
+        else:
+            t = tok[offsets[i] : offsets[i + 1]]
+        docs.append(" ".join(vocab[t]))
+
+    langs = np.array(["en", "en", "en", "de", "fr", "es"])
+    texts = pa.array(docs)
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": texts,
+            "lang": pa.array(langs[rng.integers(0, 6, n_docs)]),
+            "source": pa.array([f"src{i % 8}" for i in rng.integers(0, 8, n_docs)]),
+            "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(out, "documents.parquet"))
+    stats = {"n_docs": n_docs, "tokens": total, "planted_dups": n_dup}
+    print(stats, flush=True)
+    return stats
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1])
+    out = sys.argv[2]
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+    generate(n, out, seed)
