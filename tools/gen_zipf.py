@@ -13,8 +13,11 @@ schema as the driver fixtures (doc_id, text, lang, source, n_chars) but
 a natural token distribution, so the near-linear claim can be MEASURED
 (tools/zipfscale.py) instead of argued:
 
-- 50 000 word types, rank probability p(r) ~ 1/r^1.05 (web-corpus-like
-  exponent; ~40%% of drawn types appear once at N=50k docs).
+- Heaps-law vocabulary: V = 40 * n_tokens^0.55 word types (so the
+  vocabulary GROWS with the corpus, as real text does — a fixed vocab
+  makes every document frequency grow linearly with N and forces
+  quadratic candidate volume at any exponent), rank probability
+  p(r) ~ 1/r^1.05 (web-corpus-like Zipf exponent).
 - doc length ~ clipped lognormal (median ~110 words, range 20-400).
 - 8%% of docs are PLANTED near-duplicates of an earlier doc (~3%% of
   token positions resampled; a flipped token corrupts ~3 trigram
@@ -34,8 +37,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-V = 50_000
 ZIPF_S = 1.05
+HEAPS_K = 40
+HEAPS_BETA = 0.55
 DUP_FRAC = 0.08
 DUP_NOISE = 0.03
 
@@ -44,16 +48,18 @@ def generate(n_docs: int, out: str, seed: int = 42) -> dict:
     rng = np.random.default_rng(seed)
     os.makedirs(out, exist_ok=True)
 
-    ranks = np.arange(1, V + 1, dtype=np.float64)
-    p = 1.0 / ranks**ZIPF_S
-    p /= p.sum()
-    vocab = np.array([f"w{i:05d}" for i in range(V)])
-
     lens = np.clip(
         np.exp(rng.normal(np.log(110), 0.5, n_docs)).astype(np.int64), 20, 400
     )
     offsets = np.concatenate([[0], np.cumsum(lens)])
     total = int(offsets[-1])
+
+    V = max(20_000, int(HEAPS_K * total**HEAPS_BETA))
+    ranks = np.arange(1, V + 1, dtype=np.float64)
+    p = 1.0 / ranks**ZIPF_S
+    p /= p.sum()
+    vocab = np.array([f"w{i:06d}" for i in range(V)])
+
     tok = rng.choice(V, size=total, p=p)
 
     # Plant near-duplicates: doc i copies doc j (j < i, within a 1000-doc

@@ -36,7 +36,11 @@ def run(scales: list[int]) -> dict:
     from solis_solarman_clickhouse_spark.operators import dedup as D
 
     spark = get_spark()
-    out: dict = {"zipf_s": gen_zipf.ZIPF_S, "vocab": gen_zipf.V, "rows": []}
+    out: dict = {
+        "zipf_s": gen_zipf.ZIPF_S,
+        "heaps": [gen_zipf.HEAPS_K, gen_zipf.HEAPS_BETA],
+        "rows": [],
+    }
     for n in scales:
         d = os.path.join(REPO, ".localdata", f"zipf_{n}")
         pq_path = os.path.join(d, "documents.parquet")
