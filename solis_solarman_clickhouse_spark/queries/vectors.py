@@ -506,11 +506,20 @@ def vec_cosine_topk_pandas(spark, sf_dir):
     )
 
 
-_VEC_CLUSTER_ORACLE = """
+# The N² cosine predicate is UNROLLED into 64 scalar columns: DuckDB
+# evaluates list_dot_product per pair at ~150 k rows/s (list-entry
+# interpretation dominates — the sf1.0 >1200 s wall even with norms
+# precomputed), while the explicit e1*f1 + ... + e64*f64 runs through
+# the vectorized scalar pipeline. Same left-to-right IEEE summation
+# order as list_dot_product, so values are bit-identical.
+_D = 64
+_DOT = " + ".join(f"a.e{i} * b.e{i}" for i in range(1, _D + 1))
+_COLS = ", ".join(f"e[{i}] AS e{i}" for i in range(1, _D + 1))
+_SQ = " + ".join(f"e[{i}] * e[{i}]" for i in range(1, _D + 1))
+
+_VEC_CLUSTER_ORACLE = f"""
 WITH RECURSIVE v AS MATERIALIZED (
-  -- norms precomputed ONCE: inlined per pair, the two norm dot-products
-  -- triple the N² work (the other 2/3 of the sf1.0 >900 s wall)
-  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+  SELECT vec_id, {_COLS}, sqrt({_SQ}) AS nrm
   FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
 ),
 -- MATERIALIZED: the reach recursion re-executes its plan per iteration;
@@ -518,7 +527,7 @@ WITH RECURSIVE v AS MATERIALIZED (
 pairs AS MATERIALIZED (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM v a JOIN v b ON a.vec_id < b.vec_id
-  WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 8) >= 0.42
+  WHERE ROUND(({_DOT}) / (a.nrm * b.nrm), 8) >= 0.42
 ),
 edges AS MATERIALIZED (
   SELECT vec_a AS u, vec_b AS v FROM pairs
