@@ -148,18 +148,18 @@ def _prefix_index(idx: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def _verify_pairs_by_array(
-    cand: DataFrame, idx: DataFrame, *, threshold: float, small_docs: bool
+def _pair_intersections(
+    cand: DataFrame, idx: DataFrame, *, small_docs: bool
 ) -> DataFrame:
-    """Exact Jaccard on a candidate-pair frame carrying (doc_a, doc_b,
-    n_a, n_b): |A∩B| from per-doc shingle ARRAYS (array_intersect on
-    8-byte hashed shingles, JVM-side), NOT a candidate-restricted index
-    re-join — the re-join shape multiplies every candidate by its
-    shingle count before the group-by (measured 1.5e9 intermediate rows
-    at sf1.0) while the array join touches each candidate once. The
-    per-doc array table is |docs| rows x ~|shingles| longs;
-    ``small_docs=True`` broadcasts it (two ~40 MB broadcasts at 50 k
-    docs beat shipping arrays through a 15 M-row pair shuffle); at
+    """Exact |A∩B| (column ``_c``) for a candidate-pair frame carrying
+    (doc_a, doc_b, ...): intersection from per-doc shingle ARRAYS
+    (array_intersect on 8-byte hashed shingles, JVM-side), NOT a
+    candidate-restricted index re-join — the re-join shape multiplies
+    every candidate by its shingle count before the group-by (measured
+    1.5e9 intermediate rows at sf1.0) while the array join touches each
+    candidate once. The per-doc array table is |docs| rows x ~|shingles|
+    longs; ``small_docs=True`` broadcasts it (two ~40 MB broadcasts at
+    50 k docs beat shipping arrays through a 15 M-row pair shuffle); at
     corpus scale leave False and the pair stream sort-merge-joins it."""
     arrs = idx.groupBy("doc_id").agg(F.collect_list("shingle").alias("_shs"))
     a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("_shs").alias("_sa"))
@@ -167,9 +167,20 @@ def _verify_pairs_by_array(
     if small_docs:
         a, b = F.broadcast(a), F.broadcast(b)
     c = F.size(F.array_intersect("_sa", "_sb")).cast("long")
-    scored = (
-        cand.join(a, "doc_a").join(b, "doc_b").withColumn("_c", c)
+    return (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("_c", c)
+        .drop("_sa", "_sb")
     )
+
+
+def _verify_pairs_by_array(
+    cand: DataFrame, idx: DataFrame, *, threshold: float, small_docs: bool
+) -> DataFrame:
+    """Exact Jaccard filter over candidates carrying (doc_a, doc_b, n_a,
+    n_b); |A∩B| via _pair_intersections (see its docstring for why arrays
+    beat a candidate-restricted index re-join)."""
+    scored = _pair_intersections(cand, idx, small_docs=small_docs)
     jac = F.col("_c") / (F.col("n_a") + F.col("n_b") - F.col("_c"))
     return scored.filter(jac >= threshold).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
@@ -386,6 +397,122 @@ def ngram_jaccard_pairs(
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def _containment_selfjoin_pairs(idx: DataFrame, *, threshold: float) -> DataFrame:
+    """Directed containment via the full index self-join with the
+    intersection count fused into candidate generation — the floor plan
+    on near-uniform vocabularies (no rare tail for a prefix to exploit;
+    see _jaccard_selfjoin_pairs). The undirected intersection is computed
+    once (a<b) and emitted in both directions; the threshold is an
+    integer cross-multiplication so no float comparison gates rows."""
+    t_e6 = int(round(threshold * 1_000_000))
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = idx.alias("a"), idx.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    both = inter.unionAll(
+        inter.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"), "c"
+        )
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    return (
+        both.join(sa, "doc_a")
+        .where(F.col("c") * 1_000_000 >= F.lit(t_e6) * F.col("n_a"))
+        .select(
+            F.col("doc_a").alias("contained_id"),
+            F.col("doc_b").alias("container_id"),
+            F.round(F.col("c") / F.col("n_a"), 4).alias("containment"),
+        )
+    )
+
+
+def _containment_prefix_pairs(
+    idx: DataFrame, *, threshold: float, small_docs: bool
+) -> DataFrame:
+    """Directed containment via an asymmetric prefix filter: C(A→B) =
+    |A∩B|/|A| >= t forces |A∩B| >= ceil(t*|A|), so at most
+    |A| - ceil(t*|A|) of A's shingles can be missing from B — under ANY
+    fixed global shingle order, A must share one of its first
+    |A| - ceil(t*|A|) + 1 shingles with B. That is the SAME prefix size
+    as Jaccard's (reuse _prefix_index, rarest-first order), but the
+    candidate join is prefix(A) ⋈ FULL index (B is unfiltered — unlike
+    Jaccard, containment puts no lower bound on |B|, so B gets no prefix).
+    On Zipfian corpora the prefix carries the rare tail, so the join
+    volume is Σ_s prefix_df(s)·(df(s)−1) — exactly the quantity
+    _prefix_join_wins lower-bounds with its greedy capacity walk, which
+    is why the routing decision carries over verbatim. Each undirected
+    candidate is verified ONCE (array intersection) and emitted in
+    whichever directions clear the threshold — identical results to the
+    fused self-join, different cost."""
+    t_e6 = int(round(threshold * 1_000_000))
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    p = _prefix_index(idx, threshold).select(
+        F.col("doc_id").alias("_p"), "shingle"
+    )
+    f = idx.select(F.col("doc_id").alias("_f"), "shingle")
+    cand = (
+        p.join(f, "shingle")
+        .where(F.col("_p") != F.col("_f"))
+        .select(
+            F.least("_p", "_f").alias("doc_a"),
+            F.greatest("_p", "_f").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    scored = _pair_intersections(
+        cand.join(sa, "doc_a").join(sb, "doc_b"), idx, small_docs=small_docs
+    )
+    d1 = scored.where(
+        F.col("_c") * 1_000_000 >= F.lit(t_e6) * F.col("n_a")
+    ).select(
+        F.col("doc_a").alias("contained_id"),
+        F.col("doc_b").alias("container_id"),
+        F.round(F.col("_c") / F.col("n_a"), 4).alias("containment"),
+    )
+    d2 = scored.where(
+        F.col("_c") * 1_000_000 >= F.lit(t_e6) * F.col("n_b")
+    ).select(
+        F.col("doc_b").alias("contained_id"),
+        F.col("doc_a").alias("container_id"),
+        F.round(F.col("_c") / F.col("n_b"), 4).alias("containment"),
+    )
+    return d1.unionAll(d2)
+
+
+def containment_pairs(
+    docs: DataFrame, *, k: int = 3, threshold: float = 0.8,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """All directed pairs with shingle containment C(A→B) = |A∩B|/|A| >=
+    threshold — the asymmetric cousin of Jaccard that catches a document
+    QUOTED INSIDE a larger one. Output: (contained_id, container_id,
+    containment).
+
+    Same measured dual-path discipline as ngram_jaccard_pairs: on
+    rare-tailed (natural Zipfian) vocabularies the prefix-filtered plan
+    (_containment_prefix_pairs — lemma-complete, prefix(A) ⋈ full index)
+    collapses candidate volume to near-linear; on near-uniform bounded
+    vocabularies (the bench fixture: every shingle df≈100, no rare tail)
+    the fused self-join+count is the floor and runs instead. Both plans
+    are EXACT — the routing moves cost, never results."""
+    idx = shingle_index(docs, k=k, text_col=text_col, id_col=id_col, hashed=True)
+    n_docs = docs.count()
+    if _prefix_join_wins(idx, threshold, n_docs):
+        return _containment_prefix_pairs(
+            idx, threshold=threshold, small_docs=n_docs <= _BROADCAST_DOCS_MAX
+        )
+    return _containment_selfjoin_pairs(idx, threshold=threshold)
 
 
 def minhash_signatures(

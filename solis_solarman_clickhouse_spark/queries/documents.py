@@ -10,6 +10,7 @@ from ..caching import tracked_persist
 from pyspark.sql import types as T
 
 from ..operators.dedup import (
+    containment_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_pairs_exact,
@@ -1119,49 +1120,19 @@ def doc_containment_dedup(spark, sf_dir):
     """Directed containment C(A→B) = |shingles(A)∩shingles(B)| /
     |shingles(A)| ≥ 0.8 — the asymmetric cousin of Jaccard that catches a
     document QUOTED INSIDE a larger one (Jaccard misses it when sizes
-    differ). Same hashed shingle inverted index as doc_neardup_jaccard;
-    the undirected intersection is computed once (a<b) and emitted in both
-    directions; the threshold is an integer cross-multiplication so no
-    float comparison gates rows.
-
-    Scaling note (measured, sf1.0): the inverted-index intermediate is
-    Σ_s df(s)² — on THIS fixture the shingle dfs are near-uniform ~100
-    (no rare shingles), so the c>0 pair set is ~dense-quadratic (261 M
-    joined rows at 50 k docs, 31 s) and prefix filtering cannot shrink
-    it (candidates ≈ the full pair set when every prefix shingle has
-    df≈100 — unlike weighted Jaccard, containment has no length-ratio
-    bound to block on: |B| is unbounded above). On natural corpora dfs
-    are Zipfian and the same plan is the standard sparse containment
-    join; the 100 TB path pairs it with the minhash/simhash candidate
-    tiers, which ARE bucketed."""
+    differ). Routed dual-path (operators/dedup.containment_pairs, the
+    ngram_jaccard_pairs discipline): on THIS fixture the shingle dfs are
+    near-uniform ~100 (no rare tail), _prefix_join_wins keeps the fused
+    self-join+count floor plan (the c>0 pair set is ~dense-quadratic by
+    workload construction — 261 M joined rows at 50 k docs); on natural
+    Zipfian corpora the asymmetric prefix filter (prefix(A) ⋈ full index,
+    lemma-complete because C ≥ t bounds how many of A's shingles can miss
+    B) collapses candidates to near-linear — measured in
+    bench_records/r7_zipf_scaling.json. Both plans are exact; the
+    undirected intersection is computed once and emitted in whichever
+    directions clear the integer cross-multiplied threshold."""
     docs = table(spark, sf_dir, "documents")
-    idx = shingle_index(docs, k=3, hashed=True)
-    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = idx.alias("a"), idx.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    both = inter.unionAll(
-        inter.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"), "c"
-        )
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    return (
-        both.join(sa, "doc_a")
-        .where(F.col("c") * 5 >= F.col("n_a") * 4)
-        .select(
-            F.col("doc_a").alias("contained_id"),
-            F.col("doc_b").alias("container_id"),
-            F.round(F.col("c") / F.col("n_a"), 4).alias("containment"),
-        )
-    )
+    return containment_pairs(docs, k=3, threshold=0.8)
 
 
 @query(

@@ -191,38 +191,18 @@ def mm_image_phash_dedup(spark, sf_dir):
     Scaling note (measured, sf1.0): the OUTPUT pair list itself grows
     ~quadratically on this fixture (46 k pairs at 5 k images → 4.7 M at
     50 k, 20 s — the synthetic payload space is tiny, so collision
-    density is fixture-high); per-output-row cost is flat. A production
-    corpus keeps banding selective; when it doesn't, the downstream
-    consumer is the connected-components keeper election, which never
-    materializes pairs to the driver."""
-    from ..operators.dedup import in_bucket_pairs
-    from ..operators.multimodal import image_phash
+    density is fixture-high); per-output-row cost is flat. On a corpus
+    with DIVERSE payloads and planted perturbed-copy near-dups
+    (tools/gen_zipf.py payloads.parquet) the same pipeline
+    (operators/multimodal.phash_near_dup_pairs) measures near-linear —
+    bench_records/r7_zipf_scaling.json. A production corpus keeps
+    banding selective; when it doesn't, the downstream consumer is the
+    connected-components keeper election, which never materializes
+    pairs to the driver."""
+    from ..operators.multimodal import phash_near_dup_pairs
 
     p = attach_payloads(table(spark, sf_dir, "documents"))
-    fps = image_phash(p)
-    banded = fps.select(
-        "doc_id",
-        "phash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("phash"), b * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .cast("int")
-                    for b in range(4)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
-    return in_bucket_pairs(
-        banded,
-        F.struct(F.col("doc_id"), F.col("phash")),
-        lambda x, y: F.struct(
-            x["doc_id"].alias("doc_a"),
-            y["doc_id"].alias("doc_b"),
-            F.bit_count(x["phash"].bitwiseXOR(y["phash"])).alias("hamming"),
-        ),
-    ).filter(F.col("hamming") <= 6)
+    return phash_near_dup_pairs(p, max_hamming=6)
 
 
 @query(

@@ -42,6 +42,7 @@ HEAPS_K = 40
 HEAPS_BETA = 0.55
 DUP_FRAC = 0.08
 DUP_NOISE = 0.03
+PAYLOAD_NOISE = 0.01
 
 
 def generate(n_docs: int, out: str, seed: int = 42) -> dict:
@@ -63,8 +64,11 @@ def generate(n_docs: int, out: str, seed: int = 42) -> dict:
     tok = rng.choice(V, size=total, p=p)
 
     # Plant near-duplicates: doc i copies doc j (j < i, within a 1000-doc
-    # back-window) and resamples ~7% of positions. Lengths equalize to
-    # the source doc's length so J stays high.
+    # back-window) and resamples ~3% (DUP_NOISE) of positions. Lengths
+    # equalize to the source doc's length so J stays high. The source j
+    # must itself be a NON-dup: a dup source's token slice is not the
+    # text it emitted (its stored text was perturbed), so copying it
+    # would plant a pair that matches no emitted document.
     is_dup = (rng.random(n_docs) < DUP_FRAC) & (np.arange(n_docs) > 0)
     dup_src = np.maximum(
         0, np.arange(n_docs) - rng.integers(1, 1001, n_docs)
@@ -74,6 +78,8 @@ def generate(n_docs: int, out: str, seed: int = 42) -> dict:
     for i in range(n_docs):
         if is_dup[i]:
             j = int(dup_src[i])
+            while is_dup[j]:
+                j -= 1
             t = tok[offsets[j] : offsets[j + 1]].copy()
             flip = rng.random(t.size) < DUP_NOISE
             t[flip] = rng.choice(V, size=int(flip.sum()), p=p)
@@ -94,6 +100,44 @@ def generate(n_docs: int, out: str, seed: int = 42) -> dict:
         }
     )
     pq.write_table(table, os.path.join(out, "documents.parquet"))
+
+    # Binary payload table (the "planted near-dup images" analogue for
+    # the phash tier): each non-dup doc draws its bytes from a
+    # DOC-SPECIFIC distribution (dirichlet over 256 byte values), so
+    # byte-bigram histograms — and therefore the phash stand-in — are
+    # well-spread across docs; a dup doc carries its source's payload
+    # with ~PAYLOAD_NOISE of byte positions resampled, so planted pairs
+    # land at small phash Hamming distance. Text-derived payloads
+    # (magic||text) are useless here: every Zipf token is "wNNNNNN", so
+    # all docs share one bigram histogram and ALL pairs collide.
+    plens = np.clip(
+        np.exp(rng.normal(np.log(2048), 0.4, n_docs)).astype(np.int64), 512, 8192
+    )
+    payloads: list[bytes] = []
+    for i in range(n_docs):
+        if is_dup[i]:
+            j = int(dup_src[i])
+            while is_dup[j]:
+                j -= 1
+            arr = np.frombuffer(payloads[j], dtype=np.uint8).copy()
+            flip = rng.random(arr.size) < PAYLOAD_NOISE
+            arr[flip] = rng.integers(0, 256, int(flip.sum()), dtype=np.uint8)
+            payloads.append(arr.tobytes())
+        else:
+            probs = rng.dirichlet(np.full(256, 0.5))
+            payloads.append(
+                rng.choice(256, size=int(plens[i]), p=probs)
+                .astype(np.uint8)
+                .tobytes()
+            )
+    ptable = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    pq.write_table(ptable, os.path.join(out, "payloads.parquet"))
+
     stats = {"n_docs": n_docs, "tokens": total, "planted_dups": n_dup}
     print(stats, flush=True)
     return stats

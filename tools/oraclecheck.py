@@ -63,16 +63,31 @@ def main() -> int:
         spdf = spec.fn(spark, sf).toPandas()
         t_spark = time.time() - t0
         t0 = time.time()
-        timer = threading.Timer(timeout_s, con.interrupt)
+        # Per-query cursor + done-flag guard: a Timer firing just as the
+        # query completes (or after an early failure) must not interrupt
+        # the SHARED connection — that would poison the NEXT query in the
+        # loop and report a spurious ORACLE-FAIL for an unrelated name.
+        # The cursor shares the catalog (views) but isolates interrupts,
+        # and the flag stops a late timer from touching it at all.
+        cur = con.cursor()
+        done = threading.Event()
+
+        def _interrupt(c=cur) -> None:
+            if not done.is_set():
+                c.interrupt()
+
+        timer = threading.Timer(timeout_s, _interrupt)
         timer.start()
         try:
-            opdf = con.execute(spec.oracle).df()
+            opdf = cur.execute(spec.oracle).df()
         except Exception as exc:
             print(f"{name} ORACLE-FAIL {type(exc).__name__}: {exc}"[:300])
             rc = 1
             continue
         finally:
+            done.set()
             timer.cancel()
+            cur.close()
         t_oracle = time.time() - t0
         if sorted(spdf.columns) != sorted(opdf.columns):
             print(f"{name} COLUMN-MISMATCH {sorted(spdf.columns)} vs {sorted(opdf.columns)}")
