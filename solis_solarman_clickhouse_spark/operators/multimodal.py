@@ -145,6 +145,19 @@ def parse_image_header(b: bytes | None) -> tuple[int, int, int] | None:
     return None
 
 
+def _pil_available() -> bool:
+    """True when Pillow is importable — the extras gate for full pixel
+    decode (`pip install pillow`; the default container ships without
+    it, so `real=True` paths raise NotImplementedError there and the
+    deterministic stand-ins run instead)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _fake_image_dims(n_bytes: "pd.Series") -> tuple["pd.Series", "pd.Series"]:
     """STUB (deterministic stand-in): dimensions derived from payload size.
     A real implementation parses the codec header (e.g. PIL.Image.open on
@@ -162,19 +175,36 @@ def decode_image_meta(payloads: DataFrame, *, real: bool = False) -> DataFrame:
     (parse_image_header: PNG/JPEG/GIF/BMP, stdlib struct); payloads with
     no recognizable codec header — e.g. the synthetic fixtures — fall back
     to the deterministic stand-in with ``parsed=false``. ``real=True``
-    additionally demands full pixel decode, which needs a codec library
-    this environment doesn't ship."""
-    if real:
+    additionally performs FULL pixel decode (PIL.Image.open + load, so a
+    corrupt-past-the-header payload is caught, not just header-sniffed);
+    it is gated on Pillow being importable (`pip install pillow` — the
+    default container ships no codec library) and is exercised by the
+    env-gated tests in tests/test_multimodal.py."""
+    if real and not _pil_available():
         raise NotImplementedError(
-            "full pixel decode needs a codec library (PIL); header parsing "
-            "runs regardless — use real=False"
+            "full pixel decode needs Pillow (pip install pillow); header "
+            "parsing runs regardless — use real=False"
         )
+
+    def _pil_decode(b: bytes | None) -> tuple[int, int, int] | None:
+        import io
+
+        from PIL import Image
+
+        if b is None:
+            return None
+        try:
+            with Image.open(io.BytesIO(b)) as img:
+                img.load()  # full decode, not a lazy header sniff
+                return img.width, img.height, len(img.getbands())
+        except Exception:
+            return None
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n_bytes = pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int64")
             fw, fh = _fake_image_dims(n_bytes)
-            parsed = pdf["payload"].map(parse_image_header)
+            parsed = pdf["payload"].map(_pil_decode if real else parse_image_header)
             ok = parsed.notna()
             width = fw.where(~ok, parsed.map(lambda t: t[0] if t else 0)).astype("int32")
             height = fh.where(~ok, parsed.map(lambda t: t[1] if t else 0)).astype("int32")
@@ -338,13 +368,16 @@ def image_phash(payloads: DataFrame, *, real: bool = False) -> DataFrame:
     — an 8×8 byte-bigram histogram of the payload, which is
     locality-preserving (near-identical payloads → near-equal histograms
     → small Hamming distance), so downstream banding behaves like it
-    would on real lowpassed pixels. ``real=True`` (decode actual pixels,
-    then the identical DCT path) needs a codec library this environment
-    doesn't ship."""
-    if real:
+    would on real lowpassed pixels. ``real=True`` decodes ACTUAL pixels
+    (PIL: grayscale + 8×8 lowpass resize) and feeds them to the
+    IDENTICAL DCT/median/pack path; it is gated on Pillow being
+    importable (`pip install pillow`), with undecodable payloads
+    falling back to the histogram stand-in so a mixed corpus still
+    hashes every row."""
+    if real and not _pil_available():
         raise NotImplementedError(
-            "pixel decode needs a codec library (PIL); the deterministic "
-            "histogram stand-in runs with real=False"
+            "pixel decode needs Pillow (pip install pillow); the "
+            "deterministic histogram stand-in runs with real=False"
         )
 
     def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -355,18 +388,38 @@ def image_phash(payloads: DataFrame, *, real: bool = False) -> DataFrame:
             np.pi / n * (np.arange(n)[None, :] + 0.5) * np.arange(n)[:, None]
         )
         weights = 1 << np.arange(64, dtype=np.uint64)
+
+        def histogram_block(arr: "np.ndarray") -> "np.ndarray":
+            # bucket by value mod 8 (NOT //32: ASCII text bytes all
+            # share a few high-order buckets, which collapses the
+            # histogram to one cell and every hash to one value)
+            m = np.zeros((n, n))
+            np.add.at(m, (arr[:-1] % 8, arr[1:] % 8), 1.0)
+            return m
+
+        def pixel_block(b: bytes) -> "np.ndarray | None":
+            import io
+
+            from PIL import Image
+
+            # Pillow >= 9.1 moved resampling constants to Image.Resampling
+            resample = getattr(getattr(Image, "Resampling", Image), "BILINEAR")
+            try:
+                with Image.open(io.BytesIO(b)) as img:
+                    small = img.convert("L").resize((n, n), resample)
+                    return np.asarray(small, dtype=np.float64)
+            except Exception:
+                return None
+
         for pdf in batches:
             hashes = []
             for b in pdf["payload"]:
                 if b is None or len(b) < 2:
                     hashes.append(0)
                     continue
-                arr = np.frombuffer(b, dtype=np.uint8)
-                # bucket by value mod 8 (NOT //32: ASCII text bytes all
-                # share a few high-order buckets, which collapses the
-                # histogram to one cell and every hash to one value)
-                m = np.zeros((n, n))
-                np.add.at(m, (arr[:-1] % 8, arr[1:] % 8), 1.0)
+                m = pixel_block(b) if real else None
+                if m is None:
+                    m = histogram_block(np.frombuffer(b, dtype=np.uint8))
                 flat = (dct @ m @ dct.T).ravel()
                 med = np.median(flat[1:])
                 bits = np.zeros(64, dtype=np.uint64)

@@ -84,6 +84,109 @@ def cosine_topk(
     )
 
 
+# Above this many matrix CELLS (rows x dims, 8 B each -> 64 MB) a
+# collected side of the exact kernels stops being broadcast-class and
+# the kernel routes to its BLOCK-PARTITIONED twin: vectors hash into B
+# blocks, every (bi <= bj) block-pair group scores its own pairs with a
+# local BLAS matmul, and NOTHING collects to the driver. Same output
+# contract (identical 8-dp quantization), memory bounded per task at
+# 2·|block|·dim, shuffle = B copies of the vector column — the route a
+# 100x-larger embeddings table takes without a code change (the
+# measured routing discipline of dedup._prefix_join_wins, applied to
+# the vector tier).
+_BROADCAST_CELLS_MAX = 8_000_000
+
+#: target rows per hash block on the blocked paths (a 8192x64 block is
+#: a 4 MB float64 matrix — L2-friendly matmul operand, small task state)
+_BLOCK_ROWS = 8192
+
+
+def _mat_shape(df: DataFrame, vec_col: str) -> tuple[int, int]:
+    """(rows, dims) of an embedding frame — ONE tiny agg job, the
+    plan-shape probe the size gates route on."""
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size(vec_col)).alias("d")
+    ).first()
+    return int(r["n"] or 0), int(r["d"] or 0)
+
+
+def _n_blocks(n_rows: int) -> int:
+    return max(2, -(-n_rows // _BLOCK_ROWS))
+
+
+def _cosine_tau_pairs_blocked(
+    vecs: DataFrame, *, tau: float, id_col: str, vec_col: str,
+    emit_cosine: bool, n_rows: int,
+) -> DataFrame:
+    """Exact all-pairs tau kernel WITHOUT a driver-side matrix — the
+    above-gate twin of cosine_tau_pairs_exact (block-nested-loop
+    distribution, the _wjaccard_dense_pairs discipline): ids hash into
+    B blocks, each vector ships one copy per block-pair group it
+    participates in (B copies), and each of the B(B+1)/2 (bi <= bj)
+    groups scores its pairs with one chunked BLAS matmul — within-block
+    groups emit id-ordered pairs once, cross-block groups emit every
+    pair as (min, max). Total matmul work is the same N²/2; it is
+    distributed across groups instead of anchored to a broadcast."""
+    B = _n_blocks(n_rows)
+    base = vecs.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_blk"),
+    )
+    copies = base.select(
+        "vec_id", "e", "_blk",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("_g"),
+    ).select(
+        "vec_id", "e", "_blk",
+        F.least("_blk", "_g").alias("_bi"),
+        F.greatest("_blk", "_g").alias("_bj"),
+    )
+
+    def group_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(pdf["_bi"].iloc[0]), int(pdf["_bj"].iloc[0])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = np.stack(pdf["e"].to_numpy())
+        norms = np.sqrt((m * m).sum(axis=1))
+        blk = pdf["_blk"].to_numpy()
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+
+        def score(rows_l: np.ndarray, rows_r: np.ndarray, within: bool) -> None:
+            chunk = 2048
+            for i0 in range(0, len(rows_l), chunk):
+                rl = rows_l[i0 : i0 + chunk]
+                cos = np.round(
+                    (m[rl] @ m[rows_r].T)
+                    / (norms[rl, None] * norms[rows_r][None, :]),
+                    8,
+                )
+                ii, jj = np.nonzero(cos >= tau)
+                a, b = ids[rl[ii]], ids[rows_r[jj]]
+                keep = a < b if within else a != b
+                out_a.append(np.minimum(a[keep], b[keep]))
+                out_b.append(np.maximum(a[keep], b[keep]))
+                out_c.append(cos[ii, jj][keep])
+
+        if bi == bj:
+            rows = np.arange(len(ids))
+            score(rows, rows, within=True)
+        else:
+            score(np.nonzero(blk == bi)[0], np.nonzero(blk == bj)[0], within=False)
+        res = {
+            "vec_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+            "vec_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+        }
+        if emit_cosine:
+            res["cosine"] = (
+                np.concatenate(out_c) if out_c else np.array([], dtype=np.float64)
+            )
+        return pd.DataFrame(res)
+
+    schema = "vec_a long, vec_b long" + (", cosine double" if emit_cosine else "")
+    return copies.groupBy("_bi", "_bj").applyInPandas(group_pairs, schema)
+
+
 def cosine_topk_blas(
     corpus: DataFrame,
     queries: DataFrame,
@@ -91,6 +194,7 @@ def cosine_topk_blas(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_cells: int = _BROADCAST_CELLS_MAX,
 ) -> DataFrame:
     """Exact top-k cosine neighbors, BLAS physical path — same contract
     as cosine_topk (self-matches excluded, ties by lower corpus id,
@@ -101,11 +205,21 @@ def cosine_topk_blas(
     selection-semilattice identity), so the exchange carries
     batches×Q×k rows, never Q×N. Measured: vec_knn_ood_audit at sf1.0
     (400 queries × 20 k corpus) 130.8 s → BLAS path ~1 s. The query
-    side collects to a broadcast matrix — bounded by contract (it is
-    the broadcast build side, the same size class a broadcast join
-    ships); at 100 TB the corpus side stays a scan with NO shuffle of
-    corpus rows. Within-batch ties resolve by np.lexsort on
-    (-cosine, neighbor_id) — identical total order to the JVM window."""
+    side collects to a broadcast matrix — broadcast-class by contract
+    (it is the build side, the same size class a broadcast join ships)
+    and SIZE-GATED: above ``max_broadcast_cells`` (rows×dims) the
+    kernel routes to the block-partitioned twin instead (query-block ×
+    corpus-block groups, local top-k per group, global window — no
+    driver matrix), so the same call survives a 100× query table
+    without a code change. At 100 TB the corpus side stays a scan with
+    NO shuffle of corpus rows on the broadcast path. Within-batch ties
+    resolve by np.lexsort on (-cosine, neighbor_id) — identical total
+    order to the JVM window."""
+    nq, dq = _mat_shape(queries, vec_col)
+    if nq * dq > max_broadcast_cells:
+        return _cosine_topk_blas_blocked(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col, n_q=nq
+        )
     sess = corpus.sparkSession
     qrows = sorted(
         queries.select(id_col, vec_col).collect(), key=lambda r: r[id_col]
@@ -151,6 +265,90 @@ def cosine_topk_blas(
         )
     ).mapInPandas(
         batch_topk, "query_id long, neighbor_id long, cosine double"
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine")
+        )
+    )
+
+
+def _cosine_topk_blas_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    n_q: int,
+) -> DataFrame:
+    """Above-gate twin of cosine_topk_blas: neither side collects.
+    Queries hash into Bq blocks and corpus into Bc blocks; each query
+    row ships Bc copies and each corpus row Bq copies, so every
+    (qb, cb) group holds one query block × one corpus block and scores
+    it with a local matmul, emitting its per-query LOCAL top-k (global
+    top-k ⊆ union of per-group top-k — the same selection-semilattice
+    identity the broadcast path uses per batch). A final window ranks
+    the Bq·Bc·Q·k candidate rows. Same self-match mask, quantization
+    and lexsort total order as the broadcast path — pinned equal in
+    tests/test_operators.py."""
+    from pyspark.sql import Window as W
+
+    nc, _ = _mat_shape(corpus, vec_col)
+    bq_n = _n_blocks(n_q)
+    bc_n = _n_blocks(nc)
+    q = queries.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+        F.lit(1).alias("_isq"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(bq_n)).cast("int").alias("_qb"),
+        F.explode(F.sequence(F.lit(0), F.lit(bc_n - 1))).alias("_cb"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+        F.lit(0).alias("_isq"),
+        F.explode(F.sequence(F.lit(0), F.lit(bq_n - 1))).alias("_qb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(bc_n)).cast("int").alias("_cb"),
+    )
+
+    def group_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        isq = pdf["_isq"].to_numpy().astype(bool)
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        m = np.stack(pdf["e"].to_numpy())
+        norms = np.sqrt((m * m).sum(axis=1))
+        qi = np.nonzero(isq)[0]
+        ci = np.nonzero(~isq)[0]
+        if len(qi) == 0 or len(ci) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            ).astype({"query_id": np.int64, "neighbor_id": np.int64, "cosine": np.float64})
+        sims = (m[qi] @ m[ci].T) / (norms[qi, None] * norms[ci][None, :])
+        sims[ids[qi][:, None] == ids[ci][None, :]] = -np.inf
+        nid = ids[ci]
+        kk = min(k, len(ci))
+        out_q, out_n, out_c = [], [], []
+        for j in range(len(qi)):
+            order = np.lexsort((nid, -sims[j]))[:kk]
+            keep = order[np.isfinite(sims[j][order])]
+            out_q.append(np.full(len(keep), ids[qi[j]], dtype=np.int64))
+            out_n.append(nid[keep])
+            out_c.append(sims[j][keep])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    cand = q.unionByName(c).groupBy("_qb", "_cb").applyInPandas(
+        group_topk, "query_id long, neighbor_id long, cosine double"
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -569,6 +767,7 @@ def cosine_tau_pairs_within(
 def cosine_tau_pairs_exact(
     vecs: DataFrame, *, tau: float, id_col: str = "vec_id",
     vec_col: str = "e", emit_cosine: bool = False,
+    max_broadcast_cells: int = _BROADCAST_CELLS_MAX,
 ) -> DataFrame:
     """Exact all-pairs (vec_a, vec_b) with ROUND(cosine, 8) >= tau —
     the PARALLEL audit-tier twin of cosine_tau_pairs_within's
@@ -583,7 +782,20 @@ def cosine_tau_pairs_exact(
     convention: an oracle comparing against this kernel must also cut
     on ROUND(cosine, 8) — a raw-threshold oracle is one last-ulp
     summation-order divergence away from a borderline-pair flip).
-    ``emit_cosine`` adds the quantized cosine as a third column."""
+    ``emit_cosine`` adds the quantized cosine as a third column.
+
+    SIZE-GATED: the corpus broadcast is the bound here, so above
+    ``max_broadcast_cells`` (rows×dims) the call routes to the
+    block-partitioned twin _cosine_tau_pairs_blocked — identical
+    output (pinned in tests), no driver matrix, per-task memory
+    bounded at 2·|block|·dim — and therefore survives a 100× larger
+    embeddings table without a code change."""
+    n_rows, dims = _mat_shape(vecs, vec_col)
+    if n_rows * dims > max_broadcast_cells:
+        return _cosine_tau_pairs_blocked(
+            vecs, tau=tau, id_col=id_col, vec_col=vec_col,
+            emit_cosine=emit_cosine, n_rows=n_rows,
+        )
     sess = vecs.sparkSession
     rows = vecs.select(id_col, vec_col).collect()
     ids = np.array([int(r[id_col]) for r in rows], dtype=np.int64)

@@ -2393,6 +2393,107 @@ def vec_ivf_nprobe_sweep(spark, sf_dir):
     return out
 
 
+def _hard_negative_blocked(emb, *, n_rows: int, k: int = 50):
+    """Above-gate twin of vec_hard_negative_mining's broadcast kernel:
+    ids hash into B blocks, each vector ships one copy per (bi <= bj)
+    block-pair group (similarity._cosine_tau_pairs_blocked's
+    distribution), each group scores its CROSS-LABEL pairs exactly once
+    (within-block a<b, cross-block (min,max)) and emits its local
+    top-k under the family total order (quantized-cosine DESC, vec_a,
+    vec_b) — global top-k ⊆ union of per-group top-k. The final window
+    ranks B(B+1)/2·k candidate rows. No driver matrix; per-task memory
+    2·|block|·dim."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import _n_blocks
+
+    B = _n_blocks(n_rows)
+    copies = emb.select(
+        "vec_id", "label", "e",
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(B)).cast("int").alias("_blk"),
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("_g"),
+    ).select(
+        "vec_id", "label", "e", "_blk",
+        F.least("_blk", "_g").alias("_bi"),
+        F.greatest("_blk", "_g").alias("_bj"),
+    )
+
+    def group_top(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(pdf["_bi"].iloc[0]), int(pdf["_bj"].iloc[0])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        labs = pdf["label"].to_numpy(dtype=np.int64)
+        m = np.stack(pdf["e"].to_numpy())
+        norms = np.sqrt((m * m).sum(axis=1))
+        blk = pdf["_blk"].to_numpy()
+        if bi == bj:
+            rows_l = rows_r = np.arange(len(ids))
+        else:
+            rows_l = np.nonzero(blk == bi)[0]
+            rows_r = np.nonzero(blk == bj)[0]
+        if len(rows_l) == 0 or len(rows_r) == 0:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "label_a": [], "label_b": [], "cos8": []}
+            ).astype(
+                {"vec_a": np.int64, "vec_b": np.int64, "label_a": np.int64,
+                 "label_b": np.int64, "cos8": np.float64}
+            )
+        cos = np.round(
+            (m[rows_l] @ m[rows_r].T)
+            / (norms[rows_l, None] * norms[rows_r][None, :]),
+            8,
+        )
+        a_ids, b_ids = ids[rows_l], ids[rows_r]
+        mask = labs[rows_l][:, None] != labs[rows_r][None, :]
+        if bi == bj:
+            mask &= a_ids[:, None] < b_ids[None, :]
+        else:
+            mask &= a_ids[:, None] != b_ids[None, :]
+        ii, jj = np.nonzero(mask)
+        if len(ii) == 0:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "label_a": [], "label_b": [], "cos8": []}
+            ).astype(
+                {"vec_a": np.int64, "vec_b": np.int64, "label_a": np.int64,
+                 "label_b": np.int64, "cos8": np.float64}
+            )
+        ai, bi_ids = a_ids[ii], b_ids[jj]
+        la, lb = labs[rows_l][ii], labs[rows_r][jj]
+        c = cos[ii, jj]
+        lo = np.minimum(ai, bi_ids)
+        hi = np.maximum(ai, bi_ids)
+        swap = ai > bi_ids
+        la2 = np.where(swap, lb, la)
+        lb2 = np.where(swap, la, lb)
+        order = np.lexsort((hi, lo, -c))[:k]
+        return pd.DataFrame(
+            {
+                "vec_a": lo[order], "vec_b": hi[order],
+                "label_a": la2[order], "label_b": lb2[order],
+                "cos8": c[order],
+            }
+        )
+
+    cand = copies.groupBy("_bi", "_bj").applyInPandas(
+        group_top,
+        "vec_a long, vec_b long, label_a long, label_b long, cos8 double",
+    )
+    return (
+        cand.withColumn(
+            "rn",
+            F.row_number().over(
+                W.orderBy(F.col("cos8").desc(), F.col("vec_a"), F.col("vec_b"))
+            ),
+        )
+        .where(F.col("rn") <= k)
+        .select(
+            "vec_a", "vec_b", "label_a", "label_b",
+            F.round("cos8", 4).alias("cosine"),
+        )
+    )
+
+
 _HARD_NEG_ORACLE = """
 WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
 pairs AS (
@@ -2430,20 +2531,30 @@ def vec_hard_negative_mining(spark, sf_dir):
     N²/2 theta join it replaces is quadratic in lambda evaluations and
     unrunnable at sf1.0. Ranking uses the family's 8-dp quantized
     cosine on BOTH engines so a last-ulp summation-order divergence
-    cannot reorder near-ties (ids break the rest). At 100 TB the
-    all-pairs stage is replaced by exactly the approximate tiers this
-    repo already prices (semdedup buckets / IVF lists as candidate
-    generators), with this exact form as the ground-truth audit on a
-    sample — mirroring the dedup family's exact-vs-LSH structure."""
+    cannot reorder near-ties (ids break the rest). SIZE-GATED (the
+    dedup-family routing discipline): above
+    similarity._BROADCAST_CELLS_MAX (rows×dims) the corpus no longer
+    collects — the call routes to _hard_negative_blocked (block-pair
+    groups scoring local top-50s, no driver matrix, pinned equal in
+    tests), so the same registry entry survives a 100× embeddings
+    table without a code change; the broadcast form remains the
+    audit-tier floor at fixture scale, and at true 100 TB the
+    candidate generators are the approximate tiers this repo already
+    prices (semdedup buckets / IVF lists), with the exact forms as
+    sampled ground-truth audits."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window as W
 
+    from ..operators.similarity import _BROADCAST_CELLS_MAX, _mat_shape
     from ..tables import spread
 
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
+    n_rows, dims = _mat_shape(emb, "e")
+    if n_rows * dims > _BROADCAST_CELLS_MAX:
+        return _hard_negative_blocked(emb, n_rows=n_rows)
     rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
     ids = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
     labels = np.array([int(r["label"]) for r in rows], dtype=np.int64)

@@ -54,14 +54,57 @@ def pinned_shuffle(spark: SparkSession, n: int | None = None):
         spark.conf.set(key, old)
 
 
+#: AQE's target post-coalesce partition size; also the denominator of
+#: the shuffle-partition derivation below. Deployment knob.
+_ADVISORY_MB_DEFAULT = 64
+
+
+def _fixture_bytes() -> int:
+    """Compressed on-disk size of the bench fixture dir (SPARK_GRAFT_SF_DIR),
+    0 when unset — a cheap stat-only proxy for input scale."""
+    d = os.environ.get("SPARK_GRAFT_SF_DIR", "")
+    if not d or not os.path.isdir(d):
+        return 0
+    total = 0
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
+def scaled_shuffle_partitions(n_cores: int, input_bytes: int, advisory_mb: int) -> int:
+    """Scale-aware shuffle-partition default: max(cores, input/advisory),
+    clamped at 4096. AQE coalesces DOWN toward the advisory size but
+    never splits UP (beyond skew-join handling), so the initial number
+    must be an overestimate at scale: a 100x input on the same session
+    would otherwise funnel through cores-many oversized partitions and
+    spill. Locally every fixture is far below cores x 64 MB, so this
+    resolves to cores — same plans, same bench numbers (measured, see
+    README "Reproducing the bench"); on a cluster the deployment sets
+    SPARK_GRAFT_ADVISORY_MB (or advisoryPartitionSizeInBytes directly)
+    and the derivation, fed by real input size, scales the start count
+    with the data while AQE trims the excess."""
+    derived = input_bytes // (advisory_mb << 20)
+    return max(8, n_cores, min(4096, derived))
+
+
 def get_spark(app_name: str = "solis-solarman-spark", *, cpus: int | None = None) -> SparkSession:
     n = cpus or default_parallelism()
+    advisory_mb = int(os.environ.get("SPARK_GRAFT_ADVISORY_MB", _ADVISORY_MB_DEFAULT))
+    shuffle_n = scaled_shuffle_partitions(n, _fixture_bytes(), advisory_mb)
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(max(8, n)))
+        .config("spark.sql.shuffle.partitions", str(shuffle_n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", f"{advisory_mb}m"
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -778,6 +778,49 @@ def test_containment_prefix_path_equals_selfjoin(spark):
     assert all((d - 300, d) in hits for d in range(300, 330))
 
 
+def test_blocked_vector_kernels_equal_broadcast_forms(spark):
+    """The size-gated block-partitioned twins of the exact vector
+    kernels (no driver matrix — the route a 100x embeddings table
+    takes) must return EXACTLY what the broadcast forms return on the
+    fixture: same pairs, same quantized cosines, same top-k rows. The
+    gate is forced with max_broadcast_cells=0."""
+    from solis_solarman_clickhouse_spark.operators.similarity import (
+        cosine_tau_pairs_exact,
+        cosine_topk_blas,
+    )
+    from solis_solarman_clickhouse_spark.queries.vectors import (
+        _hard_negative_blocked,
+    )
+    from solis_solarman_clickhouse_spark.queries import REGISTRY
+
+    emb = table(spark, SF_DIR, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    bc = cosine_tau_pairs_exact(vecs, tau=0.45, emit_cosine=True)
+    blk = cosine_tau_pairs_exact(
+        vecs, tau=0.45, emit_cosine=True, max_broadcast_cells=0
+    )
+    assert bc.exceptAll(blk).count() == 0
+    assert blk.exceptAll(bc).count() == 0
+
+    q = emb.filter(F.col("vec_id") % 7 == 0)
+    top_bc = cosine_topk_blas(emb, q, k=5)
+    top_blk = cosine_topk_blas(emb, q, k=5, max_broadcast_cells=0)
+    assert top_bc.exceptAll(top_blk).count() == 0
+    assert top_blk.exceptAll(top_bc).count() == 0
+
+    lab = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    hn_bc = REGISTRY["vec_hard_negative_mining"].fn(spark, SF_DIR)
+    hn_blk = _hard_negative_blocked(lab, n_rows=lab.count())
+    assert [r.asDict() for r in hn_bc.collect()] == [
+        r.asDict() for r in hn_blk.collect()
+    ]
+
+
 def test_cosine_tau_kernel_equals_expression_fold(spark):
     """cosine_tau_pairs_within (chunked BLAS, 8-dp quantized) must agree
     with a direct JVM zip_with/aggregate cosine fold on which pairs pass
