@@ -127,14 +127,18 @@ _ORACLE_WIDEN: dict[str, tuple[str, ...]] = {
 
 
 def _widen_oracle(name: str, oracle: str | None) -> str | None:
+    """Wrap an oracle whose narrow-int output columns need BIGINT with
+    an IN-PLACE star-REPLACE projection: ``SELECT * REPLACE (CAST(c AS
+    BIGINT) AS c)`` keeps every column at its original position, so the
+    oracle's column ORDER stays identical to the Spark output's (the
+    earlier EXCLUDE-then-append form moved widened columns to the end,
+    which silently depended on the driver comparator being
+    name-aligned — asserted gone in tests/test_oracle_types.py)."""
     cols = _ORACLE_WIDEN.get(name)
     if oracle is None or not cols:
         return oracle
-    casts = ", ".join(f'CAST("{c}" AS BIGINT) AS "{c}"' for c in cols)
-    excl = ", ".join(f'"{c}"' for c in cols)
-    return (
-        f"SELECT * EXCLUDE ({excl}), {casts} FROM (\n{oracle}\n) AS __wide"
-    )
+    repls = ", ".join(f'CAST("{c}" AS BIGINT) AS "{c}"' for c in cols)
+    return f"SELECT * REPLACE ({repls}) FROM (\n{oracle}\n) AS __wide"
 
 
 def query(name: str, *, category: str, oracle: str | None = None, check: str = "EXACT"):

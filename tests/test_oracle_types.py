@@ -81,3 +81,25 @@ def test_every_oracle_describes(type_audit):
     # produced at least one output column.
     empty = [n for n, cols in type_audit.items() if not cols]
     assert not empty, f"oracles with no output columns: {empty}"
+
+
+def test_widened_oracle_column_order_matches_spark(spark, type_audit):
+    """The widening wrapper must be ORDER-PRESERVING: since round 7 it
+    emits ``SELECT * REPLACE (CAST(c AS BIGINT) AS c)`` instead of
+    EXCLUDE-then-append, so every widened oracle's DESCRIBE column order
+    must equal the Spark query's schema order — removing the silent
+    dependence on the driver comparator being name-aligned."""
+    from solis_solarman_clickhouse_spark.queries.registry import _ORACLE_WIDEN
+
+    mismatched = {}
+    for name in sorted(_ORACLE_WIDEN):
+        spec = REGISTRY[name]
+        if spec.oracle is None:
+            continue
+        oracle_cols = [c for c, _ty in type_audit[name]]
+        spark_cols = list(spec.fn(spark, SF_DIR).columns)
+        if oracle_cols != spark_cols:
+            mismatched[name] = (spark_cols, oracle_cols)
+    assert not mismatched, (
+        f"widened oracles whose column order differs from Spark:\n{mismatched}"
+    )
