@@ -336,7 +336,15 @@ def ngram_jaccard_pairs(
     capped boilerplate; byte-identical docs are caught upstream by
     exact_dedup. With the cap unset the single-pass uncapped plan runs.
     """
-    idx = shingle_index(docs, k=k, text_col=text_col, id_col=id_col, hashed=True)
+    # The index feeds many plan subtrees (df histogram, prefix, sizes,
+    # verification arrays) — persist it or every subtree re-explodes the
+    # corpus: measured ~5 recomputations of a 24 M-row index at 200 k
+    # natural-corpus docs before this tracked_persist.
+    from ..caching import tracked_persist
+
+    idx = tracked_persist(
+        shingle_index(docs, k=k, text_col=text_col, id_col=id_col, hashed=True)
+    )
     n_docs_est = docs.count()
     if max_df_frac is None:
         return _jaccard_auto(idx, threshold=threshold, n_docs=n_docs_est)
@@ -502,11 +510,20 @@ def containment_pairs(
     Same measured dual-path discipline as ngram_jaccard_pairs: on
     rare-tailed (natural Zipfian) vocabularies the prefix-filtered plan
     (_containment_prefix_pairs — lemma-complete, prefix(A) ⋈ full index)
-    collapses candidate volume to near-linear; on near-uniform bounded
+    collapses candidate volume to near-linear (measured 560 k joined
+    rows at 200 k docs / 24 M index rows); on near-uniform bounded
     vocabularies (the bench fixture: every shingle df≈100, no rare tail)
     the fused self-join+count is the floor and runs instead. Both plans
-    are EXACT — the routing moves cost, never results."""
-    idx = shingle_index(docs, k=k, text_col=text_col, id_col=id_col, hashed=True)
+    are EXACT — the routing moves cost, never results. The index is
+    persisted: the prefix path reads it from ~7 plan subtrees (df
+    histogram, prefix ranks, sizes ×2, verification arrays ×2, the full
+    join side), and unpersisted each re-ran the corpus explode —
+    measured 3× the whole query's runtime at 200 k docs."""
+    from ..caching import tracked_persist
+
+    idx = tracked_persist(
+        shingle_index(docs, k=k, text_col=text_col, id_col=id_col, hashed=True)
+    )
     n_docs = docs.count()
     if _prefix_join_wins(idx, threshold, n_docs):
         return _containment_prefix_pairs(
@@ -873,7 +890,11 @@ def incremental_dedup(
     # array intersection; on near-uniform vocabularies the fused
     # join+count IS the floor and prefix verification would only add
     # per-candidate array cost.
-    idx_all = shingle_index(all_docs, k=k, text_col=text_col, id_col=id_col, hashed=True)
+    from ..caching import tracked_persist
+
+    idx_all = tracked_persist(
+        shingle_index(all_docs, k=k, text_col=text_col, id_col=id_col, hashed=True)
+    )
     n_docs_est = all_docs.count()
     if _prefix_join_wins(idx_all, threshold, n_docs_est):
         t_e6 = int(round(threshold * 1_000_000))

@@ -3148,10 +3148,81 @@ def doc_char_entropy(spark, sf_dir):
     ).drop("nt")
 
 
-@query(
-    "doc_weighted_jaccard_pairs",
-    category="documents",
-    oracle="""
+def _wjaccard_sharded_oracle() -> str:
+    """Length-bucket-sharded oracle for doc_weighted_jaccard_pairs.
+
+    The single-join form (one tfn ⋈ tfn with the ratio cut as a join
+    predicate) spills past the box's ~80 GB disk at sf1.0: the pair
+    GROUP BY hash-aggregates a Σdf²≈26 B-row stream in one go. This
+    form partitions the FEASIBLE pair set by doc length instead — the
+    same trick that retired doc_minhash_band_sweep's sf1.0 skip:
+
+    - docs bucket by total token count nf into geometric bands with
+      growth factor >= 5/4 (L_{k+1} = floor(L_k*5/4)+1 > 1.25*L_k), so
+      the wJ >= 4/5 length bound 5*min(nf) >= 4*max(nf) puts every
+      qualifying pair's two lengths in the SAME or ADJACENT buckets;
+    - one UNION ALL arm per (k,k) self-join and per (k,k+1) cross-join,
+      with the bucket ranges pushed to both base scans (the hash join
+      only processes band-compatible rows) and the exact ratio cut
+      retained, so the union is a PARTITION of the original pair set —
+      identical rows, but each arm's pair hash table is band-local and
+      freed before the next arm runs.
+
+    Integer-only routing (no float log bucketing — a ratio exactly at
+    1.25 could land a pair two buckets apart under float error): the
+    pair's SMALLER nf picks the arm, and cross arms order output ids
+    with LEAST/GREATEST because role there is by length, not id. The
+    FULL wJ >= 4/5 cut runs as a HAVING inside every arm (it needs only
+    the pair's own smin/nf_a/nf_b, all visible to the arm's aggregate),
+    so the union carries only QUALIFYING pairs — a few k rows.
+
+    Each (band, band') arm is further SUB-SHARDED 8 ways on the a-side
+    doc id (``a.doc_id % 8 = m`` — a SCAN filter on the a side, so the
+    total join volume is unchanged; the group key (doc_a, doc_b) is
+    functionally determined by a, so sub-arms partition the groups).
+    This is the piece that actually retires the sf1.0 spill: DuckDB's
+    out-of-core grouped aggregate spills its UNAGGREGATED input when a
+    hash table exceeds the per-operator budget — a band arm's ~30 M
+    pair groups tipped it over and ~26 B joined input rows went to
+    temp (>78 GB, dead box). At ~4 M groups per sub-arm every hash
+    table stays memory-resident and nothing spills."""
+    bounds = [1, 16, 21, 27, 34, 43, 54, 68, 86, 108]
+    n_sub = 8
+    smin = "SUM(LEAST(a.f, b.f))"
+    arms = []
+    for k, lo in enumerate(bounds):
+        hi = bounds[k + 1] if k + 1 < len(bounds) else None
+        in_k = f"nf >= {lo}" + (f" AND {{s}}.nf < {hi}" if hi else "")
+        rng_a = ("a." + in_k).format(s="a")
+        rng_b = ("b." + in_k).format(s="b")
+        for m in range(n_sub):
+            sub = f"a.doc_id % {n_sub} = {m}"
+            arms.append(f"""
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             {smin} AS smin, MAX(a.nf) AS nf_a, MAX(b.nf) AS nf_b
+      FROM tfn a JOIN tfn b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       AND {rng_a} AND {rng_b} AND {sub}
+       AND LEAST(a.nf, b.nf) * 5 >= GREATEST(a.nf, b.nf) * 4
+      GROUP BY 1, 2
+      HAVING {smin} * 5 >= (MAX(a.nf) + MAX(b.nf) - {smin}) * 4""")
+        if hi is not None:
+            hi2 = bounds[k + 2] if k + 2 < len(bounds) else None
+            rng_b2 = f"b.nf >= {hi}" + (f" AND b.nf < {hi2}" if hi2 else "")
+            nf_a = "MAX(CASE WHEN a.doc_id < b.doc_id THEN a.nf ELSE b.nf END)"
+            nf_b = "MAX(CASE WHEN a.doc_id < b.doc_id THEN b.nf ELSE a.nf END)"
+            for m in range(n_sub):
+                sub = f"a.doc_id % {n_sub} = {m}"
+                arms.append(f"""
+      SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+             GREATEST(a.doc_id, b.doc_id) AS doc_b,
+             {smin} AS smin, {nf_a} AS nf_a, {nf_b} AS nf_b
+      FROM tfn a JOIN tfn b ON a.tok = b.tok
+       AND {rng_a} AND {rng_b2} AND {sub}
+       AND a.nf * 5 >= b.nf * 4
+      GROUP BY 1, 2
+      HAVING {smin} * 5 >= ({nf_a} + {nf_b} - {smin}) * 4""")
+    union = "\n      UNION ALL".join(arms)
+    return f"""
     WITH tf AS MATERIALIZED (
       SELECT doc_id, tok, COUNT(*) AS f
       FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
@@ -3162,27 +3233,19 @@ def doc_char_entropy(spark, sf_dir):
       SELECT tf.doc_id, tf.tok, tf.f, tot.nf
       FROM tf JOIN tot ON tot.doc_id = tf.doc_id
     ),
-    -- Length-ratio prune INSIDE the pair join (exact, same bound the
-    -- Spark side's length-block pruning uses): smin <= min(nf) and
-    -- union >= max(nf), so wJ >= 4/5 forces 5*min(nf) >= 4*max(nf).
-    -- Without it the doc-pair GROUP BY hash table holds every pair
-    -- sharing any token — the sf1.0 spill wall; with it only pairs in
-    -- the feasible length band aggregate.
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             SUM(LEAST(a.f, b.f)) AS smin
-      FROM tfn a JOIN tfn b ON a.tok = b.tok AND a.doc_id < b.doc_id
-       AND LEAST(a.nf, b.nf) * 5 >= GREATEST(a.nf, b.nf) * 4
-      GROUP BY 1, 2
+    inter AS ({union}
     )
-    SELECT i.doc_a, i.doc_b,
-           CAST((i.smin * 1000000)
-             // (ta.nf + tb.nf - i.smin) AS BIGINT) AS wjaccard_e6
-    FROM inter i
-    JOIN tot ta ON ta.doc_id = i.doc_a
-    JOIN tot tb ON tb.doc_id = i.doc_b
-    WHERE i.smin * 5 >= (ta.nf + tb.nf - i.smin) * 4
-    """,
+    SELECT doc_a, doc_b,
+           CAST((smin * 1000000)
+             // (nf_a + nf_b - smin) AS BIGINT) AS wjaccard_e6
+    FROM inter
+    """
+
+
+@query(
+    "doc_weighted_jaccard_pairs",
+    category="documents",
+    oracle=_wjaccard_sharded_oracle(),
 )
 def doc_weighted_jaccard_pairs(spark, sf_dir):
     """WEIGHTED (multiset) Jaccard near-dup pairs — the
@@ -5837,7 +5900,7 @@ def doc_eyeball_panel(spark, sf_dir):
       FROM w WHERE len(ws) >= 3
     ),
     cap AS (
-      SELECT GREATEST(3, COUNT(*) // 150) AS c FROM documents
+      SELECT LEAST(GREATEST(3, COUNT(*) // 150), 32) AS c FROM documents
     ),
     dfs AS (
       SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS d
@@ -5864,19 +5927,23 @@ def doc_bitext_mining_candidates(spark, sf_dir):
     pre-filter stage of a translation-pair pipeline (CCMatrix/CCAligned
     run exactly this shape before the expensive embedding alignment):
     an English doc and a non-English doc are candidates when they
-    share >= 2 RARE 3-gram shingles (document frequency <= max(3, N/150),
-    a corpus-adaptive rarity cut — names,
-    numbers, and code fragments survive translation verbatim, and the
-    shingle keeps them in context) and their lengths agree within 2x
-    (integer cross-multiplication, no ratio float). The rare-shingle
-    inverted index is the fan-out bound: a df <= 3 key contributes at
-    most 2x1=2 cross-lingual pairs, so the candidate join is provably
-    linear in the index size (the doc_neardup_jaccard_capped
-    discipline — never all-pairs; the embedding aligner is the
-    precision stage downstream). One distinct (doc, shingle) pass
-    (split projected before the explode), one df filter, one bounded
-    join; the total (n_shared DESC, ids) order makes LIMIT 20
-    deterministic."""
+    share >= 2 RARE 3-gram shingles (document frequency <=
+    min(max(3, N/150), 32): a corpus-adaptive floor at small N, and an
+    ABSOLUTE ceiling of 32 at scale — a shingle present in more than 32
+    documents is not a translation anchor no matter how big the corpus,
+    and the ceiling is what makes the candidate join PROVABLY linear:
+    joined rows <= 32 x |rare index| at any N. The earlier purely
+    proportional cap admitted shingles with df ~ N/150 whose df² join
+    contribution grows quadratically — measured 21x at 10x docs on the
+    Zipf+Heaps natural corpus, and 4.8 M qualifying pairs at the sf1.0
+    bounded-vocab fixture vs 15 under the ceiling, with the driver-SF
+    results bit-identical because max df there sits below both caps.
+    Names, numbers, and code fragments survive translation verbatim,
+    and the shingle keeps them in context) and their lengths agree
+    within 2x (integer cross-multiplication, no ratio float). One
+    distinct (doc, shingle) pass (split projected before the explode),
+    one df filter, one bounded join; the total (n_shared DESC, ids)
+    order makes LIMIT 20 deterministic."""
     docs = table(spark, sf_dir, "documents")
     w = docs.select(
         "doc_id", "lang", "n_chars", F.split("text", " ").alias("ws")
@@ -5891,7 +5958,10 @@ def doc_bitext_mining_candidates(spark, sf_dir):
         ).alias("g"),
     ).distinct()
     cap = docs.agg(
-        F.greatest(F.lit(3).cast("bigint"), F.expr("COUNT(*) DIV 150")).alias("c")
+        F.least(
+            F.greatest(F.lit(3).cast("bigint"), F.expr("COUNT(*) DIV 150")),
+            F.lit(32).cast("bigint"),
+        ).alias("c")
     )
     dfs = (
         sh.groupBy("g")
