@@ -478,8 +478,15 @@ def _containment_prefix_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    scored = _pair_intersections(
-        cand.join(sa, "doc_a").join(sb, "doc_b"), idx, small_docs=small_docs
+    # persist: BOTH direction branches of the union read `scored`, and
+    # unpersisted each would re-run the candidate join + distinct +
+    # array verification from scratch
+    from ..caching import tracked_persist
+
+    scored = tracked_persist(
+        _pair_intersections(
+            cand.join(sa, "doc_a").join(sb, "doc_b"), idx, small_docs=small_docs
+        )
     )
     d1 = scored.where(
         F.col("_c") * 1_000_000 >= F.lit(t_e6) * F.col("n_a")

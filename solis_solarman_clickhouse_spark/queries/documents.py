@@ -3148,80 +3148,39 @@ def doc_char_entropy(spark, sf_dir):
     ).drop("nt")
 
 
-def _wjaccard_sharded_oracle() -> str:
-    """Length-bucket-sharded oracle for doc_weighted_jaccard_pairs.
+def _wjaccard_dense_oracle(max_vocab: int = 48) -> str:
+    """Dense-vector oracle for doc_weighted_jaccard_pairs — the DuckDB
+    twin of the Spark side's own bounded-vocab dense path.
 
-    The single-join form (one tfn ⋈ tfn with the ratio cut as a join
-    predicate) spills past the box's ~80 GB disk at sf1.0: the pair
-    GROUP BY hash-aggregates a Σdf²≈26 B-row stream in one go. This
-    form partitions the FEASIBLE pair set by doc length instead — the
-    same trick that retired doc_minhash_band_sweep's sf1.0 skip:
+    Two earlier shapes failed at sf1.0 on this box: the single
+    inverted-index join + pair GROUP BY hash-aggregates a Σdf² ≈ 26 B
+    row stream (spilled past the ~80 GB disk), and a length-banded
+    UNION of per-band aggregates STILL spilled — DuckDB v1.0.0's
+    out-of-core grouped aggregate writes its unaggregated input to
+    temp, and the temp file grows across union children (measured
+    ~300 MB/s until disk death, with per-child hash tables as small as
+    4 M groups). The cure is the same one the Spark plan uses: the
+    fixture's TOKEN vocabulary is bounded (~31 types at every SF), so
+    each doc pivots to a FIXED-WIDTH dense tf vector over the sorted
+    global vocabulary, unrolled to {max_vocab} scalar columns
+    (list-entry interpretation, not arithmetic, is DuckDB's wall —
+    the vec_dedup_clusters retirement trick), and
+    Σmin = Σ_i LEAST(a.f_i, b.f_i) is a pure scalar expression over a
+    length-ratio-banded pair join. NO pair GROUP BY exists, so there
+    is nothing to spill: the length filter keeps ~10% of the N²/2
+    pairs and each evaluates ~{max_vocab} LEASTs in a streamed
+    projection.
 
-    - docs bucket by total token count nf into geometric bands with
-      growth factor >= 5/4 (L_{k+1} = floor(L_k*5/4)+1 > 1.25*L_k), so
-      the wJ >= 4/5 length bound 5*min(nf) >= 4*max(nf) puts every
-      qualifying pair's two lengths in the SAME or ADJACENT buckets;
-    - one UNION ALL arm per (k,k) self-join and per (k,k+1) cross-join,
-      with the bucket ranges pushed to both base scans (the hash join
-      only processes band-compatible rows) and the exact ratio cut
-      retained, so the union is a PARTITION of the original pair set —
-      identical rows, but each arm's pair hash table is band-local and
-      freed before the next arm runs.
-
-    Integer-only routing (no float log bucketing — a ratio exactly at
-    1.25 could land a pair two buckets apart under float error): the
-    pair's SMALLER nf picks the arm, and cross arms order output ids
-    with LEAST/GREATEST because role there is by length, not id. The
-    FULL wJ >= 4/5 cut runs as a HAVING inside every arm (it needs only
-    the pair's own smin/nf_a/nf_b, all visible to the arm's aggregate),
-    so the union carries only QUALIFYING pairs — a few k rows.
-
-    Each (band, band') arm is further SUB-SHARDED 8 ways on the a-side
-    doc id (``a.doc_id % 8 = m`` — a SCAN filter on the a side, so the
-    total join volume is unchanged; the group key (doc_a, doc_b) is
-    functionally determined by a, so sub-arms partition the groups).
-    This is the piece that actually retires the sf1.0 spill: DuckDB's
-    out-of-core grouped aggregate spills its UNAGGREGATED input when a
-    hash table exceeds the per-operator budget — a band arm's ~30 M
-    pair groups tipped it over and ~26 B joined input rows went to
-    temp (>78 GB, dead box). At ~4 M groups per sub-arm every hash
-    table stays memory-resident and nothing spills."""
-    bounds = [1, 16, 21, 27, 34, 43, 54, 68, 86, 108]
-    n_sub = 8
-    smin = "SUM(LEAST(a.f, b.f))"
-    arms = []
-    for k, lo in enumerate(bounds):
-        hi = bounds[k + 1] if k + 1 < len(bounds) else None
-        in_k = f"nf >= {lo}" + (f" AND {{s}}.nf < {hi}" if hi else "")
-        rng_a = ("a." + in_k).format(s="a")
-        rng_b = ("b." + in_k).format(s="b")
-        for m in range(n_sub):
-            sub = f"a.doc_id % {n_sub} = {m}"
-            arms.append(f"""
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             {smin} AS smin, MAX(a.nf) AS nf_a, MAX(b.nf) AS nf_b
-      FROM tfn a JOIN tfn b ON a.tok = b.tok AND a.doc_id < b.doc_id
-       AND {rng_a} AND {rng_b} AND {sub}
-       AND LEAST(a.nf, b.nf) * 5 >= GREATEST(a.nf, b.nf) * 4
-      GROUP BY 1, 2
-      HAVING {smin} * 5 >= (MAX(a.nf) + MAX(b.nf) - {smin}) * 4""")
-        if hi is not None:
-            hi2 = bounds[k + 2] if k + 2 < len(bounds) else None
-            rng_b2 = f"b.nf >= {hi}" + (f" AND b.nf < {hi2}" if hi2 else "")
-            nf_a = "MAX(CASE WHEN a.doc_id < b.doc_id THEN a.nf ELSE b.nf END)"
-            nf_b = "MAX(CASE WHEN a.doc_id < b.doc_id THEN b.nf ELSE a.nf END)"
-            for m in range(n_sub):
-                sub = f"a.doc_id % {n_sub} = {m}"
-                arms.append(f"""
-      SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
-             GREATEST(a.doc_id, b.doc_id) AS doc_b,
-             {smin} AS smin, {nf_a} AS nf_a, {nf_b} AS nf_b
-      FROM tfn a JOIN tfn b ON a.tok = b.tok
-       AND {rng_a} AND {rng_b2} AND {sub}
-       AND a.nf * 5 >= b.nf * 4
-      GROUP BY 1, 2
-      HAVING {smin} * 5 >= ({nf_a} + {nf_b} - {smin}) * 4""")
-    union = "\n      UNION ALL".join(arms)
+    A width canary errors out (rather than silently undercounting)
+    if the vocabulary ever exceeds the unroll width; natural corpora
+    never run this oracle — the Spark side's prefix-filtered index
+    path covers them, measured in bench_records."""
+    leasts = " + ".join(
+        f"LEAST(a.f{i}, b.f{i})" for i in range(1, max_vocab + 1)
+    )
+    fcols = ",\n             ".join(
+        f"COALESCE(v[{i}], 0) AS f{i}" for i in range(1, max_vocab + 1)
+    )
     return f"""
     WITH tf AS MATERIALIZED (
       SELECT doc_id, tok, COUNT(*) AS f
@@ -3229,23 +3188,47 @@ def _wjaccard_sharded_oracle() -> str:
       GROUP BY doc_id, tok
     ),
     tot AS MATERIALIZED (SELECT doc_id, SUM(f) AS nf FROM tf GROUP BY doc_id),
-    tfn AS MATERIALIZED (
-      SELECT tf.doc_id, tf.tok, tf.f, tot.nf
-      FROM tf JOIN tot ON tot.doc_id = tf.doc_id
+    toks AS MATERIALIZED (SELECT DISTINCT tok FROM tf),
+    guard AS (
+      SELECT CASE WHEN COUNT(*) <= {max_vocab} THEN 1
+                  ELSE CAST(error('wjaccard dense oracle: vocab > {max_vocab}') AS INT)
+             END AS ok
+      FROM toks
     ),
-    inter AS ({union}
+    grid AS (
+      SELECT t.doc_id, k.tok FROM tot t CROSS JOIN toks k
+    ),
+    dv0 AS (
+      SELECT g.doc_id, list(COALESCE(tf.f, 0) ORDER BY g.tok) AS v
+      FROM grid g LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.tok = g.tok
+      GROUP BY g.doc_id
+    ),
+    dv AS MATERIALIZED (
+      SELECT dv0.doc_id, tot.nf,
+             {fcols}
+      FROM dv0 JOIN tot ON tot.doc_id = dv0.doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ({leasts}) AS smin,
+             a.nf AS nf_a, b.nf AS nf_b
+      FROM dv a JOIN dv b
+        ON a.doc_id < b.doc_id
+       AND a.nf * 5 >= b.nf * 4
+       AND b.nf * 5 >= a.nf * 4
     )
     SELECT doc_a, doc_b,
            CAST((smin * 1000000)
              // (nf_a + nf_b - smin) AS BIGINT) AS wjaccard_e6
-    FROM inter
+    FROM pairs CROSS JOIN guard
+    WHERE smin * 5 >= (nf_a + nf_b - smin) * 4 AND guard.ok = 1
     """
 
 
 @query(
     "doc_weighted_jaccard_pairs",
     category="documents",
-    oracle=_wjaccard_sharded_oracle(),
+    oracle=_wjaccard_dense_oracle(),
 )
 def doc_weighted_jaccard_pairs(spark, sf_dir):
     """WEIGHTED (multiset) Jaccard near-dup pairs — the
