@@ -195,6 +195,7 @@ def cosine_topk_blas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_broadcast_cells: int = _BROADCAST_CELLS_MAX,
+    quantize_dp: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors, BLAS physical path — same contract
     as cosine_topk (self-matches excluded, ties by lower corpus id,
@@ -214,11 +215,19 @@ def cosine_topk_blas(
     without a code change. At 100 TB the corpus side stays a scan with
     NO shuffle of corpus rows on the broadcast path. Within-batch ties
     resolve by np.lexsort on (-cosine, neighbor_id) — identical total
-    order to the JVM window."""
+    order to the JVM window.
+
+    ``quantize_dp``: round cosines half-even to that many decimals
+    BEFORE ranking, and emit them at that precision instead of 4 dp —
+    the family's oracle-reproducibility convention (an ANSI-SQL twin
+    ranking on ROUND(cosine, dp) then matches the selection exactly;
+    unquantized full-precision ranking is one summation-order ulp away
+    from picking a different neighbor at a tie)."""
     nq, dq = _mat_shape(queries, vec_col)
     if nq * dq > max_broadcast_cells:
         return _cosine_topk_blas_blocked(
-            corpus, queries, k=k, id_col=id_col, vec_col=vec_col, n_q=nq
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col, n_q=nq,
+            quantize_dp=quantize_dp,
         )
     sess = corpus.sparkSession
     qrows = sorted(
@@ -239,6 +248,8 @@ def cosine_topk_blas(
             sims = (m @ qm.T) / (
                 np.sqrt((m * m).sum(axis=1))[:, None] * qn[None, :]
             )  # (b, q)
+            if quantize_dp is not None:
+                sims = np.round(sims, quantize_dp)
             sims[nid[:, None] == ids[None, :]] = -np.inf  # self-match mask
             kk = min(k, len(nid))
             out_q, out_n, out_c = [], [], []
@@ -273,7 +284,8 @@ def cosine_topk_blas(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            "query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine")
+            "query_id", "rank", "neighbor_id",
+            F.round("cosine", quantize_dp or 4).alias("cosine"),
         )
     )
 
@@ -286,6 +298,7 @@ def _cosine_topk_blas_blocked(
     id_col: str,
     vec_col: str,
     n_q: int,
+    quantize_dp: int | None = None,
 ) -> DataFrame:
     """Above-gate twin of cosine_topk_blas: neither side collects.
     Queries hash into Bq blocks and corpus into Bc blocks; each query
@@ -329,6 +342,8 @@ def _cosine_topk_blas_blocked(
                 {"query_id": [], "neighbor_id": [], "cosine": []}
             ).astype({"query_id": np.int64, "neighbor_id": np.int64, "cosine": np.float64})
         sims = (m[qi] @ m[ci].T) / (norms[qi, None] * norms[ci][None, :])
+        if quantize_dp is not None:
+            sims = np.round(sims, quantize_dp)
         sims[ids[qi][:, None] == ids[ci][None, :]] = -np.inf
         nid = ids[ci]
         kk = min(k, len(ci))
@@ -357,7 +372,8 @@ def _cosine_topk_blas_blocked(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            "query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine")
+            "query_id", "rank", "neighbor_id",
+            F.round("cosine", quantize_dp or 4).alias("cosine"),
         )
     )
 

@@ -4081,3 +4081,137 @@ def vec_distance_concentration(spark, sf_dir):
             "CAST((mx - mn) * 1000000 DIV CAST(s DIV n AS BIGINT) AS BIGINT)"
         ).alias("relative_spread_ppm"),
     )
+
+
+def _bitext_margin_oracle(k_cand: int = 16, k_margin: int = 4) -> str:
+    """Oracle for vec_bitext_margin_topk: the full margin pipeline
+    replayed relationally — cross-side cosines from UNROLLED 64-dim
+    scalar products (list-entry interpretation, not arithmetic, is
+    DuckDB's wall — the vec_dedup_clusters convention), 8-dp half-even
+    quantization lifted to exact e8 BIGINTs, rank windows for candidate
+    retrieval and both denominator top-k sums, and the margin as
+    positive-domain integer division (numerator filtered > 0 and the
+    denominator clamped >= 1, so Spark's truncating DIV and DuckDB's
+    flooring // agree)."""
+    dot = " + ".join(f"a.e{i} * b.e{i}" for i in range(1, 65))
+    cols = ",\n             ".join(f"e[{i}] AS e{i}" for i in range(1, 65))
+    nrm = " + ".join(f"e{i} * e{i}" for i in range(1, 65))
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, vec_id % 2 AS side, embedding::DOUBLE[] AS e
+      FROM embeddings
+    ),
+    d0 AS (
+      SELECT vec_id, side,
+             {cols}
+      FROM emb
+    ),
+    d AS MATERIALIZED (
+      SELECT *, sqrt({nrm}) AS nrm FROM d0
+    ),
+    c8 AS MATERIALIZED (
+      SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+             CAST(ROUND(ROUND(({dot}) / (a.nrm * b.nrm), 8)
+                        * 100000000, 0) AS BIGINT) AS c8e8
+      FROM d a JOIN d b ON a.side = 0 AND b.side = 1
+    ),
+    fwd AS (
+      SELECT src_id, tgt_id, c8e8,
+             ROW_NUMBER() OVER (PARTITION BY src_id
+                                ORDER BY c8e8 DESC, tgt_id) AS rn
+      FROM c8
+    ),
+    rev AS (
+      SELECT src_id, tgt_id, c8e8,
+             ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                ORDER BY c8e8 DESC, src_id) AS rn
+      FROM c8
+    ),
+    dx AS (SELECT src_id, SUM(c8e8) AS dx_e8 FROM fwd
+           WHERE rn <= {k_margin} GROUP BY src_id),
+    dy AS (SELECT tgt_id, SUM(c8e8) AS dy_e8 FROM rev
+           WHERE rn <= {k_margin} GROUP BY tgt_id),
+    pairs AS (
+      SELECT f.src_id, f.tgt_id, f.c8e8,
+             (2 * {k_margin} * f.c8e8 * 1000000)
+               // GREATEST(dx.dx_e8 + dy.dy_e8, 1) AS margin_e6
+      FROM fwd f
+      JOIN dx ON dx.src_id = f.src_id
+      JOIN dy ON dy.tgt_id = f.tgt_id
+      WHERE f.rn <= {k_cand} AND f.c8e8 > 0
+    )
+    SELECT src_id, tgt_id, c8e8, CAST(margin_e6 AS BIGINT) AS margin_e6
+    FROM pairs
+    ORDER BY margin_e6 DESC, src_id, tgt_id
+    LIMIT 20
+    """
+
+
+@query(
+    "vec_bitext_margin_topk",
+    category="vectors",
+    oracle=_bitext_margin_oracle(),
+)
+def vec_bitext_margin_topk(spark, sf_dir):
+    """Margin-based bitext SCORING — the precision stage downstream of
+    doc_bitext_mining_candidates (CCMatrix, Schwenk et al. 2021: a
+    candidate translation pair is kept not by raw cosine but by its
+    MARGIN — the ratio of the pair's similarity to the average
+    similarity of each side's k nearest neighbors — which cancels the
+    hubness that makes raw cosine incomparable across query points).
+    The embeddings table splits into two synthetic "languages" by
+    vec_id parity; for each source vector the top-16 cross-side
+    candidates are retrieved and scored with
+    margin = 2k·cos(x,y) / (Σ_{{z∈NNk(x)}}cos(x,z) + Σ_{{z∈NNk(y)}}cos(y,z)),
+    k = 4, and the global top-20 pairs emitted.
+
+    Engine-reproducible arithmetic throughout: retrieval and both
+    denominator top-k selections rank on HALF-EVEN 8-dp-quantized
+    cosines (cosine_topk_blas quantize_dp=8 — full-precision ranking is
+    one summation-order ulp from a different pick at a tie), the
+    quantized values lift exactly to e8 BIGINTs, and the margin is
+    positive-domain integer division (numerator filtered > 0,
+    denominator clamped >= 1) so Spark's truncating DIV equals DuckDB's
+    flooring //. Scale shape: retrieval is the size-gated BLAS kernel
+    (broadcast below 8 M matrix cells, block-pair groups above); the
+    margin stage touches only |src|·16 candidate rows + two
+    |side|-sized denominator tables — at 100 TB the retrieval swaps to
+    the ANN tiers (IVF/LSH) exactly as the dedup family prices it."""
+    from ..operators.similarity import cosine_topk_blas
+
+    emb = table(spark, sf_dir, "embeddings")
+    side0 = emb.where(F.col("vec_id") % 2 == 0)
+    side1 = emb.where(F.col("vec_id") % 2 == 1)
+    cand = cosine_topk_blas(side1, side0, k=16, quantize_dp=8)
+    rev = cosine_topk_blas(side0, side1, k=4, quantize_dp=8)
+    c8e8 = F.round(F.col("cosine") * 100000000, 0).cast("long")
+    cand8 = cand.select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("tgt_id"),
+        "rank",
+        c8e8.alias("c8e8"),
+    )
+    dx = (
+        cand8.where(F.col("rank") <= 4)
+        .groupBy("src_id")
+        .agg(F.sum("c8e8").alias("dx_e8"))
+    )
+    dy = (
+        rev.select(F.col("query_id").alias("tgt_id"), c8e8.alias("c8e8"))
+        .groupBy("tgt_id")
+        .agg(F.sum("c8e8").alias("dy_e8"))
+    )
+    pairs = (
+        cand8.join(dx, "src_id")
+        .join(dy, "tgt_id")
+        .where(F.col("c8e8") > 0)
+        .withColumn(
+            "margin_e6",
+            F.expr("(8 * c8e8 * 1000000) DIV GREATEST(dx_e8 + dy_e8, CAST(1 AS BIGINT))"),
+        )
+    )
+    return (
+        pairs.orderBy(F.col("margin_e6").desc(), "src_id", "tgt_id")
+        .select("src_id", "tgt_id", "c8e8", "margin_e6")
+        .limit(20)
+    )
