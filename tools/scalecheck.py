@@ -23,8 +23,13 @@ def main() -> int:
     show_full = "--full" in sys.argv
     a = json.load(open(args[0]))
     b = json.load(open(args[1]))
-    qa = a.get("queries_median") or a["queries"]
-    qb = b.get("queries_median") or b["queries"]
+    qa = a.get("queries_median") or a.get("queries")
+    qb = b.get("queries_median") or b.get("queries")
+    if not qa or not qb:
+        sys.exit(
+            "input lacks a per-query map — pass bench_full.json copies, "
+            "not bench.py's compact final line (it carries only slowest-10)"
+        )
     data_ratio = b["sf"] / a["sf"]
     common = sorted(set(qa) & set(qb))
     rows = []
