@@ -1939,7 +1939,7 @@ LEFT JOIN dropD dd USING (doc_id)
 """
 
 
-@query("doc_curation_v3", category="documents", oracle=_curation_v3_oracle())
+@query("doc_curation_v3", python_boundary=True, category="documents", oracle=_curation_v3_oracle())
 def doc_curation_v3(spark, sf_dir):
     """The modern curation funnel as ONE declarative plan — each doc exits
     with the stage that dropped it: 'exact' (sha2 min-id dedup) → 'span'
@@ -2034,7 +2034,7 @@ def doc_curation_v3(spark, sf_dir):
 
 
 @query(
-    "doc_curation_funnel_report",
+    "doc_curation_funnel_report", python_boundary=True,
     category="documents",
     oracle=(
         "SELECT stage, COUNT(*) AS n_docs,\n"
@@ -3226,7 +3226,7 @@ def _wjaccard_dense_oracle(max_vocab: int = 48) -> str:
 
 
 @query(
-    "doc_weighted_jaccard_pairs",
+    "doc_weighted_jaccard_pairs", python_boundary=True,
     category="documents",
     oracle=_wjaccard_dense_oracle(),
 )
@@ -4562,7 +4562,7 @@ def doc_dedup_rate_by_source(spark, sf_dir):
 
 
 @query(
-    "doc_rouge1_decontam_score",
+    "doc_rouge1_decontam_score", python_boundary=True,
     category="documents",
     oracle="""
     WITH ev AS (

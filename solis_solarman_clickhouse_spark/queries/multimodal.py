@@ -27,7 +27,7 @@ _NB = "(4 + octet_length(encode(text)))"
 
 
 @query(
-    "mm_payload_meta",
+    "mm_payload_meta", python_boundary=True,
     category="multimodal",
     oracle=f"""
     SELECT doc_id,
@@ -51,7 +51,7 @@ def mm_payload_meta(spark, sf_dir):
 
 
 @query(
-    "mm_image_decode",
+    "mm_image_decode", python_boundary=True,
     category="multimodal",
     oracle=f"""
     SELECT doc_id, {_NB} AS n_bytes,
@@ -74,7 +74,7 @@ def mm_image_decode(spark, sf_dir):
 
 
 @query(
-    "mm_image_resize",
+    "mm_image_resize", python_boundary=True,
     category="multimodal",
     oracle=f"""
     WITH dims AS (
@@ -101,7 +101,7 @@ def mm_image_resize(spark, sf_dir):
 
 
 @query(
-    "mm_audio_features",
+    "mm_audio_features", python_boundary=True,
     category="multimodal",
     oracle=f"""
     SELECT doc_id, {_NB} AS n_bytes,
@@ -122,7 +122,7 @@ def mm_audio_features(spark, sf_dir):
 
 
 @query(
-    "mm_video_frame_sample",
+    "mm_video_frame_sample", python_boundary=True,
     category="multimodal",
     oracle=f"""
     WITH v AS (
@@ -143,7 +143,7 @@ def mm_video_frame_sample(spark, sf_dir):
 
 
 @query(
-    "mm_payload_exact_dedup",
+    "mm_payload_exact_dedup", python_boundary=True,
     category="multimodal",
     oracle="""
     WITH p AS (
@@ -175,7 +175,7 @@ def mm_payload_exact_dedup(spark, sf_dir):
     )
 
 
-@query("mm_image_phash_dedup", category="multimodal", check="SMOKE")
+@query("mm_image_phash_dedup", python_boundary=True, category="multimodal", check="SMOKE")
 def mm_image_phash_dedup(spark, sf_dir):
     """Perceptual-hash image near-dup pairs: 64-bit pHash per image
     payload (operators/multimodal.image_phash — real DCT/median/pack over
@@ -206,7 +206,7 @@ def mm_image_phash_dedup(spark, sf_dir):
 
 
 @query(
-    "mm_video_scene_cuts",
+    "mm_video_scene_cuts", python_boundary=True,
     category="multimodal",
     oracle=f"""
     WITH v AS (
@@ -263,7 +263,7 @@ def mm_video_scene_cuts(spark, sf_dir):
 
 
 @query(
-    "mm_image_aspect_buckets",
+    "mm_image_aspect_buckets", python_boundary=True,
     category="multimodal",
     oracle=f"""
     WITH dims AS (

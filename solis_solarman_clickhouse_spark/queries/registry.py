@@ -34,6 +34,20 @@ class QuerySpec:
     category: str
     check: str  # EXACT | TOL | SMOKE
     doc: str = field(default="")
+    # Declared Arrow boundary: this query legitimately contains a Python
+    # stage (ArrowEvalPython / BatchEvalPython / *InPandas) — a vectorized
+    # BLAS kernel, a Pandas-UDF contract subject, or a Python data source.
+    # The plan guard (tests/test_plans.py) asserts every OTHER query's plan
+    # is pure JVM, so a refactor that silently drops a hot path off
+    # whole-stage codegen fails CI, while a new consumer of an existing
+    # vectorized kernel declares the boundary HERE, next to the code,
+    # instead of editing a test-local allowlist (round-7 verdict item 1).
+    python_boundary: bool = False
+    # Building this query's DataFrame RUNS work (sinks write files,
+    # streaming queries execute a stream to completion before returning
+    # the batch result). The plan guard skips these — their plans are
+    # exercised by their own test families instead.
+    eager: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -141,10 +155,21 @@ def _widen_oracle(name: str, oracle: str | None) -> str | None:
     return f"SELECT * REPLACE ({repls}) FROM (\n{oracle}\n) AS __wide"
 
 
-def query(name: str, *, category: str, oracle: str | None = None, check: str = "EXACT"):
+def query(
+    name: str,
+    *,
+    category: str,
+    oracle: str | None = None,
+    check: str = "EXACT",
+    python_boundary: bool = False,
+    eager: bool = False,
+):
     """Decorator registering a query implementation. The registered
     callable widens narrow integer output columns (see widen_ints), and
-    the oracle gets the matching BIGINT casts (_widen_oracle)."""
+    the oracle gets the matching BIGINT casts (_widen_oracle).
+    ``python_boundary=True`` declares an intentional Arrow/Python stage in
+    the plan; ``eager=True`` marks queries whose construction runs work
+    (sinks, streams). See QuerySpec for the plan-guard contract."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
@@ -158,7 +183,8 @@ def query(name: str, *, category: str, oracle: str | None = None, check: str = "
         widened.__wrapped__ = fn
         REGISTRY[name] = QuerySpec(
             name=name, fn=widened, oracle=_widen_oracle(name, oracle),
-            category=category, check=check, doc=fn.__doc__ or ""
+            category=category, check=check, doc=fn.__doc__ or "",
+            python_boundary=python_boundary, eager=eager,
         )
         return fn
 

@@ -92,7 +92,7 @@ def scan_sample_hash(spark, sf_dir):
     )
 
 
-@query("source_python_datasource", category="scan", check="SMOKE")
+@query("source_python_datasource", python_boundary=True, category="scan", check="SMOKE")
 def source_python_datasource(spark, sf_dir):
     """A1/A2 as a first-class Spark source: the custom Python DataSource
     (ingest/datasource.py) replays the register poll loop with one

@@ -20,7 +20,7 @@ from .registry import query
 
 
 @query(
-    "sink_parquet_roundtrip",
+    "sink_parquet_roundtrip", eager=True,
     category="sink",
     oracle="""
     SELECT strftime(o_orderdate, '%Y%m') AS ym, o_orderstatus,
@@ -51,7 +51,7 @@ def sink_parquet_roundtrip(spark, sf_dir):
 
 
 @query(
-    "sink_idempotent_upsert",
+    "sink_idempotent_upsert", eager=True,
     category="sink",
     oracle="""
     SELECT strftime(ts, '%Y%m') AS ym, COUNT(*) AS n_rows,
@@ -90,7 +90,7 @@ def sink_idempotent_upsert(spark, sf_dir):
 
 
 @query(
-    "sink_formats_roundtrip",
+    "sink_formats_roundtrip", eager=True,
     category="sink",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n,
@@ -132,7 +132,7 @@ def sink_formats_roundtrip(spark, sf_dir):
 
 
 @query(
-    "sink_orc_roundtrip",
+    "sink_orc_roundtrip", eager=True,
     category="sink",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n,
@@ -161,7 +161,7 @@ def sink_orc_roundtrip(spark, sf_dir):
 
 
 @query(
-    "sql_ddl_roundtrip",
+    "sql_ddl_roundtrip", eager=True,
     category="sink",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n,
@@ -210,7 +210,7 @@ SELECT doc_id, LENGTH(text) AS n_chars FROM documents
 """
 
 
-@query("sink_tar_shards", category="sink", oracle=_TAR_ORACLE)
+@query("sink_tar_shards", eager=True, category="sink", oracle=_TAR_ORACLE)
 def sink_tar_shards(spark, sf_dir):
     """Training-data shard export round-trip: docs → deterministic-hash
     shard routing → per-shard tar written on executors (stdlib tarfile,
@@ -232,7 +232,7 @@ SELECT doc_id, n_chars FROM documents
 """
 
 
-@query("sink_compact_small_files", category="sink", oracle=_COMPACT_ORACLE)
+@query("sink_compact_small_files", eager=True, category="sink", oracle=_COMPACT_ORACLE)
 def sink_compact_small_files(spark, sf_dir):
     """Small-file compaction round-trip: fragment documents into one file
     per ~40 rows (simulating per-trigger streaming landings), compact to
@@ -255,7 +255,7 @@ def sink_compact_small_files(spark, sf_dir):
     return spark.read.parquet(out).select("doc_id", F.length("text").alias("n_chars"))
 
 
-@query("sink_zorder_layout", category="sink", oracle="""
+@query("sink_zorder_layout", eager=True, category="sink", oracle="""
 SELECT event_id, user_id FROM events
 """)
 def sink_zorder_layout(spark, sf_dir):
@@ -274,7 +274,7 @@ def sink_zorder_layout(spark, sf_dir):
     return spark.read.parquet(out).select("event_id", "user_id")
 
 
-@query("sink_bloom_layout", category="sink", oracle="""
+@query("sink_bloom_layout", eager=True, category="sink", oracle="""
 SELECT event_id, user_id FROM events
 """)
 def sink_bloom_layout(spark, sf_dir):
@@ -308,7 +308,7 @@ GROUP BY user_id, event_type
 """
 
 
-@query("sink_summing_mv", category="sink", oracle=_SUMMING_MV_ORACLE)
+@query("sink_summing_mv", eager=True, category="sink", oracle=_SUMMING_MV_ORACLE)
 def sink_summing_mv(spark, sf_dir):
     """Incremental materialized-view maintenance — ClickHouse
     SummingMergeTree + MATERIALIZED VIEW parity (tables.sql's Buffer →
@@ -358,7 +358,7 @@ def sink_summing_mv(spark, sf_dir):
 
 
 @query(
-    "sink_text_roundtrip",
+    "sink_text_roundtrip", eager=True,
     category="sink",
     oracle="""
     SELECT COUNT(*) AS n_lines,
@@ -395,7 +395,7 @@ def sink_text_roundtrip(spark, sf_dir):
 
 
 @query(
-    "sink_dynamic_partition_overwrite",
+    "sink_dynamic_partition_overwrite", eager=True,
     category="sink",
     oracle="""
     WITH final AS (

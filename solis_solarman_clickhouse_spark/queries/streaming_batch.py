@@ -71,7 +71,7 @@ def _write_event_time_slices(df, ts_col: str = "ts", n_slices: int = 4,
 
 
 @query(
-    "stream_tumbling_window",
+    "stream_tumbling_window", eager=True,
     category="streaming",
     oracle=f"""
     SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
@@ -94,7 +94,7 @@ def stream_tumbling_window(spark, sf_dir):
 
 
 @query(
-    "stream_sliding_window",
+    "stream_sliding_window", eager=True,
     category="streaming",
     oracle=f"""
     WITH e AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS tb, event_type, value FROM events),
@@ -123,7 +123,7 @@ def stream_sliding_window(spark, sf_dir):
 
 
 @query(
-    "stream_session_window",
+    "stream_session_window", eager=True,
     category="streaming",
     oracle="""
     WITH flags AS (
@@ -163,7 +163,7 @@ def stream_session_window(spark, sf_dir):
 
 
 @query(
-    "stream_dedup_first",
+    "stream_dedup_first", eager=True,
     category="streaming",
     oracle="""
     SELECT event_id, MIN(ts) AS first_ts, COUNT(*) AS n_copies
@@ -181,7 +181,7 @@ def stream_dedup_first(spark, sf_dir):
 
 
 @query(
-    "stream_watermark_late_data",
+    "stream_watermark_late_data", eager=True,
     category="streaming",
     oracle="""
     WITH b AS (SELECT MAX(epoch_us(ts)) AS hi FROM events),
@@ -232,7 +232,7 @@ def stream_watermark_late_data(spark, sf_dir):
 
 
 @query(
-    "stream_watermark_cut_exact",
+    "stream_watermark_cut_exact", eager=True,
     category="streaming",
     oracle="""
     WITH b AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
@@ -336,7 +336,7 @@ def stream_watermark_cut_exact(spark, sf_dir):
 
 
 @query(
-    "stream_counter_rate_stateful",
+    "stream_counter_rate_stateful", eager=True,
     category="streaming",
     oracle="""
     WITH ev AS (
@@ -407,7 +407,7 @@ def stream_counter_rate_stateful(spark, sf_dir):
     )
 
 
-@query("stream_ingest_e2e", category="streaming", check="SMOKE")
+@query("stream_ingest_e2e", eager=True, category="streaming", check="SMOKE")
 def stream_ingest_e2e(spark, sf_dir):
     """Q-STRM-6: the reference's full A1-A14 pipeline replayed as a stream —
     raw u16 registers → decode (32-bit combine + scale) → derive (watts,
@@ -439,7 +439,7 @@ def stream_ingest_e2e(spark, sf_dir):
 
 
 @query(
-    "stream_peak_tracker_tws",
+    "stream_peak_tracker_tws", eager=True,
     category="streaming",
     oracle="""
     WITH ev AS (
@@ -511,7 +511,7 @@ def stream_peak_tracker_tws(spark, sf_dir):
 
 
 @query(
-    "stream_static_enrich",
+    "stream_static_enrich", eager=True,
     category="streaming",
     oracle="""
     WITH ev AS (
@@ -579,7 +579,7 @@ def stream_static_enrich(spark, sf_dir):
 
 
 @query(
-    "stream_stream_interval_join",
+    "stream_stream_interval_join", eager=True,
     category="streaming",
     oracle="""
     WITH ev AS (
@@ -683,7 +683,7 @@ def stream_stream_interval_join(spark, sf_dir):
 
 
 @query(
-    "stream_sliding_distinct_users",
+    "stream_sliding_distinct_users", eager=True,
     category="streaming",
     oracle="""
     WITH e AS (
@@ -718,7 +718,7 @@ def stream_sliding_distinct_users(spark, sf_dir):
 
 
 @query(
-    "stream_window_top_type",
+    "stream_window_top_type", eager=True,
     category="streaming",
     oracle="""
     WITH c AS (
@@ -774,7 +774,7 @@ GROUP BY user_id, event_type
 """
 
 
-@query("stream_incremental_mv", category="streaming", oracle=_STREAM_MV_ORACLE)
+@query("stream_incremental_mv", eager=True, category="streaming", oracle=_STREAM_MV_ORACLE)
 def stream_incremental_mv(spark, sf_dir):
     """The streaming twin of sink_summing_mv: a multi-batch file stream
     (maxFilesPerTrigger=1 over a 4-file copy of events, availableNow)
@@ -861,7 +861,7 @@ def read_mv(spark, mv_dir: str):
 
 
 @query(
-    "stream_dedup_within_watermark",
+    "stream_dedup_within_watermark", eager=True,
     category="streaming",
     oracle="""
     SELECT event_type, COUNT(*) AS n_unique FROM events GROUP BY event_type
@@ -931,7 +931,7 @@ def stream_dedup_within_watermark(spark, sf_dir):
 
 
 @query(
-    "stream_union_sources",
+    "stream_union_sources", eager=True,
     category="streaming",
     oracle="""
     SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
@@ -978,7 +978,7 @@ def stream_union_sources(spark, sf_dir):
 
 
 @query(
-    "stream_stream_left_outer_join",
+    "stream_stream_left_outer_join", eager=True,
     category="streaming",
     oracle="""
     WITH ev AS (

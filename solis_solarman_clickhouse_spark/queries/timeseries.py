@@ -700,7 +700,7 @@ def ts_calendar_heatmap(spark, sf_dir):
     )
 
 
-@query("ts_lttb_downsample", category="timeseries", check="SMOKE")
+@query("ts_lttb_downsample", python_boundary=True, category="timeseries", check="SMOKE")
 def ts_lttb_downsample(spark, sf_dir):
     """ClickHouse ``largestTriangleThreeBuckets``: visually-lossless
     downsampling of each user's series to ≤22 points (20 buckets +
@@ -1653,7 +1653,7 @@ def ts_sax_symbols(spark, sf_dir):
 
 
 @query(
-    "ts_matrix_profile",
+    "ts_matrix_profile", python_boundary=True,
     category="timeseries",
     oracle="""
     WITH arr AS (

@@ -22,7 +22,7 @@ from .registry import query
 
 
 @query(
-    "udf_scalar_clamp",
+    "udf_scalar_clamp", python_boundary=True,
     category="udf",
     oracle="""
     SELECT event_id,
@@ -53,7 +53,7 @@ def udf_scalar_clamp(spark, sf_dir):
 
 
 @query(
-    "udf_grouped_agg_mean",
+    "udf_grouped_agg_mean", python_boundary=True,
     category="udf",
     oracle="""
     SELECT event_type,
@@ -77,7 +77,7 @@ def udf_grouped_agg_mean(spark, sf_dir):
 
 
 @query(
-    "udf_map_in_pandas_decode",
+    "udf_map_in_pandas_decode", python_boundary=True,
     category="udf",
     oracle="""
     SELECT event_id,
@@ -107,7 +107,7 @@ def udf_map_in_pandas_decode(spark, sf_dir):
 
 
 @query(
-    "udtf_split_tokens",
+    "udtf_split_tokens", python_boundary=True,
     category="udf",
     oracle="""
     SELECT doc_id, g.i - 1 AS pos, string_split(text, ' ')[g.i] AS tok
@@ -140,7 +140,7 @@ def udtf_split_tokens(spark, sf_dir):
 
 
 @query(
-    "udf_arrow_python",
+    "udf_arrow_python", python_boundary=True,
     category="udf",
     oracle="""
     SELECT event_id,
@@ -176,7 +176,7 @@ def udf_arrow_python(spark, sf_dir):
 
 
 @query(
-    "udtf_analyze_polymorphic",
+    "udtf_analyze_polymorphic", python_boundary=True,
     category="udf",
     oracle="""
     SELECT doc_id,

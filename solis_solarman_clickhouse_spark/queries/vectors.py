@@ -79,7 +79,7 @@ def vec_label_centroids(spark, sf_dir):
     return label_centroids(table(spark, sf_dir, "embeddings"))
 
 
-@query("vec_ann_lsh", category="vectors", check="SMOKE")
+@query("vec_ann_lsh", python_boundary=True, category="vectors", check="SMOKE")
 def vec_ann_lsh(spark, sf_dir):
     """ANN scale path: random-hyperplane LSH bucketing — candidates share a
     12-bit signature bucket, so the corpus join is an equi-join on bucket
@@ -89,7 +89,7 @@ def vec_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=12, dim=64)
 
 
-@query("vec_ann_ivf", category="vectors", check="SMOKE")
+@query("vec_ann_ivf", python_boundary=True, category="vectors", check="SMOKE")
 def vec_ann_ivf(spark, sf_dir):
     """ANN scale path #2: IVF — seeded k-means coarse quantizer, corpus in
     one inverted list each, queries probe their 4 best of 16 lists
@@ -170,7 +170,7 @@ LEFT JOIN lsh_top l ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
 
 
 @query(
-    "vec_ann_recall_lsh",
+    "vec_ann_recall_lsh", python_boundary=True,
     category="vectors",
     oracle=_lsh_recall_oracle(n_tables=16, n_planes=4, dim=64, seed=42, k=5),
 )
@@ -210,7 +210,7 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
-@query("vec_ann_recall_ivf", category="vectors", oracle=_IVF_RECALL_ORACLE, check="TOL")
+@query("vec_ann_recall_ivf", python_boundary=True, category="vectors", oracle=_IVF_RECALL_ORACLE, check="TOL")
 def vec_ann_recall_ivf(spark, sf_dir):
     """Recall@5 gate for IVF vs exact brute force: recall_ok asserts >= 0.9
     at n_probe=12 of n_lists=16. Measured 0.96 (sf0.001), 0.96 (sf0.01),
@@ -246,7 +246,7 @@ WHERE ROUND(list_dot_product(a.e, b.e)
 """
 
 
-@query("vec_neardup_cosine", category="vectors", oracle=_NEARDUP_ORACLE)
+@query("vec_neardup_cosine", python_boundary=True, category="vectors", oracle=_NEARDUP_ORACLE)
 def vec_neardup_cosine(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs — the embedding-based dedup
     tier for training-data pipelines. Threshold 0.45 is CALIBRATED to the
@@ -453,7 +453,7 @@ def vec_matryoshka_recall(spark, sf_dir):
     return j.groupBy("query_id").agg(F.count("t_nid").alias("overlap_at_5"))
 
 
-@query("vec_cosine_topk_pandas", category="vectors", oracle=_TOPK_ORACLE)
+@query("vec_cosine_topk_pandas", python_boundary=True, category="vectors", oracle=_TOPK_ORACLE)
 def vec_cosine_topk_pandas(spark, sf_dir):
     """The SAME exact top-5 cosine search as vec_cosine_topk, but with the
     dot products computed in an Arrow-batched pandas UDF (numpy matmul
@@ -544,7 +544,7 @@ FROM reach GROUP BY a
 """
 
 
-@query("vec_dedup_clusters", category="vectors", oracle=_VEC_CLUSTER_ORACLE)
+@query("vec_dedup_clusters", python_boundary=True, category="vectors", oracle=_VEC_CLUSTER_ORACLE)
 def vec_dedup_clusters(spark, sf_dir):
     """Embedding-cluster dedup: connected components over the
     cosine ≥ 0.995 near-dup graph — semantic duplicates collapse
@@ -650,7 +650,7 @@ GROUP BY c.vec_a, c.vec_b, c.cosine, sa_n.n_sh, sb_n.n_sh
 """
 
 
-@query("doc_semantic_text_dedup", category="vectors", oracle=_SEMANTIC_TEXT_ORACLE)
+@query("doc_semantic_text_dedup", python_boundary=True, category="vectors", oracle=_SEMANTIC_TEXT_ORACLE)
 def doc_semantic_text_dedup(spark, sf_dir):
     """Cross-modal dedup audit: embedding-cosine candidate pairs
     (threshold 0.45, calibrated to the near-orthogonal synthetic vectors
@@ -887,7 +887,7 @@ WHERE e.is_incr
 
 
 @query(
-    "vec_incremental_semdedup",
+    "vec_incremental_semdedup", python_boundary=True,
     category="vectors",
     oracle=_incr_semdedup_oracle(n_tables=4, n_planes=3, dim=64, seed=7, tau=0.45),
 )
@@ -952,7 +952,7 @@ def vec_incremental_semdedup(spark, sf_dir):
 
 
 @query(
-    "vec_semdedup",
+    "vec_semdedup", python_boundary=True,
     category="vectors",
     oracle=_semdedup_oracle(n_tables=4, n_planes=3, dim=64, seed=7, tau=0.45),
 )
@@ -1051,7 +1051,7 @@ GROUP BY vec_id
 """
 
 
-@query("vec_pq_quantize", category="vectors", oracle=_pq_oracle())
+@query("vec_pq_quantize", python_boundary=True, category="vectors", oracle=_pq_oracle())
 def vec_pq_quantize(spark, sf_dir):
     """Product quantization (Jégou et al. 2011) — the vector-compression
     tier under any billion-scale ANN index: the 64-dim embedding splits
@@ -1189,7 +1189,7 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-@query("vec_pq_adc_topk", category="vectors", oracle=_pq_adc_oracle())
+@query("vec_pq_adc_topk", python_boundary=True, category="vectors", oracle=_pq_adc_oracle())
 def vec_pq_adc_topk(spark, sf_dir):
     """Asymmetric-distance PQ search (the IVF-PQ inner loop, Jégou et al.
     2011): each query precomputes its 32×32 distance table to the
@@ -1262,7 +1262,7 @@ LEFT JOIN adc_top a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
 """
 
 
-@query("vec_pq_adc_recall", category="vectors", oracle=_pq_adc_recall_oracle())
+@query("vec_pq_adc_recall", python_boundary=True, category="vectors", oracle=_pq_adc_recall_oracle())
 def vec_pq_adc_recall(spark, sf_dir):
     """Recall@5 of compressed-domain ADC search vs exact L2 brute force —
     the quantization-error counterpart of vec_ann_recall_lsh/_ivf: LSH/IVF
@@ -1560,7 +1560,7 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-@query("vec_ivfpq_topk", category="vectors", oracle=_ivfpq_topk_oracle())
+@query("vec_ivfpq_topk", python_boundary=True, category="vectors", oracle=_ivfpq_topk_oracle())
 def vec_ivfpq_topk(spark, sf_dir):
     """The full IVF-PQ composite (FAISS IndexIVFPQ, Jégou et al. 2011):
     coarse quantizer partitions the corpus into 16 inverted lists, every
@@ -1633,7 +1633,7 @@ LEFT JOIN ivfpq_top a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_
 """
 
 
-@query("vec_ivfpq_recall", category="vectors", oracle=_ivfpq_recall_oracle())
+@query("vec_ivfpq_recall", python_boundary=True, category="vectors", oracle=_ivfpq_recall_oracle())
 def vec_ivfpq_recall(spark, sf_dir):
     """Recall@5 of the IVF-PQ composite vs exact-L2 brute force — the
     end-to-end price of BOTH approximation terms at once: candidate
@@ -2514,7 +2514,7 @@ FROM ranked WHERE rn <= 50
 """
 
 
-@query("vec_hard_negative_mining", category="vectors", oracle=_HARD_NEG_ORACLE)
+@query("vec_hard_negative_mining", python_boundary=True, category="vectors", oracle=_HARD_NEG_ORACLE)
 def vec_hard_negative_mining(spark, sf_dir):
     """Hard-negative mining for contrastive/metric training — the
     embedding-pipeline step that decides training-batch quality: the
@@ -2662,7 +2662,7 @@ SELECT (SELECT COUNT(*) FROM exact_drop) AS n_exact_drops,
 
 
 @query(
-    "vec_semdedup_recall",
+    "vec_semdedup_recall", python_boundary=True,
     category="vectors",
     oracle=_semdedup_recall_oracle(),
 )
@@ -3592,7 +3592,7 @@ def _pca_component(spark, emb) -> list[int]:
     return [int(x) for x in v]
 
 
-@query("vec_pca_power_iteration", category="vectors", oracle=_pca_power_oracle())
+@query("vec_pca_power_iteration", python_boundary=True, category="vectors", oracle=_pca_power_oracle())
 def vec_pca_power_iteration(spark, sf_dir):
     """Top principal direction of the embedding corpus by DISTRIBUTED
     power iteration over the relational Gram matrix — the
@@ -3639,7 +3639,7 @@ def _pca_project_oracle(iters: int = 3, k: int = 20) -> str:
     """
 
 
-@query("vec_pca_project_topk", category="vectors", oracle=_pca_project_oracle())
+@query("vec_pca_project_topk", python_boundary=True, category="vectors", oracle=_pca_project_oracle())
 def vec_pca_project_topk(spark, sf_dir):
     """The 20 most extreme documents along the corpus's top principal
     direction — the outlier/drift lens PCA exists for: after
@@ -3694,7 +3694,7 @@ ORDER BY knn5_cosine ASC, vec_id LIMIT 20
 """
 
 
-@query("vec_knn_ood_audit", category="vectors", oracle=_KNN_OOD_ORACLE)
+@query("vec_knn_ood_audit", python_boundary=True, category="vectors", oracle=_KNN_OOD_ORACLE)
 def vec_knn_ood_audit(spark, sf_dir):
     """kNN-distance out-of-distribution audit: for a deterministic 2 %
     sample of vectors (vec_id % 50 = 0), the cosine similarity of each
@@ -3966,14 +3966,27 @@ def vec_rocchio_prf(spark, sf_dir):
     )
 
 
-_DIST_CONC_ORACLE = """
+# Absolute cap on the broadcast A-side of the distance-concentration
+# diagnostic: the %7 slice is PROPORTIONAL to the corpus, so uncapped it
+# re-creates the driver-materialization failure mode the 8M-cell gates
+# close everywhere else. 4096 ids × 64 dims × 8 B = 2 MB broadcast at ANY
+# corpus size; the cap only binds above ~28k embeddings (sf1.0's ~20k
+# slice is 2.9k ids, untouched), and the oracle applies the identical
+# first-4096-by-vec_id rule so both engines sample the same pairs.
+_DIST_CONC_A_CAP = 4096
+
+_DIST_CONC_ORACLE = f"""
 WITH q AS (
   SELECT vec_id,
          UNNEST(generate_series(1, len(embedding))) - 1 AS j,
          CAST(floor(UNNEST(embedding::DOUBLE[]) * 10000) AS BIGINT) AS qi
   FROM embeddings
 ),
-a AS (SELECT vec_id, j, qi FROM q WHERE vec_id % 7 = 0),
+a_ids AS (
+  SELECT vec_id FROM embeddings WHERE vec_id % 7 = 0
+  ORDER BY vec_id LIMIT {_DIST_CONC_A_CAP}
+),
+a AS (SELECT q.vec_id, j, qi FROM q JOIN a_ids ON q.vec_id = a_ids.vec_id),
 b AS (SELECT vec_id, j, qi FROM q WHERE vec_id % 11 = 0),
 d2 AS (
   SELECT a.vec_id AS va, b.vec_id AS vb,
@@ -3994,7 +4007,7 @@ FROM m
 """
 
 
-@query("vec_distance_concentration", category="vectors", oracle=_DIST_CONC_ORACLE)
+@query("vec_distance_concentration", python_boundary=True, category="vectors", oracle=_DIST_CONC_ORACLE)
 def vec_distance_concentration(spark, sf_dir):
     """Distance-CONCENTRATION diagnostic over a deterministic pair
     sample (vec_id%7 × vec_id%11 grid, ~1% of pairs): min / mean / max
@@ -4008,7 +4021,10 @@ def vec_distance_concentration(spark, sf_dir):
     slice broadcasts as an int64 matrix and the other streams through
     a mapInPandas kernel (d² = ‖a‖²+‖b‖²−2a·b, int64 matmul — exact,
     no floats touched past the shared floor(e·1e4) quantization),
-    never all-pairs over the corpus. Each streamed row emits ONE
+    never all-pairs over the corpus, and the broadcast side is capped
+    ABSOLUTELY at _DIST_CONC_A_CAP ids (smallest vec_ids first — a
+    TakeOrdered, not a proportional collect; 2 MB at any corpus size,
+    oracle applies the identical rule). Each streamed row emits ONE
     partial-moment row (n, Σd², min, max — Σ per row ≤ |A|·9e11,
     safely int64; the cross-row sum is DECIMAL(38,0) in Spark), so
     the exchange carries |B| rows, not |A|×|B|×dims — the (pair, dim)
@@ -4019,9 +4035,12 @@ def vec_distance_concentration(spark, sf_dir):
     import pandas as pd
 
     emb = table(spark, sf_dir, "embeddings")
-    arows = sorted(
-        emb.where(F.col("vec_id") % 7 == 0).select("vec_id", "embedding").collect(),
-        key=lambda r: r["vec_id"],
+    arows = (
+        emb.where(F.col("vec_id") % 7 == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(_DIST_CONC_A_CAP)
+        .collect()
     )
     va = np.array([int(r["vec_id"]) for r in arows], dtype=np.int64)
     amat = np.floor(
@@ -4148,7 +4167,7 @@ def _bitext_margin_oracle(k_cand: int = 16, k_margin: int = 4) -> str:
 
 
 @query(
-    "vec_bitext_margin_topk",
+    "vec_bitext_margin_topk", python_boundary=True,
     category="vectors",
     oracle=_bitext_margin_oracle(),
 )

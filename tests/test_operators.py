@@ -888,3 +888,33 @@ def test_zipf_generator_routes_prefix_path_and_recalls_planted_dups(spark, tmp_p
     # planted pair's source is a non-dup since the dup-of-dup fix, so the
     # bound can be tight)
     assert pairs.count() >= stats["planted_dups"] * 0.7
+
+
+def test_distance_concentration_cap_is_absolute(spark, ducks, monkeypatch):
+    """vec_distance_concentration's broadcast A-side must be an absolute
+    TakeOrdered cap, never a corpus-proportional collect (round-7 verdict
+    item 2). Two pins: (1) at the default cap — which must not bind at
+    fixture scale — query equals oracle; (2) with the cap forced BELOW the
+    fixture's %7 slice, both engines apply the identical first-K-by-vec_id
+    rule and still agree exactly, proving the cap is plumbed symmetrically
+    rather than silently changing the sample on one side only."""
+    import solis_solarman_clickhouse_spark.queries.vectors as V
+    from solis_solarman_clickhouse_spark.queries import REGISTRY
+
+    from .conftest import compare
+
+    spec = REGISTRY["vec_distance_concentration"]
+    n_slice = (
+        table(spark, SF_DIR, "embeddings").where(F.col("vec_id") % 7 == 0).count()
+    )
+    assert n_slice < V._DIST_CONC_A_CAP, "default cap must not bind at fixture scale"
+    compare(spec.fn(spark, SF_DIR), ducks, spec.oracle, name="dist_conc_default")
+
+    forced = 16
+    assert forced < n_slice
+    capped_oracle = spec.oracle.replace(
+        f"LIMIT {V._DIST_CONC_A_CAP}", f"LIMIT {forced}"
+    )
+    assert capped_oracle != spec.oracle
+    monkeypatch.setattr(V, "_DIST_CONC_A_CAP", forced)
+    compare(spec.fn(spark, SF_DIR), ducks, capped_oracle, name="dist_conc_capped")

@@ -149,74 +149,36 @@ def test_bucketed_layout_removes_fact_fact_shuffle(spark, tmp_path):
 
 
 def test_no_python_eval_outside_udf_families(spark):
-    """Global JVM-path guard: no registry query outside the declared
-    Python-boundary families (udf_*, mm_*, vec_ann_*, streaming smoke) may
-    contain a BatchEvalPython/ArrowEvalPython/MapInPandas stage. Catches a
-    refactor that silently drops a hot path off whole-stage codegen."""
-    allowed_prefixes = ("udf_", "udtf_", "mm_", "vec_ann_", "stream_", "sink_",
-                        "source_python_datasource", "vec_cosine_topk_pandas",
-                        "ts_lttb_downsample",
-                        # ts_matrix_profile's O(n²·m) per-user kernel is a
-                        # declared Arrow boundary (measured 18-22 s as
-                        # interpreted Catalyst folds vs ~4 s batched numpy
-                        # at sf0.1; bit-equal to the relational oracle)
-                        "ts_matrix_profile",
-                        # vec_semdedup scores pairs with the per-bucket
-                        # chunked BLAS matmul (cosine_tau_pairs_within,
-                        # applyInPandas) — its declared Arrow boundary.
-                        "vec_semdedup",
-                        # doc_weighted_jaccard_pairs' bounded-vocab path
-                        # is the block-nested-loop dense L1 kernel
-                        # (applyInPandas), picked by measured vocab size.
-                        "doc_weighted_jaccard_pairs",
-                        # doc_rouge1_decontam_score's bounded-eval-vocab
-                        # path is the dense Σmin mapInPandas kernel
-                        # (same measured-path convention; sparse natural-
-                        # vocab corpora keep the broadcast-join plan)
-                        "doc_rouge1_decontam_score",
-                        # the exact-audit tiers of the embedding family
-                        # run the broadcast-matrix BLAS kernels
-                        # (cosine_topk_blas / cosine_tau_pairs_exact)
-                        "vec_knn_ood_audit",
-                        "vec_distance_concentration",
-                        # the PQ family assigns codes / builds query
-                        # distance tables in the same Arrow boundary
-                        # (vectors._pq_code_frame: ~1000 interpreted
-                        # Catalyst folds measured 30-90 s vs <1 s batched)
-                        "vec_pq_",
-                        # the IVF-PQ composite encodes/probes in the same
-                        # Arrow boundary (_ivfpq_code_frame /
-                        # _ivfpq_query_probes); ADC scoring stays JVM-side
-                        "vec_ivfpq_",
-                        # doc_curation_v3's semantic tier IS vec_semdedup
-                        # (same Arrow-batched bucketing); all other tiers
-                        # stay JVM-side. The funnel report aggregates the
-                        # same verdict plan.
-                        "doc_curation_v3", "doc_curation_funnel_report",
-                        # vec_pca_power_iteration builds the d×d Gram as
-                        # per-Arrow-batch exact int64 BLAS matmuls (its
-                        # declared boundary; the JVM outer-product
-                        # generator measured ~2.3× slower at sf0.1). The
-                        # power iteration itself stays JVM-side.
-                        "vec_pca_power_iteration", "vec_pca_project_topk",
-                        # the incremental variant shares the probe-side
-                        # BLAS pair kernel
-                        "vec_incremental_semdedup",
-                        # the remaining all-pairs cosine theta joins were
-                        # routed onto the same broadcast-matrix BLAS kernel
-                        # (cosine_tau_pairs_exact) after the sf1.0 sweep
-                        # measured their interpreted zip_with folds at
-                        # ~38B lambda evals — their declared Arrow boundary
-                        "vec_neardup_cosine", "vec_dedup_clusters",
-                        "doc_semantic_text_dedup",
-                        "vec_hard_negative_mining")
+    """Global JVM-path guard: no registry query may contain an UNDECLARED
+    BatchEvalPython / ArrowEvalPython / *InPandas stage. The declaration
+    lives on the registry entry itself (``python_boundary=True`` on
+    ``@query``, next to the kernel it justifies — see QuerySpec), so a new
+    consumer of an existing vectorized kernel declares its boundary where
+    the code is, instead of editing a test-local allowlist (the round-7
+    regression class). ``eager=True`` queries (sinks, streaming) run work
+    when built and are exercised by their own test families instead."""
+    offenders = []
     for name, spec in sorted(REGISTRY.items()):
-        if name.startswith(allowed_prefixes):
+        if spec.eager or spec.python_boundary:
             continue
         plan = _plan(spec.fn(spark, SF_DIR))
-        assert "EvalPython" not in plan and "InPandas" not in plan, (
-            f"{name} has a Python stage in its plan"
-        )
+        if "EvalPython" in plan or "InPandas" in plan:
+            offenders.append(name)
+    assert not offenders, (
+        f"undeclared Python stage(s) in: {offenders} — if intentional, "
+        "declare python_boundary=True on the @query registration"
+    )
+
+
+def test_plan_guard_declarations_are_scoped():
+    """The eager escape hatch is only for families whose construction
+    genuinely runs work (sinks write, streaming executes); anything else
+    must face the JVM-path check or declare a python_boundary."""
+    for name, spec in REGISTRY.items():
+        if spec.eager:
+            assert spec.category in ("sink", "streaming"), (
+                f"{name}: eager=True outside sink/streaming ({spec.category})"
+            )
 
 
 def test_landing_table_partition_pruning(spark, tmp_path):
