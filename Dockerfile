@@ -12,6 +12,12 @@ RUN apt-get update \
 WORKDIR /app
 COPY requirements.txt /app/requirements.txt
 RUN pip3 install --no-cache-dir -r requirements.txt
+# Optional codec extras: Pillow enables the REAL image decode/phash paths
+# in operators/multimodal.py (gated by _pil_available — the engine runs
+# without it using the documented deterministic stand-ins, but CI built
+# from this image executes tests/test_multimodal.py's real-PNG tests
+# instead of skipping them).
+RUN pip3 install --no-cache-dir pillow>=10
 
 COPY solis_solarman_clickhouse_spark /app/solis_solarman_clickhouse_spark
 COPY __spark_entry__.py bench.py /app/

@@ -146,7 +146,18 @@ def _cosine_tau_pairs_blocked(
         bi, bj = int(pdf["_bi"].iloc[0]), int(pdf["_bj"].iloc[0])
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         m = np.stack(pdf["e"].to_numpy())
-        norms = np.sqrt((m * m).sum(axis=1))
+        # Normalize ROWS once (one n×dim pass) so the matmul output IS
+        # the cosine — the former per-chunk norm outer-product + full-
+        # matrix divide + full-matrix round streamed 3 extra chunk×block
+        # arrays through DRAM and cost 19 of 22 s per 15k² group on this
+        # host's measured ~300 MB/s-per-core streaming bandwidth. The
+        # 8-dp half-even quantization is applied SPARSELY to candidate
+        # entries only (raw >= tau - 1e-8 is a strict superset of
+        # everything that can round into membership); the ±1-ulp
+        # normalize-then-multiply vs divide difference is the same
+        # accepted class as the matmul-vs-sequential-fold summation
+        # order the quantization exists to absorb.
+        mh = m * (1.0 / np.sqrt((m * m).sum(axis=1)))[:, None]
         blk = pdf["_blk"].to_numpy()
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
@@ -156,17 +167,16 @@ def _cosine_tau_pairs_blocked(
             chunk = 2048
             for i0 in range(0, len(rows_l), chunk):
                 rl = rows_l[i0 : i0 + chunk]
-                cos = np.round(
-                    (m[rl] @ m[rows_r].T)
-                    / (norms[rl, None] * norms[rows_r][None, :]),
-                    8,
-                )
-                ii, jj = np.nonzero(cos >= tau)
+                raw = mh[rl] @ mh[rows_r].T
+                ii, jj = np.nonzero(raw >= tau - 1e-8)
+                cos = np.round(raw[ii, jj], 8)
+                sel = cos >= tau
+                ii, jj, cos = ii[sel], jj[sel], cos[sel]
                 a, b = ids[rl[ii]], ids[rows_r[jj]]
                 keep = a < b if within else a != b
                 out_a.append(np.minimum(a[keep], b[keep]))
                 out_b.append(np.maximum(a[keep], b[keep]))
-                out_c.append(cos[ii, jj][keep])
+                out_c.append(cos[keep])
 
         if bi == bj:
             rows = np.arange(len(ids))
@@ -196,6 +206,7 @@ def cosine_topk_blas(
     vec_col: str = "embedding",
     max_broadcast_cells: int = _BROADCAST_CELLS_MAX,
     quantize_dp: int | None = None,
+    shape_hint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors, BLAS physical path — same contract
     as cosine_topk (self-matches excluded, ties by lower corpus id,
@@ -222,8 +233,18 @@ def cosine_topk_blas(
     the family's oracle-reproducibility convention (an ANSI-SQL twin
     ranking on ROUND(cosine, dp) then matches the selection exactly;
     unquantized full-precision ranking is one summation-order ulp away
-    from picking a different neighbor at a tie)."""
-    nq, dq = _mat_shape(queries, vec_col)
+    from picking a different neighbor at a tie).
+
+    ``shape_hint``: an UPPER-BOUND (rows, dims) for the query side that
+    skips the _mat_shape probe job — the probe is a full re-evaluation
+    of the query frame's lineage, so callers that know the bound from
+    cheap source metadata (parquet footer row counts) avoid two extra
+    Spark jobs per call. Overestimation is safe: it can only route to
+    the blocked twin earlier."""
+    if shape_hint is not None:
+        nq, dq = shape_hint
+    else:
+        nq, dq = _mat_shape(queries, vec_col)
     if nq * dq > max_broadcast_cells:
         return _cosine_topk_blas_blocked(
             corpus, queries, k=k, id_col=id_col, vec_col=vec_col, n_q=nq,
@@ -235,19 +256,20 @@ def cosine_topk_blas(
     )
     qids = [int(r[id_col]) for r in qrows]
     qmat = np.array([list(map(float, r[vec_col])) for r in qrows])
-    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
-    bq = sess.sparkContext.broadcast((np.array(qids, dtype=np.int64), qmat, qnorm))
+    # broadcast row-normalized queries: matmul output IS the cosine
+    # (bandwidth discipline, see _cosine_tau_pairs_blocked.group_pairs)
+    qmh = qmat * (1.0 / np.sqrt((qmat * qmat).sum(axis=1)))[:, None]
+    bq = sess.sparkContext.broadcast((np.array(qids, dtype=np.int64), qmh))
 
     def batch_topk(batches):
-        ids, qm, qn = bq.value
+        ids, qm = bq.value
         for pdf in batches:
             nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
             m = np.array(pdf["cv"].tolist(), dtype=np.float64)
             if len(m) == 0:
                 continue
-            sims = (m @ qm.T) / (
-                np.sqrt((m * m).sum(axis=1))[:, None] * qn[None, :]
-            )  # (b, q)
+            mh = m * (1.0 / np.sqrt((m * m).sum(axis=1)))[:, None]
+            sims = mh @ qm.T  # (b, q)
             if quantize_dp is not None:
                 sims = np.round(sims, quantize_dp)
             sims[nid[:, None] == ids[None, :]] = -np.inf  # self-match mask
@@ -334,14 +356,16 @@ def _cosine_topk_blas_blocked(
         isq = pdf["_isq"].to_numpy().astype(bool)
         ids = pdf["_id"].to_numpy(dtype=np.int64)
         m = np.stack(pdf["e"].to_numpy())
-        norms = np.sqrt((m * m).sum(axis=1))
+        # same normalize-once arithmetic as the broadcast path (the two
+        # paths are equality-pinned; keep their float paths identical)
+        mh = m * (1.0 / np.sqrt((m * m).sum(axis=1)))[:, None]
         qi = np.nonzero(isq)[0]
         ci = np.nonzero(~isq)[0]
         if len(qi) == 0 or len(ci) == 0:
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "cosine": []}
             ).astype({"query_id": np.int64, "neighbor_id": np.int64, "cosine": np.float64})
-        sims = (m[qi] @ m[ci].T) / (norms[qi, None] * norms[ci][None, :])
+        sims = mh[qi] @ mh[ci].T
         if quantize_dp is not None:
             sims = np.round(sims, quantize_dp)
         sims[ids[qi][:, None] == ids[ci][None, :]] = -np.inf
@@ -552,6 +576,47 @@ def lsh_multitable_planes(
     return [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
 
 
+# Scaled-plane partitioning for the semdedup family: fixed plane counts
+# make bucket population PROPORTIONAL to the corpus (N/2^p), so the
+# within-bucket matmul grows quadratically with data — the round-7
+# scalecheck measured the fixed-3-plane recall row at 18.9x for 3x data.
+# The plane count instead grows with N so expected bucket population
+# stays <= SEMDEDUP_TARGET_BUCKET and per-bucket work is bounded:
+# total within-bucket work ~ N * target, linear in N.
+SEMDEDUP_TARGET_BUCKET = 512
+SEMDEDUP_MIN_PLANES = 3
+SEMDEDUP_MAX_PLANES = 12
+
+
+def scaled_n_planes(
+    n_rows: int,
+    *,
+    target_bucket: int = SEMDEDUP_TARGET_BUCKET,
+    lo: int = SEMDEDUP_MIN_PLANES,
+    hi: int = SEMDEDUP_MAX_PLANES,
+) -> int:
+    """Smallest p in [lo, hi] with n_rows <= target_bucket * 2**p —
+    pure-integer so the SQL oracle's replay (a VALUES tier scan with the
+    same inequality) agrees for every N with no float-log edge cases."""
+    for p in range(lo, hi):
+        if n_rows <= target_bucket * (1 << p):
+            return p
+    return hi
+
+
+def lsh_planes_prefix(
+    n_tables: int, max_planes: int, dim: int, seed: int = 42
+) -> np.ndarray:
+    """One CONTIGUOUS (n_tables, max_planes, dim) draw: each table's
+    first p planes are identical for every p <= max_planes, so a single
+    set of baked oracle literals (all max_planes rows) serves every
+    scale tier — the oracle selects pid < p at runtime instead of baking
+    per-tier constants. (lsh_multitable_planes draws per-table
+    sequentially and has no such prefix property across tables.)"""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_tables, max_planes, dim))
+
+
 def lsh_multitable_buckets(
     df: DataFrame,
     *,
@@ -561,6 +626,7 @@ def lsh_multitable_buckets(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """L-table OR-construction LSH: each vector lands in one bucket per
     table (bucket id namespaced as ``t << n_planes | sign_bits``), emitted
@@ -581,10 +647,18 @@ def lsh_multitable_buckets(
       n_tables·n_planes sequential-fold expressions in the JVM overflow
       whole-stage codegen's method budget and run interpreted, measured
       ~5× slower at 64 total planes. ANN bucketing stays a declared
-      Python-boundary family (vectorized, never per-row)."""
+      Python-boundary family (vectorized, never per-row).
+
+    ``planes`` overrides the default seeded draw with an explicit
+    (n_tables, n_planes, dim) array — the scaled-plane semdedup path
+    passes a prefix slice of lsh_planes_prefix here."""
     from pyspark.sql.functions import pandas_udf
 
-    planes_by_table = lsh_multitable_planes(n_tables, n_planes, dim, seed)
+    if planes is not None:
+        n_tables, n_planes, dim = planes.shape
+        planes_by_table = [planes[t] for t in range(n_tables)]
+    else:
+        planes_by_table = lsh_multitable_planes(n_tables, n_planes, dim, seed)
     if n_tables * n_planes <= 16:
         # One SQL string → one parse → one compact Catalyst tree. Building
         # the same thing from 768 F.lit() calls costs ~2 s of Py4J round
@@ -743,7 +817,10 @@ def cosine_tau_pairs_within(
     def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
         m = np.stack(pdf["e"].to_numpy())
-        norms = np.sqrt((m * m).sum(axis=1))
+        # normalize once; sparse-round candidates (see group_pairs in
+        # _cosine_tau_pairs_blocked — this host streams DRAM at
+        # ~300 MB/s/core, so full-matrix divide/round passes dominate)
+        mh = m * (1.0 / np.sqrt((m * m).sum(axis=1)))[:, None]
         if probe_col is None:
             probe_rows = np.arange(len(ids))
             probe_mask = None
@@ -756,9 +833,10 @@ def cosine_tau_pairs_within(
         chunk = 2048
         for i0 in range(0, len(probe_rows), chunk):
             rows = probe_rows[i0 : i0 + chunk]
-            blk = m[rows] @ m.T
-            cos = np.round(blk / (norms[rows, None] * norms[None, :]), 8)
-            ii, jj = np.nonzero(cos >= tau)
+            raw = mh[rows] @ mh.T
+            ii, jj = np.nonzero(raw >= tau - 1e-8)
+            sel = np.round(raw[ii, jj], 8) >= tau
+            ii, jj = ii[sel], jj[sel]
             a, bb = ids[rows[ii]], ids[jj]
             if probe_mask is None:
                 keep = a < bb  # each unordered pair exactly once
@@ -818,22 +896,31 @@ def cosine_tau_pairs_exact(
     order = np.argsort(ids)
     ids = ids[order]
     m = np.array([list(map(float, r[vec_col])) for r in rows])[order]
-    norms = np.sqrt((m * m).sum(axis=1))
-    bc = sess.sparkContext.broadcast((ids, m, norms))
+    # broadcast the row-NORMALIZED matrix: matmul output is the raw
+    # cosine, candidates are sparse-rounded (the blocked twin's
+    # bandwidth discipline — full-matrix divide/round passes dominate
+    # on this host)
+    amh = m * (1.0 / np.sqrt((m * m).sum(axis=1)))[:, None]
+    bc = sess.sparkContext.broadcast((ids, amh))
 
     def pairs(batches):
-        aid, am, an = bc.value
+        aid, am = bc.value
         for pdf in batches:
             bid = pdf[id_col].to_numpy(dtype=np.int64)
             if len(bid) == 0:
                 continue
             bm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            bn = np.sqrt((bm * bm).sum(axis=1))
-            cos = np.round((bm @ am.T) / (bn[:, None] * an[None, :]), 8)
-            ii, jj = np.nonzero((cos >= tau) & (bid[:, None] < aid[None, :]))
+            bmh = bm * (1.0 / np.sqrt((bm * bm).sum(axis=1)))[:, None]
+            raw = bmh @ am.T
+            ii, jj = np.nonzero(
+                (raw >= tau - 1e-8) & (bid[:, None] < aid[None, :])
+            )
+            cos = np.round(raw[ii, jj], 8)
+            sel = cos >= tau
+            ii, jj, cos = ii[sel], jj[sel], cos[sel]
             out = {"vec_a": bid[ii], "vec_b": aid[jj]}
             if emit_cosine:
-                out["cosine"] = cos[ii, jj]
+                out["cosine"] = cos
             yield pd.DataFrame(out)
 
     schema = "vec_a long, vec_b long" + (
@@ -849,7 +936,7 @@ def semdedup_bucketed(
     *,
     tau: float = 0.45,
     n_tables: int = 4,
-    n_planes: int = 3,
+    n_planes: int | None = 3,
     dim: int = 64,
     seed: int = 7,
     id_col: str = "vec_id",
@@ -885,10 +972,24 @@ def semdedup_bucketed(
     Returns one row per corpus vector: (vec_id, is_kept, witness_id,
     n_dups) where witness_id = the smallest lower-id duplicate for
     dropped rows (NULL when kept) and n_dups = how many lower-id
-    duplicates nominated the drop."""
-    kw = dict(n_tables=n_tables, n_planes=n_planes, dim=dim, seed=seed,
-              id_col=id_col, vec_col=vec_col)
-    b = lsh_multitable_buckets(corpus, **kw)
+    duplicates nominated the drop.
+
+    ``n_planes=None`` selects the SCALED partition: p = scaled_n_planes(
+    count(corpus)) planes drawn as a prefix of lsh_planes_prefix, so
+    expected bucket population stays <= SEMDEDUP_TARGET_BUCKET at any
+    corpus size (within-bucket work linear in N, not quadratic) and the
+    oracle replays the identical p from the same COUNT(*). The count is
+    one cheap job (parquet footer counts); a fixed n_planes skips it."""
+    if n_planes is None:
+        p = scaled_n_planes(corpus.count())
+        pl = lsh_planes_prefix(n_tables, SEMDEDUP_MAX_PLANES, dim, seed)[:, :p, :]
+        b = lsh_multitable_buckets(
+            corpus, planes=pl, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        kw = dict(n_tables=n_tables, n_planes=n_planes, dim=dim, seed=seed,
+                  id_col=id_col, vec_col=vec_col)
+        b = lsh_multitable_buckets(corpus, **kw)
     vecs = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("e"),

@@ -775,30 +775,61 @@ def vec_centroid_quality(spark, sf_dir):
     )
 
 
-def _semdedup_oracle(n_tables: int, n_planes: int, dim: int, seed: int, tau: float) -> str:
-    """ANSI-SQL twin of semdedup_bucketed: the plane constants are inlined
-    as literals so DuckDB reproduces bucket assignment, candidate pairs,
-    the cosine cut, and the min-id keeper policy bit-for-bit."""
-    from ..operators.similarity import lsh_multitable_planes
+def _scaled_bucket_cte(n_tables: int, dim: int, seed: int,
+                       extra_emb_cols: str = "") -> str:
+    """Shared WITH-prefix for the scaled-plane semdedup oracles: ALL
+    SEMDEDUP_MAX_PLANES prefix-drawn planes per table are baked as
+    literals (lsh_planes_prefix — each table's first p rows are the
+    p-plane draw), and the active plane count p is computed at runtime
+    from COUNT(*) with the same pure-integer rule as scaled_n_planes,
+    so one static oracle string replays the Spark side at EVERY scale
+    factor. p is consumed via scalar subqueries, not a sibling-CTE
+    cross join (the DuckDB-at-volume misfold class in the verify
+    notes)."""
+    from ..operators.similarity import (
+        SEMDEDUP_MAX_PLANES,
+        SEMDEDUP_MIN_PLANES,
+        SEMDEDUP_TARGET_BUCKET,
+        lsh_planes_prefix,
+    )
 
+    pl = lsh_planes_prefix(n_tables, SEMDEDUP_MAX_PLANES, dim, seed)
     rows = []
-    for t, planes in enumerate(lsh_multitable_planes(n_tables, n_planes, dim, seed)):
-        for p in range(n_planes):
-            vals = ", ".join(repr(float(x)) for x in planes[p])
+    for t in range(n_tables):
+        for p in range(SEMDEDUP_MAX_PLANES):
+            vals = ", ".join(repr(float(x)) for x in pl[t, p])
             rows.append(f"({t}, {p}, [{vals}]::DOUBLE[])")
     values = ",\n".join(rows)
+    tiers = ", ".join(
+        f"({p})" for p in range(SEMDEDUP_MIN_PLANES, SEMDEDUP_MAX_PLANES)
+    )
     return f"""
 WITH planes(tbl, pid, plane) AS (VALUES
 {values}
 ),
-emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+np AS (
+  SELECT COALESCE(MIN(p), {SEMDEDUP_MAX_PLANES}) AS p
+  FROM (VALUES {tiers}) t(p)
+  WHERE (SELECT COUNT(*) FROM embeddings)
+        <= {SEMDEDUP_TARGET_BUCKET} * (CAST(1 AS BIGINT) << p)
+),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e{extra_emb_cols} FROM embeddings),
 buckets AS (
   SELECT vec_id,
-         (tbl * {1 << n_planes})
-           + SUM(CASE WHEN list_dot_product(e, plane) > 0 THEN 1 << pid ELSE 0 END) AS bucket
-  FROM emb CROSS JOIN planes
+         (tbl * (CAST(1 AS BIGINT) << (SELECT p FROM np)))
+           + SUM(CASE WHEN list_dot_product(e, plane) > 0
+                      THEN CAST(1 AS BIGINT) << pid ELSE 0 END) AS bucket
+  FROM emb JOIN planes ON pid < (SELECT p FROM np)
   GROUP BY vec_id, tbl
-),
+),"""
+
+
+def _semdedup_oracle(n_tables: int, dim: int, seed: int, tau: float) -> str:
+    """ANSI-SQL twin of semdedup_bucketed (scaled planes): the plane
+    constants are inlined as literals so DuckDB reproduces bucket
+    assignment, candidate pairs, the cosine cut, and the min-id keeper
+    policy bit-for-bit at every scale factor."""
+    return f"""{_scaled_bucket_cte(n_tables, dim, seed)}
 cand AS (
   SELECT DISTINCT lo.vec_id AS vec_a, hi.vec_id AS vec_b
   FROM buckets lo JOIN buckets hi USING (bucket)
@@ -822,34 +853,16 @@ FROM emb e LEFT JOIN dup d ON e.vec_id = d.vec_id
 """
 
 
-def _incr_semdedup_oracle(n_tables: int, n_planes: int, dim: int,
+def _incr_semdedup_oracle(n_tables: int, dim: int,
                           seed: int, tau: float) -> str:
-    """ANSI twin of vec_incremental_semdedup: same plane literals, same
-    bucketed candidates, but the INCREMENTAL keeper policy — an increment
-    vector is dropped by ANY base neighbor (either id order) or by a
-    LOWER-id increment neighbor."""
-    from ..operators.similarity import lsh_multitable_planes
-
-    rows = []
-    for t, planes in enumerate(lsh_multitable_planes(n_tables, n_planes, dim, seed)):
-        for p in range(n_planes):
-            vals = ", ".join(repr(float(x)) for x in planes[p])
-            rows.append(f"({t}, {p}, [{vals}]::DOUBLE[])")
-    values = ",\n".join(rows)
-    return f"""
-WITH planes(tbl, pid, plane) AS (VALUES
-{values}
-),
-emb AS (SELECT vec_id, embedding::DOUBLE[] AS e, vec_id % 5 = 0 AS is_incr
-        FROM embeddings),
-buckets AS (
-  SELECT vec_id,
-         (tbl * {1 << n_planes})
-           + SUM(CASE WHEN list_dot_product(e, plane) > 0 THEN 1 << pid ELSE 0 END)
-           AS bucket
-  FROM emb CROSS JOIN planes
-  GROUP BY vec_id, tbl
-),
+    """ANSI twin of vec_incremental_semdedup: same (scaled) plane
+    literals, same bucketed candidates, but the INCREMENTAL keeper
+    policy — an increment vector is dropped by ANY base neighbor
+    (either id order) or by a LOWER-id increment neighbor."""
+    cte = _scaled_bucket_cte(
+        n_tables, dim, seed, extra_emb_cols=", vec_id % 5 = 0 AS is_incr"
+    )
+    return f"""{cte}
 cand AS (
   SELECT DISTINCT lo.vec_id AS vec_a, hi.vec_id AS vec_b
   FROM buckets lo JOIN buckets hi USING (bucket)
@@ -889,7 +902,7 @@ WHERE e.is_incr
 @query(
     "vec_incremental_semdedup", python_boundary=True,
     category="vectors",
-    oracle=_incr_semdedup_oracle(n_tables=4, n_planes=3, dim=64, seed=7, tau=0.45),
+    oracle=_incr_semdedup_oracle(n_tables=4, dim=64, seed=7, tau=0.45),
 )
 def vec_incremental_semdedup(spark, sf_dir):
     """INCREMENTAL SemDeDup — the production shape of a continuously
@@ -905,12 +918,23 @@ def vec_incremental_semdedup(spark, sf_dir):
     membership: a lower-id witness drops a higher-id increment vector;
     a base neighbor of either id order drops an increment vector; base
     vectors are never dropped. Output: one row per increment vector with
-    the keep/drop verdict, the smallest witness, and the witness count."""
-    from ..operators.similarity import cosine_tau_pairs_within, lsh_multitable_buckets
+    the keep/drop verdict, the smallest witness, and the witness count.
+    The plane count scales with the corpus (scaled_n_planes, as in
+    vec_semdedup) so bucket population stays bounded as the base
+    grows."""
+    from ..operators.similarity import (
+        SEMDEDUP_MAX_PLANES,
+        cosine_tau_pairs_within,
+        lsh_multitable_buckets,
+        lsh_planes_prefix,
+        scaled_n_planes,
+    )
 
     emb = table(spark, sf_dir, "embeddings")
     is_incr = (F.col("vec_id") % 5 == 0)
-    b = lsh_multitable_buckets(emb, n_tables=4, n_planes=3, dim=64, seed=7)
+    p = scaled_n_planes(emb.count())
+    pl = lsh_planes_prefix(4, SEMDEDUP_MAX_PLANES, 64, 7)[:, :p, :]
+    b = lsh_multitable_buckets(emb, planes=pl)
     vecs = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
@@ -954,7 +978,7 @@ def vec_incremental_semdedup(spark, sf_dir):
 @query(
     "vec_semdedup", python_boundary=True,
     category="vectors",
-    oracle=_semdedup_oracle(n_tables=4, n_planes=3, dim=64, seed=7, tau=0.45),
+    oracle=_semdedup_oracle(n_tables=4, dim=64, seed=7, tau=0.45),
 )
 def vec_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) re-expressed Spark-first: partition
@@ -966,11 +990,17 @@ def vec_semdedup(spark, sf_dir):
     corpus vector with the keep/drop verdict and the dropping witness —
     the semantic-dedup tier of the training-data funnel. EXACT oracle:
     DuckDB recomputes the whole approximate pipeline from the same plane
-    constants, not just the final counts."""
+    constants, not just the final counts. The plane count SCALES with
+    the corpus (n_planes=None -> scaled_n_planes: smallest p with
+    N <= 512*2^p, p in [3,12]) so bucket population — and with it the
+    within-bucket matmul — stays bounded instead of growing as N/8 (the
+    round-7 scalecheck's quadratic-by-configuration class); the oracle
+    recomputes the same p from COUNT(*) over baked prefix-plane
+    literals."""
     from ..operators.similarity import semdedup_bucketed
 
     emb = table(spark, sf_dir, "embeddings")
-    return semdedup_bucketed(emb, tau=0.45, n_tables=4, n_planes=3, dim=64, seed=7)
+    return semdedup_bucketed(emb, tau=0.45, n_tables=4, n_planes=None, dim=64, seed=7)
 
 
 
@@ -2425,7 +2455,9 @@ def _hard_negative_blocked(emb, *, n_rows: int, k: int = 50):
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         labs = pdf["label"].to_numpy(dtype=np.int64)
         m = np.stack(pdf["e"].to_numpy())
-        norms = np.sqrt((m * m).sum(axis=1))
+        # normalize once — matmul output IS the cosine (bandwidth
+        # discipline, similarity._cosine_tau_pairs_blocked)
+        mh = m * (1.0 / np.sqrt((m * m).sum(axis=1)))[:, None]
         blk = pdf["_blk"].to_numpy()
         if bi == bj:
             rows_l = rows_r = np.arange(len(ids))
@@ -2439,11 +2471,7 @@ def _hard_negative_blocked(emb, *, n_rows: int, k: int = 50):
                 {"vec_a": np.int64, "vec_b": np.int64, "label_a": np.int64,
                  "label_b": np.int64, "cos8": np.float64}
             )
-        cos = np.round(
-            (m[rows_l] @ m[rows_r].T)
-            / (norms[rows_l, None] * norms[rows_r][None, :]),
-            8,
-        )
+        cos = np.round(mh[rows_l] @ mh[rows_r].T, 8)
         a_ids, b_ids = ids[rows_l], ids[rows_r]
         mask = labs[rows_l][:, None] != labs[rows_r][None, :]
         if bi == bj:
@@ -2559,19 +2587,19 @@ def vec_hard_negative_mining(spark, sf_dir):
     ids = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
     labels = np.array([int(r["label"]) for r in rows], dtype=np.int64)
     m = np.array([list(map(float, r["e"])) for r in rows])
-    norms = np.sqrt((m * m).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, labels, m, norms))
+    amh = m * (1.0 / np.sqrt((m * m).sum(axis=1)))[:, None]
+    bc = spark.sparkContext.broadcast((ids, labels, amh))
 
     def batch_top(batches):
-        aid, alab, am, an = bc.value
+        aid, alab, am = bc.value
         for pdf in batches:
             bid = pdf["vec_id"].to_numpy(dtype=np.int64)
             if len(bid) == 0:
                 continue
             blab = pdf["label"].to_numpy(dtype=np.int64)
             bm = np.array(pdf["e"].tolist(), dtype=np.float64)
-            bn = np.sqrt((bm * bm).sum(axis=1))
-            cos = np.round((bm @ am.T) / (bn[:, None] * an[None, :]), 8)
+            bmh = bm * (1.0 / np.sqrt((bm * bm).sum(axis=1)))[:, None]
+            cos = np.round(bmh @ am.T, 8)
             mask = (bid[:, None] < aid[None, :]) & (
                 blab[:, None] != alab[None, :]
             )
@@ -2609,29 +2637,9 @@ def vec_hard_negative_mining(spark, sf_dir):
     )
 
 
-def _semdedup_recall_oracle(n_tables: int = 4, n_planes: int = 3, dim: int = 64,
+def _semdedup_recall_oracle(n_tables: int = 4, dim: int = 64,
                             seed: int = 7, tau: float = 0.45) -> str:
-    from ..operators.similarity import lsh_multitable_planes
-
-    rows = []
-    for t, planes in enumerate(lsh_multitable_planes(n_tables, n_planes, dim, seed)):
-        for p in range(n_planes):
-            vals = ", ".join(repr(float(x)) for x in planes[p])
-            rows.append(f"({t}, {p}, [{vals}]::DOUBLE[])")
-    values = ",\n".join(rows)
-    return f"""
-WITH planes(tbl, pid, plane) AS (VALUES
-{values}
-),
-emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-buckets AS (
-  SELECT vec_id,
-         (tbl * {1 << n_planes})
-           + SUM(CASE WHEN list_dot_product(e, plane) > 0 THEN 1 << pid ELSE 0 END)
-           AS bucket
-  FROM emb CROSS JOIN planes
-  GROUP BY vec_id, tbl
-),
+    return f"""{_scaled_bucket_cte(n_tables, dim, seed)}
 cand AS (
   SELECT DISTINCT lo.vec_id AS vec_a, hi.vec_id AS vec_b
   FROM buckets lo JOIN buckets hi USING (bucket)
@@ -2678,12 +2686,16 @@ def vec_semdedup_recall(spark, sf_dir):
     prices probe pruning. Both pipelines replay end-to-end in the
     oracle from the same plane literals. The exact side is the
     fixture-scale audit; at 100 TB only the bucketed side runs, priced
-    by THIS number measured on samples."""
+    by THIS number measured on samples. The approximate side uses the
+    SAME scaled plane count as production vec_semdedup (n_planes=None:
+    p grows with N so bucket population is capped at ~512) — the
+    round-7 scalecheck measured the old FIXED 3-plane config at 18.9x
+    for 3x data, a quadratic this row existed to price, not to have."""
     from ..operators.similarity import cosine_tau_pairs_exact, semdedup_bucketed
 
     emb = table(spark, sf_dir, "embeddings")
     approx = (
-        semdedup_bucketed(emb, tau=0.45, n_tables=4, n_planes=3, dim=64, seed=7)
+        semdedup_bucketed(emb, tau=0.45, n_tables=4, n_planes=None, dim=64, seed=7)
         .where(~F.col("is_kept"))
         .select("vec_id")
     )
@@ -4197,12 +4209,16 @@ def vec_bitext_margin_topk(spark, sf_dir):
     |side|-sized denominator tables — at 100 TB the retrieval swaps to
     the ANN tiers (IVF/LSH) exactly as the dedup family prices it."""
     from ..operators.similarity import cosine_topk_blas
+    from ..tables import footer_shape
 
     emb = table(spark, sf_dir, "embeddings")
     side0 = emb.where(F.col("vec_id") % 2 == 0)
     side1 = emb.where(F.col("vec_id") % 2 == 1)
-    cand = cosine_topk_blas(side1, side0, k=16, quantize_dp=8)
-    rev = cosine_topk_blas(side0, side1, k=4, quantize_dp=8)
+    # footer-derived (N, dims) upper-bounds either parity side: skips the
+    # two eager _mat_shape probe jobs per kernel call (round-7 advice)
+    hint = footer_shape(sf_dir)
+    cand = cosine_topk_blas(side1, side0, k=16, quantize_dp=8, shape_hint=hint)
+    rev = cosine_topk_blas(side0, side1, k=4, quantize_dp=8, shape_hint=hint)
     c8e8 = F.round(F.col("cosine") * 100000000, 0).cast("long")
     cand8 = cand.select(
         F.col("query_id").alias("src_id"),

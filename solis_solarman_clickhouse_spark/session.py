@@ -94,7 +94,15 @@ def scaled_shuffle_partitions(n_cores: int, input_bytes: int, advisory_mb: int) 
 
 def get_spark(app_name: str = "solis-solarman-spark", *, cpus: int | None = None) -> SparkSession:
     n = cpus or default_parallelism()
-    advisory_mb = int(os.environ.get("SPARK_GRAFT_ADVISORY_MB", _ADVISORY_MB_DEFAULT))
+    # Documented deployment knob: tolerate junk (empty, non-numeric, 0,
+    # negative) by falling back to the default instead of crashing
+    # session startup with ValueError/ZeroDivisionError.
+    try:
+        advisory_mb = int(os.environ.get("SPARK_GRAFT_ADVISORY_MB", ""))
+    except ValueError:
+        advisory_mb = _ADVISORY_MB_DEFAULT
+    if advisory_mb < 1:
+        advisory_mb = _ADVISORY_MB_DEFAULT
     shuffle_n = scaled_shuffle_partitions(n, _fixture_bytes(), advisory_mb)
     builder = (
         SparkSession.builder.master(f"local[{n}]")

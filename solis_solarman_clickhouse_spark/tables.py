@@ -64,6 +64,29 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def footer_shape(
+    sf_dir: str, name: str = "embeddings", vec_col: str = "embedding"
+) -> tuple[int, int] | None:
+    """(rows, dims) of a single-file parquet fixture read from its FOOTER
+    plus one 1-row batch — no Spark job at all. Size gates that only need
+    an upper bound (e.g. cosine_topk_blas's broadcast-cells gate) use
+    this instead of an eager _mat_shape aggregation, which re-evaluates
+    the frame's full upstream lineage once per kernel call. Returns None
+    when the path isn't a readable single parquet file; callers fall back
+    to the probe."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        f = pq.ParquetFile(path)
+        n = int(f.metadata.num_rows)
+        batch = next(f.iter_batches(batch_size=1, columns=[vec_col]))
+        d = len(batch.column(0)[0])
+        return n, d
+    except Exception:
+        return None
+
+
 def spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition up to the cluster's parallelism before CPU-heavy work,
     but only when the input is under-partitioned (the local fixtures are

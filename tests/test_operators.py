@@ -918,3 +918,40 @@ def test_distance_concentration_cap_is_absolute(spark, ducks, monkeypatch):
     assert capped_oracle != spec.oracle
     monkeypatch.setattr(V, "_DIST_CONC_A_CAP", forced)
     compare(spec.fn(spark, SF_DIR), ducks, capped_oracle, name="dist_conc_capped")
+
+
+def test_scaled_n_planes_rule_and_prefix_property():
+    """The semdedup plane count must follow the pure-integer rule
+    (smallest p in [3,12] with N <= 512*2^p) the SQL oracle replays,
+    and prefix draws must be consistent: the first p planes of every
+    table are identical for any p (one set of baked literals serves all
+    tiers)."""
+    import numpy as np
+
+    from solis_solarman_clickhouse_spark.operators.similarity import (
+        SEMDEDUP_MAX_PLANES,
+        lsh_planes_prefix,
+        scaled_n_planes,
+    )
+
+    assert scaled_n_planes(0) == 3
+    assert scaled_n_planes(4096) == 3          # 512*2^3 boundary inclusive
+    assert scaled_n_planes(4097) == 4
+    assert scaled_n_planes(20_000) == 6        # sf1.0-ish
+    assert scaled_n_planes(60_000) == 7        # sf3.0-ish
+    assert scaled_n_planes(10**12) == SEMDEDUP_MAX_PLANES
+    full = lsh_planes_prefix(4, SEMDEDUP_MAX_PLANES, 64, 7)
+    assert full.shape == (4, SEMDEDUP_MAX_PLANES, 64)
+    again = lsh_planes_prefix(4, SEMDEDUP_MAX_PLANES, 64, 7)
+    assert np.array_equal(full, again)  # deterministic
+    assert np.array_equal(full[:, :3, :], full[:, :3, :].copy())
+
+
+def test_footer_shape_reads_parquet_metadata():
+    """footer_shape must report (rows, dims) without a Spark job and
+    degrade to None on unreadable paths (callers fall back to the
+    _mat_shape probe)."""
+    from solis_solarman_clickhouse_spark.tables import footer_shape
+
+    assert footer_shape(SF_DIR) == (500, 64)
+    assert footer_shape("/nonexistent/dir") is None

@@ -63,6 +63,7 @@ def _fingerprint(seed: int) -> dict:
         "heaps_beta": gen_zipf.HEAPS_BETA,
         "dup_frac": gen_zipf.DUP_FRAC,
         "dup_noise": gen_zipf.DUP_NOISE,
+        "payload_noise": gen_zipf.PAYLOAD_NOISE,
         "seed": seed,
     }
 
@@ -170,10 +171,16 @@ def run(scales: list[int]) -> dict:
 
 
 if __name__ == "__main__":
-    scales = [int(x) for x in sys.argv[1:]] or [50_000, 200_000]
+    out_path = os.path.join(REPO, "bench_records", "zipf_scaling.json")
+    argv = []
+    for a in sys.argv[1:]:
+        if a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
+        else:
+            argv.append(a)
+    scales = [int(x) for x in argv] or [50_000, 200_000]
     res = run(scales)
-    path = os.path.join(REPO, "bench_records", "r7_zipf_scaling.json")
-    with open(path, "w") as fh:
+    with open(out_path, "w") as fh:
         json.dump(res, fh, indent=1)
     print(json.dumps({k: v for k, v in res.items() if k != "rows"}))
-    print(f"wrote {path}")
+    print(f"wrote {out_path}")
