@@ -862,6 +862,7 @@ def cosine_tau_pairs_exact(
     vecs: DataFrame, *, tau: float, id_col: str = "vec_id",
     vec_col: str = "e", emit_cosine: bool = False,
     max_broadcast_cells: int = _BROADCAST_CELLS_MAX,
+    shape_hint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Exact all-pairs (vec_a, vec_b) with ROUND(cosine, 8) >= tau —
     the PARALLEL audit-tier twin of cosine_tau_pairs_within's
@@ -883,8 +884,16 @@ def cosine_tau_pairs_exact(
     block-partitioned twin _cosine_tau_pairs_blocked — identical
     output (pinned in tests), no driver matrix, per-task memory
     bounded at 2·|block|·dim — and therefore survives a 100× larger
-    embeddings table without a code change."""
-    n_rows, dims = _mat_shape(vecs, vec_col)
+    embeddings table without a code change.
+
+    ``shape_hint``: (rows, dims) upper bound that skips the _mat_shape
+    probe job (exact when the caller passes a whole-table frame and
+    reads the parquet footer; overestimation only gates earlier /
+    blocks finer)."""
+    if shape_hint is not None:
+        n_rows, dims = shape_hint
+    else:
+        n_rows, dims = _mat_shape(vecs, vec_col)
     if n_rows * dims > max_broadcast_cells:
         return _cosine_tau_pairs_blocked(
             vecs, tau=tau, id_col=id_col, vec_col=vec_col,

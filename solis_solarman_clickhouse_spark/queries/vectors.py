@@ -17,7 +17,7 @@ from ..operators.similarity import (
     label_centroids,
     with_cosine,
 )
-from ..tables import table
+from ..tables import footer_shape, table
 from .registry import query
 
 _TOPK_ORACLE = """
@@ -263,9 +263,9 @@ def vec_neardup_cosine(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    return cosine_tau_pairs_exact(emb, tau=0.45, emit_cosine=True).select(
-        "vec_a", "vec_b", F.round("cosine", 4).alias("cosine")
-    )
+    return cosine_tau_pairs_exact(
+        emb, tau=0.45, emit_cosine=True, shape_hint=footer_shape(sf_dir)
+    ).select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine"))
 
 
 _QUANTIZE_ORACLE = """
@@ -564,7 +564,7 @@ def vec_dedup_clusters(spark, sf_dir):
     )
     from ..operators.similarity import cosine_tau_pairs_exact
 
-    pairs = cosine_tau_pairs_exact(emb, tau=0.42)
+    pairs = cosine_tau_pairs_exact(emb, tau=0.42, shape_hint=footer_shape(sf_dir))
     from ..operators.graph import connected_components
 
     cc = connected_components(pairs, src="vec_a", dst="vec_b")
@@ -673,7 +673,9 @@ def doc_semantic_text_dedup(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    cand = cosine_tau_pairs_exact(emb, tau=0.45, emit_cosine=True).select(
+    cand = cosine_tau_pairs_exact(
+        emb, tau=0.45, emit_cosine=True, shape_hint=footer_shape(sf_dir)
+    ).select(
         "vec_a", "vec_b", F.round("cosine", 4).alias("cosine")
     )
     docs = table(spark, sf_dir, "documents")
@@ -2580,7 +2582,11 @@ def vec_hard_negative_mining(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    n_rows, dims = _mat_shape(emb, "e")
+    # the probed frame is the UNFILTERED embeddings table, so the parquet
+    # footer gives the exact shape with no Spark job (r7 ADVICE class)
+    from ..tables import footer_shape
+
+    n_rows, dims = footer_shape(sf_dir) or _mat_shape(emb, "e")
     if n_rows * dims > _BROADCAST_CELLS_MAX:
         return _hard_negative_blocked(emb, n_rows=n_rows)
     rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
@@ -2711,7 +2717,7 @@ def vec_semdedup_recall(spark, sf_dir):
         F.col("embedding").cast("array<double>").alias("e"),
     )
     exact = (
-        cosine_tau_pairs_exact(e, tau=0.45)
+        cosine_tau_pairs_exact(e, tau=0.45, shape_hint=footer_shape(sf_dir))
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
     )

@@ -234,3 +234,36 @@ def test_register_map_matches_reference_fetch_cycle():
     ]
     actual = [(s.name, s.addr, s.quantity, s.scale) for s in REGISTER_MAP]
     assert actual == expected
+
+
+def test_torn_checkpoint_repair_semantics(tmp_path):
+    """_repair_torn_checkpoint must clear ONLY the never-committed state
+    (offsets present, commits empty — the graceful-stop race window that
+    makes Spark refuse to resume) and leave any checkpoint with at least
+    one commit untouched (normal offsets-ahead-of-commits recovery owns
+    those)."""
+    import os
+
+    from solis_solarman_clickhouse_spark.ingest.pipeline import (
+        _repair_torn_checkpoint,
+    )
+
+    # torn: offsets/0 written, nothing committed -> offsets dir removed
+    torn = tmp_path / "torn"
+    (torn / "offsets").mkdir(parents=True)
+    (torn / "offsets" / "0").write_text("v1\n{}")
+    _repair_torn_checkpoint(str(torn))
+    assert not (torn / "offsets").exists()
+
+    # healthy: batch 0 committed, batch 1 offsets in flight -> untouched
+    healthy = tmp_path / "healthy"
+    (healthy / "offsets").mkdir(parents=True)
+    (healthy / "commits").mkdir()
+    (healthy / "offsets" / "0").write_text("v1\n{}")
+    (healthy / "offsets" / "1").write_text("v1\n{}")
+    (healthy / "commits" / "0").write_text("v1\n{}")
+    _repair_torn_checkpoint(str(healthy))
+    assert sorted(os.listdir(healthy / "offsets")) == ["0", "1"]
+
+    # fresh: no checkpoint at all -> no-op, no error
+    _repair_torn_checkpoint(str(tmp_path / "missing"))
