@@ -35,7 +35,9 @@ REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 
 
 def _write(out: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+    pq.write_table(
+        table, os.path.join(out, f"{name}.parquet"), row_group_size=500_000
+    )
     print(f"{name}: {table.num_rows} rows", flush=True)
 
 

@@ -99,7 +99,12 @@ def generate(n_docs: int, out: str, seed: int = 42) -> dict:
             "n_chars": pa.array([len(d) for d in docs], pa.int64()),
         }
     )
-    pq.write_table(table, os.path.join(out, "documents.parquet"))
+    # bounded row groups: a one-giant-row-group file OOMs Spark's
+    # vectorized reader at multi-million-doc corpora (a whole row group
+    # materializes per task)
+    pq.write_table(
+        table, os.path.join(out, "documents.parquet"), row_group_size=100_000
+    )
 
     # Binary payload table (the "planted near-dup images" analogue for
     # the phash tier): each non-dup doc draws its bytes from a
@@ -136,7 +141,9 @@ def generate(n_docs: int, out: str, seed: int = 42) -> dict:
             "payload": pa.array(payloads, pa.binary()),
         }
     )
-    pq.write_table(ptable, os.path.join(out, "payloads.parquet"))
+    pq.write_table(
+        ptable, os.path.join(out, "payloads.parquet"), row_group_size=100_000
+    )
 
     stats = {"n_docs": n_docs, "tokens": total, "planted_dups": n_dup}
     print(stats, flush=True)
