@@ -51,8 +51,13 @@ def _repair_torn_checkpoint(checkpoint: str) -> None:
         return
     try:
         coms = [f for f in os.listdir(com) if not f.startswith(".")]
+    except FileNotFoundError:
+        coms = []  # commits/ never created → genuinely torn-batch-0 territory
     except OSError:
-        coms = []
+        # A transient non-ENOENT error (permissions, I/O blip) on a HEALTHY
+        # checkpoint must not be read as "no commits ever" — deleting
+        # offsets/ then would orphan commits/N and corrupt the checkpoint.
+        return
     if offs and not coms:
         shutil.rmtree(off, ignore_errors=True)
 

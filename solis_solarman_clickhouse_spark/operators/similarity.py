@@ -950,6 +950,7 @@ def semdedup_bucketed(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style embedding dedup (Abbas et al. 2023: partition the
     embedding space, compare pairs only WITHIN a partition, drop all but
@@ -987,10 +988,15 @@ def semdedup_bucketed(
     count(corpus)) planes drawn as a prefix of lsh_planes_prefix, so
     expected bucket population stays <= SEMDEDUP_TARGET_BUCKET at any
     corpus size (within-bucket work linear in N, not quadratic) and the
-    oracle replays the identical p from the same COUNT(*). The count is
-    one cheap job (parquet footer counts); a fixed n_planes skips it."""
+    oracle replays the identical p from the same COUNT(*). Callers that
+    know the corpus size (e.g. from tables.footer_shape's parquet-footer
+    read) pass ``corpus_rows`` so building this DataFrame stays lazy —
+    these queries are declared python_boundary, not eager, and plan
+    dumps / EXPLAIN tooling should not pay a Spark job. Without the hint
+    the count is one cheap job (parquet footer counts); a fixed
+    n_planes skips it entirely."""
     if n_planes is None:
-        p = scaled_n_planes(corpus.count())
+        p = scaled_n_planes(corpus_rows if corpus_rows is not None else corpus.count())
         pl = lsh_planes_prefix(n_tables, SEMDEDUP_MAX_PLANES, dim, seed)[:, :p, :]
         b = lsh_multitable_buckets(
             corpus, planes=pl, id_col=id_col, vec_col=vec_col

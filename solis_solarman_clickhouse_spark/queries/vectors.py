@@ -934,7 +934,8 @@ def vec_incremental_semdedup(spark, sf_dir):
 
     emb = table(spark, sf_dir, "embeddings")
     is_incr = (F.col("vec_id") % 5 == 0)
-    p = scaled_n_planes(emb.count())
+    hint = footer_shape(sf_dir)
+    p = scaled_n_planes(hint[0] if hint else emb.count())
     pl = lsh_planes_prefix(4, SEMDEDUP_MAX_PLANES, 64, 7)[:, :p, :]
     b = lsh_multitable_buckets(emb, planes=pl)
     vecs = emb.select(
@@ -1002,7 +1003,11 @@ def vec_semdedup(spark, sf_dir):
     from ..operators.similarity import semdedup_bucketed
 
     emb = table(spark, sf_dir, "embeddings")
-    return semdedup_bucketed(emb, tau=0.45, n_tables=4, n_planes=None, dim=64, seed=7)
+    hint = footer_shape(sf_dir)
+    return semdedup_bucketed(
+        emb, tau=0.45, n_tables=4, n_planes=None, dim=64, seed=7,
+        corpus_rows=hint[0] if hint else None,
+    )
 
 
 
@@ -2700,8 +2705,10 @@ def vec_semdedup_recall(spark, sf_dir):
     from ..operators.similarity import cosine_tau_pairs_exact, semdedup_bucketed
 
     emb = table(spark, sf_dir, "embeddings")
+    hint = footer_shape(sf_dir)
     approx = (
-        semdedup_bucketed(emb, tau=0.45, n_tables=4, n_planes=None, dim=64, seed=7)
+        semdedup_bucketed(emb, tau=0.45, n_tables=4, n_planes=None, dim=64, seed=7,
+                          corpus_rows=hint[0] if hint else None)
         .where(~F.col("is_kept"))
         .select("vec_id")
     )

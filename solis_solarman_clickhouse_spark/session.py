@@ -92,17 +92,32 @@ def scaled_shuffle_partitions(n_cores: int, input_bytes: int, advisory_mb: int) 
     return max(8, n_cores, min(4096, derived))
 
 
+def _parse_advisory_mb(raw: str | None) -> int:
+    """Documented deployment knob: tolerate junk (empty, non-numeric, 0,
+    negative) by falling back to the default instead of crashing session
+    startup — but WARN when the var was set and ignored, so a typo'd
+    tuning intent ("128MB", "0") doesn't vanish silently."""
+    if raw is None:
+        return _ADVISORY_MB_DEFAULT
+    try:
+        advisory_mb = int(raw)
+    except ValueError:
+        advisory_mb = 0
+    if advisory_mb >= 1:
+        return advisory_mb
+    import warnings
+
+    warnings.warn(
+        f"SPARK_GRAFT_ADVISORY_MB={raw!r} is not a positive integer; "
+        f"using default {_ADVISORY_MB_DEFAULT} MB",
+        stacklevel=2,
+    )
+    return _ADVISORY_MB_DEFAULT
+
+
 def get_spark(app_name: str = "solis-solarman-spark", *, cpus: int | None = None) -> SparkSession:
     n = cpus or default_parallelism()
-    # Documented deployment knob: tolerate junk (empty, non-numeric, 0,
-    # negative) by falling back to the default instead of crashing
-    # session startup with ValueError/ZeroDivisionError.
-    try:
-        advisory_mb = int(os.environ.get("SPARK_GRAFT_ADVISORY_MB", ""))
-    except ValueError:
-        advisory_mb = _ADVISORY_MB_DEFAULT
-    if advisory_mb < 1:
-        advisory_mb = _ADVISORY_MB_DEFAULT
+    advisory_mb = _parse_advisory_mb(os.environ.get("SPARK_GRAFT_ADVISORY_MB"))
     shuffle_n = scaled_shuffle_partitions(n, _fixture_bytes(), advisory_mb)
     builder = (
         SparkSession.builder.master(f"local[{n}]")

@@ -74,6 +74,7 @@ def footer_shape(
     the frame's full upstream lineage once per kernel call. Returns None
     when the path isn't a readable single parquet file; callers fall back
     to the probe."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -83,7 +84,14 @@ def footer_shape(
         batch = next(f.iter_batches(batch_size=1, columns=[vec_col]))
         d = len(batch.column(0)[0])
         return n, d
-    except Exception:
+    except (OSError, pa.ArrowInvalid, KeyError, StopIteration, IndexError, TypeError):
+        # Narrow on purpose: a typo'd table/column or corrupt fixture should
+        # degrade to the probe path loudly in debugging, not silently forever.
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "footer_shape fallback: %s (%s.%s) not footer-readable", path, name, vec_col
+        )
         return None
 
 

@@ -267,3 +267,36 @@ def test_torn_checkpoint_repair_semantics(tmp_path):
 
     # fresh: no checkpoint at all -> no-op, no error
     _repair_torn_checkpoint(str(tmp_path / "missing"))
+
+    # transient non-ENOENT error listing commits/ (here: commits is a
+    # FILE, so listdir raises NotADirectoryError) on a checkpoint that
+    # HAS offsets must NOT be read as "no commits ever" — deleting
+    # offsets/ then would orphan commits/N and corrupt the checkpoint.
+    blipped = tmp_path / "blipped"
+    (blipped / "offsets").mkdir(parents=True)
+    (blipped / "offsets" / "0").write_text("v1\n{}")
+    (blipped / "commits").write_text("not a directory")
+    _repair_torn_checkpoint(str(blipped))
+    assert sorted(os.listdir(blipped / "offsets")) == ["0"]
+
+
+def test_advisory_mb_env_parse_warns_on_junk():
+    """SPARK_GRAFT_ADVISORY_MB falls back to the default on junk input,
+    but a SET-and-ignored knob must emit a warning (an operator's typo'd
+    tuning intent should not vanish silently)."""
+    import warnings
+
+    from solis_solarman_clickhouse_spark.session import (
+        _ADVISORY_MB_DEFAULT,
+        _parse_advisory_mb,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # unset / valid values never warn
+        assert _parse_advisory_mb(None) == _ADVISORY_MB_DEFAULT
+        assert _parse_advisory_mb("128") == 128
+    for junk in ("128MB", "0", "-4", "", "  "):
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            assert _parse_advisory_mb(junk) == _ADVISORY_MB_DEFAULT
+        assert any("SPARK_GRAFT_ADVISORY_MB" in str(w.message) for w in caught), junk
