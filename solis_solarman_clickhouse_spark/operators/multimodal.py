@@ -284,16 +284,139 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
     ]
 )
 
+#: ``audio_features(real=True)`` output: duration in exact integer
+#: microseconds (floor of n_frames * 1e6 / sample_rate — no float path the
+#: oracle could disagree with), plus the decoded channel count and a
+#: parsed flag mirroring IMAGE_META_SCHEMA's.
+AUDIO_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("parsed", T.BooleanType()),
+    ]
+)
+
 _AUDIO_SR = 16_000  # assumed 16 kHz mono s16le for the stand-in duration math
 
 
+def _soundfile_available() -> bool:
+    """True when soundfile (libsndfile) is importable — the extras gate for
+    COMPRESSED audio (flac/ogg/…) in ``audio_features(real=True)``. WAV
+    needs no gate at all: the stdlib ``wave`` module fully decodes PCM
+    RIFF, so the real path always works on WAV payloads."""
+    try:
+        import soundfile  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_wav(b: bytes | None) -> tuple[int, int, int] | None:
+    """REAL full WAV decode, stdlib-only (``wave``): returns
+    (sample_rate, n_channels, n_frames) after reading and length-checking
+    the ACTUAL sample bytes — a payload whose data chunk is torn short of
+    what its header promises is rejected (None), not header-sniffed. This
+    is the real-codec tier of the audio path, the audio analogue of
+    Pillow's ``img.load()`` in decode_image_meta."""
+    import io
+    import wave
+
+    if b is None or len(b) < 12:
+        return None
+    try:
+        with wave.open(io.BytesIO(bytes(b))) as w:
+            sr, nch, width, nframes = (
+                w.getframerate(),
+                w.getnchannels(),
+                w.getsampwidth(),
+                w.getnframes(),
+            )
+            data = w.readframes(nframes)
+    except Exception:
+        return None
+    if sr <= 0 or nch <= 0 or len(data) != nframes * nch * width:
+        return None  # header/data mismatch — corrupt past the header
+    return sr, nch, nframes
+
+
+def _soundfile_decode(b: bytes) -> tuple[int, int, int] | None:
+    """Compressed-audio decode via soundfile (libsndfile), used by
+    ``audio_features(real=True)`` for payloads the stdlib WAV codec
+    rejects. Returns (sample_rate, n_channels, n_frames) or None."""
+    import io
+
+    import soundfile as sf
+
+    try:
+        data, sr = sf.read(io.BytesIO(bytes(b)))
+    except Exception:
+        return None
+    nch = 1 if data.ndim == 1 else int(data.shape[1])
+    return int(sr), nch, int(data.shape[0])
+
+
 def audio_features(payloads: DataFrame, *, real: bool = False) -> DataFrame:
-    """Per-clip features over audio payloads via mapInPandas. STUB interior:
-    duration assumes 16 kHz mono 16-bit samples (2 bytes/sample); a real
-    implementation parses the container header / decodes PCM."""
+    """Per-clip features over audio payloads via mapInPandas.
+
+    ``real=False`` (default, the oracle-checked registry path): STUB
+    interior — duration assumes 16 kHz mono 16-bit samples (2
+    bytes/sample) so the DuckDB oracle can recompute it from payload
+    length alone.
+
+    ``real=True``: REAL decode with AUDIO_REAL_SCHEMA output. WAV payloads
+    are fully decoded by the stdlib ``wave`` codec (decode_wav — samples
+    read and length-checked, so corrupt-past-the-header clips are caught);
+    non-WAV payloads go to soundfile/libsndfile when importable
+    (`pip install soundfile` — the gate mirrors decode_image_meta's
+    Pillow gate); anything undecodable falls back to the deterministic
+    stand-in with ``parsed=false`` so a mixed corpus still yields a row
+    per clip. Exercised end-to-end (genuine stdlib-written WAV bytes →
+    this decoder) by the mm_audio_wav_decode registry query and
+    tests/test_multimodal.py."""
     if real:
-        raise NotImplementedError(
-            "real audio decode needs libsndfile/ffmpeg; not in this environment"
+        sf_ok = _soundfile_available()
+
+        def real_feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                n_bytes, dur, srs, nchs, parsed = [], [], [], [], []
+                for b in pdf["payload"]:
+                    nb = 0 if b is None else len(b)
+                    n_bytes.append(nb)
+                    got = decode_wav(b)
+                    if got is None and sf_ok and b is not None:
+                        got = _soundfile_decode(b)
+                    if got is not None:
+                        sr, nch, nframes = got
+                        dur.append(nframes * 1_000_000 // sr)
+                        srs.append(sr)
+                        nchs.append(nch)
+                        parsed.append(True)
+                    else:
+                        # deterministic stand-in (same math as real=False),
+                        # emitted in exact integer microseconds
+                        k = max(nb - 4, 0) // 2
+                        dur.append((k * 125 + 1) // 2)  # half-up µs, = real=False * 1e6
+                        srs.append(_AUDIO_SR)
+                        nchs.append(1)
+                        parsed.append(False)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_bytes": pd.Series(n_bytes, dtype="int64"),
+                        "duration_us": pd.Series(dur, dtype="int64"),
+                        "sample_rate": pd.Series(srs, dtype="int32"),
+                        "n_channels": pd.Series(nchs, dtype="int32"),
+                        "parsed": pd.Series(parsed, dtype="bool"),
+                    }
+                )
+
+        clips = spread(payloads.filter(F.col("modality") == "audio"), "doc_id")
+        return clips.select("doc_id", "payload").mapInPandas(
+            real_feats, AUDIO_REAL_SCHEMA
         )
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -321,8 +444,217 @@ def audio_features(payloads: DataFrame, *, real: bool = False) -> DataFrame:
 # video frame sampling (pure column expressions — no Python needed)
 # ---------------------------------------------------------------------------
 
+#: ``sample_frames(real=True)`` output: true container frame index and
+#: exact-integer-microsecond timestamp from the container's own frame
+#: rate, the sha256 fingerprint of the DECODED frame bytes, the decoded
+#: frame geometry, and a decoded flag mirroring IMAGE_META_SCHEMA's
+#: parsed flag.
+FRAME_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_us", T.LongType()),
+        T.StructField("frame_fingerprint", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
 
-def sample_frames(payloads: DataFrame, *, fps: float = 4.0, max_frames: int = 8) -> DataFrame:
+#: Y4M colourspace tag → bytes per pixel numerator/denominator.
+_Y4M_BPP = {
+    b"420": (3, 2),  # C420, C420jpeg, C420paldv, C420mpeg2 — prefix match
+    b"422": (2, 1),
+    b"444": (3, 1),
+    b"mono": (1, 1),
+}
+
+
+def parse_y4m_header(b: bytes | None) -> tuple[int, int, int, int, int, int] | None:
+    """REAL YUV4MPEG2 stream-header parse, stdlib-only: returns
+    (width, height, fps_num, fps_den, frame_bytes, body_offset) or None
+    when the payload isn't Y4M. Y4M is the uncompressed interchange
+    format every codec toolchain (ffmpeg/x264/aomenc) speaks — its spec
+    is a space-separated ASCII parameter line followed by raw frames, so
+    a from-scratch parser is small AND genuinely real."""
+    if b is None or not bytes(b[:10]) == b"YUV4MPEG2 ":
+        return None
+    b = bytes(b)
+    nl = b.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    num, den = 30, 1
+    bpp_num, bpp_den = _Y4M_BPP[b"420"]  # spec default colourspace
+    try:
+        for tok in b[10:nl].split(b" "):
+            if not tok:
+                continue
+            tag, val = tok[:1], tok[1:]
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"F":
+                num, den = (int(x) for x in val.split(b":"))
+            elif tag == b"C":
+                for key, bpp in _Y4M_BPP.items():
+                    if val.startswith(key):
+                        bpp_num, bpp_den = bpp
+                        break
+                else:
+                    return None  # unknown colourspace — refuse, don't guess
+    except ValueError:
+        return None
+    if not w or not h or w <= 0 or h <= 0 or num <= 0 or den <= 0:
+        return None
+    return w, h, num, den, (w * h * bpp_num) // bpp_den, nl + 1
+
+
+def demux_y4m(b: bytes | None) -> tuple[int, int, int, int, list[bytes]] | None:
+    """REAL Y4M demux: returns (width, height, fps_num, fps_den,
+    [frame_bytes, ...]) with every frame's raw planes length-checked
+    against the header geometry — a torn final frame or a missing FRAME
+    marker rejects the whole payload (None), the video analogue of
+    decode_wav's corrupt-past-the-header check."""
+    hdr = parse_y4m_header(b)
+    if hdr is None:
+        return None
+    w, h, num, den, fsize, off = hdr
+    b = bytes(b)
+    frames: list[bytes] = []
+    i = off
+    while i < len(b):
+        if b[i : i + 5] != b"FRAME":
+            return None
+        nl = b.find(b"\n", i)
+        if nl < 0 or nl + 1 + fsize > len(b):
+            return None
+        frames.append(b[nl + 1 : nl + 1 + fsize])
+        i = nl + 1 + fsize
+    return w, h, num, den, frames
+
+
+def _av_available() -> bool:
+    """True when PyAV (ffmpeg bindings) is importable — the extras gate
+    for COMPRESSED video containers (mp4/webm/…) in
+    ``sample_frames(real=True)``. Y4M needs no gate: the from-scratch
+    demuxer above handles the uncompressed interchange format."""
+    try:
+        import av  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _av_decode_frames(b: bytes) -> tuple[int, int, int, int, list[bytes]] | None:
+    """Compressed-video decode via PyAV, same return shape as demux_y4m.
+    Frame bytes are the decoded grayscale plane so fingerprints are
+    pixel-derived, not container-derived."""
+    import io
+
+    import av
+
+    try:
+        with av.open(io.BytesIO(bytes(b))) as container:
+            stream = container.streams.video[0]
+            rate = stream.average_rate or stream.guessed_rate
+            num, den = (int(rate.numerator), int(rate.denominator)) if rate else (30, 1)
+            frames = [
+                f.to_ndarray(format="gray").tobytes()
+                for f in container.decode(stream)
+            ]
+            if not frames:
+                return None
+            return int(stream.width), int(stream.height), num, den, frames
+    except Exception:
+        return None
+
+
+def sample_frames(
+    payloads: DataFrame, *, fps: float = 4.0, max_frames: int = 8, real: bool = False
+) -> DataFrame:
+    """Explode each video payload into sampled-frame rows.
+
+    ``real=True`` switches to a REAL demuxer inside one Arrow-batched
+    mapInPandas stage (FRAME_REAL_SCHEMA output): Y4M payloads are
+    demuxed by the from-scratch stdlib parser (demux_y4m — raw planes
+    length-checked against the header); non-Y4M containers go to
+    PyAV/ffmpeg when importable (the gate mirrors decode_image_meta's
+    Pillow gate); undecodable payloads fall back to the deterministic
+    stand-in arithmetic with ``decoded=false``. Frames beyond
+    ``max_frames`` are stride-sampled at the container's OWN frame rate
+    (frame_ts_us = true_idx * den * 1e6 // num, exact integers) and the
+    fingerprint is sha256 of the DECODED frame bytes. Exercised
+    end-to-end (genuine Y4M streams → this demuxer) by the
+    mm_video_y4m_frames registry query and tests/test_multimodal.py."""
+    if real:
+        av_ok = _av_available()
+
+        def real_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import hashlib
+
+            for pdf in batches:
+                out: dict[str, list] = {k.name: [] for k in FRAME_REAL_SCHEMA}
+                for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                    got = demux_y4m(b)
+                    if got is None and av_ok and b is not None:
+                        got = _av_decode_frames(b)
+                    if got is not None:
+                        w, h, num, den, frames = got
+                        n = len(frames)
+                        take = (
+                            range(n)
+                            if n <= max_frames
+                            else [j * n // max_frames for j in range(max_frames)]
+                        )
+                        for idx in take:
+                            out["doc_id"].append(doc_id)
+                            out["frame_idx"].append(idx)
+                            out["frame_ts_us"].append(idx * den * 1_000_000 // num)
+                            out["frame_fingerprint"].append(
+                                hashlib.sha256(frames[idx]).hexdigest()
+                            )
+                            out["width"].append(w)
+                            out["height"].append(h)
+                            out["decoded"].append(True)
+                    else:
+                        # deterministic stand-in (same arithmetic as the
+                        # default pure-expression path)
+                        nb = 0 if b is None else len(b)
+                        for idx in range(1 + nb % max_frames):
+                            out["doc_id"].append(doc_id)
+                            out["frame_idx"].append(idx)
+                            out["frame_ts_us"].append(int(idx / fps * 1_000_000))
+                            out["frame_fingerprint"].append(
+                                hashlib.sha256(f"{doc_id}:{idx}".encode()).hexdigest()
+                            )
+                            out["width"].append(0)
+                            out["height"].append(0)
+                            out["decoded"].append(False)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                        "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                        "frame_ts_us": pd.Series(out["frame_ts_us"], dtype="int64"),
+                        "frame_fingerprint": pd.Series(
+                            out["frame_fingerprint"], dtype="object"
+                        ),
+                        "width": pd.Series(out["width"], dtype="int32"),
+                        "height": pd.Series(out["height"], dtype="int32"),
+                        "decoded": pd.Series(out["decoded"], dtype="bool"),
+                    }
+                )
+
+        vids = spread(payloads.filter(F.col("modality") == "video"), "doc_id")
+        return vids.select("doc_id", "payload").mapInPandas(
+            real_sample, FRAME_REAL_SCHEMA
+        )
+    return _sample_frames_expr(payloads, fps=fps, max_frames=max_frames)
+
+
+def _sample_frames_expr(payloads: DataFrame, *, fps: float = 4.0, max_frames: int = 8) -> DataFrame:
     """Explode each video payload into sampled-frame rows. Frame COUNT and
     timestamps are real arithmetic (n_frames = 1 + n_bytes mod max_frames,
     ts = idx / fps); the frame fingerprint stands in for decoded frame
@@ -344,6 +676,113 @@ def sample_frames(payloads: DataFrame, *, fps: float = 4.0, max_frames: int = 8)
         F.sha2(
             F.concat_ws(":", F.col("doc_id"), F.col("frame_idx")), 256
         ).alias("frame_fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# genuine-media synthesis (deterministic, oracle-replayable)
+# ---------------------------------------------------------------------------
+
+
+def make_wav(samples: bytes, *, sample_rate: int = 8000) -> bytes:
+    """A GENUINE mono s16le PCM WAV built by the stdlib ``wave`` writer —
+    canonical 44-byte RIFF header + the sample bytes (truncated to whole
+    16-bit frames). Decodable by any audio toolchain, no codec library
+    needed to write it (the audio analogue of the tests' stdlib-built
+    PNG)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples[: len(samples) // 2 * 2])
+    return buf.getvalue()
+
+
+def make_y4m(doc_id: int, n_frames: int, *, width: int = 4, height: int = 4) -> bytes:
+    """A GENUINE YUV4MPEG2 stream at 4 fps, C420: spec header line +
+    ``n_frames`` raw 4:2:0 frames, frame i filled with the printable byte
+    32 + (doc_id*7 + i) % 95 — so a SQL oracle can recompute each frame's
+    sha256 as sha256(repeat(chr(fill), w*h*3/2))."""
+    hdr = f"YUV4MPEG2 W{width} H{height} F4:1 Ip A1:1 C420jpeg\n".encode()
+    fsize = width * height * 3 // 2
+    body = b"".join(
+        b"FRAME\n" + bytes([32 + (doc_id * 7 + i) % 95]) * fsize
+        for i in range(n_frames)
+    )
+    return hdr + body
+
+
+def synthesize_wav_payloads(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Carrier table of GENUINE WAV payloads for the audio rows
+    (doc_id % 3 == 1, matching attach_payloads' modality assignment):
+    the clip's samples are the document's UTF-8 text bytes, so the
+    decoded n_frames — and with it duration_us — is oracle-recomputable
+    as octet_length(text) // 2 at 8 kHz."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                make_wav(t.encode("utf-8")) for t in pdf[text_col].astype(str)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "modality": "audio",
+                    "payload": payloads,
+                    "n_bytes": pd.Series([len(p) for p in payloads], dtype="int64"),
+                }
+            )
+
+    audio_docs = spread(docs.filter(F.col(id_col) % 3 == 1), id_col)
+    carrier = audio_docs.select(id_col, text_col).mapInPandas(
+        synth, "doc_id long, modality string, payload binary, n_bytes long"
+    )
+    return carrier.select(
+        "doc_id",
+        "modality",
+        "payload",
+        F.struct(F.lit("audio/wav").alias("mime"), F.col("n_bytes")).alias("meta"),
+    )
+
+
+def synthesize_y4m_payloads(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Carrier table of GENUINE Y4M payloads for the video rows
+    (doc_id % 3 == 2): n_frames = 1 + octet_length(text) % 8 (the same
+    count law as the stand-in path) with deterministic frame fills, so
+    the oracle recomputes every decoded frame fingerprint."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                make_y4m(int(d), 1 + len(t.encode("utf-8")) % 8)
+                for d, t in zip(pdf[id_col], pdf[text_col].astype(str))
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "modality": "video",
+                    "payload": payloads,
+                    "n_bytes": pd.Series([len(p) for p in payloads], dtype="int64"),
+                }
+            )
+
+    video_docs = spread(docs.filter(F.col(id_col) % 3 == 2), id_col)
+    carrier = video_docs.select(id_col, text_col).mapInPandas(
+        synth, "doc_id long, modality string, payload binary, n_bytes long"
+    )
+    return carrier.select(
+        "doc_id",
+        "modality",
+        "payload",
+        F.struct(F.lit("video/y4m").alias("mime"), F.col("n_bytes")).alias("meta"),
     )
 
 

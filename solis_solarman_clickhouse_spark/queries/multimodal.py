@@ -18,6 +18,8 @@ from ..operators.multimodal import (
     decode_image_meta,
     resize_images,
     sample_frames,
+    synthesize_wav_payloads,
+    synthesize_y4m_payloads,
 )
 from ..tables import table
 from .registry import query
@@ -119,6 +121,67 @@ def mm_audio_features(spark, sf_dir):
     an assumed 16 kHz mono s16le payload)."""
     p = attach_payloads(table(spark, sf_dir, "documents"))
     return audio_features(p)
+
+
+@query(
+    "mm_audio_wav_decode", python_boundary=True,
+    category="multimodal",
+    oracle=f"""
+    SELECT doc_id,
+           44 + 2 * (octet_length(encode(text)) // 2) AS n_bytes,
+           (octet_length(encode(text)) // 2) * 125 AS duration_us,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           TRUE AS parsed
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def mm_audio_wav_decode(spark, sf_dir):
+    """REAL audio codec end-to-end: synthesize a GENUINE mono s16le WAV
+    per audio document (stdlib wave writer, samples = the text's UTF-8
+    bytes — operators/multimodal.synthesize_wav_payloads), then FULLY
+    decode it back with the stdlib wave codec (audio_features(real=True)
+    → decode_wav: samples read and length-checked, not header-sniffed).
+    EXACT oracle: the canonical 44-byte RIFF header plus 2 bytes per
+    frame at 8 kHz makes every decoded field a pure integer function of
+    octet_length(text). This is the driver-checked proof that the real
+    audio tier decodes genuine media — the mm-family codec gates
+    (soundfile for compressed audio) extend the same path."""
+    p = synthesize_wav_payloads(table(spark, sf_dir, "documents"))
+    return audio_features(p, real=True)
+
+
+@query(
+    "mm_video_y4m_frames", python_boundary=True,
+    category="multimodal",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, 1 + octet_length(encode(text)) % 8 AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id, i AS frame_idx,
+           i * 250000 AS frame_ts_us,
+           sha256(repeat(chr(CAST(32 + (doc_id * 7 + i) % 95 AS INT)), 24))
+             AS frame_fingerprint,
+           CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+           TRUE AS decoded
+    FROM v, LATERAL UNNEST(generate_series(0, n_frames - 1)) AS t(i)
+    """,
+)
+def mm_video_y4m_frames(spark, sf_dir):
+    """REAL video demux end-to-end: synthesize a GENUINE YUV4MPEG2
+    stream per video document (spec header + raw 4:2:0 frames with
+    deterministic fills — operators/multimodal.synthesize_y4m_payloads),
+    then demux it back with the from-scratch stdlib Y4M parser
+    (sample_frames(real=True) → demux_y4m: every frame's raw planes
+    length-checked against the header geometry). EXACT oracle: frame
+    count, container-rate timestamps (4 fps → i*250000 µs, exact
+    integers), geometry, and the sha256 of each DECODED frame's bytes
+    are all recomputed by DuckDB from the synthesis law. The PyAV gate
+    (_av_decode_frames) extends the same path to compressed
+    containers."""
+    p = synthesize_y4m_payloads(table(spark, sf_dir, "documents"))
+    return sample_frames(p, fps=4.0, max_frames=8, real=True)
 
 
 @query(

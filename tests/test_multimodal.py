@@ -70,8 +70,11 @@ def test_real_codec_paths_are_gated(spark):
     else:
         with pytest.raises(NotImplementedError):
             decode_image_meta(p, real=True)
-    with pytest.raises(NotImplementedError):
-        audio_features(p, real=True)
+    # audio/video real=True need no gate at all: the stdlib wave codec and
+    # the from-scratch Y4M demuxer are always available. Fixture payloads
+    # are not WAV/Y4M, so every row falls back with parsed/decoded=false.
+    assert not any(r["parsed"] for r in audio_features(p, real=True).collect())
+    assert not any(r["decoded"] for r in sample_frames(p, real=True).collect())
 
 
 def test_resize_bounds_and_aspect(spark):
@@ -269,3 +272,104 @@ def test_real_pixel_decode_with_pillow(spark):
     assert ham(h[0], h[1]) <= 6          # perturbed copy stays near
     assert ham(h[0], h[2]) > 6           # different image stays far
     assert h[3] is not None              # fallback row still hashed
+
+def _wav(n_samples, sr=8000, nch=1):
+    """Genuine PCM WAV via the stdlib wave writer."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(bytes(2 * nch) * n_samples)
+    return buf.getvalue()
+
+
+def test_real_wav_decode(spark):
+    """audio_features(real=True) FULLY decodes genuine WAV media with the
+    stdlib wave codec: true sample rate / channels / floor-µs duration;
+    a payload whose data chunk is torn short of its header's promise is
+    REJECTED (corrupt past the header), and opaque payloads fall back to
+    the deterministic stand-in — all in one mixed batch."""
+    from solis_solarman_clickhouse_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+    )
+
+    whole = _wav(800)                      # 800 frames @ 8 kHz = 100000 µs
+    stereo = _wav(441, sr=44100, nch=2)    # 441 frames @ 44.1 kHz = 10000 µs
+    torn = whole[: len(whole) - 100]       # header promises 800, data short
+    assert decode_wav(whole) == (8000, 1, 800)
+    assert decode_wav(stereo) == (44100, 2, 441)
+    assert decode_wav(torn) is None
+    assert decode_wav(b"AUD0 opaque") is None
+
+    rows = [
+        (0, "audio", bytearray(whole)),
+        (1, "audio", bytearray(stereo)),
+        (2, "audio", bytearray(torn)),
+        (3, "audio", bytearray(b"AUD0 opaque bytes")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, modality string, payload binary")
+    got = {r["doc_id"]: r for r in audio_features(df, real=True).collect()}
+    assert got[0]["parsed"] and got[0]["duration_us"] == 100000
+    assert (got[0]["sample_rate"], got[0]["n_channels"]) == (8000, 1)
+    assert got[1]["parsed"] and got[1]["duration_us"] == 10000
+    assert (got[1]["sample_rate"], got[1]["n_channels"]) == (44100, 2)
+    assert not got[2]["parsed"]  # torn data chunk → rejected, stand-in
+    assert not got[3]["parsed"]
+    # stand-in math matches the real=False oracle formula, in exact µs
+    k = (got[3]["n_bytes"] - 4) // 2
+    assert got[3]["duration_us"] == (k * 125 + 1) // 2
+
+
+def test_real_y4m_demux(spark):
+    """sample_frames(real=True) demuxes genuine YUV4MPEG2 streams with the
+    from-scratch parser: true geometry, container-rate timestamps, and
+    fingerprints over DECODED frame bytes; >max_frames streams are
+    stride-sampled at true container indices; torn/corrupt streams and
+    opaque payloads fall back with decoded=false."""
+    import hashlib
+
+    from solis_solarman_clickhouse_spark.operators.multimodal import (
+        demux_y4m,
+        make_y4m,
+        parse_y4m_header,
+        sample_frames,
+    )
+
+    v3 = make_y4m(7, 3)          # 3 frames, 4x4 C420 @ 4 fps
+    v12 = make_y4m(2, 12)        # 12 frames → stride-sampled to 8
+    hdr = parse_y4m_header(v3)
+    assert hdr == (4, 4, 4, 1, 24, v3.index(b"\n") + 1)
+    w, h, num, den, frames = demux_y4m(v3)
+    assert (w, h, num, den, len(frames)) == (4, 4, 4, 1, 3)
+    assert frames[1] == bytes([32 + (7 * 7 + 1) % 95]) * 24
+    assert demux_y4m(v3[:-5]) is None            # torn final frame
+    assert demux_y4m(b"VID0 opaque") is None
+    # 25 fps 2x2 mono variant exercises the F and C tags
+    mono = b"YUV4MPEG2 W2 H2 F25:1 Cmono\n" + b"FRAME\n" + b"\x11" * 4
+    assert demux_y4m(mono) == (2, 2, 25, 1, [b"\x11" * 4])
+
+    rows = [
+        (0, "video", bytearray(v3)),
+        (1, "video", bytearray(v12)),
+        (2, "video", bytearray(b"VID0 opaque bytes")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, modality string, payload binary")
+    got = sample_frames(df, fps=4.0, max_frames=8, real=True).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    d0 = sorted(by_doc[0], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in d0] == [0, 1, 2]
+    assert [r["frame_ts_us"] for r in d0] == [0, 250000, 500000]
+    assert all(r["decoded"] and (r["width"], r["height"]) == (4, 4) for r in d0)
+    assert d0[1]["frame_fingerprint"] == hashlib.sha256(
+        bytes([32 + (7 * 7 + 1) % 95]) * 24
+    ).hexdigest()
+    d1 = sorted(by_doc[1], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in d1] == [j * 12 // 8 for j in range(8)]
+    assert all(not r["decoded"] for r in by_doc[2])
