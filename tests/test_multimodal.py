@@ -373,3 +373,77 @@ def test_real_y4m_demux(spark):
     d1 = sorted(by_doc[1], key=lambda r: r["frame_idx"])
     assert [r["frame_idx"] for r in d1] == [j * 12 // 8 for j in range(8)]
     assert all(not r["decoded"] for r in by_doc[2])
+
+def test_soundfile_compressed_audio_decode(spark):
+    """Env-gated (skips without soundfile; the CI image installs it):
+    audio_features(real=True) must decode a genuine FLAC — a compressed
+    format the stdlib wave codec rejects — through the libsndfile gate,
+    with true sample rate / frames; the WAV-vs-FLAC agreement pins the
+    two decode paths to the same feature law."""
+    sf_mod = pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+
+    from solis_solarman_clickhouse_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+    )
+
+    data = (np.sin(np.arange(1600) / 10.0) * 0.2).astype("float32")
+    buf = io.BytesIO()
+    sf_mod.write(buf, data, 8000, format="FLAC")
+    flac = buf.getvalue()
+    assert decode_wav(flac) is None  # genuinely NOT a WAV
+
+    df = spark.createDataFrame(
+        [(0, "audio", bytearray(flac))],
+        "doc_id long, modality string, payload binary",
+    )
+    row = audio_features(df, real=True).collect()[0]
+    assert row["parsed"]
+    assert row["sample_rate"] == 8000 and row["n_channels"] == 1
+    assert row["duration_us"] == 1600 * 1_000_000 // 8000  # 200000 µs
+
+
+def test_av_compressed_video_frame_sample(spark):
+    """Env-gated (skips without PyAV; the CI image installs it):
+    sample_frames(real=True) must demux a genuine mpeg4-in-mp4 container
+    — a format the Y4M parser rejects — through the ffmpeg gate, with
+    container-rate timestamps and pixel-derived fingerprints."""
+    av = pytest.importorskip("av")
+    import io
+
+    import numpy as np
+
+    from solis_solarman_clickhouse_spark.operators.multimodal import (
+        demux_y4m,
+        sample_frames,
+    )
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as out:
+        stream = out.add_stream("mpeg4", rate=4)
+        stream.width, stream.height, stream.pix_fmt = 16, 16, "yuv420p"
+        for i in range(6):
+            img = np.full((16, 16, 3), i * 40, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+            for pkt in stream.encode(frame):
+                out.mux(pkt)
+        for pkt in stream.encode():
+            out.mux(pkt)
+    mp4 = buf.getvalue()
+    assert demux_y4m(mp4) is None  # genuinely NOT a Y4M
+
+    df = spark.createDataFrame(
+        [(0, "video", bytearray(mp4))],
+        "doc_id long, modality string, payload binary",
+    )
+    rows = sorted(
+        sample_frames(df, fps=4.0, max_frames=8, real=True).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert len(rows) == 6
+    assert all(r["decoded"] and (r["width"], r["height"]) == (16, 16) for r in rows)
+    assert [r["frame_ts_us"] for r in rows] == [i * 250000 for i in range(6)]
+    assert len({r["frame_fingerprint"] for r in rows}) == 6  # pixel-derived
