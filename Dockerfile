@@ -12,12 +12,14 @@ RUN apt-get update \
 WORKDIR /app
 COPY requirements.txt /app/requirements.txt
 RUN pip3 install --no-cache-dir -r requirements.txt
-# Optional codec extras: Pillow enables the REAL image decode/phash paths
-# in operators/multimodal.py (gated by _pil_available — the engine runs
-# without it using the documented deterministic stand-ins, but CI built
-# from this image executes tests/test_multimodal.py's real-PNG tests
-# instead of skipping them).
-RUN pip3 install --no-cache-dir pillow>=10
+# Optional codec extras: Pillow enables the REAL image decode/phash paths,
+# soundfile (libsndfile) the compressed-audio path, and PyAV (ffmpeg) the
+# compressed-video path in operators/multimodal.py (each behind its
+# _*_available gate — the engine runs without them using the stdlib WAV
+# codec / Y4M demuxer and the documented deterministic stand-ins, but CI
+# built from this image executes the real-media tests instead of
+# skipping them).
+RUN pip3 install --no-cache-dir "pillow>=10" soundfile av
 
 COPY solis_solarman_clickhouse_spark /app/solis_solarman_clickhouse_spark
 COPY __spark_entry__.py bench.py /app/

@@ -6,6 +6,25 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is forced with a noop-format write (full computation, no driver
 collect) so timings measure the engine, not result serialization.
+
+HEADLINE selection rule (the 2x-gate's denominator, auditable): the list
+is the union of
+  (1) the original round-2 62-query core — at least one row per SURVEY §2-C
+      family (scan/proj/join/agg/window/sort/set/str/date/udf/stream/doc/
+      vec/mm), every TPC-H-derived join-heavy plan, and the reference's
+      ClickHouse-style rollups — i.e. the queries BASELINE.md prices;
+  (2) every SCALE-SENSITIVE row added since: each dedup/ANN/semdedup tier
+      and its recall twin, each iterative graph loop, each BLAS-kernel
+      consumer, the stateful-streaming EXACT twins — anything whose cost
+      class could regress silently at 100x;
+  (3) each round's NEW operator families in the round they ship (tagged
+      below), kept permanently so round-over-round deltas stay comparable.
+Rows NOT here are constant-shaped scalar/metadata queries whose plans are
+subsets of listed rows (e.g. string/date function projections) — they are
+still oracle-checked by the full-registry sweeps (tools/sweep.py) every
+round and cannot regress unnoticed; they are excluded only because their
+sub-100 ms timings add noise, not signal, to the wall-clock total. The
+list only grows; nothing has ever been removed or rotated out.
 """
 
 from __future__ import annotations
@@ -178,6 +197,10 @@ HEADLINE = [
     "doc_eyeball_panel",
     "doc_bitext_mining_candidates",
     "doc_pps_systematic_sample",
+    # round-9 additions (real-codec tier: genuine WAV/Y4M media through
+    # the stdlib decoders — mapInPandas synthesis + decode, scale-priced)
+    "mm_audio_wav_decode",
+    "mm_video_y4m_frames",
 ]
 
 

@@ -71,10 +71,19 @@ def run_stream(
     zero_dc: ZeroDcPolicy = "drop",
     max_files_per_trigger: int = 1,
     schema=None,
+    processing_time: str | None = None,
 ):
     """Replay a raw-register parquet directory as a stream (file source,
     one file per micro-batch) through the pipeline into the idempotent sink.
     Returns the started StreamingQuery; caller awaits termination.
+
+    ``processing_time`` (e.g. "2 seconds") switches from the default
+    drain-and-stop ``availableNow`` trigger to a REAL wall-clock
+    ``Trigger.ProcessingTime`` — the long-running-service shape the
+    reference's poll loop runs in (solarman.py:156 FETCH_INTERVAL): the
+    query keeps firing on the timer, picking up files as they land, until
+    a graceful stop. Used by tools/stream_soak.py and the soak tests;
+    batch replay/backfill keeps availableNow.
     """
     _repair_torn_checkpoint(checkpoint)
     if schema is None:
@@ -85,12 +94,14 @@ def run_stream(
         .parquet(raw_path)
     )
     fact = transform(raw, zero_dc=zero_dc)
-    return (
-        fact.writeStream.foreachBatch(sink.foreach_batch())
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    writer = fact.writeStream.foreachBatch(sink.foreach_batch()).option(
+        "checkpointLocation", checkpoint
     )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 class GracefulStop:

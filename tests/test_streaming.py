@@ -460,3 +460,65 @@ def test_stream_stream_left_outer_equals_batch(spark):
     )
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
+
+
+def test_processing_time_trigger_repairs_torn_checkpoint_and_drains(spark):
+    """Round-9 soak twin: a REAL wall-clock Trigger.ProcessingTime run
+    (not availableNow replay) starting from a TORN batch-0 checkpoint —
+    offsets/0 written, nothing ever committed, the graceful-stop race
+    shape — must (a) run the repair path (stale offsets cleared), (b)
+    fire timer micro-batches that pick up files landing AFTER start, and
+    (c) drain to exactly the batch-transform result. The long-form
+    wall-clock record lives in bench_records/r9_stream_soak.json
+    (tools/stream_soak.py)."""
+    import time
+
+    from solis_solarman_clickhouse_spark.ingest.pipeline import transform
+
+    workdir = tempfile.mkdtemp(prefix="ptrig_")
+    raw = generate_raw_registers(spark, inverters=2, days=1).cache()
+    raw_dir = os.path.join(workdir, "raw")
+    raw.filter("unix_timestamp(time) % 90 = 0").coalesce(1).write.parquet(
+        os.path.join(raw_dir, "slice=0")
+    )
+
+    # the torn-batch-0 state the repair exists for
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(os.path.join(ckpt, "offsets"))
+    with open(os.path.join(ckpt, "offsets", "0"), "w") as f:
+        f.write("v1\n{}")
+
+    glob = os.path.join(raw_dir, "slice=*")
+    sink = IdempotentParquetSink(os.path.join(workdir, "fact"))
+    q = run_stream(
+        spark, glob, sink, ckpt,
+        schema=raw.schema, max_files_per_trigger=4,
+        processing_time="1 second",
+    )
+    try:
+        # land a second slice AFTER the stream started: the timer trigger
+        # must pick it up on a later firing
+        raw.filter("unix_timestamp(time) % 90 = 30").coalesce(1).write.parquet(
+            os.path.join(raw_dir, "slice=1")
+        )
+        expected = transform(spark.read.parquet(glob)).count()
+        deadline = time.time() + 120
+        landed = -1
+        while time.time() < deadline:
+            try:
+                landed = sink.read_table(spark).count()
+            except Exception:  # sink dir not created yet
+                landed = -1
+            if landed == expected:
+                break
+            time.sleep(1.0)
+        assert landed == expected, f"landed {landed} != batch {expected}"
+        # at least two distinct timer firings committed batches
+        assert (q.lastProgress or {}).get("batchId", 0) >= 1
+        # the fresh run committed batch 0 — possible only because the
+        # repair cleared the stale offsets (Spark otherwise refuses to
+        # start: "offsets should be empty on batch 0")
+        assert "0" in os.listdir(os.path.join(ckpt, "commits"))
+    finally:
+        q.stop()
+        q.awaitTermination(60)
