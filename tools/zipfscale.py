@@ -28,9 +28,13 @@ generator constants + seed, and a stale .localdata/zipf_N corpus from
 an older generator is regenerated instead of silently measured.
 
 Usage:
-    python tools/zipfscale.py [N1 N2 ...]     # default 50000 200000
+    python tools/zipfscale.py [N1 N2 ...] [--out=PATH]
+    # default scales: 50000 200000; default out: bench_records/zipf_scaling.json
 
-Writes bench_records/r7_zipf_scaling.json and prints the ratio table.
+Heap note (measured, round 9): in single-JVM local mode the driver heap
+IS the executor heap, and the 2M-doc leg OOMs at the 8g default
+(java.lang.OutOfMemoryError in the minhash/containment stages) — run
+multi-million-doc scales with SPARK_GRAFT_DRIVER_MEM=48g or more.
 """
 
 from __future__ import annotations
