@@ -34,21 +34,58 @@ def tracked_persist(df: DataFrame, level=None) -> DataFrame:
     return out
 
 
+def tracked_checkpoint(df: DataFrame) -> DataFrame:
+    """``df.localCheckpoint(eager=True)`` + registration for later
+    :func:`release_cached` — the iterative loops' lineage-truncating
+    barrier (see queries/graph.py). UNLIKE a persisted frame, a released
+    checkpoint cannot be recomputed (its lineage is gone); the harness
+    contract already guarantees release happens only AFTER the query's
+    result has been consumed, which is exactly when the blocks are dead.
+    Tracking them keeps the no-block-accumulation discipline exact: a
+    bench/sweep run releases every round state instead of leaking one
+    |V|-sized frame per iterative query."""
+    out = df.localCheckpoint(eager=True)
+    _TRACKED.append(out)
+    return out
+
+
 def untrack(df: DataFrame) -> None:
     """Drop a frame from the registry without unpersisting (used when a
     query releases its own superseded state eagerly)."""
     _TRACKED[:] = [d for d in _TRACKED if d is not df]
 
 
+def release_frame(df: DataFrame, blocking: bool = False) -> None:
+    """Unpersist ``df`` whether it was ``persist()``-ed or
+    ``localCheckpoint()``-ed. ``DataFrame.unpersist`` is a CacheManager
+    call, and a checkpointed frame's blocks live on its UNDERLYING RDD,
+    which the CacheManager never registered — so plain unpersist was a
+    silent no-op for checkpointed round states (found in optimization
+    round 9: every iterative query leaked one RDD per round into
+    getPersistentRDDs). Reach through the LogicalRDD to drop the blocks.
+    Only call after the frame's consumers are done: a released
+    checkpoint cannot be recomputed (its lineage is truncated)."""
+    try:
+        df.unpersist(blocking)
+    except Exception:  # a stopped session's frames are already gone
+        return
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(blocking)
+    except Exception:
+        pass
+
+
 def release_cached(blocking: bool = False) -> int:
     """Unpersist every tracked frame (newest first); returns the count.
-    Safe to call at any time — consumers recompute from lineage."""
+    The harness calls this AFTER consuming a query's result: persisted
+    frames could recompute from lineage at any time, checkpointed round
+    states (tracked_checkpoint) cannot — released blocks are dead by the
+    harness contract."""
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()
-        try:
-            df.unpersist(blocking)
-        except Exception:  # a stopped session's frames are already gone
-            pass
+        release_frame(df, blocking)
         n += 1
     return n

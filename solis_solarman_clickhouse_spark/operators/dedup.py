@@ -727,7 +727,15 @@ def simhash_pairs_exact(
     sizes = [base + (1 if i < extra else 0) for i in range(n_bands)]
     offsets = [sum(sizes[:i]) for i in range(n_bands)]
 
-    fps = simhash_fingerprints_md5(docs, bits=bits, text_col=text_col, id_col=id_col)
+    from ..caching import tracked_persist
+
+    # Persisted: the banded frame feeds BOTH sides of the candidate
+    # self-join, so without it the 60-conditional-sum token aggregation
+    # behind the fingerprints runs twice per action. Doc-count-sized
+    # (2 longs/row) — trivially cacheable at any corpus size.
+    fps = tracked_persist(
+        simhash_fingerprints_md5(docs, bits=bits, text_col=text_col, id_col=id_col)
+    )
     band_cols = [
         F.shiftright(F.col("simhash"), offsets[i])
         .bitwiseAND(F.lit((1 << sizes[i]) - 1))
@@ -839,7 +847,14 @@ def minhash_pairs_exact(
         F.col("doc_id"),
         lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
     )
-    idx = shingle_index(docs, k=k, text_col=text_col, id_col=id_col, hashed=True)
+    from ..caching import tracked_persist
+
+    # Persisted: the index feeds the size aggregate AND both sides of the
+    # verification join — three corpus re-explosions per action without it
+    # (the ngram_jaccard_pairs persist discipline; fixed-width hashed rows).
+    idx = tracked_persist(
+        shingle_index(docs, k=k, text_col=text_col, id_col=id_col, hashed=True)
+    )
     sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     ai, bi = idx.alias("ai"), idx.alias("bi")
     inter = (

@@ -1835,9 +1835,17 @@ def ch_stochastic_linreg(spark, sf_dir):
         ).alias("a")
     )
     init = F.array(F.lit(0.0), F.lit(0.0))
-    step = lambda acc, e: F.array(
-        acc[0] - 0.05 * ((acc[0] * e[0] + acc[1]) - e[1]) * e[0],
-        acc[1] - 0.05 * ((acc[0] * e[0] + acc[1]) - e[1]),
+    # residual bound once per step (timeseries._bind): the fold is serial
+    # over the full group list, so halving the interpreted step tree
+    # halves the dominant term; same IEEE ops, bit-identical result.
+    from .timeseries import _bind
+
+    step = lambda acc, e: _bind(
+        (acc[0] * e[0] + acc[1]) - e[1],
+        lambda r: F.array(
+            acc[0] - 0.05 * r * e[0],
+            acc[1] - 0.05 * r,
+        ),
     )
     fit = pts.select(
         "grp",

@@ -1680,9 +1680,11 @@ def _span_cov_frame(docs):
     """(doc_id, n_tokens, n_covered) for the duplicated-8-gram coverage of
     whatever corpus slice ``docs`` carries — tier-composable: run it on a
     survivor set and the document frequencies reflect that set only."""
+    from ..caching import tracked_persist
+
     t = F.split("text", " ")
     toks = docs.select("doc_id", t.alias("t"), F.size(t).cast("long").alias("n_tokens"))
-    grams = (
+    grams = tracked_persist(
         toks.where(F.col("n_tokens") >= 8)
         .select(
             "doc_id",
@@ -1697,6 +1699,12 @@ def _span_cov_frame(docs):
                 )
             ).alias("pos", "h"),
         )
+        # persisted: the gram index feeds BOTH the document-frequency
+        # aggregate and the covered-position join — without it the
+        # tokenize+slice+hash explode runs twice per action (the
+        # ngram_jaccard_pairs persist discipline; at 100 TB this is the
+        # standard DISK-spillable materialization of a fixed-width index,
+        # 16 B/gram, never the gram text)
     )
     dupg = (
         grams.groupBy("h")

@@ -13,13 +13,25 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..caching import tracked_persist, untrack
-from ..session import pinned_shuffle
+from ..caching import release_frame, tracked_checkpoint, tracked_persist, untrack
+from ..session import loop_partitions, pinned_shuffle
 
-from ..tables import table
+from ..tables import footer_rows, table
 from .registry import query
 
 _SCALE = 1_000_000_000_000  # rank mass carried as integer millionths-of-millionths
+
+
+def _affinity_loop_parts(spark, sf_dir) -> int:
+    """In-loop partition count for the customer affinity graph's
+    iterative queries (session.loop_partitions over the graph size).
+    The affinity graph is three functional chains over customer, so
+    |edges| ≤ 3·|customer| and the undirected adjacency ≤ 6·|customer|
+    rows — read from the parquet footer, no Spark job. Falls back to
+    the session parallelism (the previous pinned_shuffle default) when
+    the footer isn't readable."""
+    n_cust = footer_rows(sf_dir, "customer")
+    return loop_partitions(spark, n_cust * 6 if n_cust else None)
 
 
 def _pagerank_oracle(iters: int = 3) -> str:
@@ -415,16 +427,17 @@ def graph_bfs_distance(spark, sf_dir):
     joins are cluster-side against the key-partitioned persisted
     adjacency under pinned_shuffle (the _pagerank_converged_loop
     discipline)."""
-    with pinned_shuffle(spark):
+    with pinned_shuffle(spark, _affinity_loop_parts(spark, sf_dir), aqe=False):
         return _bfs_rounds(spark, sf_dir)
 
 
 def _bfs_rounds(spark, sf_dir):
+    n_loop = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges, _deg = _chain_edges(spark, sf_dir)
     und = (
         edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
         .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
-        .repartition(spark.sparkContext.defaultParallelism, "s")
+        .repartition(n_loop, "s")
         .transform(tracked_persist)
     )
     srcn = edges.agg(F.min("u").alias("node"))
@@ -435,21 +448,24 @@ def _bfs_rounds(spark, sf_dir):
                 dist.withColumnRenamed("node", "s"), "s"
             ).select(F.col("t").alias("node"), (F.col("d") + 1).alias("d"))
         )
-        # materialize the |V|-bounded distance table each round: without
-        # the barrier the unrolled plan nests round k's join under round
-        # k+1's broadcast subquery and the whole chain re-executes per
-        # level (iterative-algorithm lineage growth — the same reason
-        # graph_pagerank persists its rank vector)
+        # materialize the |V|-bounded distance table each round via
+        # localCheckpoint (the _kcore_full_loop discipline): the state is
+        # referenced TWICE per round (union + join), so persist-with-
+        # lineage doubles the LOGICAL plan every round — the final plan
+        # was 2.2 MB of re-embedded chain-edges subtrees (captured in
+        # plans/r09/graph_bfs_distance_before.txt) and every barrier paid
+        # its Catalyst analysis. Checkpointing truncates lineage to the
+        # materialized partitions; eager ⇒ it is also the barrier.
         prev = dist
         dist = (
-            dist.unionAll(nxt).groupBy("node").agg(F.min("d").alias("d")).transform(tracked_persist)
+            dist.unionAll(nxt)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .transform(tracked_checkpoint)
         )
-        dist.count()
-        # round k's table is fully folded into round k+1's cached blocks
-        # after the count barrier — release it eagerly instead of letting
-        # 4 superseded |V|-sized frames pile up per invocation (unpersist
-        # on the never-persisted seed round is a no-op)
-        prev.unpersist(False)
+        # round k's table is fully folded into round k+1's checkpoint —
+        # release its blocks eagerly (no-op on the never-persisted seed)
+        release_frame(prev)
         untrack(prev)
     return dist.select("node", F.col("d").alias("dist")).orderBy("node")
 
@@ -524,6 +540,11 @@ def graph_kcore_onion(spark, sf_dir):
     (operators/graph.py pattern); the per-round shuffle is one
     map-side-combinable SUM keyed by node — no anti-join cascade, no
     skew hazard (degrees ≤ 6 by construction here)."""
+    with pinned_shuffle(spark, _affinity_loop_parts(spark, sf_dir), aqe=False):
+        return _kcore_onion_rounds(spark, sf_dir)
+
+
+def _kcore_onion_rounds(spark, sf_dir):
     K, R = 5, 3
     edges, _deg = _chain_edges(spark, sf_dir)
     und = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
@@ -538,10 +559,15 @@ def graph_kcore_onion(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("d"))
         .transform(tracked_persist)
     )
+    # localCheckpoint per round, NOT persist: the state is referenced
+    # TWICE per round (alive-degree sum + the fold), so persist-with-
+    # lineage doubles the logical plan per round and every barrier pays
+    # its Catalyst analysis (the _kcore_full_loop lesson, measured again
+    # this round on the bfs/cc twins — 2 MB final plans). Eager ⇒ the
+    # checkpoint is also the materialization barrier.
     state = deg.select(
         "node", F.lit(1).alias("a"), F.lit(0).alias("layer")
-    ).transform(tracked_persist)
-    state.count()
+    ).transform(tracked_checkpoint)
     for r in range(1, R + 1):
         nbr = (
             und.join(
@@ -570,10 +596,9 @@ def graph_kcore_onion(spark, sf_dir):
                 .otherwise(F.lit(0))
                 .alias("layer"),
             )
-            .transform(tracked_persist)
+            .transform(tracked_checkpoint)
         )
-        state.count()
-        prev.unpersist(False)
+        release_frame(prev)
         untrack(prev)
     res = (
         state.join(F.broadcast(deg), "node")
@@ -725,20 +750,25 @@ def graph_connected_components(spark, sf_dir):
     discipline — every in-loop F.broadcast of a state-derived frame is
     a driver collect job, and an unpinned loop pays the caller's
     shuffle-partition count in empty tasks per round)."""
-    with pinned_shuffle(spark):
+    with pinned_shuffle(spark, _affinity_loop_parts(spark, sf_dir), aqe=False):
         return _cc_rounds(spark, sf_dir)
 
 
 def _cc_rounds(spark, sf_dir):
+    n_loop = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges, deg = _chain_edges(spark, sf_dir)
     und = (
         edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
         .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
-        .repartition(spark.sparkContext.defaultParallelism, "t")
+        .repartition(n_loop, "t")
         .transform(tracked_persist)
     )
-    labels = deg.select("node", F.col("node").alias("lbl")).transform(tracked_persist)
-    labels.count()
+    # localCheckpoint per round (the _kcore_full_loop discipline): the
+    # label state is referenced TWICE per round (union + relay join), so
+    # persist-with-lineage doubled the logical plan per round — the final
+    # plan was 2.1 MB of re-embedded chain-edges subtrees and every
+    # barrier re-paid its Catalyst analysis. Eager ⇒ also the barrier.
+    labels = deg.select("node", F.col("node").alias("lbl")).transform(tracked_checkpoint)
     for _ in range(3):
         cand = und.join(
             labels.select(F.col("node").alias("t"), "lbl"), "t"
@@ -748,16 +778,21 @@ def _cc_rounds(spark, sf_dir):
             labels.unionAll(cand)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .transform(tracked_persist)
+            .transform(tracked_checkpoint)
         )
-        labels.count()
-        prev.unpersist(False)
+        release_frame(prev)
         untrack(prev)
-    members = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("members_r3"))
-    return labels.join(members, "lbl").select(
+    # member counts as ONE window over the checkpointed labels — the
+    # earlier groupBy+join-back needed two exchanges and, with the
+    # checkpointed state carrying no size statistics, degraded to a
+    # sort-merge join; the window is a single lbl exchange + sort with
+    # identical output (count per label attached to each row).
+    from pyspark.sql import Window as W
+
+    return labels.select(
         F.col("node").alias("custkey"),
         F.col("lbl").alias("component_r3"),
-        "members_r3",
+        F.count(F.lit(1)).over(W.partitionBy("lbl")).alias("members_r3"),
     )
 
 
@@ -832,20 +867,25 @@ def graph_modularity(spark, sf_dir):
     100 TB: two label joins over the persisted edge list + two bounded
     aggregations — no new shuffle shape beyond the CC rounds
     themselves."""
-    with pinned_shuffle(spark):
+    with pinned_shuffle(spark, _affinity_loop_parts(spark, sf_dir), aqe=False):
         return _modularity_body(spark, sf_dir)
 
 
 def _modularity_body(spark, sf_dir):
+    n_loop = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges, deg = _chain_edges(spark, sf_dir)
     und = (
         edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
         .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
-        .repartition(spark.sparkContext.defaultParallelism, "t")
+        .repartition(n_loop, "t")
         .transform(tracked_persist)
     )
-    labels = deg.select("node", F.col("node").alias("lbl")).transform(tracked_persist)
-    labels.count()
+    # localCheckpoint per round (the _kcore_full_loop discipline): the
+    # label state is referenced TWICE per round (union + relay join), so
+    # persist-with-lineage doubled the logical plan per round — the final
+    # plan was 2.1 MB of re-embedded chain-edges subtrees and every
+    # barrier re-paid its Catalyst analysis. Eager ⇒ also the barrier.
+    labels = deg.select("node", F.col("node").alias("lbl")).transform(tracked_checkpoint)
     for _ in range(3):
         cand = und.join(
             labels.select(F.col("node").alias("t"), "lbl"), "t"
@@ -855,10 +895,9 @@ def _modularity_body(spark, sf_dir):
             labels.unionAll(cand)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .transform(tracked_persist)
+            .transform(tracked_checkpoint)
         )
-        labels.count()
-        prev.unpersist(False)
+        release_frame(prev)
         untrack(prev)
     lab = labels
     m2 = und.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m2"))
@@ -961,11 +1000,12 @@ def graph_kcore_full(spark, sf_dir):
     At 100 TB nothing changes: round count is set by cascade depth, not
     data volume, and each round is one bounded shuffle."""
     K, CAP = 5, 16
-    with pinned_shuffle(spark):
+    with pinned_shuffle(spark, _affinity_loop_parts(spark, sf_dir), aqe=False):
         return _kcore_full_loop(spark, sf_dir, K, CAP)
 
 
 def _kcore_full_loop(spark, sf_dir, K, CAP):
+    n_loop = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges, _deg = _chain_edges(spark, sf_dir)
     # key-partitioned persist + shuffle joins in the loop: see
     # _pagerank_converged_loop — every in-loop F.broadcast of a
@@ -973,7 +1013,7 @@ def _kcore_full_loop(spark, sf_dir, K, CAP):
     und = (
         edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
         .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
-        .repartition(spark.sparkContext.defaultParallelism, "t")
+        .repartition(n_loop, "t")
         .transform(tracked_persist)
     )
     und.count()
@@ -990,7 +1030,7 @@ def _kcore_full_loop(spark, sf_dir, K, CAP):
     # at sf0.01 (eager => it is also the materialization barrier).
     state = deg.select(
         "node", F.lit(1).alias("a"), F.lit(0).alias("layer")
-    ).localCheckpoint(eager=True)
+    ).transform(tracked_checkpoint)
     alive = state.agg(F.sum("a")).collect()[0][0]
     rounds = 0
     for r in range(1, CAP + 1):
@@ -1021,10 +1061,11 @@ def _kcore_full_loop(spark, sf_dir, K, CAP):
                 .otherwise(F.lit(0))
                 .alias("layer"),
             )
-            .localCheckpoint(eager=True)
+            .transform(tracked_checkpoint)
         )
         new_alive = state.agg(F.sum("a")).collect()[0][0]  # convergence probe
-        prev.unpersist(False)  # superseded checkpoint blocks
+        release_frame(prev)  # superseded checkpoint blocks
+        untrack(prev)
         rounds = r
         if new_alive == alive:
             break  # monotone peel: unchanged count == unchanged vector
@@ -1094,7 +1135,7 @@ def graph_pagerank_converged(spark, sf_dir):
     in-loop. At 100 TB: round count is contraction-driven (damping
     0.85), independent of |V|; each round is one bounded shuffle."""
     CAP = 48
-    with pinned_shuffle(spark):
+    with pinned_shuffle(spark, _affinity_loop_parts(spark, sf_dir), aqe=False):
         return _pagerank_converged_loop(spark, sf_dir, CAP)
 
 
@@ -1110,7 +1151,7 @@ def _pagerank_converged_loop(spark, sf_dir, CAP):
     und = (
         edges.select(F.col("u").alias("s"), F.col("v").alias("t"))
         .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("t")))
-        .repartition(spark.sparkContext.defaultParallelism, "t")
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), "t")
         .transform(tracked_persist)
     )
     und.count()
@@ -1129,7 +1170,7 @@ def _pagerank_converged_loop(spark, sf_dir, CAP):
     # are the dominant term, not the arithmetic.
     state = deg.select(
         "node", "d", F.lit(10000).cast("bigint").alias("r")
-    ).localCheckpoint(eager=True)
+    ).transform(tracked_checkpoint)
 
     def one_round(st):
         contrib = st.select(
@@ -1162,10 +1203,10 @@ def _pagerank_converged_loop(spark, sf_dir, CAP):
     while rounds < CAP:
         mid = one_round(state)  # lazy: state(t-1)
         if rounds + 2 <= CAP:
-            state = one_round(mid).localCheckpoint(eager=True)
+            state = one_round(mid).transform(tracked_checkpoint)
             rounds += 2
         else:  # odd CAP tail (unreachable for even CAP)
-            state = mid.localCheckpoint(eager=True)
+            state = mid.transform(tracked_checkpoint)
             mid = hist[-1]
             rounds += 1
         two_back = hist[-1]
@@ -1176,7 +1217,9 @@ def _pagerank_converged_loop(spark, sf_dir, CAP):
             .count()
         )  # period-<=2 orbit probe (shuffle join: no driver collect)
         while len(hist) > 2:
-            hist.pop(0).unpersist(False)  # superseded checkpoint blocks
+            dead = hist.pop(0)
+            release_frame(dead)  # superseded checkpoint blocks
+            untrack(dead)
         if changed == 0:
             break
     graph_pagerank_converged.last_rounds = rounds

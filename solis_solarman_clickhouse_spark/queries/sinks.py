@@ -433,11 +433,25 @@ def sink_dynamic_partition_overwrite(spark, sf_dir):
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        o.write.mode("overwrite").partitionBy("ym").parquet(base)
+        # REBALANCE on the partition column before a partitionBy write
+        # (guide §6): without it every scan task holds rows of every
+        # month, so the write fans out to tasks x months tiny files
+        # (~2.5k at sf0.1 — listing + open overhead on the re-read, and
+        # the classic small-files anti-pattern at 100 TB). The AQE
+        # rebalance clusters each month into advisory-sized chunks:
+        # one file per month locally, and at scale it SPLITS hot months
+        # into ~advisory-size files instead of one giant file per month.
+        # Same rows land in the table either way — re-read aggregate
+        # (the oracle-checked result) is unchanged.
+        o.hint("rebalance", "ym").write.mode("overwrite").partitionBy(
+            "ym"
+        ).parquet(base)
         restated = o.where(
             (F.col("ym") == "199506") & (F.col("o_orderstatus") == "F")
         )
-        restated.write.mode("overwrite").partitionBy("ym").parquet(base)
+        restated.hint("rebalance", "ym").write.mode("overwrite").partitionBy(
+            "ym"
+        ).parquet(base)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return (

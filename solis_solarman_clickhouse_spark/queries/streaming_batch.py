@@ -829,7 +829,13 @@ def mv_upsert(workdir: str):
                 )
             )
         staged = os.path.join(workdir, f"mv_stage_{batch_id}")
-        part.write.mode("overwrite").parquet(staged)
+        # REBALANCE before the MV rewrite (guide §6): the merged MV is a
+        # compact keys-sized table, but a 32-partition shuffle fans it
+        # into up to 32 tiny files that the NEXT batch's read-back pays
+        # for again — per-batch, so the cost multiplies by stream length.
+        # AQE packs the write into advisory-sized files (one locally;
+        # splits appropriately at scale). Same rows, same MV.
+        part.hint("rebalance").write.mode("overwrite").parquet(staged)
         import shutil
 
         if os.path.exists(mv_dir):

@@ -22,6 +22,23 @@ from .registry import dsum, query, r4, sql_dsum
 _DEC = T.DecimalType(38, 6)
 
 
+def _bind(value, body):
+    """Let-binding for Catalyst HOF lambda bodies: evaluate ``value`` ONCE
+    per fold step and hand the result to ``body`` as a lambda variable.
+
+    Higher-order-function lambdas are INTERPRETED (no whole-stage codegen,
+    no common-subexpression elimination), so naming a Column in a Python
+    variable still inlines its whole expression tree at every use site —
+    a fold step that references the same derived quantity k times pays k
+    full evaluations per element. Routing the value through a one-element
+    ``transform`` binds it to a NamedLambdaVariable, evaluated exactly
+    once per step (guide §1.2 "per-task work"). The IEEE dataflow is
+    unchanged: the same expression computes the value, its result is then
+    REUSED instead of recomputed, so outputs stay bit-identical (oracle
+    re-verified per consumer)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 @query(
     "ts_gap_fill",
     category="timeseries",
@@ -1172,13 +1189,18 @@ def ts_holt_forecast(spark, sf_dir):
     new_l = lambda acc, x: F.lit(0.4) * x + F.lit(0.6) * (
         F.element_at(acc, 1) + F.element_at(acc, 2)
     )
+    # new_l bound once per step (see _bind): two references, one
+    # evaluation, identical IEEE dataflow.
     lb = F.aggregate(
         F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
         F.array(F.element_at(a, 1), F.lit(0.0)),
-        lambda acc, x: F.array(
+        lambda acc, x: _bind(
             new_l(acc, x),
-            F.lit(0.3) * (new_l(acc, x) - F.element_at(acc, 1))
-            + F.lit(0.7) * F.element_at(acc, 2),
+            lambda nl: F.array(
+                nl,
+                F.lit(0.3) * (nl - F.element_at(acc, 1))
+                + F.lit(0.7) * F.element_at(acc, 2),
+            ),
         ),
     )
     st = ar.select("user_id", "event_id", "ts", lb.alias("lb"))
@@ -1445,12 +1467,17 @@ def ts_kalman_1d(spark, sf_dir):
         / (F.element_at(acc, 2) + F.lit(0.04) + F.lit(1.0)),
         8,
     )
+    # gain bound once per step (see _bind): two references — the state
+    # update and the variance update — one ROUND(division) evaluation.
     xp = F.aggregate(
         F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
         F.array(F.element_at(a, 1), F.lit(1.0)),
-        lambda acc, x: F.array(
-            F.element_at(acc, 1) + gain(acc) * (x - F.element_at(acc, 1)),
-            (F.lit(1.0) - gain(acc)) * (F.element_at(acc, 2) + F.lit(0.04)),
+        lambda acc, x: _bind(
+            gain(acc),
+            lambda g: F.array(
+                F.element_at(acc, 1) + g * (x - F.element_at(acc, 1)),
+                (F.lit(1.0) - g) * (F.element_at(acc, 2) + F.lit(0.04)),
+            ),
         ),
     )
     st = ar.select("user_id", "event_id", "ts", xp.alias("xp"))
@@ -2551,11 +2578,34 @@ def ts_holt_winters_additive(spark, sf_dir):
             F.element_at(acc, 1) + F.element_at(acc, 2)
         )
 
-    def s_slot(acc, x, i):
-        upd = F.lit(0.2) * (x - new_l(acc, x)) + F.lit(0.8) * F.element_at(
-            acc, i + 4
-        )
-        return F.when(phase(acc) == i, upd).otherwise(F.element_at(acc, i + 4))
+    # The fold step references new_l SIX times (level, trend, all four
+    # seasonal slots) — bound once per step via _bind, the interpreted
+    # step tree shrinks ~4x with a bit-identical float path (each
+    # reference reads the once-computed value the duplicated trees used
+    # to recompute). Oracle unchanged — DuckDB's list_reduce inlines the
+    # same value by copy, and equal expressions give equal doubles.
+    def step(acc, x):
+        def with_nl(nl):
+            def s_slot(i):
+                upd = F.lit(0.2) * (x - nl) + F.lit(0.8) * F.element_at(
+                    acc, i + 4
+                )
+                return F.when(phase(acc) == i, upd).otherwise(
+                    F.element_at(acc, i + 4)
+                )
+
+            return F.array(
+                nl,
+                F.lit(0.1) * (nl - F.element_at(acc, 1))
+                + F.lit(0.9) * F.element_at(acc, 2),
+                F.element_at(acc, 3) + F.lit(1.0),
+                s_slot(0),
+                s_slot(1),
+                s_slot(2),
+                s_slot(3),
+            )
+
+        return _bind(new_l(acc, x), with_nl)
 
     hw = F.aggregate(
         F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
@@ -2568,16 +2618,7 @@ def ts_holt_winters_additive(spark, sf_dir):
             F.lit(0.0),
             F.lit(0.0),
         ),
-        lambda acc, x: F.array(
-            new_l(acc, x),
-            F.lit(0.1) * (new_l(acc, x) - F.element_at(acc, 1))
-            + F.lit(0.9) * F.element_at(acc, 2),
-            F.element_at(acc, 3) + F.lit(1.0),
-            s_slot(acc, x, 0),
-            s_slot(acc, x, 1),
-            s_slot(acc, x, 2),
-            s_slot(acc, x, 3),
-        ),
+        step,
     )
     st = ar.select("user_id", "event_id", "ts", hw.alias("hw"))
     fc_phase = (F.element_at("hw", 3).cast("int") + 3) % 4

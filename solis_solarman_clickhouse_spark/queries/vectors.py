@@ -17,7 +17,7 @@ from ..operators.similarity import (
     label_centroids,
     with_cosine,
 )
-from ..tables import footer_shape, table
+from ..tables import footer_shape, spread, table
 from .registry import query
 
 _TOPK_ORACLE = """
@@ -1145,7 +1145,11 @@ def _pq_code_frame(emb):
                 {"vec_id": pdf["vec_id"], "code": list(codes), "sq_err": err}
             )
 
-    return emb.select("vec_id", "embedding").mapInPandas(
+    # spread: the corpus is a single parquet file locally, so without it
+    # this CPU-heavy Arrow stage runs in ONE task (serial encode of the
+    # whole corpus — measured as a multi-second 1-task stage in the
+    # event log); no-op on any multi-file table at scale (tables.spread).
+    return spread(emb.select("vec_id", "embedding")).mapInPandas(
         assign, "vec_id long, code array<int>, sq_err double"
     )
 
@@ -1418,7 +1422,9 @@ def _ivfpq_code_frame(emb):
                 }
             )
 
-    return emb.select("vec_id", "embedding").mapInPandas(
+    # spread: see _pq_code_frame — parallelize the corpus encode locally
+    # (single-file scan → one task otherwise); no-op on multi-file input.
+    return spread(emb.select("vec_id", "embedding")).mapInPandas(
         encode, "vec_id long, list_id int, code array<int>"
     )
 
@@ -3497,8 +3503,17 @@ def vec_coreset_kcenter(spark, sf_dir):
     state, argmax as a treeReduce-shaped top-1."""
     import math as _math
 
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    # spread + persist: the selection loop below scans this frame 8
+    # times (one TakeOrdered pass per pick) — single-file locally, so
+    # unspread every pass is ONE task running the interpreted k-center
+    # fold serially; persisted so the parquet decode+cast happens once,
+    # not 8 times (in-query working state, released by the harness).
+    emb = tracked_persist(
+        spread(
+            table(spark, sf_dir, "embeddings").select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("e")
+            )
+        )
     )
     seed = emb.orderBy("vec_id").limit(1).select("vec_id", "e").head()
     picks = [(1, int(seed.vec_id), list(seed.e), 0)]
@@ -3592,7 +3607,7 @@ def _pca_component(spark, emb) -> list[int]:
             )
 
     g = (
-        emb.select("embedding")
+        spread(emb.select("embedding"))
         .mapInPandas(gram_partials, "i int, j int, p long")
         .groupBy("i", "j")
         .agg(F.sum("p").alias("gij"))

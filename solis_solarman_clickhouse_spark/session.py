@@ -30,7 +30,7 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def pinned_shuffle(spark: SparkSession, n: int | None = None):
+def pinned_shuffle(spark: SparkSession, n: int | None = None, *, aqe: bool | None = None):
     """Pin ``spark.sql.shuffle.partitions`` to the session's actual
     parallelism for the duration of an ITERATIVE query's driver loop,
     restoring the caller's value afterwards. Round-based queries pay a
@@ -44,14 +44,34 @@ def pinned_shuffle(spark: SparkSession, n: int | None = None):
     cluster defaultParallelism is the executor-core total, exactly what
     a |V|-sized per-round state wants; the query's persisted round
     states are materialized (and their partitioning frozen) inside the
-    loop, so the caller's config only shapes the final cosmetic stage."""
+    loop, so the caller's config only shapes the final cosmetic stage.
+
+    ``aqe=False`` additionally disables adaptive execution for the
+    loop's in-loop materializations (restored on exit, so the RETURNED
+    final plan still runs adaptive under the caller's conf). Rationale
+    (optimization round 9, measured): each round's plan is a fixed tiny
+    shape whose exchanges are already explicitly sized by
+    :func:`loop_partitions`, so AQE has nothing to coalesce — but its
+    per-query-stage re-optimization adds driver round-trips to every
+    barrier of every round (min-of-3 interleaved at sf0.1:
+    graph_kcore_full 21.2 s → 11.9 s, graph_pagerank_converged 12.3 s →
+    10.9 s). Callers only pass aqe=False for loops whose join keys are
+    STRUCTURALLY skew-free (the affinity graph's degree ≤ 6 by
+    construction) — AQE skew-splitting stays on everywhere data could
+    concentrate."""
     key = "spark.sql.shuffle.partitions"
+    akey = "spark.sql.adaptive.enabled"
     old = spark.conf.get(key)
+    old_aqe = spark.conf.get(akey)
     spark.conf.set(key, str(n or spark.sparkContext.defaultParallelism))
+    if aqe is not None:
+        spark.conf.set(akey, str(aqe).lower())
     try:
         yield
     finally:
         spark.conf.set(key, old)
+        if aqe is not None:
+            spark.conf.set(akey, old_aqe)
 
 
 #: AQE's target post-coalesce partition size; also the denominator of
@@ -90,6 +110,41 @@ def scaled_shuffle_partitions(n_cores: int, input_bytes: int, advisory_mb: int) 
     with the data while AQE trims the excess."""
     derived = input_bytes // (advisory_mb << 20)
     return max(8, n_cores, min(4096, derived))
+
+
+def loop_partitions(
+    spark: SparkSession, n_rows: int | None, row_bytes: int = 32
+) -> int:
+    """Partition count for an ITERATIVE query's in-loop exchanges (the
+    per-round state/edge shuffles under :func:`pinned_shuffle`), derived
+    from the loop relation's ROW COUNT instead of the core count —
+    guide §2's "make partitioning scale-adaptive" applied where AQE
+    cannot act: the loop's joins are pinned against a persisted
+    key-partitioned relation, so AQE must keep every in-loop exchange at
+    the full partition count to preserve co-partitioning, and a
+    round-based query pays that count in (mostly empty) tasks PER ROUND
+    — measured 32 tasks/stage x ~3 stages x ~31 rounds on
+    graph_pagerank_converged at sf0.1 for a |V|=15 k state.
+
+    Sizing mirrors AQE's own coalescing policy, brought to the loop:
+    - floor of ~2 MB of rows per task (AQE's minPartitionSize class) —
+      below that, task scheduling dominates and fewer partitions win;
+    - at most the session parallelism while a single advisory-sized
+      partition per core still fits (parallelismFirst semantics);
+    - above cores x advisory, grow with the data (advisory-sized
+      partitions, capped at 4096 like scaled_shuffle_partitions).
+    Locally every fixture graph resolves to 1; on a cluster the same
+    formula fed by a billion-edge relation lands in the hundreds.
+    ``None``/unknown row counts fall back to the session parallelism
+    (the previous behavior)."""
+    n_cores = spark.sparkContext.defaultParallelism
+    if not n_rows or n_rows <= 0:
+        return n_cores
+    advisory_mb = _parse_advisory_mb(os.environ.get("SPARK_GRAFT_ADVISORY_MB"))
+    total = n_rows * row_bytes
+    by_min_task = total // (2 << 20)
+    by_advisory = total // (advisory_mb << 20)
+    return max(1, min(n_cores, by_min_task), min(4096, by_advisory))
 
 
 def _parse_advisory_mb(raw: str | None) -> int:

@@ -95,6 +95,28 @@ def footer_shape(
         return None
 
 
+def footer_rows(sf_dir: str, name: str) -> int | None:
+    """Row count of a single-file parquet fixture from its FOOTER only —
+    no Spark job, no column decode. The iterative-loop partition sizing
+    (session.loop_partitions) uses this as its input-scale proxy; callers
+    fall back to the session parallelism when the path isn't a readable
+    single parquet file (e.g. a directory table at scale, where the
+    caller should feed a count it already has)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        return int(pq.ParquetFile(path).metadata.num_rows)
+    except (OSError, pa.ArrowInvalid, KeyError):
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "footer_rows fallback: %s not footer-readable", path
+        )
+        return None
+
+
 def spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition up to the cluster's parallelism before CPU-heavy work,
     but only when the input is under-partitioned (the local fixtures are
