@@ -1683,7 +1683,11 @@ def _span_cov_frame(docs):
     from ..caching import tracked_persist
 
     t = F.split("text", " ")
-    toks = docs.select("doc_id", t.alias("t"), F.size(t).cast("long").alias("n_tokens"))
+    # spread: the 8-gram slice+hash explode below otherwise runs inside
+    # the one-task single-file scan stage (serial); no-op at scale.
+    toks = spread(docs, "doc_id").select(
+        "doc_id", t.alias("t"), F.size(t).cast("long").alias("n_tokens")
+    )
     grams = tracked_persist(
         toks.where(F.col("n_tokens") >= 8)
         .select(
@@ -1807,7 +1811,12 @@ def _quality_logit_frame(docs):
     # non-generator expression sharing split(text) with explode(split(text))
     # in one select re-evaluates the split per OUTPUT row (~10x slower at
     # sf0.1, measured); projecting the array first makes Generate consume it.
-    toks = docs.select("doc_id", F.split("text", " ").alias("t")).select(
+    # spread: tokenize+hash+partial-agg all land in the SCAN stage, which
+    # is one task on the single-file local fixture (measured as a serial
+    # ~1.3 s stage inside doc_curation_v3); no-op on multi-file input.
+    toks = spread(docs, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).select(
         "doc_id",
         F.size("t").alias("n_tokens"),
         F.explode("t").alias("tok"),
@@ -2449,15 +2458,35 @@ def _bpe_oracle(k_rounds: int = 6, carry_w: bool = False,
 def _bpe_train_frames(spark, sf_dir, k_rounds: int = 6):
     """Shared BPE training loop: returns (per-round rule frames, final
     word table carrying (w, f, seg)) so train and encode replay the
-    identical merges. See doc_bpe_train for the algorithm notes."""
+    identical merges. See doc_bpe_train for the algorithm notes.
+
+    Loop discipline (optimization round 9): per-round word tables are
+    TRACKED checkpoints (harness releases them after the result is
+    consumed — superseded rounds cannot release in-loop here because the
+    returned per-round rule frames re-read them lazily), and the loop
+    runs under pinned_shuffle sized from the vocabulary (one cheap count
+    over the already-materialized checkpoint) with AQE off: six rounds
+    of fixed tiny plans paid per-stage re-optimization latency for
+    nothing — the pair groupBy key is (token, token), no join to skew."""
+    from ..caching import tracked_checkpoint
+    from ..session import loop_partitions, pinned_shuffle
+
     docs = table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
         .select("w", "f", F.array_join(F.split("w", ""), " ").alias("seg"))
-        .localCheckpoint(eager=True)
+        .transform(tracked_checkpoint)
     )
+    n_loop = loop_partitions(spark, words.count(), row_bytes=64)
+    with pinned_shuffle(spark, n_loop, aqe=False):
+        return _bpe_rounds(spark, words, k_rounds)
+
+
+def _bpe_rounds(spark, words, k_rounds):
+    from ..caching import tracked_checkpoint
+
     rounds = []
     for k in range(1, k_rounds + 1):
         t = F.split("seg", " ")
@@ -2477,10 +2506,19 @@ def _bpe_train_frames(spark, sf_dir, k_rounds: int = 6):
             .groupBy("a", "b")
             .agg(F.sum("f").alias("cnt"))
         )
-        best = pairs.orderBy(
+        # The winning pair is ONE deterministic row (total order cnt
+        # DESC, a, b) — collect it and fold with LITERALS (the k-center
+        # driver-held-state contract). The earlier lazy best + broadcast
+        # crossJoin re-executed the heavy pair-count pass a second time
+        # when the returned per-round rule frame was consumed; now each
+        # round pays exactly one pairs pass (this collect) and the rule
+        # frames are literal projections over a cheap checkpoint scan.
+        top = pairs.orderBy(
             F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
-        ).limit(1)
-        merged = words.crossJoin(F.broadcast(best)).select(
+        ).limit(1).collect()[0]
+        tok_a, tok_b, cnt = top["a"], top["b"], int(top["cnt"])
+        la, lb = F.lit(tok_a), F.lit(tok_b)
+        merged = words.select(
             "w",
             "f",
             F.aggregate(
@@ -2490,33 +2528,33 @@ def _bpe_train_frames(spark, sf_dir, k_rounds: int = 6):
                     F.when(acc == "", x)
                     .when(
                         (
-                            (acc == F.col("a"))
-                            | acc.endswith(F.concat(F.lit(" "), F.col("a")))
+                            (acc == la)
+                            | acc.endswith(F.concat(F.lit(" "), la))
                         )
-                        & (x == F.col("b")),
+                        & (x == lb),
                         F.concat(
                             acc.substr(
-                                F.lit(1), F.length(acc) - F.length(F.col("a"))
+                                F.lit(1), F.length(acc) - F.length(la)
                             ),
-                            F.col("a"),
-                            F.col("b"),
+                            la,
+                            lb,
                         ),
                     )
                     .otherwise(F.concat(acc, F.lit(" "), x))
                 ),
             ).alias("seg"),
-        ).localCheckpoint(eager=True)
+        ).transform(tracked_checkpoint)
         after = merged.agg(
             F.sum(F.col("f") * F.size(F.split("seg", " ")))
             .cast("long")
             .alias("corpus_tokens_after")
         )
         rounds.append(
-            best.crossJoin(after).select(
+            after.select(
                 F.lit(k).alias("round"),
-                F.col("a").alias("tok_a"),
-                F.col("b").alias("tok_b"),
-                F.col("cnt").cast("long").alias("pair_count"),
+                la.alias("tok_a"),
+                lb.alias("tok_b"),
+                F.lit(cnt).cast("long").alias("pair_count"),
                 "corpus_tokens_after",
             )
         )
@@ -2834,10 +2872,19 @@ def doc_minhash_band_sweep(spark, sf_dir):
             F.col("doc_id"),
             lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
         )
-        hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+        # candidate count + true-candidate count in ONE pass over the
+        # candidate set: the earlier count + left-semi-count pair
+        # re-expanded the banded pair generation twice per config (truth
+        # pairs are unique, so count(hit) over a left join == the semi
+        # count). One traversal, same numbers.
+        hits = cand.join(
+            truth.withColumn("_hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+        )
         row = (
-            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_true_candidates")))
+            hits.agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.count("_hit").alias("n_true_candidates"),
+            )
             .crossJoin(n_true)
             .select(
                 F.lit(bands).alias("bands"),
@@ -3440,11 +3487,21 @@ def _wjaccard_dense_pairs(tf, vocab, n_vocab: int, n_blocks: int = 16):
         ai = np.nonzero(blk == bi)[0]
         bjx = np.nonzero(blk == bj)[0]
         out_a, out_b, out_j = [], [], []
-        chunk = max(1, 64_000_000 // (max(len(bjx), 1) * n_vocab * 8))
+        # Σmin per pair accumulated DIM-BY-DIM over 2-D temporaries
+        # (guide §1.2 per-task work): the earlier 3-D
+        # |ac|×|bjx|×V abs-diff materialized a 64 MB int64 tensor per
+        # step and was memory-bandwidth-bound (~17 s stage at sf0.1);
+        # per-dim np.minimum outer ops touch V small 2-D arrays with
+        # cache-resident operands. Same exact int64 Σmin (computed
+        # directly instead of via the L1 identity), bit-identical output.
+        chunk = max(1, 64_000_000 // (max(len(bjx), 1) * 8))
+        mb = m[bjx]
         for c0 in range(0, len(ai), chunk):
             ac = ai[c0 : c0 + chunk]
-            l1 = np.abs(m[ac][:, None, :] - m[bjx][None, :, :]).sum(-1)
-            smin = (na[ac][:, None] + na[bjx][None, :] - l1) // 2
+            ma = m[ac]
+            smin = np.zeros((len(ac), len(bjx)), dtype=np.int64)
+            for dcol in range(n_vocab):
+                smin += np.minimum(ma[:, dcol][:, None], mb[:, dcol][None, :])
             union = na[ac][:, None] + na[bjx][None, :] - smin
             hit = smin * 5 >= union * 4
             if bi == bj:
