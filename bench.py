@@ -310,6 +310,10 @@ def main() -> None:
         "spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
         "spark.driver.memory", "spark.sql.adaptive.coalescePartitions.enabled",
         "spark.sql.autoBroadcastJoinThreshold", "spark.master",
+        # added r9: the AQE coalesce floor is load-bearing for the
+        # ts/window fold family (session.py comment) — keep config drift
+        # on it visible in the fingerprint
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
     ]
     fp_cfg = {k: spark.conf.get(k, None) for k in fp_keys}
     session_fp = {

@@ -31,11 +31,22 @@ class IdempotentParquetSink:
         self.base_path = base_path
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
-        """foreachBatch target: idempotent per batch_id."""
+        """foreachBatch target: idempotent per batch_id.
+
+        RANGE-partitioned by (ym, inverter, time), not hash by ym alone
+        (r9 optimization): hash-by-month funnels an entire month's rows
+        into ONE task — the whole sort+write ran serially on the bench's
+        single-month batch, and at scale a hot month is an unbounded
+        skew. Range distribution keeps the month→directory mapping
+        (partitionBy still splits files by ym at the rare boundary
+        straddle), spreads the write across the cluster, and makes
+        per-file (inverter, time) ranges NON-overlapping — strictly
+        better row-group min/max skipping than overlapping sorted files.
+        AQE coalescing sizes the actual file count from the data."""
         out = (
             df.withColumn("ym", F.date_format("time", "yyyyMM"))
-            .repartition("ym")
-            .sortWithinPartitions("inverter", "time")
+            .repartitionByRange("ym", "inverter", "time")
+            .sortWithinPartitions("ym", "inverter", "time")
         )
         out.write.mode("overwrite").partitionBy("ym").parquet(
             os.path.join(self.base_path, f"batch_id={batch_id}")

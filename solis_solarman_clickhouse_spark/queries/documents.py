@@ -4251,8 +4251,16 @@ def doc_repetition_filters(spark, sf_dir):
     bounded — the same inverted-index shape as the span-coverage tier,
     linear in corpus size at 100 TB."""
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("t")).select(
-        "doc_id", "t", F.size("t").cast("long").alias("n")
+    # spread + persist: the token-array frame feeds THREE subtrees (the
+    # 2-gram pass, the 3-gram pass, and the per-doc size join) — without
+    # the persist each re-tokenized the corpus inside the one-task
+    # single-file scan (three serial ~1.2 s stages in the event log).
+    from ..caching import tracked_persist
+
+    toks = tracked_persist(
+        spread(docs, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", "t", F.size("t").cast("long").alias("n"))
     )
 
     def grams(order: int):

@@ -2087,19 +2087,21 @@ def ts_acf_correlogram(spark, sf_dir):
     from pyspark.sql import Window as W
 
     ev = table(spark, sf_dir, "events")
-    s = ev.select(
+    # lagged pairs via LEAD over one window pass — the ts_pacf rewrite
+    # (r9): identical pair multiset to the row-number + 5-lag crossJoin +
+    # self-join, at one exchange instead of four.
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    yq = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("user_id", "ts", "event_id", yq.alias("ya")).select(
         "user_id",
-        F.row_number()
-        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
-        .alias("rn"),
-        F.round(F.col("value") * 100).cast("long").alias("y"),
+        "ya",
+        *[F.lead("ya", k).over(w).alias(f"_l{k}") for k in (1, 2, 3, 4, 5)],
     )
-    lags = spark.range(1, 6).select(F.col("id").cast("int").alias("lag"))
-    a = s.crossJoin(F.broadcast(lags)).select(
-        "user_id", "lag", (F.col("rn") + F.col("lag")).alias("rnb"), F.col("y").alias("ya")
-    )
-    b = s.select("user_id", F.col("rn").alias("rnb"), F.col("y").alias("yb"))
-    pairs = a.join(b, ["user_id", "rnb"])
+    pairs = base.select(
+        "user_id",
+        "ya",
+        F.expr("stack(5, 1, _l1, 2, _l2, 3, _l3, 4, _l4, 5, _l5) AS (lag, yb)"),
+    ).where(F.col("yb").isNotNull())
     dec = lambda c: F.sum(c.cast(T.DecimalType(38, 0))).cast("double")
     m = pairs.groupBy("user_id", "lag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2917,20 +2919,25 @@ def ts_pacf_durbin_levinson(spark, sf_dir):
     from pyspark.sql import Window as W
 
     ev = table(spark, sf_dir, "events")
-    s = ev.select(
+    # lagged pairs via LEAD over one per-user window pass (r9
+    # optimization): the earlier row_number + 3-lag crossJoin + self-join
+    # shuffled the event stream four times (window exchange, 3x-exploded
+    # probe side, build side, join) to pair y_t with y_{t+k} — but that
+    # pair set IS lead(y, k) by definition. Identical pair multiset
+    # (lead is NULL exactly where the join found no partner), identical
+    # decimal moment sums, one exchange total.
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    yq = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("user_id", "ts", "event_id", yq.alias("ya")).select(
         "user_id",
-        F.row_number()
-        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
-        .alias("rn"),
-        F.round(F.col("value") * 100).cast("long").alias("y"),
+        "ya",
+        *[F.lead("ya", k).over(w).alias(f"_l{k}") for k in (1, 2, 3)],
     )
-    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
-    a = s.crossJoin(F.broadcast(lags)).select(
-        "user_id", "lag", (F.col("rn") + F.col("lag")).alias("rnb"),
-        F.col("y").alias("ya"),
-    )
-    b = s.select("user_id", F.col("rn").alias("rnb"), F.col("y").alias("yb"))
-    pairs = a.join(b, ["user_id", "rnb"])
+    pairs = base.select(
+        "user_id",
+        "ya",
+        F.expr("stack(3, 1, _l1, 2, _l2, 3, _l3) AS (lag, yb)"),
+    ).where(F.col("yb").isNotNull())
     dec = lambda c: F.sum(c.cast(T.DecimalType(38, 0))).cast("double")
     m = pairs.groupBy("user_id", "lag").agg(
         F.count(F.lit(1)).alias("n"),

@@ -3842,12 +3842,17 @@ def vec_silhouette_simplified(spark, sf_dir):
     labels-sized. The exact all-pairs silhouette is the audit-tier
     complement (the vec_neardup_cosine contract)."""
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id", "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "e"),
-    ).select(
-        "vec_id", "label", "j",
-        F.floor(F.col("e") * 10000).cast("long").alias("qi"),
+    # spread + persist: the exploded quantized frame feeds the centroid
+    # aggregate AND the distance join — two corpus re-explosions from a
+    # one-task single-file scan otherwise (serial ~0.8 s stages).
+    q = tracked_persist(
+        spread(emb).select(
+            "vec_id", "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "e"),
+        ).select(
+            "vec_id", "label", "j",
+            F.floor(F.col("e") * 10000).cast("long").alias("qi"),
+        )
     )
     cen = q.groupBy(F.col("label").alias("c"), "j").agg(
         F.sum("qi").alias("s"), F.count_distinct("vec_id").alias("nc")
@@ -3976,9 +3981,16 @@ def vec_rocchio_prf(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     tk = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
-    ce = emb.select(
-        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "e")
-    ).select("vec_id", "j", F.floor(F.col("e") * 10000).cast("long").alias("ci"))
+    # spread + persist: the exploded corpus feeds BOTH retrieval rounds
+    # (feedback centroid join + re-rank join) — without the persist the
+    # posexplode+quantize runs twice, and on the single-file local scan
+    # each run was one serial task (measured 1.1 s 1-task stages).
+    ce = tracked_persist(
+        spread(emb).select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "e"),
+        ).select("vec_id", "j", F.floor(F.col("e") * 10000).cast("long").alias("ci"))
+    )
     qe = queries.select(
         F.col("vec_id").alias("query_id"),
         F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "e"),

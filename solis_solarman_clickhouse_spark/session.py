@@ -184,6 +184,18 @@ def get_spark(app_name: str = "solis-solarman-spark", *, cpus: int | None = None
             "spark.sql.adaptive.advisoryPartitionSizeInBytes", f"{advisory_mb}m"
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's coalesce floor (default 1 MB) binds ONLY when a shuffle is
+        # byte-small — and a byte-small exchange is NOT compute-small for
+        # the engine's per-row HOF folds (collect_list windows + sequential
+        # fold queries: ~100 interpreted expression nodes x 20 elements per
+        # row over ~60-80 B rows). At the default floor the whole ts/window
+        # family coalesced to 2-3 tasks and ran serial; at 64 KB those
+        # stages keep ~cores partitions (measured interleaved min-of-3 at
+        # sf0.1: ts_kalman_1d 1.78->0.76 s, ch_exp_time_decayed_avg
+        # 1.84->0.68 s, ts_matrix_profile 1.47->0.80 s; scan/agg controls
+        # unchanged). Scale-neutral: any production-sized exchange exceeds
+        # both floors, where the advisory size governs as before.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

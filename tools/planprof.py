@@ -41,6 +41,8 @@ def main() -> None:
             suffix = a.split("=", 1)[1]
         elif a == "--no-plans":
             plans = False
+        elif a == "--plans-only":
+            runs = 0
         else:
             names.append(a)
 
@@ -70,6 +72,7 @@ def main() -> None:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", f"{advisory_mb}m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -108,6 +111,9 @@ def main() -> None:
             with open(os.path.join(plan_dir, f"{name}_{suffix}.txt"), "w") as fh:
                 fh.write(p)
             release_cached()
+        if runs == 0:
+            results[name] = {"min": None, "runs": []}
+            continue
         samples = []
         spark.sparkContext.setJobDescription(f"planprof:{name}")
         t_first = time.time()
