@@ -757,7 +757,10 @@ def join_bucketed_colocated(spark, sf_dir):
                 ),
             )
         )
-        return j.localCheckpoint(eager=True)
+        # tracked: harness releases the (rows-few) materialized result
+        from ..caching import tracked_checkpoint
+
+        return tracked_checkpoint(j)
     finally:
         for t in (ot, lt):
             spark.sql(f"DROP TABLE IF EXISTS {t}")

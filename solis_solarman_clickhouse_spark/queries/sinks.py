@@ -15,6 +15,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from ..caching import tracked_checkpoint
 from ..tables import table
 from .registry import query
 
@@ -200,7 +201,7 @@ def sql_ddl_roundtrip(spark, sf_dir):
                        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
                          AS sum_price
                 FROM {tbl} GROUP BY o_orderstatus"""
-        ).localCheckpoint(eager=True)
+        ).transform(tracked_checkpoint)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
