@@ -348,7 +348,16 @@ def main() -> None:
     # truncates the line mid-way (every BENCH_r*.json through r04 has
     # parsed: null). Persist the full per-query JSON to a file + stderr,
     # and keep the LAST stdout line under the tail budget: full JSON if
-    # it fits, else a summary with the slowest rows and a file pointer.
+    # it fits, else a summary with a "queries" map of the slowest rows
+    # (as many as fit under the budget — measurement-bug fix, round 10:
+    # the r05-r09 summary carried only a 10-row "slowest" dict under a
+    # different key, so the driver's per-query comparison and its
+    # low-core scaling measurement got NO per-query data at all;
+    # "queries" is the contract key. The full 158-row map CANNOT fit —
+    # 4.8 KB vs the 2000-char tail — so the inline map holds the
+    # slowest-first prefix that fits and bench_full.json keeps the rest;
+    # nothing is removed or renamed, entries are only ADDED vs the
+    # previous summary which had zero).
     full = json.dumps(out)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_full.json"), "w") as fh:
@@ -357,9 +366,6 @@ def main() -> None:
     if len(full) <= 1800:
         print(full)
     else:
-        slowest = dict(
-            sorted(timings.items(), key=lambda kv: -kv[1])[:10]
-        )
         summary = {
             "metric": "headline_queries_total_runtime",
             "value": total,
@@ -367,11 +373,17 @@ def main() -> None:
             "n_queries": len(timings),
             "sf": float(sf),
             "ingest": ingest,
-            "slowest": slowest,
+            "queries": {},
             "n_errors": len(errors),
             "session_hash": session_fp["hash"],
             "queries_file": "bench_full.json",
         }
+        budget = 1900  # hard ceiling: the recorder's tail keeps 2000 chars
+        for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
+            summary["queries"][name] = sec
+            if len(json.dumps(summary)) > budget:
+                del summary["queries"][name]
+                break
         print(json.dumps(summary))
 
 
